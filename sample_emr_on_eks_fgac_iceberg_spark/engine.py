@@ -1,0 +1,44 @@
+"""FgacEngine — warehouse + policy + per-principal sessions.
+
+The in-process equivalent of the reference's deployment (SURVEY.md §3):
+producer side (Iceberg tables + Lake Formation policies) and consumer
+side (per-team Spark jobs whose reads are mediated by the query-engine
+role) collapse into one object:
+
+    engine = FgacEngine(spark, warehouse_root)
+    engine.warehouse.create_table(...)        # D1 (Athena CREATE TABLE)
+    engine.policy.create_data_cells_filter(…) # A3
+    engine.policy.grant("team1", ...)         # A1
+    sess = engine.session_for("team1")        # security configuration
+    sess.sql("SELECT * FROM patients")        # FGAC-filtered scan (S1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sample_emr_on_eks_fgac_iceberg_spark.policy import PolicyStore, SecureSession
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+
+class FgacEngine:
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_root)
+        self.policy = PolicyStore()
+
+    def _load_for_session(self, session_spark: SparkSession, name: str) -> DataFrame:
+        # Re-read through the warehouse so each SecureSession resolves
+        # the current snapshot (fresh reads see new appends).
+        return Warehouse(session_spark, self.warehouse.root).read_table(name)
+
+    def session_for(self, principal: str) -> SecureSession:
+        """Build the per-principal secured session (the reference's
+        start-job-run with a security configuration, SURVEY.md §3.1)."""
+        return SecureSession(
+            self.spark,
+            self.policy,
+            principal,
+            table_loader=self._load_for_session,
+            known_tables=self.warehouse.list_tables,
+        )

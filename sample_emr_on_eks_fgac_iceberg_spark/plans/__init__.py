@@ -1,0 +1,13 @@
+from sample_emr_on_eks_fgac_iceberg_spark.plans.explain import (
+    explain_str,
+    pushed_filters,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "uses_broadcast_join",
+    "wholestage_codegen_spans",
+]

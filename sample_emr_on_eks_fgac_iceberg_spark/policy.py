@@ -1,0 +1,228 @@
+"""Fine-grained access control (FGAC) — the reference's one custom
+component, re-expressed engine-side (SURVEY.md §2 A1-A4, §4).
+
+Models AWS Lake Formation's permission surface as exercised by the
+reference:
+
+- ``DataCellsFilter`` — combined column whitelist + row-filter
+  expression, the exact policy object at
+  producer_account_setup/producer_iceberg_datalake_setup.sh:240-256
+  (``ColumnNames`` minus ``ssn`` + ``state in ('Texas', 'New York')``).
+- grants/revokes of SELECT/DESCRIBE, optionally with grant option
+  (producer_iceberg_datalake_setup.sh:265-274, 303-313;
+  producer_clean_up.sh:18-47) — ``PolicyStore.grant`` / ``revoke``.
+- per-principal enforcement with plan-time denial: an unauthorized read
+  raises ``AccessDeniedException`` before any data movement, matching
+  the reference's negative test
+  (consumer_account_setup/consumer_emr_on_eks_setup.sh:480-488).
+
+Enforcement strategy (SURVEY.md §4 "Policy injection"): the secured-
+view model — ``SecureSession`` wraps an isolated ``spark.newSession()``
+whose catalog only ever exposes policy-wrapped DataFrames. The row
+filter is applied with ``F.expr`` *before* the column projection (the
+filter may reference masked columns) and is injected at relation-
+resolution time, so Catalyst pushes it into the parquet scan
+(PushedFilters) — the unfiltered rows never reach user code, which is
+the Lake Formation / Lakeguard (SIGMOD'25) threat model the reference
+implements with its secure-namespace split
+(consumer_emr_on_eks_setup.sh:18-19, 349-362).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SELECT = "SELECT"
+DESCRIBE = "DESCRIBE"
+ALL_PERMISSIONS = frozenset({SELECT, DESCRIBE})
+
+
+class AccessDeniedException(PermissionError):
+    """Raised at plan time for unauthorized access.
+
+    The message intentionally contains the literal string
+    ``AccessDeniedException`` — the reference's negative-path job
+    detects the denial by that substring
+    (consumer_emr_on_eks_setup.sh:485-486).
+    """
+
+    def __init__(self, principal: str, table: str, action: str = SELECT):
+        super().__init__(
+            f"AccessDeniedException: principal '{principal}' is not "
+            f"authorized to perform {action} on table '{table}'"
+        )
+        self.principal = principal
+        self.table = table
+        self.action = action
+
+
+@dataclass(frozen=True)
+class DataCellsFilter:
+    """Combined column whitelist + row filter bound to a table.
+
+    ``allowed_columns=None`` means all columns; ``row_filter=None``
+    means no row predicate (full-table grant, as the reference's claims
+    grant at producer_iceberg_datalake_setup.sh:303-313).
+    """
+
+    name: str
+    table: str
+    allowed_columns: tuple[str, ...] | None = None
+    row_filter: str | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        # Row filter first: it may reference columns that the column
+        # whitelist then hides (LF evaluates the filter on full rows).
+        if self.row_filter:
+            df = df.filter(F.expr(self.row_filter))
+        if self.allowed_columns is not None:
+            df = df.select(*self.allowed_columns)
+        return df
+
+
+@dataclass
+class Grant:
+    principal: str
+    table: str
+    permissions: frozenset[str] = ALL_PERMISSIONS
+    grant_option: bool = False
+    filter_name: str | None = None  # None → full-table grant
+
+
+class PolicyStore:
+    """Metadata store for filters + grants (A1-A3)."""
+
+    def __init__(self) -> None:
+        self._filters: dict[str, DataCellsFilter] = {}
+        self._grants: dict[tuple[str, str], Grant] = {}
+
+    # ------------------------------------------------------- filters (A3)
+    def create_data_cells_filter(self, f: DataCellsFilter) -> None:
+        if f.name in self._filters:
+            raise ValueError(f"Filter '{f.name}' already exists")
+        self._filters[f.name] = f
+
+    def delete_data_cells_filter(self, name: str) -> None:
+        self._filters.pop(name, None)
+
+    def get_filter(self, name: str) -> DataCellsFilter:
+        return self._filters[name]
+
+    # -------------------------------------------------------- grants (A1)
+    def grant(
+        self,
+        principal: str,
+        table: str,
+        permissions: frozenset[str] | set[str] = ALL_PERMISSIONS,
+        grant_option: bool = False,
+        filter_name: str | None = None,
+    ) -> None:
+        if filter_name is not None and filter_name not in self._filters:
+            raise ValueError(f"Unknown data-cells filter '{filter_name}'")
+        self._grants[(principal, table)] = Grant(
+            principal, table, frozenset(permissions), grant_option, filter_name
+        )
+
+    def revoke(self, principal: str, table: str) -> None:
+        """A2: REVOKE (producer_clean_up.sh:18-47)."""
+        self._grants.pop((principal, table), None)
+
+    def grant_for(self, principal: str, table: str) -> Grant | None:
+        return self._grants.get((principal, table))
+
+    def tables_granted(self, principal: str) -> list[str]:
+        return sorted(t for (p, t) in self._grants if p == principal)
+
+    # -------------------------------------------------- enforcement (A4)
+    def authorize(self, principal: str, table: str, action: str = SELECT) -> Grant:
+        grant = self.grant_for(principal, table)
+        if grant is None or action not in grant.permissions:
+            raise AccessDeniedException(principal, table, action)
+        return grant
+
+    def secured_frame(
+        self, principal: str, table: str, df: DataFrame, action: str = SELECT
+    ) -> DataFrame:
+        grant = self.authorize(principal, table, action)
+        if grant.filter_name is not None:
+            df = self._filters[grant.filter_name].apply(df)
+        return df
+
+
+class SecureSession:
+    """Per-principal query surface — the engine-side equivalent of the
+    reference's user-namespace job whose reads are mediated by the
+    privileged query-engine role (SURVEY.md §3.1 step 4).
+
+    Wraps ``spark.newSession()`` (isolated temp-view catalog + SQL conf,
+    shared SparkContext) and registers only policy-wrapped views, so
+    both the DataFrame path (``.table``) and the SQL path (``.sql``)
+    see the filtered relation; ``SELECT *`` expands to the filtered
+    column set (SURVEY.md §2 P1) and a reference to an ungranted table
+    fails at plan time with ``AccessDeniedException``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        policy: PolicyStore,
+        principal: str,
+        table_loader,
+        known_tables,
+    ):
+        self._spark = spark.newSession()
+        self._policy = policy
+        self.principal = principal
+        self._table_loader = table_loader
+        self._known_tables = known_tables
+        for name in policy.tables_granted(principal):
+            grant = policy.grant_for(principal, name)
+            if SELECT in grant.permissions:
+                self._secured(name).createOrReplaceTempView(name)
+
+    def _secured(self, table: str) -> DataFrame:
+        raw = self._table_loader(self._spark, table)
+        return self._policy.secured_frame(self.principal, table, raw)
+
+    # ---------------------------------------------------------- queries
+    def table(self, name: str) -> DataFrame:
+        if name not in set(self._known_tables()):
+            raise AccessDeniedException(self.principal, name)
+        return self._secured(name)
+
+    def sql(self, query: str) -> DataFrame:
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            return self._spark.sql(query)
+        except AnalysisException as exc:
+            # A table exists in the warehouse but isn't granted → it was
+            # never registered in this session's catalog. Surface that
+            # as the reference's plan-time denial rather than a
+            # not-found error (consumer_emr_on_eks_setup.sh:480-488).
+            for name in self._known_tables():
+                if self._policy.grant_for(self.principal, name) is None and (
+                    f"`{name}`" in str(exc) or name in str(exc)
+                ):
+                    raise AccessDeniedException(self.principal, name) from exc
+            raise
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        self._policy.authorize(self.principal, name, DESCRIBE)
+        grant = self._policy.grant_for(self.principal, name)
+        df = self._table_loader(self._spark, name)
+        if grant.filter_name is not None:
+            f = self._policy.get_filter(grant.filter_name)
+            if f.allowed_columns is not None:
+                df = df.select(*f.allowed_columns)
+        return [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._spark
+
+    def stop(self) -> None:  # E4 — session-scoped; context stays alive
+        pass
