@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes through a `noop` sink so we measure plan execution
+(scan→shuffle→agg), not driver-side row serialization — the honest
+number for a 100 TB posture where results land in a table, not in the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES  # noqa: E402
+from sample_emr_on_eks_fgac_iceberg_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "window_order_ranks",
+    "pivot_event_counts",
+    "fgac_claims_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(app_name="fgac-engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM/codegen and file-listing caches once with the smallest query
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

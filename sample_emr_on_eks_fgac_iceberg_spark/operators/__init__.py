@@ -1,0 +1,13 @@
+"""Operator surface (SURVEY.md §2). Each module registers query
+callables `(spark, sf_dir) -> DataFrame` plus a matching DuckDB oracle
+SQL string (where SQL-expressible) into QUERIES / ORACLE."""
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import ORACLE, QUERIES
+
+# importing the modules populates the registries
+from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
+    relational,
+    fgac_queries,
+)
+
+__all__ = ["QUERIES", "ORACLE"]

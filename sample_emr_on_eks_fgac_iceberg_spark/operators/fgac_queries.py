@@ -1,0 +1,116 @@
+"""The reference's flagship FGAC scenarios as driver-checkable queries.
+
+Spark side: recreate the healthcare fixture through the engine's own
+DDL in a temp warehouse, install the DataCellsFilter + grants, and run
+the query through a per-principal SecureSession — i.e. the full FGAC
+path (SURVEY.md §2 S1/F1/F2/J1/O1 + A1/A3).
+
+Oracle side: the same rows as a VALUES inline table with the policy
+predicate written directly in SQL — DuckDB needs no engine, so the
+oracle checks that the policy-wrapped Spark plan produces exactly the
+rows/columns Lake Formation would have vended
+(producer_iceberg_datalake_setup.sh:240-256 semantics).
+
+Timestamp columns are excluded from the checked outputs (created_at /
+updated_at carry no query semantics here and tz normalization across
+engines is compare-noise, not signal).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.healthcare import (
+    CLAIMS_ROWS,
+    PATIENTS_ROWS,
+    TEAM1,
+    setup_healthcare,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+
+_ENGINES: dict[str, object] = {}
+
+
+def _engine_for(spark: SparkSession):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    key = spark.sparkContext.applicationId
+    if key not in _ENGINES:
+        eng = FgacEngine(spark, tempfile.mkdtemp(prefix="fgac_wh_"))
+        setup_healthcare(eng)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+def _patients_values_sql() -> str:
+    rows = ",\n        ".join(
+        f"({pid}, '{name}', DATE '{dob}', '{g}', '{city}', '{state}')"
+        for pid, name, dob, g, city, state, _ssn, _c, _u in PATIENTS_ROWS
+    )
+    return (
+        "patients_src(patient_id, patient_name, date_of_birth, gender, city, state) "
+        f"AS (VALUES\n        {rows})"
+    )
+
+
+def _claims_values_sql() -> str:
+    rows = ",\n        ".join(
+        f"('{cid}', {pid}, DATE '{cdate}', '{diag}', '{proc}', "
+        f"CAST({amt} AS DECIMAL(10,2)), '{status}', '{prov}')"
+        for cid, pid, cdate, diag, proc, amt, status, prov, _c, _u in CLAIMS_ROWS
+    )
+    return (
+        "claims_src(claim_id, patient_id, claim_date, diagnosis_code, "
+        "procedure_code, amount, status, provider_id) "
+        f"AS (VALUES\n        {rows})"
+    )
+
+
+@register(
+    "fgac_patients_scan",
+    oracle=f"""
+    WITH {_patients_values_sql()}
+    SELECT patient_id, patient_name, date_of_birth, gender, city, state
+    FROM patients_src
+    WHERE state IN ('Texas', 'New York')
+    """,
+)
+def fgac_patients_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under FGAC: SELECT * expands to the filtered column set and
+    the row filter is applied engine-side (consumer job at
+    consumer_emr_on_eks_setup.sh:407-410)."""
+    sess = _engine_for(spark).session_for(TEAM1)
+    return sess.sql("SELECT * FROM patients").select(
+        "patient_id", "patient_name", "date_of_birth", "gender", "city", "state"
+    )
+
+
+@register(
+    "fgac_claims_join",
+    oracle=f"""
+    WITH {_patients_values_sql()},
+         {_claims_values_sql()}
+    SELECT p.state, c.claim_id, c.claim_date, p.patient_name,
+           c.diagnosis_code, c.procedure_code,
+           CAST(c.amount AS DOUBLE) AS amount, c.status, c.provider_id
+    FROM claims_src c JOIN patients_src p ON c.patient_id = p.patient_id
+    WHERE p.state IN ('Texas', 'New York')
+    """,
+)
+def fgac_claims_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P2 under FGAC — the reference's flagship join
+    (consumer_emr_on_eks_setup.sh:412): only TX/NY patients' claims
+    survive because the policy filter composes through the join."""
+    sess = _engine_for(spark).session_for(TEAM1)
+    df = sess.sql(
+        """
+        SELECT p.state, c.claim_id, c.claim_date, p.patient_name,
+               c.diagnosis_code, c.procedure_code, c.amount, c.status,
+               c.provider_id
+        FROM claims c JOIN patients p ON c.patient_id = p.patient_id
+        """
+    )
+    return df.withColumn("amount", F.col("amount").cast("double"))

@@ -38,7 +38,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    Read nanos as long (runtime-settable legacy conf — applied here so
+    it also works under a caller-provided session) and convert to a
+    microsecond timestamp JVM-side; integer DIV avoids the double-
+    precision loss a `/1000` would give on epoch-nanos magnitudes."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(
