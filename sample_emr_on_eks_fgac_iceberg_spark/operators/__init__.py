@@ -8,6 +8,11 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import ORACLE, QUER
 from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
     relational,
     fgac_queries,
+    text,
+    dedup,
+    similarity,
+    multimodal,
 )
+from sample_emr_on_eks_fgac_iceberg_spark.streaming import events as _streaming_events  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

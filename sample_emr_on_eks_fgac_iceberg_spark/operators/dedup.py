@@ -1,0 +1,205 @@
+"""Deduplication operators over `documents` (north-star surface,
+SURVEY.md §2.B "Dedup"): exact (hash-groupBy), n-gram Jaccard
+(shingle-bucketed candidate join), MinHash-LSH, and SimHash.
+
+100 TB posture:
+- exact dedup is one shuffle on the content hash (map-side partial agg
+  applies to the count);
+- Jaccard candidates come only from docs sharing a word-trigram
+  shingle — the candidate join shuffles on the shingle, never forming
+  the all-pairs cross product;
+- MinHash-LSH and SimHash band-joins are the sub-linear scale path for
+  when even shingle buckets are too hot: pairs form only within
+  LSH bands / 16-bit SimHash chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+SHINGLE_N = 3  # word trigrams
+JACCARD_THRESHOLD = 0.2
+
+
+def _norm_text(col):
+    """Shared normalization: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _shingles(tokens_col: str):
+    """Distinct word trigrams from a token-array column (guarded by the
+    caller for size >= SHINGLE_N)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {SHINGLE_N}), "
+            f"i -> concat_ws(' ', {tokens_col}[i], {tokens_col}[i+1], {tokens_col}[i+2]))"
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash normalized text, keep the lowest doc_id as
+    canonical. One shuffle on the hash; survivors = one row per hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(t) - {SHINGLE_N - 1}),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= {SHINGLE_N}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pair_shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT p.a_id, p.b_id, p.shared,
+           CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
+    FROM pair_shared p
+      JOIN sizes sa ON sa.doc_id = p.a_id
+      JOIN sizes sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-trigram Jaccard. Candidates are generated
+    by the shingle equi-join (shuffle on shingle), so only docs sharing
+    at least one trigram are ever compared — the all-pairs product is
+    never materialized. Exact integer shared/size counts make the
+    score deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    sh = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", _shingles("t").alias("shingles"))
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        pair_shared.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", "shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_minhash_lsh")  # engine-specific hash family → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (pyspark.ml): shingle → HashingTF
+    → MinHashLSH.approxSimilarityJoin. The banded LSH join is the
+    sub-linear scale path; recall is tunable via numHashTables. Output:
+    candidate pairs with estimated Jaccard distance < 0.8."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    sh = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", _shingles("t").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.col("jaccard_dist").alias("jaccard_dist"),
+        )
+    )
+
+
+@register("dedup_simhash")  # xxhash64 family is Spark-specific → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates. Per doc: hash each distinct
+    token with xxhash64, accumulate +1/-1 per bit, sign → fingerprint.
+    Candidate pairs share at least one of four 16-bit bands (the
+    classic SimHash index join — never all-pairs); survivors have
+    Hamming distance <= 8."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = F.lit(0).cast("long")
+    for i in range(63):  # keep bit 63 clear so the fingerprint stays non-negative
+        simhash = simhash + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{band}:"),
+                        F.shiftright("simhash", band * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 8
+    )

@@ -1,0 +1,130 @@
+"""Multimodal-column operators (north-star surface, SURVEY.md §2.B
+"Multimodal columns"): media as opaque `binary` payloads with typed
+metadata, and Arrow-batched feature extraction via mapInPandas.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked stub (`_decode_media` raises NotImplementedError unless
+the deterministic fake decoder is requested); everything around it —
+schema, binary payload handling, batch shapes, partition-preserving
+mapInPandas plumbing — is real and tested. At 100 TB this is the
+pattern: binary columns stay columnar in parquet, decode runs
+Arrow-batched per partition, features come back as a typed column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+MEDIA_TYPES = ("image/png", "image/jpeg", "audio/wav")
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus re-shaped as a media table: text payload
+    standing in for raw bytes, plus typed metadata columns — the
+    binary-column data model the engine supports."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 3).cast("int").alias("media_kind"),
+        (64 + (F.col("doc_id") % 16) * 8).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 9) * 8).cast("int").alias("height"),
+    )
+
+
+@register(
+    "multimodal_catalog",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+           CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+           CAST(64 + (doc_id % 9) * 8 AS INT) AS height,
+           md5(text) AS payload_checksum
+    FROM documents
+    """,
+)
+def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-catalog scan: byte sizes, typed metadata, checksums —
+    pure JVM expressions over the binary payload column."""
+    m = media_frame(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("payload_checksum"))
+    media_type = (
+        F.when(F.col("media_kind") == 0, MEDIA_TYPES[0])
+        .when(F.col("media_kind") == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+    return (
+        m.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            media_type.alias("media_type"),
+            "width",
+            "height",
+            "payload_checksum",
+        )
+    )
+
+
+def _decode_media(payload: bytes, fake: bool = True) -> bytes:
+    """Decode stub. Real decoders (PIL / soundfile / av) are not in
+    this container; `fake=True` returns the payload unchanged as the
+    deterministic stand-in 'pixel buffer'."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/soundfile/av; not available here"
+        )
+    return payload
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_CHUNK = 64
+_N_FEATURES = 8
+
+
+@register("multimodal_features")  # binary feature extraction → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas: per doc, 'decode' (stub) then compute an 8-bin byte
+    histogram density — the real plumbing (batch iteration, binary in,
+    typed array out) that an image/audio featurizer plugs into."""
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = _decode_media(bytes(payload), fake=True)
+                n_chunks = (len(buf) + _CHUNK - 1) // _CHUNK
+                hist = [0] * _N_FEATURES
+                for byte in buf:
+                    hist[byte % _N_FEATURES] += 1
+                total = max(len(buf), 1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_chunks": n_chunks,
+                        "features": [h / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_chunks", "features"])
+
+    return media_frame(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        extract, FEATURE_SCHEMA
+    )

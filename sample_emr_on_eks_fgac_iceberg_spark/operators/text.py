@@ -1,0 +1,178 @@
+"""Text-analysis operators over the `documents` corpus (north-star
+surface, SURVEY.md §2.B "Text analysis"): token counting (whitespace +
+BPE-ish regex), language-ID (marker-lexicon heuristic), quality
+scoring, and content fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen-able
+— no Python UDFs in these paths), so at 100 TB these run as plain
+scans + narrow projections; lang-ID adds one broadcast join against a
+tiny lexicon and one per-doc aggregation.
+
+Token normalization is shared with operators/dedup.py: lowercase, trim,
+split on runs of whitespace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+TOKEN_SPLIT = r"\s+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "y", "que", "es"),
+    "fr": ("le", "les", "et", "que", "est"),
+    "zh": ("的", "是", "在", "和", "了"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "is", "in", "it", "that")
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), TOKEN_SPLIT)
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id, n_chars,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex tokenization count
+    (letters / digit runs / single punctuation, the common pre-tokenizer
+    shape for LLM data pipelines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               string_split_regex(trim(lower(text)), '\s+') AS toks,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+               length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct
+        FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(n_nonspace AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','is','in','it','that'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (length / punctuation / stopword
+    ratios) — per-row arithmetic only, fully codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def _lexicon_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in sorted(LANG_LEXICON.items()) for w in words
+    )
+    return f"lex(pred_lang, word) AS (VALUES {rows})"
+
+
+@register(
+    "text_lang_id",
+    oracle=rf"""
+    WITH {_lexicon_values_sql()},
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents),
+    cnts AS (
+        SELECT t.doc_id, l.pred_lang, COUNT(*) AS c
+        FROM toks t JOIN lex l ON t.word = l.word
+        GROUP BY t.doc_id, l.pred_lang),
+    best AS (
+        SELECT doc_id, pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, pred_lang) AS rn
+        FROM cnts)
+    SELECT d.doc_id, d.lang AS actual_lang,
+           COALESCE(b.pred_lang, 'und') AS predicted_lang
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: explode tokens, broadcast-join the
+    lexicon, argmax matches per doc (ties broken lexicographically),
+    'und' when no marker hits."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words],
+        "pred_lang string, word string",
+    )
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    cnts = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("pred_lang"))
+    best = cnts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.coalesce("pred_lang", F.lit("und")).alias("predicted_lang"),
+        )
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_fingerprint,
+           md5(substring(text, 1, 64)) AS prefix_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of the sorted distinct
+    token set) + a positional prefix hash — the cheap pre-filter pair
+    for dedup pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "content_fingerprint"
+        ),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
+    )

@@ -1,0 +1,15 @@
+from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
+    dedup_within_watermark,
+    read_event_stream,
+    run_to_memory,
+    session_window_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "read_event_stream",
+    "run_to_memory",
+    "session_window_counts",
+    "tumbling_counts",
+]

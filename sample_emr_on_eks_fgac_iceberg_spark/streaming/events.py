@@ -1,0 +1,210 @@
+"""Structured Streaming operators over the events table (SURVEY.md
+§2.B "Streaming"): watermarked tumbling/sliding/session windows,
+stateful dedup, and batch-equivalent queries for the oracle gate.
+
+Design: every windowed transformation is written once against a plain
+DataFrame, so the same function serves `spark.read` (batch, checked
+against the DuckDB oracle) and `spark.readStream` (incremental,
+checked in tests/test_streaming.py with availableNow triggers). That
+is Spark's unified-batch-and-streaming model — the batch plan is the
+semantic spec for the streaming one.
+
+Scale notes: streaming aggregations shuffle on (window, key) with
+state in the state store; watermarks bound state size (here 2 hours of
+event-time per key); dropDuplicatesWithinWatermark keeps the dedup
+state bounded the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_SECONDS = 1800
+
+
+# ---------------------------------------------------------------- shared
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type (batch or stream)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (state-backed when streaming)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------- batch oracle
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k.k AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark assigns each event to the two 30-min-aligned hour windows
+    # covering it; the oracle enumerates the same two starts per event.
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM seq),
+    numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a composition of lag + cumulative
+    sum + aggregate — the batch mirror of session_window_counts,
+    SQL-expressible so the oracle can check it."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup per (user, event_type) — the
+    batch mirror of dropDuplicatesWithinWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+# ------------------------------------------------------------- streaming
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over an events directory (schema pinned — a
+    streaming source cannot infer)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a stream with an availableNow trigger into an in-memory
+    table `name` (test/driver harness; production sinks are
+    foreachBatch → warehouse tables)."""
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
