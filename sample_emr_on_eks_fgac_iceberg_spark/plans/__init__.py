@@ -1,4 +1,5 @@
 from sample_emr_on_eks_fgac_iceberg_spark.plans.explain import (
+    executed_plan_str,
     explain_str,
     pushed_filters,
     uses_broadcast_join,
@@ -6,6 +7,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.plans.explain import (
 )
 
 __all__ = [
+    "executed_plan_str",
     "explain_str",
     "pushed_filters",
     "uses_broadcast_join",

@@ -29,5 +29,15 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 
 
+def executed_plan_str(df: DataFrame) -> str:
+    """Execute the frame and return the final (post-AQE) physical plan —
+    the only place codegen stages and runtime join selections are
+    visible when adaptive execution is on."""
+    # a noop write would execute a *different* QueryExecution; collect
+    # drives this frame's own, flipping AQE to isFinalPlan=true
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+    return len(re.findall(r"\*\(\d+\)", executed_plan_str(df)))

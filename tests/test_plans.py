@@ -1,0 +1,80 @@
+"""Physical-plan audits: the 100 TB posture must hold *structurally* —
+broadcast joins for dims, filter pushdown to scans, whole-stage codegen,
+top-K as TakeOrderedAndProject, partial (map-side) aggregation. These
+are the properties that decide whether a plan survives a 1000× scale-up,
+so they are asserted, not assumed."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+from sample_emr_on_eks_fgac_iceberg_spark.plans import (
+    explain_str,
+    pushed_filters,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q9_product_profit",
+        "q10_returned_items",
+        "text_lang_id",
+    ],
+)
+def test_dim_joins_broadcast(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert uses_broadcast_join(df), f"{name}: expected a BroadcastHashJoin"
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    filters = pushed_filters(df)
+    joined = ";".join(filters)
+    assert "l_shipdate" in joined and "l_quantity" in joined
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # map-side combine: HashAggregate appears both before and after the
+    # exchange (partial + final)
+    plan = explain_str(QUERIES["q1_pricing_summary"](spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = explain_str(QUERIES["topk_orders"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_queries_use_wholestage_codegen(spark, sf_dir):
+    for name in ["q1_pricing_summary", "scalar_string_funcs", "case_when_price_bands"]:
+        assert wholestage_codegen_spans(QUERIES[name](spark, sf_dir)) >= 1, name
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # q6 needs only 4 lineitem columns; the scan must not read all 11.
+    plan = explain_str(QUERIES["q6_forecast_revenue"](spark, sf_dir), "formatted")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert len(cols) <= 4
+
+
+def test_no_cartesian_in_similarity_topk(spark, sf_dir):
+    # the query side must be the broadcast side (small), candidates stream
+    plan = explain_str(QUERIES["ann_cosine_topk"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
