@@ -33,6 +33,14 @@ HEADLINE = [
     "window_order_ranks",
     "pivot_event_counts",
     "fgac_claims_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "text_quality_scores",
+    "ann_cosine_topk",
+    "similarity_pairs_threshold",
+    "events_sessionization",
+    "events_tumbling_hourly",
 ]
 
 
