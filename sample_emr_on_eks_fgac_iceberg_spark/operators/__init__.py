@@ -7,6 +7,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import ORACLE, QUER
 # importing the modules populates the registries
 from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
     relational,
+    temporal,
     fgac_queries,
     text,
     dedup,

@@ -78,3 +78,34 @@ def test_no_cartesian_in_similarity_topk(spark, sf_dir):
     plan = explain_str(QUERIES["ann_cosine_topk"](spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    # the union+window as-of plan must contain NO join operator (the
+    # naive >= join would explode per key) and exactly one shuffle on
+    # user_id feeding the window sort.
+    plan = explain_str(QUERIES["asof_join_click_purchase"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_range_join_is_keyed_not_cartesian(spark, sf_dir):
+    # equi key on user_id must drive the join; the time range is a
+    # residual filter, never a cartesian/nested-loop product.
+    plan = explain_str(QUERIES["range_join_purchase_followup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q8_dims_broadcast(spark, sf_dir):
+    plan = explain_str(QUERIES["q8_market_share"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_grouping_sets_single_scan(spark, sf_dir):
+    # GROUPING SETS must expand in one pass (Expand node), not re-scan
+    # the fact table per grouping set.
+    plan = explain_str(QUERIES["grouping_sets_revenue"](spark, sf_dir), "simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1, plan
