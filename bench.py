@@ -55,6 +55,14 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    # materialize the FGAC warehouse (DDL + inserts) outside the timed
+    # loop — the reference provisions tables in a separate Athena step
+    # (producer_iceberg_datalake_setup.sh), so table setup is not query
+    # latency; the timed fgac_* entries then measure the policy-wrapped
+    # scan/join itself
+    QUERIES["fgac_patients_scan"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

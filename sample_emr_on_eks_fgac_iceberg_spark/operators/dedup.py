@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table, materialize_once
 
 SHINGLE_N = 3  # word trigrams
 JACCARD_THRESHOLD = 0.2
@@ -54,7 +54,7 @@ def _shingles(tokens_col: str):
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash normalized text, keep the lowest doc_id as
     canonical. One shuffle on the hash; survivors = one row per hash."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return (
         d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("content_hash"))
         .groupBy("content_hash")
@@ -92,31 +92,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the shingle equi-join (shuffle on shingle), so only docs sharing
     at least one trigram are ever compared — the all-pairs product is
     never materialized. Exact integer shared/size counts make the
-    score deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    score deterministic.
+
+    The shingle set size rides along through the explode, so the
+    Jaccard denominator comes straight out of the pair aggregate — no
+    join back against a sizes table (two joins fewer, and the shingle
+    pipeline is evaluated once per side instead of twice)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
-    sh = (
+    exploded = (
         toks.filter(F.size("t") >= SHINGLE_N)
         .select("doc_id", _shingles("t").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
     )
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # barrier: build the shingle index once at full parallelism; both
+    # join sides read it (see sources.tables.materialize_once)
+    exploded = materialize_once(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pair_shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.n").alias("n_a"),
+            F.min("b.n").alias("n_b"),
+        )
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     jac = F.col("shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+        F.col("n_a") + F.col("n_b") - F.col("shared")
     )
-    return (
-        pair_shared.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
-        .select("a_id", "b_id", "shared", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return pair_shared.select(
+        "a_id", "b_id", "shared", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @register("dedup_minhash_lsh")  # engine-specific hash family → rows-only check
@@ -127,7 +139,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs with estimated Jaccard distance < 0.8."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
     sh = (
         toks.filter(F.size("t") >= SHINGLE_N)
@@ -156,7 +168,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs share at least one of four 16-bit bands (the
     classic SimHash index join — never all-pairs); survivors have
     Hamming distance <= 8."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -172,6 +184,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(63):  # keep bit 63 clear so the fingerprint stays non-negative
         simhash = simhash + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
     fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    fp = materialize_once(fp)  # simhash computed once; both band sides reuse
     bands = fp.select(
         "doc_id",
         "simhash",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
 
 MEDIA_TYPES = ("image/png", "image/jpeg", "audio/wav")
 
@@ -28,8 +28,10 @@ MEDIA_TYPES = ("image/png", "image/jpeg", "audio/wav")
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents corpus re-shaped as a media table: text payload
     standing in for raw bytes, plus typed metadata columns — the
-    binary-column data model the engine supports."""
-    d = load_table(spark, sf_dir, "documents")
+    binary-column data model the engine supports. Fanned out to full
+    core parallelism so the Arrow-batched featurizer downstream gets
+    one batch stream per core, not one total."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

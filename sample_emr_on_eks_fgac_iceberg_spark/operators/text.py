@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
 
 TOKEN_SPLIT = r"\s+"
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -53,7 +53,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + a BPE-ish regex tokenization count
     (letters / digit runs / single punctuation, the common pre-tokenizer
     shape for LLM data pipelines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return d.select(
         "doc_id",
         "n_chars",
@@ -83,7 +83,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals (length / punctuation / stopword
     ratios) — per-row arithmetic only, fully codegen'd."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
@@ -130,7 +130,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID: explode tokens, broadcast-join the
     lexicon, argmax matches per doc (ties broken lexicographically),
     'und' when no marker hits."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     lex = d.sparkSession.createDataFrame(
         [(lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words],
         "pred_lang string, word string",
@@ -167,7 +167,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of the sorted distinct
     token set) + a positional prefix hash — the cheap pre-filter pair
     for dedup pipelines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = _tokens(F.col("text"))
     return d.select(
         "doc_id",

@@ -78,6 +78,18 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(expensive_expr) into
+        # pushed-down filters `size(expensive_expr) > 0 AND
+        # isnotnull(expensive_expr)` by *substituting the whole
+        # expression*, which then re-evaluates it per input row — below
+        # any repartition, i.e. single-task on a one-file scan
+        # (measured 9.8 s of a 13 s dedup query). The inference only
+        # prunes empty-array rows early; operators that care filter
+        # explicitly, so exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- determinism for the DuckDB oracle ---------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # parquet files written by pyarrow carry no UTC-adjustment flag;

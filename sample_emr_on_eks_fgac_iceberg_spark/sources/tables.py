@@ -43,6 +43,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
+    """Repartition a small-file scan to full core parallelism before
+    CPU-heavy per-row work (shingling, vector math, regex scoring).
+
+    Scan parallelism follows parquet splits; a table that arrives as one
+    small file is one task, which serializes expression-heavy stages
+    onto a single core (observed 10-30× slowdowns at sf0.1). One cheap
+    shuffle of the narrow input buys 32-way execution. At 100 TB inputs
+    are already many splits and this becomes a no-op-cost hash
+    repartition that also pre-keys the downstream join/agg."""
+    n = spark.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(n, *cols)
+    return df.repartition(n)
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Plan barrier for an expensive derived table that is re-used
+    (e.g. both sides of a self-join): lazy localCheckpoint.
+
+    Two problems it solves at once: (a) Catalyst pushes inferred
+    predicates through projections by *substituting* the projection
+    expressions, so a filter inferred from an explode re-evaluates the
+    whole expensive expression chain per row — below the fan-out
+    exchange, on one core; (b) a self-join evaluates the shared
+    sub-plan once per side. The checkpoint cuts the lineage: the table
+    is computed exactly once, at the parallelism it was built with,
+    and every consumer reads the materialized partitions.
+
+    localCheckpoint is executor-local (lost partitions recompute from
+    nothing at executor failure) — the right trade locally; on a real
+    cluster the equivalent durable move is writing the derived table
+    to a temp location/table, which a 100 TB near-dup pipeline does
+    anyway for its shingle index."""
+    return df.localCheckpoint(eager=False)
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which
     Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
