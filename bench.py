@@ -41,6 +41,12 @@ HEADLINE = [
     "similarity_pairs_threshold",
     "events_sessionization",
     "events_tumbling_hourly",
+    "asof_join_click_purchase",
+    "range_join_purchase_followup",
+    "window_range_30d_spend",
+    "grouping_sets_revenue",
+    "udf_scalar_charge",
+    "udaf_weighted_discount",
 ]
 
 

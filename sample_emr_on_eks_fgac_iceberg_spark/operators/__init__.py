@@ -10,6 +10,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
     temporal,
     fgac_queries,
     text,
+    udfs,
     dedup,
     similarity,
     multimodal,

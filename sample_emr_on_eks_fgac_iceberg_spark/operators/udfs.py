@@ -1,0 +1,142 @@
+"""User-defined function surface (SURVEY.md §2.B "UDF/UDAF/UDTF"):
+scalar pandas_udf, grouped-aggregate pandas_udf, and
+groupBy().applyInPandas — the three Arrow-batched extension points a
+Spark user reaches for when built-ins run out. (mapInPandas, the
+fourth, is exercised by operators/similarity.py and
+operators/multimodal.py; row-at-a-time F.udf is deliberately absent —
+it is the slow path and nothing here needs it.)
+
+Determinism for the DuckDB oracle: all aggregations inside UDFs run on
+integer-quantized values (cents / whole quantities) summed as int64 —
+order-independent and overflow-safe at these magnitudes — with a
+single float64 division at the end, the same op sequence the oracle
+SQL performs.
+
+100 TB posture: pandas_udf/applyInPandas ship Arrow batches to worker
+Python processes — ~10-100× faster than row-at-a-time UDFs, but still
+off the codegen path, so they appear here only as *the pattern* for
+logic Catalyst cannot express; every groupBy feeding applyInPandas
+shuffles once on its key like any other aggregation.
+
+pandas_udf return types resolve against the active session, so the
+UDFs are built inside the query functions, not at import time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "udf_scalar_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS DOUBLE) / 1e6
+             AS charge
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def udf_scalar_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf over the fact table: Arrow batches in, numpy
+    vector math (exact cent arithmetic, surfaced as double), Arrow
+    batches out. The returnflag filter still pushes to the parquet
+    scan — UDF columns never block pushdown of plain predicates."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        price_c = (price * 100).round().astype("int64")
+        disc_c = (discount * 100).round().astype("int64")
+        tax_c = (tax * 100).round().astype("int64")
+        # integer-exact: price_c * (100-disc_c) * (100+tax_c) <= ~1e11
+        return (price_c * (100 - disc_c) * (100 + tax_c)).astype("float64") / 1e6
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "udaf_weighted_discount",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+             / (100.0 * SUM(CAST(ROUND(l_quantity) AS BIGINT))) AS w_avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udaf_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (a UDAF): quantity-weighted mean
+    discount. One shuffle on the group key, then each group's Arrow
+    batch reduces in Python with order-independent integer sums."""
+
+    @pandas_udf("double")
+    def weighted_disc(discount: pd.Series, quantity: pd.Series) -> float:
+        disc_c = (discount * 100).round().astype("int64")
+        qty = quantity.round().astype("int64")
+        return float(int((disc_c * qty).sum())) / (100.0 * int(qty.sum()))
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        weighted_disc("l_discount", "l_quantity").alias("w_avg_disc")
+    )
+
+
+_NORM_SCHEMA = (
+    "c_custkey long, c_mktsegment string, c_acctbal double, bal_minmax double"
+)
+
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas body: per-segment min-max normalization of account
+    balance. Min/max are exact cent integers, so every row's
+    normalized value is one float64 subtract + divide — deterministic
+    regardless of row order within the group."""
+    cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+    lo, hi = int(cents.min()), int(cents.max())
+    span = float(hi - lo) if hi > lo else 1.0
+    out = pdf[["c_custkey", "c_mktsegment", "c_acctbal"]].copy()
+    out["bal_minmax"] = (cents - lo).astype("float64") / span
+    return out
+
+
+@register(
+    "applyinpandas_minmax",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+        FROM customer),
+    spans AS (
+        SELECT *, MIN(c) OVER (PARTITION BY c_mktsegment) AS lo,
+                  MAX(c) OVER (PARTITION BY c_mktsegment) AS hi
+        FROM cents)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(c - lo AS DOUBLE)
+             / (CASE WHEN hi > lo THEN CAST(hi - lo AS DOUBLE) ELSE 1.0 END)
+             AS bal_minmax
+    FROM spans
+    """,
+)
+def applyinpandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas: whole-group transform (here min-max
+    normalization) where the UDF sees the full group as one pandas
+    frame. Shuffles once on the group key; group size must fit a
+    worker's memory — at 100 TB, high-cardinality keys (as here) keep
+    groups small, and a skewed key would be pre-split with salting."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(_minmax_normalize, _NORM_SCHEMA)

@@ -2,7 +2,9 @@ from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
     dedup_within_watermark,
     read_event_stream,
     run_to_memory,
+    running_user_totals,
     session_window_counts,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -10,6 +12,8 @@ __all__ = [
     "dedup_within_watermark",
     "read_event_stream",
     "run_to_memory",
+    "running_user_totals",
     "session_window_counts",
+    "sliding_counts",
     "tumbling_counts",
 ]

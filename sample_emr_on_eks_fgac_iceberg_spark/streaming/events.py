@@ -17,6 +17,10 @@ state bounded the same way.
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -179,10 +183,17 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- streaming
-def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over an events directory (schema pinned — a
-    streaming source cannot infer)."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    streaming source cannot infer). max_files_per_trigger throttles the
+    micro-batch size (source option, so it applies under availableNow
+    replays too)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
 
 
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -208,3 +219,74 @@ def run_to_memory(
         .start()
     )
     query.awaitTermination()
+
+
+# ------------------------------------------------- custom stateful op
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, cents long"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total carried in the state
+    store across micro-batches (the engine's escape hatch for
+    aggregation logic Spark's built-in streaming aggs can't express).
+
+    Value totals accumulate as exact integer cents in state, so
+    emitted doubles are order/batch-boundary independent. State is one
+    (count, cents) pair per user — bounded by key cardinality, the
+    same contract as a streaming groupBy count.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "events_running_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState operator driven batch-style: the
+    whole events table as one availableNow micro-batch, whose final
+    update per user equals the batch group-by — which is exactly what
+    the oracle checks. tests/test_streaming.py additionally replays it
+    in two chunks to prove state carries across micro-batches."""
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "_events_stream")
+    if not os.path.isdir(src):
+        # one-time per sf_dir staging is not possible (testdata is
+        # read-only) — stream straight from a temp copy instead
+        src = tempfile.mkdtemp(prefix="events_stream_")
+        # single file → availableNow drains it as one micro-batch, so
+        # the memory sink holds exactly one update row per user
+        load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+    name = f"running_totals_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, src)
+    run_to_memory(running_user_totals(stream), name, output_mode="update")
+    return spark.table(name)

@@ -77,3 +77,50 @@ def test_stream_foreach_batch_sink(spark, events_dir, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() > 0
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state across
+    micro-batches: replay events as TWO files processed one per
+    trigger; the LAST update per user must equal the batch group-by."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "two_chunks")
+    events = load_table(spark, sf_dir, "events")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_two")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("running_two")
+    # multiple updates per user are expected (one per micro-batch that
+    # touched the user); totals must be non-decreasing and the max must
+    # equal the batch aggregate
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+        ).alias("total_value"),
+    )
+    assert _rows(final) == _rows(batch)
+    # state really carried: at least one user saw two cumulative updates
+    multi = got.groupBy("user_id").count().filter(F.col("count") >= 2).count()
+    assert multi > 0
