@@ -110,6 +110,25 @@ def setup_healthcare(engine: FgacEngine) -> None:
     engine.policy.grant(TEAM1, "claims")
     engine.policy.grant(TEAM2, "claims")
 
+    # Consumer-account setup: M2 resource links — catalog aliases the
+    # consumer queries instead of the producer tables
+    # (consumer_emr_on_eks_setup.sh:261-287 creates rl_patients /
+    # rl_claims; the jobs at :407/:478 read through them). The same
+    # filter binds to the link, mirroring LF grants on the link name.
+    wh.create_resource_link("rl_patients", "patients")
+    wh.create_resource_link("rl_claims", "claims")
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name="rl_patients_column_row_filter",
+            table="rl_patients",
+            allowed_columns=PATIENT_ALLOWED_COLUMNS,
+            row_filter=PATIENT_ROW_FILTER,
+        )
+    )
+    engine.policy.grant(TEAM1, "rl_patients", filter_name="rl_patients_column_row_filter")
+    engine.policy.grant(TEAM1, "rl_claims")
+    engine.policy.grant(TEAM2, "rl_claims")
+
 
 # The flagship join — consumer_emr_on_eks_setup.sh:412 (J1+P2+O1).
 FLAGSHIP_JOIN_SQL = """

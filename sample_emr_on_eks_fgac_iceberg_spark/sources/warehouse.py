@@ -53,6 +53,7 @@ class TableMeta:
     partition_by: list[str] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
     snapshots: list[dict] = field(default_factory=list)
+    link_to: str | None = None  # M2: resource link → target table name
 
     @property
     def schema(self) -> T.StructType:
@@ -89,6 +90,7 @@ class Warehouse:
                     "partition_by": meta.partition_by,
                     "properties": meta.properties,
                     "snapshots": meta.snapshots,
+                    "link_to": meta.link_to,
                 },
                 f,
                 indent=2,
@@ -140,6 +142,26 @@ class Warehouse:
         self._write_meta(meta)
         return meta
 
+    def create_resource_link(self, link_name: str, target: str) -> TableMeta:
+        """M2: resource link — a catalog alias resolving to another
+        table, the in-process analog of the reference's cross-account
+        Glue resource links ``rl_patients``/``rl_claims``
+        (consumer_account_setup/consumer_emr_on_eks_setup.sh:261-287).
+        Grants and DataCellsFilters bind to the *link name*, exactly as
+        Lake Formation policies bind to the consumer's link."""
+        if self.table_exists(link_name):
+            raise ValueError(f"Table '{link_name}' already exists")
+        target_meta = self._read_meta(target)  # target must exist
+        meta = TableMeta(
+            name=link_name,
+            schema_json=target_meta.schema_json,
+            partition_by=list(target_meta.partition_by),
+            properties={"table_type": "RESOURCE_LINK"},
+            link_to=target,
+        )
+        self._write_meta(meta)
+        return meta
+
     def drop_table(self, name: str) -> None:
         """M1: DROP TABLE — removes data files and metadata."""
         meta_path = self._meta_path(name)
@@ -181,6 +203,8 @@ class Warehouse:
         directory layout (basePath keeps them in the schema); declared
         types are re-asserted so DATE/DECIMAL survive the round-trip."""
         meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.read_table(meta.link_to)
         data = self.data_dir(name)
         has_files = any(
             fn.endswith(".parquet") for _, _, fns in os.walk(data) for fn in fns

@@ -101,3 +101,63 @@ def test_partition_layout_identity(engine, spark):
     claims_parts = {d for d in os.listdir(engine.warehouse.data_dir("claims"))
                     if d.startswith("status=")}
     assert claims_parts == {"status=Approved", "status=Pending", "status=Denied"}
+
+
+def test_resource_link_scan_filtered(engine):
+    """M2: the consumer-side resource link resolves to the producer
+    table with the link-bound FGAC filter applied — the reference's
+    actual query shape (SELECT * FROM dev.….rl_patients,
+    consumer_emr_on_eks_setup.sh:407)."""
+    sess = engine.session_for("team1")
+    df = sess.sql("SELECT * FROM rl_patients")
+    assert df.count() == 8
+    assert "ssn" not in df.columns
+
+
+def test_resource_link_join_matches_direct(engine):
+    sess = engine.session_for("team1")
+    via_link = sess.sql(
+        """SELECT c.claim_id FROM rl_claims c
+           JOIN rl_patients p ON c.patient_id = p.patient_id
+           ORDER BY c.claim_id"""
+    ).collect()
+    direct = sess.sql(
+        """SELECT c.claim_id FROM claims c
+           JOIN patients p ON c.patient_id = p.patient_id
+           ORDER BY c.claim_id"""
+    ).collect()
+    assert via_link == direct and len(via_link) == 6
+
+
+def test_resource_link_denied_for_team2(engine):
+    import pytest as _pytest
+
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import AccessDeniedException
+
+    sess = engine.session_for("team2")
+    with _pytest.raises(AccessDeniedException, match="AccessDeniedException"):
+        sess.sql("SELECT * FROM rl_patients").count()
+
+
+def test_drop_table_removes_data_and_meta(engine, spark, tmp_path):
+    """M1: DROP TABLE removes files + metadata; re-create works."""
+    from pyspark.sql import types as T
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        TableNotFoundError,
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t_tmp", "a int, b string", partition_by=["b"])
+    wh.insert_values("t_tmp", [(1, "x"), (2, "y")])
+    assert wh.read_table("t_tmp").count() == 2
+    wh.drop_table("t_tmp")
+    assert not wh.table_exists("t_tmp")
+    try:
+        wh.read_table("t_tmp")
+        raise AssertionError("expected TableNotFoundError")
+    except TableNotFoundError:
+        pass
+    wh.create_table("t_tmp", "a int", partition_by=[])
+    assert wh.read_table("t_tmp").count() == 0
