@@ -216,3 +216,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= 8
     )
+
+
+# the synthetic embeddings are near-orthogonal (max pairwise cosine
+# ~0.51 at sf0.01), so the near-dup bar sits in the distribution's
+# upper tail rather than at a real-corpus 0.9-ish level
+EMB_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH docvec AS (
+        SELECT d.doc_id,
+               list_transform(e.embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    norms AS (
+        SELECT doc_id, v,
+               sqrt(CAST(list_sum(list_transform(range(len(v)),
+                   i -> v[i+1]*v[i+1])) AS DOUBLE)) AS nrm
+        FROM docvec)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(list_sum(list_transform(range(len(a.v)),
+               i -> a.v[i+1]*b.v[i+1])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+    FROM norms a JOIN norms b ON a.doc_id < b.doc_id
+    WHERE CAST(list_sum(list_transform(range(len(a.v)),
+              i -> a.v[i+1]*b.v[i+1])) AS DOUBLE) / (a.nrm * b.nrm)
+          >= {EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over `documents`: doc pairs whose
+    embeddings (joined from the embeddings table on doc_id) have
+    cosine >= τ — semantic dedup, catching rewrites that n-gram
+    Jaccard misses. Same broadcast-GEMM plan as
+    operators/similarity.py::similarity_pairs_threshold (exact
+    quantized-integer math, bit-equal to the oracle); LSH bucketing is
+    the documented scale path for the pair space."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.join(d, e.vec_id == d.doc_id).select(
+        "doc_id",
+        _F.transform(
+            "embedding", lambda x: _F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    rows = quant.toPandas()
+    ids = rows["doc_id"].to_numpy(dtype=np.int64)
+    mat = np.array(rows["v"].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_side = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gemm_pairs(batches):
+        b_ids, b_mat, b_norms = b_side.value
+        for pdf in batches:
+            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            ai, bj = np.nonzero(
+                (cos >= EMB_DUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"a_id": a_ids[ai], "b_id": b_ids[bj], "cosine": cos[ai, bj]}
+            )
+
+    return fan_out(quant, spark, "doc_id").mapInPandas(
+        gemm_pairs, "a_id long, b_id long, cosine double"
+    )

@@ -1327,3 +1327,106 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23' AND p.p_size IN (1, 4, 9, 14, 19, 23)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adaptation (no partsupp table → supplier/part
+    relationships come from lineitem): distinct suppliers per
+    brand/type/size bucket. COUNT(DISTINCT) expands to a two-phase
+    aggregate; the part dim broadcasts with its filters applied."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#23")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "percentile_order_prices",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) / 100.0
+             AS median_price,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9) / 100.0
+             AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approximate
+    sketch path is approx_percentile/approx_count_distinct — see
+    approx_distinct_users). Quantized to integer cents so both
+    engines interpolate over identical integers."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        (F.expr("percentile(price_c, 0.5)") / 100.0).alias("median_price"),
+        (F.expr("percentile(price_c, 0.9)") / 100.0).alias("p90_price"),
+    )
+
+
+@register(
+    "stats_exact_corr",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM q)
+    SELECT CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation via exact integer moment sums (built-in
+    F.corr uses streaming float accumulation whose result depends on
+    partition order — unusable for a cross-engine hash check). All
+    five moments are DECIMAL(38,0) sums of quantized integers, exact
+    and order-free; one float64 expression at the end."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    s = l.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_qty_price")
+    )

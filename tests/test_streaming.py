@@ -124,3 +124,62 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     # state really carried: at least one user saw two cumulative updates
     multi = got.groupBy("user_id").count().filter(F.col("count") >= 2).count()
     assert multi > 0
+
+
+def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
+    """Late-data semantics: an event older than (max event time seen -
+    watermark) arriving in a later micro-batch must NOT reopen its
+    closed window in append mode."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid=1):
+        return Row(
+            event_id=eid,
+            ts=base + dt.timedelta(minutes=minutes),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    import glob
+    import os
+    import time
+
+    # batch 1: events up to 12:00 → watermark (1h) advances to 11:00
+    # batch 2: a 12:30 event — the 10:00-11:00 window's state is
+    #          evicted at the end of this batch (watermark >= end)
+    # batch 3: a 10:05 event, hours late — its window is closed and its
+    #          state gone; the watermark filter must drop it
+    # (Spark only guarantees the drop once state is evicted, which
+    # happens a batch *after* the watermark crosses the window — hence
+    # the intermediate batch.)
+    batches = [[ev(1, 0), ev(2, 30), ev(3, 120)], [ev(5, 150)], [ev(4, 5)]]
+    now = time.time()
+    seen: set = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+        new_files = set(glob.glob(os.path.join(src, "part-*.parquet"))) - seen
+        seen |= new_files
+        # the file source orders micro-batches by modification time;
+        # pin strictly increasing mtimes so replay order is batch order
+        for f in new_files:
+            os.utime(f, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    run_to_memory(stream, "late_out", output_mode="append")
+    got = {r["window_start"]: r["n"] for r in spark.table("late_out").collect()}
+    # the 10:00 window closed with 2 events; the late 4th must not appear
+    assert got.get(base) == 2, got
