@@ -109,3 +109,51 @@ def test_grouping_sets_single_scan(spark, sf_dir):
     plan = explain_str(QUERIES["grouping_sets_revenue"](spark, sf_dir), "simple")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1, plan
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """A filter on the identity-partition column must prune at the scan
+    (PartitionFilters), not post-filter — the property that makes
+    `WHERE city = …` read one directory instead of the table."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("pt", "k int, city string", partition_by=["city"])
+    wh.insert_values("pt", [(i, c) for i in range(10) for c in ("Austin", "Dallas")])
+    df = wh.read_table("pt").filter("city = 'Austin'")
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "city" in m.group(1), plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key → the
+    sort-merge join needs NO Exchange (the 100 TB strategy for
+    repeated fact-fact joins; at scale this is Iceberg's bucket
+    partition transform or Spark bucketBy)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("vb")
+    )
+    # external tables (explicit paths) keep bucket metadata without
+    # touching the static spark.sql.warehouse.dir
+    a.write.mode("overwrite").option("path", str(tmp_path / "bk_a")).bucketBy(
+        8, "k"
+    ).sortBy("k").saveAsTable("bk_a")
+    b.write.mode("overwrite").option("path", str(tmp_path / "bk_b")).bucketBy(
+        8, "k"
+    ).sortBy("k").saveAsTable("bk_b")
+    # hint("merge") pins SortMergeJoin (a broadcast would bypass the
+    # bucket layout at this toy size; at fact-fact scale SMJ is what
+    # the planner picks anyway)
+    joined = spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "k")
+    plan = explain_str(joined, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
