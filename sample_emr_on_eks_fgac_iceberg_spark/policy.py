@@ -194,6 +194,8 @@ class SecureSession:
         return self._secured(name)
 
     def sql(self, query: str) -> DataFrame:
+        import re
+
         from pyspark.sql.utils import AnalysisException
 
         try:
@@ -203,9 +205,17 @@ class SecureSession:
             # never registered in this session's catalog. Surface that
             # as the reference's plan-time denial rather than a
             # not-found error (consumer_emr_on_eks_setup.sh:480-488).
+            # Match the *exact* unresolved identifier from the error
+            # (backtick-quoted), not a substring — `patientsss` must
+            # stay TABLE_OR_VIEW_NOT_FOUND, not become a denial.
+            unresolved = {
+                ident.split(".")[-1]
+                for ident in re.findall(r"`([^`]+)`", str(exc))
+            }
             for name in self._known_tables():
-                if self._policy.grant_for(self.principal, name) is None and (
-                    f"`{name}`" in str(exc) or name in str(exc)
+                if (
+                    name in unresolved
+                    and self._policy.grant_for(self.principal, name) is None
                 ):
                     raise AccessDeniedException(self.principal, name) from exc
             raise
