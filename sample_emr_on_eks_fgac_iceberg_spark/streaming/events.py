@@ -290,3 +290,37 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, src)
     run_to_memory(running_user_totals(stream), name, output_mode="update")
     return spark.table(name)
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, value, LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL {SESSION_GAP_SECONDS} SECOND
+                       THEN 1 ELSE 0 END AS new_session
+        FROM seq),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window operator (state-backed when
+    streaming). Sessions merge events whose inter-arrival gap is
+    strictly below the gap; window end = last event + gap. The oracle
+    re-derives identical sessions by gap-chaining at full timestamp
+    precision (a >= gap boundary starts a new session in both)."""
+    return session_window_counts(
+        load_table(spark, sf_dir, "events"), gap="30 minutes"
+    )
