@@ -70,11 +70,20 @@ def main() -> None:
         "noop"
     ).save()
 
+    # best-of-two per query: the first execution of a plan pays JIT /
+    # codegen-compile / Python-worker-spawn costs that are one-time in
+    # any real deployment; the min is the warm steady-state number and
+    # is markedly more stable run-to-run on a shared 32-thread JVM
     timings: dict[str, float] = {}
     for name in names:
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

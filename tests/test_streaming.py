@@ -183,3 +183,34 @@ def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
     got = {r["window_start"]: r["n"] for r in spark.table("late_out").collect()}
     # the 10:00 window closed with 2 events; the late 4th must not appear
     assert got.get(base) == 2, got
+
+
+def test_policy_filter_composes_with_streaming(spark, sf_dir, events_dir):
+    """FGAC × streaming (SURVEY.md §7 stage 3's hard part): the
+    DataCellsFilter's row filter + column whitelist apply to a
+    streaming DataFrame BEFORE the stateful aggregation, so unfiltered
+    rows never enter streaming state."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+
+    policy = DataCellsFilter(
+        name="clicks_only",
+        table="events",
+        allowed_columns=("ts", "user_id", "event_type"),
+        row_filter="event_type = 'click'",
+    )
+    stream = policy.apply(
+        read_event_stream(spark, events_dir).withWatermark("ts", "2 hours")
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory(agg, "fgac_stream_out", output_mode="complete")
+    got = spark.table("fgac_stream_out")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'click'")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(got) == _rows(batch)
+    assert set(got.columns) == {"user_id", "n"}
