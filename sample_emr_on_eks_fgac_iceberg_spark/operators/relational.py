@@ -1430,3 +1430,64 @@ def stats_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_price")
     )
+
+
+@register(
+    "map_ops_event_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts,
+           MAX(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END)
+             AS purchase_count
+    FROM counts GROUP BY user_id
+    """,
+)
+def map_ops_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface: per-user event-type histogram built as a
+    real MapType column (map_from_entries over collected structs), then
+    queried with map_keys / element_at and serialized key-sorted so the
+    output is deterministic. The map is the per-row container an LLM
+    pipeline uses for typed feature bags; outputs are flattened to
+    strings because map iteration order is engine-specific."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    profiled = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    keys = F.array_sort(F.map_keys("m"))
+    return profiled.select(
+        "user_id",
+        F.concat_ws(",", keys).alias("type_keys"),
+        F.concat_ws(
+            ",", F.transform(keys, lambda k: F.element_at("m", k).cast("string"))
+        ).alias("type_counts"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "purchase_count"
+        ),
+    )
+
+
+@register("approx_percentile_prices")  # t-digest-style sketch → rows-only check
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch path for quantiles at 100 TB
+    (single pass, mergeable, bounded memory; exact interpolated
+    counterpart is percentile_order_prices). Engine-specific sketch →
+    rows-only driver check."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("price_quantiles")
+        )
+    )

@@ -214,3 +214,87 @@ def test_policy_filter_composes_with_streaming(spark, sf_dir, events_dir):
     )
     assert _rows(got) == _rows(batch)
     assert set(got.columns) == {"user_id", "n"}
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Stream-stream join with watermarks + a time-interval condition:
+    each purchase joins clicks by the same user within the preceding
+    hour. Both sides carry watermarks so join state is bounded; the
+    result must equal the identical batch join."""
+    from pyspark.sql import functions as F
+
+    def sides(df):
+        purchases = (
+            df.filter("event_type = 'purchase'")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = df.filter("event_type = 'click'").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    cond = (
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+    )
+
+    sp = read_event_stream(spark, events_dir).withWatermark("ts", "2 hours")
+    sc2 = read_event_stream(spark, events_dir).withWatermark("ts", "2 hours")
+    s_purch, _ = sides(sp)
+    _, s_click = sides(sc2)
+    joined = s_purch.join(s_click, F.expr(cond)).select("p_id", "c_id")
+    run_to_memory(joined, "ssj_out", output_mode="append")
+    got = spark.table("ssj_out")
+
+    b = load_table(spark, sf_dir, "events")
+    b_purch, b_click = sides(b)
+    expected = b_purch.join(b_click, F.expr(cond)).select("p_id", "c_id")
+    assert _rows(got) == _rows(expected)
+
+
+def test_foreach_batch_into_warehouse(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch → the engine's own warehouse table: the production
+    sink pattern (stream lands in a governed, partitioned table that
+    FGAC sessions can then query)."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "hourly_counts",
+        "window_start timestamp, event_type string, n_events bigint, "
+        "total_value double",
+        partition_by=["event_type"],
+    )
+    stream = tumbling_counts(
+        read_event_stream(spark, events_dir).withWatermark("ts", "2 hours")
+    )
+
+    def sink(batch_df, batch_id):
+        wh.insert_into("hourly_counts", batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = wh.read_table("hourly_counts")
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert landed.count() == batch.count()
+    # identity partitioning materialized per event_type
+    import os
+
+    parts = {
+        d
+        for d in os.listdir(wh.data_dir("hourly_counts"))
+        if d.startswith("event_type=")
+    }
+    assert len(parts) == 5
