@@ -176,3 +176,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
     )
+
+
+# Rabin-Karp parameters: B=31, M=1e15 keeps acc*B+c < 2^63 in int64.
+_RH_BASE = 31
+_RH_MOD = 10**15
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ''), x -> x <> '') AS cs,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(cs, x -> CAST(unicode(x) AS BIGINT))),
+               (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}) AS rolling_hash,
+           list_min(list_transform(toks,
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(list_filter(string_split(t, ''), x -> x <> ''),
+                                       x -> CAST(unicode(x) AS BIGINT))),
+                        (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})))
+             AS min_token_hash
+    FROM chars
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp document fingerprinting: a polynomial rolling hash
+    over the full character sequence (h = h·B + c mod M — the update a
+    sliding-window fingerprint extends one char at a time) plus the
+    minimum per-token hash (the winnowing-style selector dedup
+    pipelines keep as the doc's sketch). Pure int64 arithmetic, same
+    B/M on both engines → bit-equal."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+
+    def rolling(col):
+        chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _RH_BASE + F.ascii(x)) % _RH_MOD,
+        )
+
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    return d.select(
+        "doc_id",
+        rolling(F.col("text")).alias("rolling_hash"),
+        F.array_min(F.transform(toks, rolling)).alias("min_token_hash"),
+    )
