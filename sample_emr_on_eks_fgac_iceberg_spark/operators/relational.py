@@ -506,15 +506,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18. The volume filter runs on a per-order pre-aggregate
+    BEFORE any join, so only the rare >300-qty orders ever reach the
+    orders/customer joins — the fact table is shuffled once for the
+    aggregate and never again (the filtered survivors broadcast)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
