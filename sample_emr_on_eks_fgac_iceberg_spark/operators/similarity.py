@@ -204,3 +204,71 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+N_CELLS = 16  # IVF coarse cells
+N_PROBE = 4  # cells probed per query
+
+
+@register("ann_ivf_topk")  # approximate index (trained quantizer) → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a seeded KMeans coarse quantizer
+    partitions the vectors into cells; each query probes only its
+    N_PROBE nearest cells and ranks candidates by exact cosine. This
+    is the index-shaped scale path beside `ann_lsh_bucketed` — at
+    100 TB the cell assignment is a one-off batch job, the inverted
+    lists are bucketed tables, and a query touches ~N_PROBE/N_CELLS of
+    the data. Recall vs the exact scan is asserted in
+    tests/test_similarity_recall.py.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    vecs = e.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    km = KMeans(k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    # queries probe their N_PROBE nearest centroids — tiny driver-side
+    # math (the quantizer is N_CELLS x DIM, not data-sized)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    ).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:N_PROBE]:
+            probe_pairs.append((r["vec_id"], int(cell)))
+    probes = spark.createDataFrame(probe_pairs, "q_id long, cell int")
+
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "q").join(
+        F.broadcast(probes), "q_id"
+    )
+    c = _with_norm(assigned, "c").join(
+        assigned.select(F.col("vec_id").alias("c_id"), F.col("cell").alias("c_cell")),
+        "c_id",
+    )
+    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), (F.col("cell") == F.col("c_cell")) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", F.col("c_id").alias("neighbor_id"), sim.alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

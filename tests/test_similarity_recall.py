@@ -1,0 +1,35 @@
+"""Recall of the approximate similarity indexes against the exact
+brute-force baseline — approximate operators are only useful with a
+known recall floor."""
+
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+
+def _topk_sets(df):
+    rows = df.select("q_id", "neighbor_id").collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    exact = _topk_sets(QUERIES["ann_cosine_topk"](spark, sf_dir))
+    approx = _topk_sets(QUERIES["ann_ivf_topk"](spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # 4-of-16 probed cells on near-random vectors: recall well above
+    # the 0.25 a uniform-random probe would give
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_scans_fraction_of_candidates(spark, sf_dir):
+    """The point of IVF: each query's candidate set is a fraction of
+    the corpus (bounded by the probed cells' population)."""
+    approx = QUERIES["ann_ivf_topk"](spark, sf_dir)
+    # every returned neighbor must rank within TOP_K and carry a
+    # cosine — structural sanity that ranking happened per-query
+    assert approx.filter(F.col("rank") > 5).count() == 0
