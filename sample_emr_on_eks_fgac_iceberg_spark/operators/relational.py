@@ -1483,6 +1483,111 @@ def map_ops_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s JOIN (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM l l1
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late)
+    ) q ON s.s_suppkey = q.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (no commit/receipt dates in the driver's
+    lineitem → "late" means shipped >60 days after the order date):
+    suppliers who were the sole late supplier in a multi-supplier
+    finished order.
+
+    The textbook EXISTS / NOT EXISTS pair is two extra self-joins of
+    lineitem — at 100 TB that is two more shuffles of the biggest fact
+    table. Rewritten as one per-(order, supplier) aggregate followed by
+    a per-order aggregate: lateness per supplier, then supplier count /
+    late-supplier count / the sole late supplier's key in one pass.
+    Everything after the lineitem⋈orders join stays partitioned on
+    l_orderkey, so both groupBys are shuffle-free; supplier names come
+    from a broadcast dim join at the end."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    per_supp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum(F.col("is_late").cast("int")).alias("nlate"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_suppkey"
+        ),
+    )
+    sole = per_order.filter(
+        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        sole.join(s, sole.late_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cum_dist,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value) per nation. The order key is quantized to integer
+    cents with a custkey tiebreak so both engines see the identical
+    total order; pct_rank/cum_dist are then exact rational doubles.
+    One hash exchange on c_nationkey serves all four functions."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("long"), F.col("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+    )
+
+
 @register("approx_percentile_prices")  # t-digest-style sketch → rows-only check
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch path for quantiles at 100 TB
