@@ -1484,6 +1484,53 @@ def map_ops_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_bag_ops_returnflag",
+    oracle="""
+    WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1995-01-01'),
+         b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+    SELECT 'intersect_all' AS op, l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'except_all' AS op, l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def set_bag_ops_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    multiplicity-preserving, unlike the DISTINCT variants in
+    set_intersect_repeat_buyers / set_except_churned). Spark plans both
+    as a single count-per-side aggregate + generate (no join of the two
+    inputs), so each costs one shuffle on the value columns — the same
+    shape a 100 TB run wants. Tagged counts keep the compared result
+    compact."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate"
+    )
+    a = l.filter(F.col("l_shipdate") < "1995-01-01").drop("l_shipdate")
+    b = l.filter(F.col("l_shipdate") >= "1995-01-01").drop("l_shipdate")
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(op).alias("op"),
+                "l_returnflag",
+                "l_linestatus",
+                "n",
+            )
+        )
+
+    return counted(a.intersectAll(b), "intersect_all").unionByName(
+        counted(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     oracle="""
     WITH l AS (

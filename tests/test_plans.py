@@ -157,3 +157,11 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     plan = explain_str(joined, "simple")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_q21_scans_lineitem_once(spark, sf_dir):
+    # the textbook Q21 (EXISTS + NOT EXISTS) scans lineitem three
+    # times and shuffles it for two self-joins; the per-order-aggregate
+    # rewrite must read it exactly once
+    plan = explain_str(QUERIES["q21_waiting_suppliers"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
