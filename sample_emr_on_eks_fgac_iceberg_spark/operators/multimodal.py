@@ -77,6 +77,59 @@ def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME = 256  # chars per fake "frame"
+_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         e AS (SELECT doc_id, text,
+                      unnest(range(0, CAST((n - 1) // 256 + 1 AS BIGINT), 4))
+                        AS i
+               FROM f)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_index,
+           octet_length(CAST(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)
+                             AS BLOB)) AS frame_bytes,
+           md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
+    FROM e
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads — the 1→many shape of video
+    frame extraction (vs the 1:1 featurizer in multimodal_features),
+    expressed entirely JVM-side: `sequence` builds the strided frame
+    index list per document, `explode` fans it out, `substring` slices
+    the frame, `md5` fingerprints it. No Python worker in the plan, so
+    at 100 TB this runs inside whole-stage codegen with the generate's
+    fan-out bounded by payload_len/FRAME/STRIDE rows per document. A
+    real video decoder replaces the substring slice with a
+    mapInPandas decode (see _decode_media) — the surrounding plumbing
+    is identical. Frames are 256-char chunks of the text payload
+    standing in for fixed-byte GOPs."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / _FRAME).cast("int"),
+                F.lit(_STRIDE),
+            )
+        ).alias("frame_index"),
+    )
+    frame = F.expr(f"substring(text, frame_index * {_FRAME} + 1, {_FRAME})")
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        F.octet_length(frame).alias("frame_bytes"),
+        F.md5(F.encode(frame, "UTF-8")).alias("frame_md5"),
+    )
+
+
 def _decode_media(payload: bytes, fake: bool = True) -> bytes:
     """Decode stub. Real decoders (PIL / soundfile / av) are not in
     this container; `fake=True` returns the payload unchanged as the

@@ -182,6 +182,24 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_enriched_segments",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def events_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of the stream-static dim-enrichment join
+    (enrich_with_segments); the streaming equivalence is proven in
+    tests/test_streaming.py::test_stream_static_join_matches_batch."""
+    return enrich_with_segments(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 # ------------------------------------------------------------- streaming
 def read_event_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
@@ -200,6 +218,25 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     """Stateful streaming dedup with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
+    )
+
+
+def enrich_with_segments(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with the customer's market
+    segment from a static dimension. The static side is broadcast, so
+    the streaming plan stays stateless (no watermark, no state store) —
+    each micro-batch hash-probes the dim in place. That is the 100 TB
+    posture for dim enrichment: the alternative (stream-stream join)
+    would buffer the dim in state per key. Works identically on a batch
+    DataFrame (unified model)."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return events.join(dim, "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment"
     )
 
 

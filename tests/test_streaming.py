@@ -298,3 +298,17 @@ def test_foreach_batch_into_warehouse(spark, sf_dir, events_dir, tmp_path):
         if d.startswith("event_type=")
     }
     assert len(parts) == 5
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming import enrich_with_segments
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream = enrich_with_segments(
+        read_event_stream(spark, events_dir), customers
+    )
+    assert stream.isStreaming
+    run_to_memory(stream, "enriched_out", output_mode="append")
+    got = spark.table("enriched_out")
+    batch = enrich_with_segments(load_table(spark, sf_dir, "events"), customers)
+    assert _rows(got) == _rows(batch)
