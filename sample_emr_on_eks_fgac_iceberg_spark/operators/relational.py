@@ -1065,6 +1065,45 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_returnflag_metrics",
+    oracle="""
+    WITH a AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of pivot_event_counts: a wide
+    per-flag aggregate reshaped to long (flag, metric, value) rows via
+    DataFrame.unpivot, which plans as a single Expand over the 3-row
+    aggregate — no join, no extra shuffle beyond the aggregation's."""
+    a = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(_dec("l_discount", RATE), "sum_disc"),
+        )
+    )
+    return a.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "metric",
+        "value",
+    )
+
+
+@register(
     "json_extract_events",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
