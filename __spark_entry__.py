@@ -21,6 +21,84 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators import ORACLE, QUERIES  # no
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# The driver's correctness gate evaluates a bounded prefix of queries()
+# (50 in round 1).  Order the registry so that prefix covers every
+# component family — FGAC flagships, temporal joins, UDF/UDAF surface,
+# text / dedup / similarity / multimodal pipeline operators, streaming
+# mirrors, and the relational queries that have not yet appeared in a
+# CORRECTNESS artifact — before repeating relational queries already
+# verified green in round 1.
+_PRIORITY = [
+    # FGAC flagships (reference consumer_emr_on_eks_setup.sh:407-418)
+    "fgac_patients_scan",
+    "fgac_claims_join",
+    "fgac_catalog_qualified_scan",
+    # temporal joins
+    "asof_join_click_purchase",
+    "range_join_purchase_followup",
+    "window_range_30d_spend",
+    # UDF / UDAF / applyInPandas
+    "udf_scalar_charge",
+    "udaf_weighted_discount",
+    "applyinpandas_minmax",
+    # text analysis
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    # dedup
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # similarity search
+    "ann_cosine_topk",
+    "similarity_pairs_threshold",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    # multimodal
+    "multimodal_catalog",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # streaming (batch mirrors of the structured-streaming queries)
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_sessionization",
+    "events_dedup_first",
+    "events_enriched_segments",
+    "events_running_user_totals",
+    "events_session_window_native",
+    # relational queries with no prior CORRECTNESS entry
+    "percentile_order_prices",
+    "stats_exact_corr",
+    "map_ops_event_profile",
+    "set_bag_ops_returnflag",
+    "q21_waiting_suppliers",
+    "window_distribution_ranks",
+    "approx_percentile_prices",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    # headline relational (green in round 1; keep representatives in-window)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "grouping_sets_revenue",
+    "topk_orders",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    """Priority names first (those that exist), then the rest in
+    registration order."""
+    out = {n: reg[n] for n in _PRIORITY if n in reg}
+    out.update((n, v) for n, v in reg.items() if n not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's FGAC-filtered claims⋈patients join
@@ -33,11 +111,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; queries
     missing here (approx sketches, streaming-stateful) get the driver's
     rows-only check."""
-    return dict(ORACLE)
+    return _ordered(ORACLE)
