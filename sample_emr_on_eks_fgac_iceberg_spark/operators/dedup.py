@@ -250,43 +250,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over `documents`: doc pairs whose
     embeddings (joined from the embeddings table on doc_id) have
     cosine >= τ — semantic dedup, catching rewrites that n-gram
-    Jaccard misses. Same broadcast-GEMM plan as
-    operators/similarity.py::similarity_pairs_threshold (exact
-    quantized-integer math, bit-equal to the oracle); LSH bucketing is
-    the documented scale path for the pair space."""
-    import numpy as np
-    import pandas as pd
-
+    Jaccard misses. Runs on the distributed block-GEMM
+    (operators/similarity.py::blocked_allpairs_cosine): nothing
+    data-sized on the driver, exact quantized-integer math bit-equal
+    to the oracle; LSH bucketing stays the sub-quadratic path."""
     from pyspark.sql import functions as _F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     e = load_table(spark, sf_dir, "embeddings")
-    quant = e.join(d, e.vec_id == d.doc_id).select(
-        "doc_id",
+    quant = fan_out(e, spark, "vec_id").join(d, e.vec_id == d.doc_id).select(
+        _F.col("doc_id").alias("pid"),
         _F.transform(
             "embedding", lambda x: _F.round(x.cast("double") * 1000).cast("long")
         ).alias("v"),
     )
-    rows = quant.toPandas()
-    ids = rows["doc_id"].to_numpy(dtype=np.int64)
-    mat = np.array(rows["v"].tolist(), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    b_side = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def gemm_pairs(batches):
-        b_ids, b_mat, b_norms = b_side.value
-        for pdf in batches:
-            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bj = np.nonzero(
-                (cos >= EMB_DUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": b_ids[bj], "cosine": cos[ai, bj]}
-            )
-
-    return fan_out(quant, spark, "doc_id").mapInPandas(
-        gemm_pairs, "a_id long, b_id long, cosine double"
-    )
+    return blocked_allpairs_cosine(quant, EMB_DUP_THRESHOLD)

@@ -30,7 +30,11 @@ from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_ta
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
-PAIR_THRESHOLD = 0.75
+# 0.42 sits above the random-pair cosine bulk (~0.38 at the 99.9th
+# percentile in the synthetic embeddings) but below the near-dup band,
+# so the query returns a non-trivial, SF-stable result instead of the
+# always-empty set a 0.75 cut produced (max observed cosine ~0.51).
+PAIR_THRESHOLD = 0.42
 DIM = 64
 
 
@@ -52,6 +56,89 @@ def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
         F.col("vec_id").alias(f"{prefix}_id"),
         v.alias(f"{prefix}_v"),
     ).withColumn(f"{prefix}_norm", F.sqrt(_dot(F.col(f"{prefix}_v"), F.col(f"{prefix}_v")).cast("double")))
+
+
+N_BLOCKS = 8  # block-GEMM grid side; pick ~sqrt(pairs-per-task budget) at scale
+
+
+def blocked_allpairs_cosine(quant: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a *distributed* block-GEMM.
+
+    `quant` has columns (pid long, v array<long>).  Every row is hashed
+    into one of N_BLOCKS blocks; each of the B(B+1)/2 unordered block
+    pairs becomes one shuffle group holding the two blocks' rows
+    (role 0 = row block, role 1 = column block), and `applyInPandas`
+    runs one numpy GEMM per group, emitting only above-threshold pairs
+    with a_id < b_id.  Each unordered row pair lands in exactly one
+    group, so the union over groups is the exact all-pairs result.
+
+    100 TB posture: no driver-side collect anywhere — task memory is
+    bounded by 2·N/B rows, and B grows with the table (replication
+    factor is B, the standard blocked-GEMM tradeoff).  The sub-quadratic
+    alternative when τ is high stays `ann_lsh_bucketed`.
+
+    Exactness: quantized values are small integers, so every product and
+    64-term float64 sum is < 2^53 and exact; norm, one multiply, one
+    divide — the identical IEEE-754 op sequence DuckDB runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = N_BLOCKS
+    blocks = quant.select(
+        "pid", "v", F.pmod(F.xxhash64(F.col("pid")), F.lit(B)).cast("int").alias("blk")
+    )
+    left = blocks.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        "pid",
+        "v",
+        F.lit(0).alias("role"),
+    )
+    right = blocks.filter(F.col("blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"),
+        "pid",
+        "v",
+        F.lit(1).alias("role"),
+    )
+
+    def gemm_group(key, pdf):
+        bi, bj = key
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        a = pdf[pdf["role"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["pid"].to_numpy(dtype=np.int64)
+        mat_a = np.array(a["v"].tolist(), dtype=np.float64)
+        na = np.sqrt((mat_a * mat_a).sum(axis=1))
+        if bi == bj:  # diagonal: upper triangle within the block
+            cos = (mat_a @ mat_a.T) / np.outer(na, na)
+            ai, aj = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_a[None, :]))
+            return pd.DataFrame(
+                {"a_id": ids_a[ai], "b_id": ids_a[aj], "cosine": cos[ai, aj]}
+            )
+        b = pdf[pdf["role"] == 1]
+        if not len(b):
+            return empty
+        ids_b = b["pid"].to_numpy(dtype=np.int64)
+        mat_b = np.array(b["v"].tolist(), dtype=np.float64)
+        nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+        cos = (mat_a @ mat_b.T) / np.outer(na, nb)
+        ai, bix = np.nonzero(cos >= threshold)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ids_a[ai], ids_b[bix]),
+                "b_id": np.maximum(ids_a[ai], ids_b[bix]),
+                "cosine": cos[ai, bix],
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(gemm_group, "a_id long, b_id long, cosine double")
+    )
 
 
 _ORACLE_QUANT = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -116,52 +203,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= τ (embedding near-dup detection), as a
-    broadcast GEMM: the quantized matrix is broadcast once, and each
-    Arrow batch of rows computes its cosine block against it with one
-    numpy matrix multiply — replacing the nested-loop pair join whose
-    per-pair interpreted dot product was ~40× slower.
-
-    The broadcast is the *small side* of the similarity join (same
-    memory contract as `F.broadcast`); the streamed side stays
-    distributed and each task emits only its above-threshold pairs.
-    At 100 TB the broadcast side becomes LSH buckets
-    (`ann_lsh_bucketed`) or a block decomposition — this operator is
-    the exact baseline.
-
-    Exactness: quantized values are small integers, so every product
-    and 64-term sum is < 2^53 and float64 GEMM is *exact*; norm, then
-    one multiply and one divide, are the identical IEEE-754 op
-    sequence DuckDB runs — bit-equal hashes.
-    """
-    import numpy as np
-    import pandas as pd
-
+    """All-pairs cosine >= τ (embedding near-dup detection) via the
+    distributed block-GEMM (`blocked_allpairs_cosine`): one numpy GEMM
+    per block pair inside `applyInPandas`, nothing data-sized on the
+    driver, task memory bounded by the block size."""
     e = load_table(spark, sf_dir, "embeddings")
-    quant = e.select("vec_id", _quantized(F.col("embedding")).alias("v"))
-    rows = quant.toPandas()
-    ids = rows["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.array(rows["v"].tolist(), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    b_side = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def gemm_pairs(batches):
-        b_ids, b_mat, b_norms = b_side.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bj = np.nonzero(
-                (cos >= PAIR_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": b_ids[bj], "cosine": cos[ai, bj]}
-            )
-
-    return fan_out(quant, spark, "vec_id").mapInPandas(
-        gemm_pairs, "a_id long, b_id long, cosine double"
+    quant = fan_out(e, spark, "vec_id").select(
+        F.col("vec_id").alias("pid"), _quantized(F.col("embedding")).alias("v")
     )
+    return blocked_allpairs_cosine(quant, PAIR_THRESHOLD)
 
 
 def _hyperplanes(n_planes: int = 8, dim: int = DIM) -> list[list[float]]:
