@@ -46,6 +46,10 @@ class SchemaMismatchError(Exception):
     pass
 
 
+class SnapshotNotFoundError(Exception):
+    pass
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -170,9 +174,53 @@ class Warehouse:
         os.remove(meta_path)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
+    # ---------------------------------------------------------- snapshots
+    def _data_files(self, name: str) -> set[str]:
+        """Relative paths of every parquet data file currently on disk."""
+        data = self.data_dir(name)
+        return {
+            os.path.relpath(os.path.join(dirpath, fn), data)
+            for dirpath, _, fns in os.walk(data)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot log, oldest first — the engine's analog of Iceberg's
+        metadata tree (reference cleanup log shows snap-*.avro manifests,
+        producer_account_setup/logs/producer_cleanup_logs.txt:33-51).
+        Each entry: snapshot_id, timestamp_ms, operation, added_files,
+        sequence_number."""
+        return list(self._read_meta(name).snapshots)
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        snaps = self._read_meta(name).snapshots
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def _commit_snapshot(self, meta: TableMeta, operation: str, added: set[str]) -> None:
+        """Optimistic commit: re-read the on-disk metadata so a
+        concurrent committer's snapshots are not clobbered, then append
+        ours with the next sequence number (Iceberg's
+        commit-by-swapping-metadata, linearized per table)."""
+        if os.path.exists(self._meta_path(meta.name)):
+            meta = self._read_meta(meta.name)
+        seq = meta.snapshots[-1]["sequence_number"] + 1 if meta.snapshots else 1
+        meta.snapshots.append(
+            {
+                "snapshot_id": seq,
+                "sequence_number": seq,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "added_files": sorted(added),
+            }
+        )
+        self._write_meta(meta)
+
     # --------------------------------------------------------------- DML
     def insert_into(self, name: str, df: DataFrame) -> None:
-        """D2: INSERT INTO — schema-on-write append, partition fan-out."""
+        """D2: INSERT INTO — schema-on-write append, partition fan-out.
+        Every append commits a new snapshot whose manifest lists the
+        files it added, enabling read-at-snapshot / time travel."""
         meta = self._read_meta(name)
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
@@ -182,14 +230,12 @@ class Warehouse:
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        before = self._data_files(name)
         writer = aligned.write.mode("append")
         if meta.partition_by:
             writer = writer.partitionBy(*meta.partition_by)
         writer.parquet(self.data_dir(name))
-        meta.snapshots.append(
-            {"ts": time.time(), "operation": "append"}
-        )
-        self._write_meta(meta)
+        self._commit_snapshot(meta, "append", self._data_files(name) - before)
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
         """D2 literal form: INSERT INTO t VALUES (…), (…)."""
@@ -198,20 +244,62 @@ class Warehouse:
         self.insert_into(name, df)
 
     # -------------------------------------------------------------- scan
-    def read_table(self, name: str) -> DataFrame:
+    def read_table(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
         """S1: cataloged scan. Partition columns come back from the
         directory layout (basePath keeps them in the schema); declared
-        types are re-asserted so DATE/DECIMAL survive the round-trip."""
+        types are re-asserted so DATE/DECIMAL survive the round-trip.
+
+        ``snapshot_id`` reads the table as of that snapshot (the union
+        of every manifest up to and including it — appends are
+        cumulative), mirroring Iceberg's ``VERSION AS OF``;
+        ``as_of_timestamp_ms`` picks the last snapshot committed at or
+        before that time (``TIMESTAMP AS OF``)."""
         meta = self._read_meta(name)
         if meta.link_to is not None:
-            return self.read_table(meta.link_to)
+            return self.read_table(
+                meta.link_to,
+                snapshot_id=snapshot_id,
+                as_of_timestamp_ms=as_of_timestamp_ms,
+            )
+        if snapshot_id is not None and as_of_timestamp_ms is not None:
+            raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
         data = self.data_dir(name)
-        has_files = any(
-            fn.endswith(".parquet") for _, _, fns in os.walk(data) for fn in fns
-        )
-        if not has_files:
-            return self.spark.createDataFrame([], meta.schema)
-        df = self.spark.read.option("basePath", data).parquet(data)
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                s["snapshot_id"]
+                for s in meta.snapshots
+                if s["timestamp_ms"] <= as_of_timestamp_ms
+            ]
+            if not eligible:
+                return self.spark.createDataFrame([], meta.schema)
+            snapshot_id = eligible[-1]
+        if snapshot_id is not None:
+            known = {s["snapshot_id"] for s in meta.snapshots}
+            if snapshot_id not in known:
+                raise SnapshotNotFoundError(
+                    f"Table '{name}' has no snapshot {snapshot_id} (known: {sorted(known)})"
+                )
+            files = [
+                os.path.join(data, f)
+                for s in meta.snapshots
+                if s["snapshot_id"] <= snapshot_id
+                for f in s["added_files"]
+            ]
+            if not files:
+                return self.spark.createDataFrame([], meta.schema)
+            df = self.spark.read.option("basePath", data).parquet(*files)
+        else:
+            has_files = any(
+                fn.endswith(".parquet") for _, _, fns in os.walk(data) for fn in fns
+            )
+            if not has_files:
+                return self.spark.createDataFrame([], meta.schema)
+            df = self.spark.read.option("basePath", data).parquet(data)
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
         )
