@@ -87,6 +87,9 @@ PATIENT_ROW_FILTER = "state in ('Texas', 'New York')"
 TEAM1 = "team1"  # patients-via-filter + claims (consumer_emr_on_eks_setup.sh:323-342)
 TEAM2 = "team2"  # claims only (consumer_emr_on_eks_setup.sh:293-321)
 
+# The consumer job's 3-part name (consumer_emr_on_eks_setup.sh:407).
+QUALIFIED_RL_PATIENTS = "dev.consumer_healthcare_db.rl_patients"
+
 
 def setup_healthcare(engine: FgacEngine) -> None:
     """Producer-account setup: D1 + D2 + A1/A3 against the engine."""
@@ -128,6 +131,21 @@ def setup_healthcare(engine: FgacEngine) -> None:
     engine.policy.grant(TEAM1, "rl_patients", filter_name="rl_patients_column_row_filter")
     engine.policy.grant(TEAM1, "rl_claims")
     engine.policy.grant(TEAM2, "rl_claims")
+
+    # Catalog-qualified link — the 3-part name the consumer job actually
+    # queries (`dev.consumer_healthcare_db.rl_patients`,
+    # consumer_emr_on_eks_setup.sh:407): same target, same filter,
+    # granted to team1 only (team2 hits the denial path).
+    wh.create_resource_link(QUALIFIED_RL_PATIENTS, "patients")
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name="qualified_rl_patients_filter",
+            table=QUALIFIED_RL_PATIENTS,
+            allowed_columns=PATIENT_ALLOWED_COLUMNS,
+            row_filter=PATIENT_ROW_FILTER,
+        )
+    )
+    engine.policy.grant(TEAM1, QUALIFIED_RL_PATIENTS, filter_name="qualified_rl_patients_filter")
 
 
 # The flagship join — consumer_emr_on_eks_setup.sh:412 (J1+P2+O1).

@@ -89,6 +89,29 @@ def fgac_patients_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fgac_catalog_qualified_scan",
+    oracle=f"""
+    WITH {_patients_values_sql()}
+    SELECT patient_id, patient_name, date_of_birth, gender, city, state
+    FROM patients_src
+    WHERE state IN ('Texas', 'New York')
+    """,
+)
+def fgac_catalog_qualified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 through a 3-part name: the consumer job's actual relation is
+    `dev.consumer_healthcare_db.rl_patients` — a cross-catalog resource
+    link (consumer_emr_on_eks_setup.sh:261-287, 407). The policy binds
+    to the link name and the qualified reference resolves through the
+    SecureSession SQL path."""
+    from sample_emr_on_eks_fgac_iceberg_spark.healthcare import QUALIFIED_RL_PATIENTS
+
+    sess = _engine_for(spark).session_for(TEAM1)
+    return sess.sql(f"SELECT * FROM {QUALIFIED_RL_PATIENTS}").select(
+        "patient_id", "patient_name", "date_of_birth", "gender", "city", "state"
+    )
+
+
+@register(
     "fgac_claims_join",
     oracle=f"""
     WITH {_patients_values_sql()},

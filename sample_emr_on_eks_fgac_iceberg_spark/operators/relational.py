@@ -518,8 +518,11 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 300)
     )
+    # No forced broadcast on `big`: the >300-qty filter is selective on
+    # TPC-H-shaped data, but AQE's runtime size check decides — a hint
+    # would OOM executors on adversarial inputs.
     return (
-        F.broadcast(big)
+        big
         .join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(

@@ -42,7 +42,10 @@ def two_phase_salted_agg(
     partials by key. Both phases are ordinary hash aggregates with
     map-side combine.
     """
-    salt = F.xxhash64(F.monotonically_increasing_id()) % salt_buckets
+    # pmod keeps the salt domain at exactly [0, salt_buckets) — Spark's
+    # % preserves the dividend's sign, which would double the bucket
+    # count and break the sizing contract above.
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")

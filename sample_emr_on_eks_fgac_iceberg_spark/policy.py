@@ -119,7 +119,20 @@ class PolicyStore:
         permissions: frozenset[str] | set[str] = ALL_PERMISSIONS,
         grant_option: bool = False,
         filter_name: str | None = None,
+        granted_by: str | None = None,
     ) -> None:
+        """A1. ``granted_by=None`` is the admin/producer path; a named
+        grantor must itself hold the table with ``grant_option`` and at
+        least the permissions being delegated — the reference's
+        ``--permissions-with-grant-option`` chain (producer → consumer
+        admin → teams, producer_iceberg_datalake_setup.sh:265-274,
+        303-306)."""
+        if granted_by is not None:
+            delegator = self.grant_for(granted_by, table)
+            if delegator is None or not delegator.grant_option:
+                raise AccessDeniedException(granted_by, table, "GRANT")
+            if not frozenset(permissions) <= delegator.permissions:
+                raise AccessDeniedException(granted_by, table, "GRANT")
         if filter_name is not None and filter_name not in self._filters:
             raise ValueError(f"Unknown data-cells filter '{filter_name}'")
         self._grants[(principal, table)] = Grant(
@@ -148,7 +161,12 @@ class PolicyStore:
     ) -> DataFrame:
         grant = self.authorize(principal, table, action)
         if grant.filter_name is not None:
-            df = self._filters[grant.filter_name].apply(df)
+            f = self._filters.get(grant.filter_name)
+            if f is None:
+                # Dangling grant (its filter was deleted): fail closed
+                # as a denial, never as a KeyError.
+                raise AccessDeniedException(principal, table, action)
+            df = f.apply(df)
         return df
 
 
@@ -174,18 +192,51 @@ class SecureSession:
         known_tables,
     ):
         self._spark = spark.newSession()
+        # The SQL surface is a principal boundary: path-based relations
+        # (SELECT … FROM parquet.`/path`) would read the warehouse files
+        # underneath the policy views, so they are off. The raw
+        # ``.spark`` property remains a *trusted-engine* surface (the
+        # reference's equivalent: the query-engine role can read S3,
+        # user code cannot — consumer_emr_on_eks_setup.sh:18-19).
+        self._spark.conf.set("spark.sql.runSQLOnFiles", "false")
         self._policy = policy
         self.principal = principal
         self._table_loader = table_loader
         self._known_tables = known_tables
-        for name in policy.tables_granted(principal):
-            grant = policy.grant_for(principal, name)
-            if SELECT in grant.permissions:
-                self._secured(name).createOrReplaceTempView(name)
+        self._registered: set[str] = set()
+        self._refresh_views()
 
     def _secured(self, table: str) -> DataFrame:
         raw = self._table_loader(self._spark, table)
         return self._policy.secured_frame(self.principal, table, raw)
+
+    @staticmethod
+    def _view_alias(name: str) -> str:
+        # Temp views are single-part identifiers; catalog-qualified
+        # grants (dev.db.table) register under a flattened alias and
+        # sql() rewrites the qualified reference to it.
+        return name.replace(".", "__")
+
+    def _refresh_views(self) -> None:
+        """Re-resolve grant + filter into the session catalog — called
+        per sql() so policy changes (revoke, filter delete) propagate to
+        live sessions instead of serving a stale construction-time
+        snapshot; the .table() path re-authorizes per call already."""
+        granted = set()
+        for name in self._policy.tables_granted(self.principal):
+            if SELECT not in self._policy.grant_for(self.principal, name).permissions:
+                continue
+            try:
+                secured = self._secured(name)
+            except AccessDeniedException:
+                # Dangling grant (filter deleted): fail closed — the
+                # view disappears and touching the table denies below.
+                continue
+            secured.createOrReplaceTempView(self._view_alias(name))
+            granted.add(name)
+        for stale in self._registered - granted:
+            self._spark.catalog.dropTempView(self._view_alias(stale))
+        self._registered = granted
 
     # ---------------------------------------------------------- queries
     def table(self, name: str) -> DataFrame:
@@ -198,6 +249,26 @@ class SecureSession:
 
         from pyspark.sql.utils import AnalysisException
 
+        self._refresh_views()
+        m = re.match(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", query, re.I)
+        if m:
+            rows = self.describe(m.group(1))
+            return self._spark.createDataFrame(
+                rows, "col_name string, data_type string"
+            )
+        # Catalog-qualified references: a granted dev.db.table rewrites
+        # to its registered alias; a known-but-ungranted one is a
+        # plan-time denial (consumer_emr_on_eks_setup.sh:407 queries
+        # dev.consumer_healthcare_db.rl_patients through a 3-part name).
+        for name in sorted(self._known_tables(), key=len, reverse=True):
+            if "." not in name:
+                continue
+            pattern = rf"(?<![\w.`]){re.escape(name)}(?![\w.])"
+            if not re.search(pattern, query):
+                continue
+            if self._policy.grant_for(self.principal, name) is None:
+                raise AccessDeniedException(self.principal, name)
+            query = re.sub(pattern, f"`{self._view_alias(name)}`", query)
         try:
             return self._spark.sql(query)
         except AnalysisException as exc:
@@ -213,10 +284,10 @@ class SecureSession:
                 for ident in re.findall(r"`([^`]+)`", str(exc))
             }
             for name in self._known_tables():
-                if (
-                    name in unresolved
-                    and self._policy.grant_for(self.principal, name) is None
-                ):
+                if name in unresolved and name not in self._registered:
+                    # Exists in the warehouse but is not serveable for
+                    # this principal (ungranted, or its filter was
+                    # deleted) → plan-time denial.
                     raise AccessDeniedException(self.principal, name) from exc
             raise
 
@@ -225,7 +296,10 @@ class SecureSession:
         grant = self._policy.grant_for(self.principal, name)
         df = self._table_loader(self._spark, name)
         if grant.filter_name is not None:
-            f = self._policy.get_filter(grant.filter_name)
+            try:
+                f = self._policy.get_filter(grant.filter_name)
+            except KeyError:
+                raise AccessDeniedException(self.principal, name, DESCRIBE) from None
             if f.allowed_columns is not None:
                 df = df.select(*f.allowed_columns)
         return [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]
