@@ -26,6 +26,19 @@ class FgacEngine:
         self.spark = spark
         self.warehouse = Warehouse(spark, warehouse_root)
         self.policy = PolicyStore()
+        self._sql_frontend = None
+
+    def sql(self, query: str):
+        """Producer-side SQL: CREATE TABLE … PARTITIONED BY / INSERT
+        INTO … VALUES / DROP TABLE / DESCRIBE mapped onto the
+        Warehouse, reads over unmediated views — the reference's Athena
+        entry point (producer_iceberg_datalake_setup.sh:115-159).
+        Consumers use ``session_for(principal).sql`` instead."""
+        if self._sql_frontend is None:
+            from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+            self._sql_frontend = SqlFrontend(self.spark, self.warehouse)
+        return self._sql_frontend.execute(query)
 
     def _load_for_session(self, session_spark: SparkSession, name: str) -> DataFrame:
         # Re-read through the warehouse so each SecureSession resolves

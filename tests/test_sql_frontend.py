@@ -1,0 +1,117 @@
+"""SQL entry point (VERDICT item 6): the healthcare fixture reproduced
+through `engine.sql(...)` only — CREATE TABLE … PARTITIONED BY, INSERT
+INTO … VALUES, DROP TABLE, DESCRIBE — mirroring the reference's Athena
+producer path (producer_iceberg_datalake_setup.sh:115-159), with the
+golden flagship join still returning its 6 rows."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+from sample_emr_on_eks_fgac_iceberg_spark.healthcare import (
+    CLAIMS_ROWS,
+    CLAIMS_SCHEMA,
+    FLAGSHIP_JOIN_SQL,
+    PATIENT_ALLOWED_COLUMNS,
+    PATIENT_ROW_FILTER,
+    PATIENTS_ROWS,
+    PATIENTS_SCHEMA,
+    TEAM1,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+
+
+def _patients_values() -> str:
+    return ",\n".join(
+        f"({pid}, '{name}', DATE '{dob}', '{g}', '{city}', '{state}', '{ssn}', "
+        f"TIMESTAMP '{c}', TIMESTAMP '{u}')"
+        for pid, name, dob, g, city, state, ssn, c, u in PATIENTS_ROWS
+    )
+
+
+def _claims_values() -> str:
+    return ",\n".join(
+        f"('{cid}', {pid}, DATE '{cdate}', '{diag}', '{proc}', {amt}, "
+        f"'{status}', '{prov}', TIMESTAMP '{c}', TIMESTAMP '{u}')"
+        for cid, pid, cdate, diag, proc, amt, status, prov, c, u in CLAIMS_ROWS
+    )
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return FgacEngine(spark, str(tmp_path / "wh"))
+
+
+def _sql_only_fixture(engine):
+    engine.sql(f"CREATE TABLE patients ({PATIENTS_SCHEMA}) PARTITIONED BY (city)")
+    engine.sql(f"INSERT INTO patients VALUES {_patients_values()}")
+    engine.sql(f"CREATE TABLE claims ({CLAIMS_SCHEMA}) PARTITIONED BY (status)")
+    engine.sql(f"INSERT INTO claims VALUES {_claims_values()}")
+
+
+def test_sql_only_fixture_flagship_join(engine):
+    _sql_only_fixture(engine)
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name="patients_column_row_filter",
+            table="patients",
+            allowed_columns=PATIENT_ALLOWED_COLUMNS,
+            row_filter=PATIENT_ROW_FILTER,
+        )
+    )
+    engine.policy.grant(TEAM1, "patients", filter_name="patients_column_row_filter")
+    engine.policy.grant(TEAM1, "claims")
+    rows = engine.session_for(TEAM1).sql(FLAGSHIP_JOIN_SQL).collect()
+    assert [r.claim_id for r in rows] == [
+        "CLM010", "CLM009", "CLM007", "CLM008", "CLM005", "CLM006",
+    ]
+
+
+def test_sql_select_over_warehouse(engine):
+    _sql_only_fixture(engine)
+    df = engine.sql("SELECT count(*) AS n FROM patients WHERE state = 'Texas'")
+    assert df.collect()[0].n == 4
+
+
+def test_sql_describe(engine):
+    engine.sql("CREATE TABLE t (k INT, v STRING)")
+    rows = engine.sql("DESCRIBE t").collect()
+    assert [(r.col_name, r.data_type) for r in rows] == [("k", "int"), ("v", "string")]
+
+
+def test_sql_drop_table(engine):
+    engine.sql("CREATE TABLE t (k INT)")
+    engine.sql("DROP TABLE t")
+    assert not engine.warehouse.table_exists("t")
+    engine.sql("DROP TABLE IF EXISTS t")  # no-op, no error
+    with pytest.raises(Exception):
+        engine.sql("DROP TABLE t")
+
+
+def test_sql_create_duplicate_raises(engine):
+    engine.sql("CREATE TABLE t (k INT)")
+    with pytest.raises(ValueError):
+        engine.sql("CREATE TABLE t (k INT)")
+    engine.sql("CREATE TABLE IF NOT EXISTS t (k INT)")  # no-op
+
+
+def test_sql_insert_width_mismatch_raises(engine):
+    engine.sql("CREATE TABLE t (k INT, v STRING)")
+    with pytest.raises(ValueError):
+        engine.sql("INSERT INTO t VALUES (1)")
+
+
+def test_sql_insert_with_column_list(engine):
+    engine.sql("CREATE TABLE t (k INT, v STRING)")
+    with pytest.raises(Exception):  # missing column v → schema-on-write error
+        engine.sql("INSERT INTO t (k) VALUES (1)")
+    engine.sql("INSERT INTO t (v, k) VALUES ('a', 1)")
+    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM t").collect()] == [(1, "a")]
+
+
+def test_sql_partitioned_create_prunes(engine):
+    engine.sql(
+        "CREATE TABLE pt (k INT, city STRING) USING iceberg PARTITIONED BY (city)"
+    )
+    assert engine.warehouse.partition_spec("pt") == ["city"]
+    engine.sql("INSERT INTO pt VALUES (1, 'Austin'), (2, 'Dallas')")
+    assert engine.sql("SELECT k FROM pt WHERE city='Austin'").collect()[0].k == 1
