@@ -96,6 +96,12 @@ def build_session(
         # read them as TIMESTAMP_NTZ so values match DuckDB's naive
         # timestamps bit-for-bit.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); read nanos
+        # as long (converted JVM-side in sources/tables._load_events).
+        # Set here so sessions from this factory never mutate confs at
+        # load time; the loader keeps a guarded fallback for
+        # caller-provided sessions (the driver's own SparkSession).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -89,7 +89,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision loss a `/1000` would give on epoch-nanos magnitudes."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # build_session sets this conf up front; the runtime set here is a
+    # guarded fallback for caller-provided sessions (e.g. the driver's
+    # own SparkSession), skipped when already configured.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

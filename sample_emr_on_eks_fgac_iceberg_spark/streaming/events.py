@@ -295,6 +295,29 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_STAGED_STREAMS: dict[tuple[str, str], str] = {}
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a multi-file parquet directory for the
+    file stream source, once per (application, sf_dir) — the testdata
+    directory is read-only so a copy is unavoidable, but it is written
+    at full write parallelism (no coalesce(1) single-task funnel),
+    reused across invocations (bench runs each query twice), and
+    removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED_STREAMS:
+        dst = tempfile.mkdtemp(prefix="events_stream_")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(dst)
+        atexit.register(shutil.rmtree, dst, ignore_errors=True)
+        _STAGED_STREAMS[key] = dst
+    return _STAGED_STREAMS[key]
+
+
 @register(
     "events_running_user_totals",
     oracle="""
@@ -305,28 +328,29 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     """,
 )
 def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandasWithState operator driven batch-style: the
-    whole events table as one availableNow micro-batch, whose final
-    update per user equals the batch group-by — which is exactly what
-    the oracle checks. tests/test_streaming.py additionally replays it
-    in two chunks to prove state carries across micro-batches."""
-    import tempfile
+    """The applyInPandasWithState operator driven batch-style through an
+    availableNow drain of the staged events directory. The update-mode
+    memory sink holds one row per (user, micro-batch touching that
+    user); the final state per user is the row with the greatest
+    n_events — counts are strictly increasing — so the result is
+    deterministic no matter how availableNow splits the files.
+    tests/test_streaming.py additionally replays it in two chunks to
+    prove state carries across micro-batches."""
     import uuid
 
     src = os.path.join(sf_dir, "_events_stream")
     if not os.path.isdir(src):
-        # one-time per sf_dir staging is not possible (testdata is
-        # read-only) — stream straight from a temp copy instead
-        src = tempfile.mkdtemp(prefix="events_stream_")
-        # single file → availableNow drains it as one micro-batch, so
-        # the memory sink holds exactly one update row per user
-        load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _staged_events_dir(spark, sf_dir)
     name = f"running_totals_{uuid.uuid4().hex[:8]}"
     stream = read_event_stream(spark, src)
     run_to_memory(running_user_totals(stream), name, output_mode="update")
-    return spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 @register(
