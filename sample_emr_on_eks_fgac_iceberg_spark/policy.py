@@ -98,15 +98,22 @@ class PolicyStore:
     def __init__(self) -> None:
         self._filters: dict[str, DataCellsFilter] = {}
         self._grants: dict[tuple[str, str], Grant] = {}
+        self._version = 0  # bumped on every mutation; sessions re-resolve lazily
+
+    @property
+    def version(self) -> int:
+        return self._version
 
     # ------------------------------------------------------- filters (A3)
     def create_data_cells_filter(self, f: DataCellsFilter) -> None:
         if f.name in self._filters:
             raise ValueError(f"Filter '{f.name}' already exists")
         self._filters[f.name] = f
+        self._version += 1
 
     def delete_data_cells_filter(self, name: str) -> None:
         self._filters.pop(name, None)
+        self._version += 1
 
     def get_filter(self, name: str) -> DataCellsFilter:
         return self._filters[name]
@@ -138,10 +145,12 @@ class PolicyStore:
         self._grants[(principal, table)] = Grant(
             principal, table, frozenset(permissions), grant_option, filter_name
         )
+        self._version += 1
 
     def revoke(self, principal: str, table: str) -> None:
         """A2: REVOKE (producer_clean_up.sh:18-47)."""
         self._grants.pop((principal, table), None)
+        self._version += 1
 
     def grant_for(self, principal: str, table: str) -> Grant | None:
         return self._grants.get((principal, table))
@@ -204,6 +213,7 @@ class SecureSession:
         self._table_loader = table_loader
         self._known_tables = known_tables
         self._registered: set[str] = set()
+        self._seen_version: int | None = None
         self._refresh_views()
 
     def _secured(self, table: str) -> DataFrame:
@@ -221,7 +231,11 @@ class SecureSession:
         """Re-resolve grant + filter into the session catalog — called
         per sql() so policy changes (revoke, filter delete) propagate to
         live sessions instead of serving a stale construction-time
-        snapshot; the .table() path re-authorizes per call already."""
+        snapshot; the .table() path re-authorizes per call already.
+        Gated on the policy's version counter, so the steady-state cost
+        per query is one integer compare, not N view registrations."""
+        if self._policy.version == self._seen_version:
+            return
         granted = set()
         for name in self._policy.tables_granted(self.principal):
             if SELECT not in self._policy.grant_for(self.principal, name).permissions:
@@ -237,6 +251,7 @@ class SecureSession:
         for stale in self._registered - granted:
             self._spark.catalog.dropTempView(self._view_alias(stale))
         self._registered = granted
+        self._seen_version = self._policy.version
 
     # ---------------------------------------------------------- queries
     def table(self, name: str) -> DataFrame:

@@ -55,7 +55,14 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     repartition that also pre-keys the downstream join/agg."""
     n = spark.sparkContext.defaultParallelism
     if cols:
+        # keyed fan-out doubles as pre-keying for the downstream
+        # join/agg — keep it unconditionally (at scale it replaces a
+        # shuffle the consumer would do anyway)
         return df.repartition(n, *cols)
+    if df.rdd.getNumPartitions() >= n:
+        # already parallel enough — don't insert a shuffle a well-split
+        # scan doesn't need
+        return df
     return df.repartition(n)
 
 
