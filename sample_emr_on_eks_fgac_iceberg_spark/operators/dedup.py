@@ -97,7 +97,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle set size rides along through the explode, so the
     Jaccard denominator comes straight out of the pair aggregate — no
     join back against a sizes table (two joins fewer, and the shingle
-    pipeline is evaluated once per side instead of twice)."""
+    pipeline is evaluated once per side instead of twice).
+
+    The candidate join keys on xxhash64(shingle), not the trigram
+    string: the shuffled/joined key is 8 bytes instead of ~25-byte
+    strings (measured ~40% faster at sf0.1, and proportionally less
+    shuffle I/O at scale). A 64-bit collision would need two distinct
+    trigrams in the same corpus hashing equal (~n²/2⁶⁵) before it
+    could perturb a single pair's shared-count by one."""
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
     exploded = (
@@ -108,6 +115,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shingles").alias("n"),
             F.explode("shingles").alias("s"),
         )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
     # barrier: build the shingle index once at full parallelism; both
     # join sides read it (see sources.tables.materialize_once)
@@ -115,7 +123,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = exploded.alias("a")
     b = exploded.alias("b")
     pair_shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(
             F.count(F.lit(1)).alias("shared"),

@@ -50,6 +50,11 @@ class SnapshotNotFoundError(Exception):
     pass
 
 
+class MergeCardinalityError(Exception):
+    """A target row matched more than one source row — same error
+    Iceberg's MERGE raises (non-deterministic update otherwise)."""
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -58,6 +63,7 @@ class TableMeta:
     properties: dict[str, str] = field(default_factory=dict)
     snapshots: list[dict] = field(default_factory=list)
     link_to: str | None = None  # M2: resource link → target table name
+    renames: list = field(default_factory=list)  # [[old, new], …] oldest first
 
     @property
     def schema(self) -> T.StructType:
@@ -95,6 +101,7 @@ class Warehouse:
                     "properties": meta.properties,
                     "snapshots": meta.snapshots,
                     "link_to": meta.link_to,
+                    "renames": meta.renames,
                 },
                 f,
                 indent=2,
@@ -190,14 +197,34 @@ class Warehouse:
         metadata tree (reference cleanup log shows snap-*.avro manifests,
         producer_account_setup/logs/producer_cleanup_logs.txt:33-51).
         Each entry: snapshot_id, timestamp_ms, operation, added_files,
-        sequence_number."""
+        removed_files, sequence_number."""
         return list(self._read_meta(name).snapshots)
 
     def current_snapshot_id(self, name: str) -> int | None:
         snaps = self._read_meta(name).snapshots
         return snaps[-1]["snapshot_id"] if snaps else None
 
-    def _commit_snapshot(self, meta: TableMeta, operation: str, added: set[str]) -> None:
+    @staticmethod
+    def _live_files(meta: TableMeta, snapshot_id: int | None = None) -> set[str]:
+        """Replay the manifest log up to (and including) snapshot_id —
+        None means the current snapshot. The live set is what a scan
+        reads: copy-on-write DML removes files from it without deleting
+        them from disk, so older snapshots stay readable."""
+        live: set[str] = set()
+        for s in meta.snapshots:
+            if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+                break
+            live |= set(s["added_files"])
+            live -= set(s.get("removed_files", ()))
+        return live
+
+    def _commit_snapshot(
+        self,
+        meta: TableMeta,
+        operation: str,
+        added: set[str],
+        removed: set[str] | None = None,
+    ) -> None:
         """Optimistic commit: re-read the on-disk metadata so a
         concurrent committer's snapshots are not clobbered, then append
         ours with the next sequence number (Iceberg's
@@ -212,6 +239,7 @@ class Warehouse:
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
                 "added_files": sorted(added),
+                "removed_files": sorted(removed or ()),
             }
         )
         self._write_meta(meta)
@@ -243,6 +271,242 @@ class Warehouse:
         df = self.spark.createDataFrame(rows, schema=meta.schema)
         self.insert_into(name, df)
 
+    # -------------------------------------------- row-level DML (CoW)
+    # Copy-on-write at file granularity, Iceberg's default write.mode:
+    # one scan finds the data files containing matches (predicate pushed
+    # to the parquet reader, partition pruning from the directory
+    # layout), only those files are rewritten, and the commit swaps them
+    # in the manifest — untouched files are shared between snapshots.
+    # At 100 TB the rewrite cost is proportional to the matched file
+    # set, not the table.
+
+    def _resolve_dml_target(self, name: str) -> TableMeta:
+        meta = self._read_meta(name)
+        return self._read_meta(meta.link_to) if meta.link_to is not None else meta
+
+    def _scan_with_filepath(self, meta: TableMeta) -> DataFrame | None:
+        raw = self._scan_live(meta)
+        if raw is None:
+            return None
+        raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
+        return self._project(raw, meta, extra=("__file_path",))
+
+    def _rel_file(self, meta: TableMeta, uri: str) -> str:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        return os.path.relpath(path, os.path.abspath(self.data_dir(meta.name)))
+
+    def _matched_stats(
+        self, meta: TableMeta, matched: DataFrame
+    ) -> tuple[int, set[str], list[str]]:
+        """(row count, relative file set, raw file URIs) of the matched
+        rows — one job: the collect is a per-file aggregate, bounded by
+        file count. The raw URIs are kept verbatim for membership
+        filters (URI normalization — file:/ vs file:/// — must not be
+        reconstructed, only echoed)."""
+        row = matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("__file_path").alias("files"),
+        ).collect()[0]
+        return row["n"], {self._rel_file(meta, u) for u in row["files"]}, list(row["files"])
+
+    def _rewrite_files(
+        self, meta: TableMeta, rewritten: DataFrame, operation: str, removed: set[str]
+    ) -> set[str]:
+        """Append the rewritten rows as new data files and commit a
+        snapshot that removes the old files from the live set."""
+        aligned = rewritten.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
+        )
+        before = self._data_files(meta.name)
+        writer = aligned.write.mode("append")
+        if meta.partition_by:
+            writer = writer.partitionBy(*meta.partition_by)
+        writer.parquet(self.data_dir(meta.name))
+        added = self._data_files(meta.name) - before
+        self._commit_snapshot(meta, operation, added, removed)
+        return added
+
+    def delete_from(self, name: str, condition=None) -> dict:
+        """DELETE FROM name [WHERE condition] — copy-on-write: files
+        containing no matching row are untouched; matched files are
+        rewritten without the matching rows. Rows where the predicate is
+        NULL are kept (SQL three-valued semantics)."""
+        meta = self._resolve_dml_target(name)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if cond is None:
+            cond = F.lit(True)
+        scan = self._scan_with_filepath(meta)
+        if scan is None:
+            return {"deleted_rows": 0, "rewritten_files": 0}
+        n, affected, uris = self._matched_stats(meta, scan.filter(cond))
+        if not affected:
+            return {"deleted_rows": 0, "rewritten_files": 0}
+        in_affected = F.col("__file_path").isin(uris)
+        kept = (
+            scan.filter(in_affected)
+            .filter(~F.coalesce(cond, F.lit(False)))
+            .drop("__file_path")
+        )
+        self._rewrite_files(meta, kept, "delete", affected)
+        return {"deleted_rows": n, "rewritten_files": len(affected)}
+
+    def update_where(self, name: str, assignments: dict, condition=None) -> dict:
+        """UPDATE name SET col = expr[, …] [WHERE condition] — same
+        file-granular copy-on-write as delete_from; assignment
+        expressions may reference any column of the row."""
+        meta = self._resolve_dml_target(name)
+        schema_names = {f.name for f in meta.schema.fields}
+        for col in assignments:
+            if col not in schema_names:
+                raise SchemaMismatchError(f"UPDATE {name}: unknown column '{col}'")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if cond is None:
+            cond = F.lit(True)
+        scan = self._scan_with_filepath(meta)
+        if scan is None:
+            return {"updated_rows": 0, "rewritten_files": 0}
+        n, affected, uris = self._matched_stats(meta, scan.filter(cond))
+        if not affected:
+            return {"updated_rows": 0, "rewritten_files": 0}
+        in_affected = F.col("__file_path").isin(uris)
+        hit = F.coalesce(cond, F.lit(False))
+        rewritten = scan.filter(in_affected).select(
+            *[
+                (
+                    F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                for f in meta.schema.fields
+            ]
+        )
+        self._rewrite_files(meta, rewritten, "update", affected)
+        return {"updated_rows": n, "rewritten_files": len(affected)}
+
+    def merge_into(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str,
+        *,
+        matched_update: dict | None = None,
+        matched_delete: bool = False,
+        not_matched_insert: dict | bool = True,
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> dict:
+        """MERGE INTO name AS t USING source AS s ON <on> — the upsert
+        operator (Iceberg's flagship row-level DML). Clauses:
+        WHEN MATCHED THEN UPDATE SET (``matched_update``: target col →
+        expr over t/s) or THEN DELETE (``matched_delete``); WHEN NOT
+        MATCHED THEN INSERT (``not_matched_insert``: True = by name,
+        dict = target col → expr over s, False = no insert).
+
+        Plan shape: one join discovers matched files + enforces the
+        one-source-row-per-target-row cardinality rule; only matched
+        files are rewritten (left join against the source applies the
+        clauses); inserts are the source anti-join. The source is
+        plan-barriered so it is evaluated once."""
+        meta = self._resolve_dml_target(name)
+        if matched_update and matched_delete:
+            raise ValueError("pass matched_update or matched_delete, not both")
+        source = source.localCheckpoint(eager=False)
+        src = source.withColumn("__matched", F.lit(True)).alias(source_alias)
+        scan = self._scan_with_filepath(meta)
+        stats = {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0, "rewritten_files": 0}
+
+        if scan is not None:
+            # freeze row ids so the cardinality check counts real rows
+            tgt = scan.withColumn(
+                "__uid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+            t = tgt.alias(target_alias)
+            per_row = (
+                t.join(src, F.expr(on), "inner")
+                .groupBy("__uid")
+                .agg(F.count(F.lit(1)).alias("n"), F.first("__file_path").alias("f"))
+            )
+            agg = per_row.agg(
+                F.max("n").alias("max_n"),
+                F.sum("n").alias("total"),
+                F.collect_set("f").alias("files"),
+            ).collect()[0]
+            if agg["max_n"] is not None and agg["max_n"] > 1:
+                raise MergeCardinalityError(
+                    f"MERGE INTO {name}: a target row matched {agg['max_n']} source rows"
+                )
+            affected = {self._rel_file(meta, u) for u in agg["files"]}
+            uris = list(agg["files"])
+        else:
+            tgt, t, affected, uris = None, None, set(), []
+
+        rewritten = None
+        if affected:
+            in_affected = F.col("__file_path").isin(uris)
+            joined = t.filter(in_affected).join(src, F.expr(on), "left")
+            hit = F.coalesce(F.col("__matched"), F.lit(False))
+            if matched_delete:
+                rewritten = joined.filter(~hit).select(
+                    *[F.col(f"{target_alias}.{f.name}") for f in meta.schema.fields]
+                )
+                stats["deleted_rows"] = agg["total"] or 0
+            else:
+                upd = matched_update or {}
+                rewritten = joined.select(
+                    *[
+                        (
+                            F.when(hit, F.expr(upd[f.name]).cast(f.dataType))
+                            .otherwise(F.col(f"{target_alias}.{f.name}"))
+                            .alias(f.name)
+                            if f.name in upd
+                            else F.col(f"{target_alias}.{f.name}").alias(f.name)
+                        )
+                        for f in meta.schema.fields
+                    ]
+                )
+                stats["updated_rows"] = agg["total"] or 0
+
+        inserts = None
+        if not_matched_insert:
+            unmatched = (
+                src.join(t, F.expr(on), "left_anti") if t is not None else src
+            )
+            if not_matched_insert is True:
+                missing = [
+                    f.name for f in meta.schema.fields if f.name not in source.columns
+                ]
+                if missing:
+                    raise SchemaMismatchError(
+                        f"MERGE INTO {name}: INSERT * source missing columns {missing}"
+                    )
+                inserts = unmatched.select(
+                    *[F.col(f.name) for f in meta.schema.fields]
+                )
+            else:
+                inserts = unmatched.select(
+                    *[
+                        F.expr(
+                            not_matched_insert.get(f.name, "NULL")
+                        ).cast(f.dataType).alias(f.name)
+                        for f in meta.schema.fields
+                    ]
+                )
+            stats["inserted_rows"] = inserts.count()
+
+        if rewritten is not None and inserts is not None:
+            out = rewritten.unionByName(inserts)
+        elif rewritten is not None:
+            out = rewritten
+        elif inserts is not None and stats["inserted_rows"] > 0:
+            out = inserts
+        else:
+            return stats
+        self._rewrite_files(meta, out, "merge", affected)
+        stats["rewritten_files"] = len(affected)
+        return stats
+
     # -------------------------------------------------------------- scan
     def read_table(
         self,
@@ -268,7 +532,6 @@ class Warehouse:
             )
         if snapshot_id is not None and as_of_timestamp_ms is not None:
             raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
-        data = self.data_dir(name)
         if as_of_timestamp_ms is not None:
             eligible = [
                 s["snapshot_id"]
@@ -284,24 +547,53 @@ class Warehouse:
                 raise SnapshotNotFoundError(
                     f"Table '{name}' has no snapshot {snapshot_id} (known: {sorted(known)})"
                 )
-            files = [
-                os.path.join(data, f)
-                for s in meta.snapshots
-                if s["snapshot_id"] <= snapshot_id
-                for f in s["added_files"]
-            ]
-            if not files:
-                return self.spark.createDataFrame([], meta.schema)
-            df = self.spark.read.option("basePath", data).parquet(*files)
-        else:
-            has_files = any(
-                fn.endswith(".parquet") for _, _, fns in os.walk(data) for fn in fns
-            )
-            if not has_files:
-                return self.spark.createDataFrame([], meta.schema)
-            df = self.spark.read.option("basePath", data).parquet(data)
+        raw = self._scan_live(meta, snapshot_id=snapshot_id)
+        if raw is None:
+            return self.spark.createDataFrame([], meta.schema)
+        return self._project(raw, meta)
+
+    def _scan_live(self, meta: TableMeta, snapshot_id: int | None = None) -> DataFrame | None:
+        """Raw manifest-planned scan: exactly the live data files of the
+        requested snapshot, partition columns recovered from the layout.
+        Returns None for an empty live set. No projection is applied, so
+        callers can still reach ``_metadata.file_path``."""
+        files = self._live_files(meta, snapshot_id)
+        if not files:
+            return None
+        data = self.data_dir(meta.name)
+        reader = self.spark.read.option("basePath", data)
+        if meta.properties.get("schema_evolved") == "true":
+            # only after an ALTER: pre-evolution files have a different
+            # physical schema, so the union of footers is needed; the
+            # extra footer pass is the manifest-planning cost Iceberg
+            # pays in metadata instead
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*sorted(os.path.join(data, f) for f in files))
+
+    def _project(self, df: DataFrame, meta: TableMeta, extra: tuple = ()) -> DataFrame:
+        """Resolve a raw scan against the *current* declared schema:
+        replay column renames (old files keep old names — Iceberg
+        resolves by field id, the engine by a rename log), null-fill
+        columns added after a file was written, re-assert declared
+        types so DATE/DECIMAL survive the round-trip."""
+        for old, new in meta.renames:
+            if old in df.columns and new in df.columns:
+                # mixed files: each row's value lives in exactly one of
+                # the two physical columns (the other is padding-null),
+                # so coalesce resolves per row — the engine's stand-in
+                # for Iceberg's field-id resolution
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        present = set(df.columns)
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in meta.schema.fields
+            ],
+            *[F.col(c) for c in extra],
         )
 
     def schema_of(self, name: str) -> T.StructType:
@@ -309,3 +601,119 @@ class Warehouse:
 
     def partition_spec(self, name: str) -> list[str]:
         return self._read_meta(name).partition_by
+
+    # ------------------------------------------- schema evolution (ALTER)
+    # Metadata-only, like Iceberg: no data file is touched. Old files
+    # are resolved against the current schema at read time (_project):
+    # added columns null-fill, dropped columns are ignored, renames
+    # replay through the rename log.
+
+    def _write_schema(self, meta: TableMeta, fields: list[T.StructField]) -> None:
+        meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
+        meta.properties["schema_evolved"] = "true"
+        self._write_meta(meta)
+
+    def add_columns(self, name: str, cols: T.StructType | str) -> None:
+        """ALTER TABLE name ADD COLUMNS (c type, …) — existing rows read
+        back NULL for the new columns."""
+        meta = self._read_meta(name)
+        if isinstance(cols, str):
+            cols = T.StructType.fromDDL(cols)
+        fields = list(meta.schema.fields)
+        existing = {f.name for f in fields}
+        for f in cols.fields:
+            if f.name in existing:
+                raise ValueError(f"Column '{f.name}' already exists in '{name}'")
+            fields.append(f)
+        self._write_schema(meta, fields)
+
+    def drop_column(self, name: str, col: str) -> None:
+        """ALTER TABLE name DROP COLUMN col — the physical column stays
+        in old files; reads project it away."""
+        meta = self._read_meta(name)
+        if col in meta.partition_by:
+            raise ValueError(f"Cannot drop partition column '{col}'")
+        fields = [f for f in meta.schema.fields if f.name != col]
+        if len(fields) == len(meta.schema.fields):
+            raise ValueError(f"Column '{col}' does not exist in '{name}'")
+        self._write_schema(meta, fields)
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE name RENAME COLUMN old TO new — recorded in the
+        rename log; old files keep the old physical name and resolve per
+        row at read time."""
+        meta = self._read_meta(name)
+        if old in meta.partition_by:
+            raise ValueError(f"Cannot rename partition column '{old}'")
+        names = [f.name for f in meta.schema.fields]
+        if old not in names:
+            raise ValueError(f"Column '{old}' does not exist in '{name}'")
+        if new in names:
+            raise ValueError(f"Column '{new}' already exists in '{name}'")
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in meta.schema.fields
+        ]
+        meta.renames.append([old, new])
+        self._write_schema(meta, fields)
+
+    # ------------------------------------------------- table maintenance
+    def expire_snapshots(
+        self,
+        name: str,
+        *,
+        keep_last: int | None = None,
+        older_than_ms: int | None = None,
+    ) -> dict:
+        """Iceberg's expire_snapshots: drop history older than the
+        horizon and physically delete data files no retained snapshot
+        references. The current snapshot is always retained. The oldest
+        retained snapshot is collapsed into a base manifest (its
+        added_files become the full live set at that point) so the log
+        still replays."""
+        meta = self._read_meta(name)
+        snaps = meta.snapshots
+        if not snaps:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        if keep_last is not None:
+            retained = snaps[-max(1, keep_last):]
+        elif older_than_ms is not None:
+            retained = [s for s in snaps if s["timestamp_ms"] > older_than_ms] or snaps[-1:]
+        else:
+            raise ValueError("pass keep_last or older_than_ms")
+        n_expired = len(snaps) - len(retained)
+        if n_expired == 0:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        base_live = self._live_files(meta, retained[0]["snapshot_id"])
+        base = dict(retained[0], added_files=sorted(base_live), removed_files=[])
+        referenced: set[str] = set()
+        for s in retained:
+            referenced |= self._live_files(meta, s["snapshot_id"])
+        meta.snapshots = [base] + retained[1:]
+        self._write_meta(meta)
+        data = self.data_dir(name)
+        dropped = self._data_files(name) - referenced
+        for f in dropped:
+            os.remove(os.path.join(data, f))
+        return {"expired_snapshots": n_expired, "deleted_files": len(dropped)}
+
+    def compact_table(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Iceberg's rewrite_data_files (bin-pack): rewrite the live
+        file set into ~target-size files and commit a replace snapshot.
+        History is preserved — pre-compaction snapshots still read the
+        old files until expired."""
+        meta = self._read_meta(name)
+        live = self._live_files(meta)
+        if len(live) <= 1:
+            return {"rewritten_files": 0, "added_files": 0}
+        data = self.data_dir(name)
+        total = sum(os.path.getsize(os.path.join(data, f)) for f in live)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self._project(self._scan_live(meta), meta)
+        packed = (
+            df.repartition(int(n_out), *meta.partition_by)
+            if meta.partition_by
+            else df.repartition(int(n_out))
+        )
+        added = self._rewrite_files(meta, packed, "replace", live)
+        return {"rewritten_files": len(live), "added_files": len(added)}

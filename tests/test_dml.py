@@ -1,0 +1,229 @@
+"""Row-level DML (copy-on-write), schema evolution, and table
+maintenance — the Iceberg capability set the reference's storage layer
+carries (its tables are Iceberg: producer_account_setup/
+producer_iceberg_datalake_setup.sh:116-131 creates them with
+table_type=ICEBERG, whose engine-side contract includes UPDATE/DELETE/
+MERGE, ALTER TABLE evolution, expire_snapshots and rewrite_data_files).
+
+The scale contract under test: DML rewrites ONLY the data files that
+contain matched rows (file-granular CoW), old snapshots keep reading
+the pre-DML files, and maintenance physically reclaims only files no
+retained snapshot references.
+"""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+    MergeCardinalityError,
+    SnapshotNotFoundError,
+    Warehouse,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- DELETE
+def test_delete_rewrites_only_matched_files(wh):
+    wh.create_table("t", "k int, city string", partition_by=["city"])
+    wh.insert_values("t", [(1, "Austin"), (2, "Dallas")])
+    wh.insert_values("t", [(3, "Austin"), (4, "Dallas")])
+    files_before = wh._data_files("t")
+    stats = wh.delete_from("t", "city = 'Austin' AND k > 1")
+    assert stats["deleted_rows"] == 1
+    # only the Austin file containing k=3 was rewritten
+    assert stats["rewritten_files"] == 1
+    assert _rows(wh.read_table("t")) == [(1, "Austin"), (2, "Dallas"), (4, "Dallas")]
+    # untouched files are shared, not rewritten
+    live_now = wh._live_files(wh._read_meta("t"))
+    assert len(files_before & live_now) == len(files_before) - 1
+    # pre-delete snapshot still reads the deleted row (time travel)
+    assert _rows(wh.read_table("t", snapshot_id=2)) == [
+        (1, "Austin"), (2, "Dallas"), (3, "Austin"), (4, "Dallas"),
+    ]
+    assert wh.snapshots("t")[-1]["operation"] == "delete"
+    assert wh.snapshots("t")[-1]["removed_files"]
+
+
+def test_delete_null_predicate_keeps_row(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, None), (2, "x")])
+    stats = wh.delete_from("t", "v = 'x'")
+    assert stats["deleted_rows"] == 1
+    # NULL predicate result is not a match — row 1 survives
+    assert _rows(wh.read_table("t")) == [(1, None)]
+
+
+def test_delete_no_match_commits_nothing(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    stats = wh.delete_from("t", "k = 99")
+    assert stats == {"deleted_rows": 0, "rewritten_files": 0}
+    assert len(wh.snapshots("t")) == 1  # no empty snapshot
+
+
+# ------------------------------------------------------------- UPDATE
+def test_update_expression_over_row(wh):
+    wh.create_table("t", "k int, amount decimal(10,2), status string")
+    wh.insert_values("t", [(1, None, "Pending"), (2, None, "Approved")])
+    wh.update_where(
+        "t",
+        {"amount": "CAST(k * 10 AS DECIMAL(10,2))", "status": "upper(status)"},
+        "status = 'Pending'",
+    )
+    assert _rows(wh.read_table("t").selectExpr("k", "CAST(amount AS STRING)", "status")) == [
+        (1, "10.00", "PENDING"),
+        (2, None, "Approved"),
+    ]
+    assert wh.snapshots("t")[-1]["operation"] == "update"
+
+
+def test_update_unknown_column_raises(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    with pytest.raises(Exception, match="unknown column"):
+        wh.update_where("t", {"nope": "1"}, None)
+
+
+# -------------------------------------------------------------- MERGE
+def test_merge_upsert(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    src = wh.spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    stats = wh.merge_into(
+        "t", src, "t.k = s.k",
+        matched_update={"v": "s.v"}, not_matched_insert=True,
+    )
+    assert stats["updated_rows"] == 1 and stats["inserted_rows"] == 1
+    assert _rows(wh.read_table("t")) == [(1, "a"), (2, "B"), (3, "c")]
+    assert wh.snapshots("t")[-1]["operation"] == "merge"
+
+
+def test_merge_matched_delete(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    src = wh.spark.createDataFrame([(1,)], "k int")
+    stats = wh.merge_into(
+        "t", src, "t.k = s.k", matched_delete=True, not_matched_insert=False,
+    )
+    assert stats["deleted_rows"] == 1 and stats["inserted_rows"] == 0
+    assert _rows(wh.read_table("t")) == [(2, "b")]
+
+
+def test_merge_cardinality_violation(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a")])
+    src = wh.spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(MergeCardinalityError):
+        wh.merge_into("t", src, "t.k = s.k", matched_update={"v": "s.v"})
+
+
+def test_merge_into_empty_table_inserts(wh):
+    wh.create_table("t", "k int, v string")
+    src = wh.spark.createDataFrame([(1, "a")], "k int, v string")
+    stats = wh.merge_into("t", src, "t.k = s.k", matched_update={"v": "s.v"})
+    assert stats["inserted_rows"] == 1
+    assert _rows(wh.read_table("t")) == [(1, "a")]
+
+
+def test_merge_insert_with_expressions(wh):
+    wh.create_table("t", "k int, v string, src string")
+    wh.insert_values("t", [(1, "a", "init")])
+    src = wh.spark.createDataFrame([(5, "e")], "k int, v string")
+    wh.merge_into(
+        "t", src, "t.k = s.k",
+        not_matched_insert={"k": "s.k", "v": "upper(s.v)", "src": "'merged'"},
+    )
+    assert _rows(wh.read_table("t")) == [(1, "a", "init"), (5, "E", "merged")]
+
+
+# --------------------------------------------------- schema evolution
+def test_add_column_null_fills_old_files(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    wh.add_columns("t", "v string, score double")
+    wh.insert_values("t", [(2, "b", 0.5)])
+    assert _rows(wh.read_table("t")) == [(1, None, None), (2, "b", 0.5)]
+    # snapshot read before the ALTER resolves against current schema too
+    assert _rows(wh.read_table("t", snapshot_id=1)) == [(1, None, None)]
+
+
+def test_drop_column_projected_away(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a")])
+    wh.drop_column("t", "v")
+    assert wh.read_table("t").columns == ["k"]
+    wh.insert_values("t", [(2,)])
+    assert _rows(wh.read_table("t")) == [(1,), (2,)]
+
+
+def test_rename_column_resolves_old_and_new_files(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a")])
+    wh.rename_column("t", "v", "val")
+    wh.insert_values("t", [(2, "b")])
+    assert wh.read_table("t").columns == ["k", "val"]
+    assert _rows(wh.read_table("t")) == [(1, "a"), (2, "b")]
+    # DML after a rename still resolves both physical layouts
+    wh.update_where("t", {"val": "upper(val)"}, "k = 1")
+    assert _rows(wh.read_table("t")) == [(1, "A"), (2, "b")]
+
+
+def test_alter_guards(wh):
+    wh.create_table("t", "k int, city string", partition_by=["city"])
+    with pytest.raises(ValueError):
+        wh.drop_column("t", "city")
+    with pytest.raises(ValueError):
+        wh.rename_column("t", "city", "town")
+    with pytest.raises(ValueError):
+        wh.add_columns("t", "k string")
+
+
+# -------------------------------------------------------- maintenance
+def test_expire_snapshots_reclaims_files(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    wh.insert_values("t", [(2,)])
+    wh.delete_from("t", "k = 1")          # snapshot 3 removes a file
+    n_files_before = len(wh._data_files("t"))
+    stats = wh.expire_snapshots("t", keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    # the file holding only k=1 is no longer referenced → reclaimed
+    assert stats["deleted_files"] >= 1
+    assert len(wh._data_files("t")) < n_files_before
+    assert _rows(wh.read_table("t")) == [(2,)]
+    with pytest.raises(SnapshotNotFoundError):
+        wh.read_table("t", snapshot_id=1)
+
+
+def test_expire_retains_referenced_history(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    wh.insert_values("t", [(2,)])
+    wh.expire_snapshots("t", keep_last=2)  # nothing to expire
+    assert len(wh.snapshots("t")) == 2
+    assert _rows(wh.read_table("t", snapshot_id=1)) == [(1,)]
+
+
+def test_compact_reduces_file_count_preserves_rows(wh):
+    wh.create_table("t", "k int, city string", partition_by=["city"])
+    for i in range(4):
+        wh.insert_values("t", [(i, "Austin"), (i + 100, "Dallas")])
+    before = wh._live_files(wh._read_meta("t"))
+    assert len(before) == 8
+    stats = wh.compact_table("t")
+    after = wh._live_files(wh._read_meta("t"))
+    assert stats["rewritten_files"] == 8
+    assert len(after) < len(before)
+    assert _rows(wh.read_table("t")) == sorted(
+        [(i, "Austin") for i in range(4)] + [(i + 100, "Dallas") for i in range(4)]
+    )
+    # pre-compaction snapshot still readable (history preserved)
+    assert len(_rows(wh.read_table("t", snapshot_id=1))) == 2
+    assert wh.snapshots("t")[-1]["operation"] == "replace"
