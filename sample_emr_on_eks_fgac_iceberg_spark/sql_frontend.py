@@ -31,6 +31,84 @@ _INSERT_RE = re.compile(
 )
 _DROP_RE = re.compile(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.I)
+_DELETE_RE = re.compile(
+    r"\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S
+)
+_UPDATE_RE = re.compile(r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)$", re.I | re.S)
+_MERGE_RE = re.compile(
+    r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.*)$", re.I | re.S
+)
+_ALTER_ADD_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$", re.I | re.S
+)
+_ALTER_DROP_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+`?(\w+)`?\s*;?\s*$", re.I
+)
+_ALTER_RENAME_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
+    re.I,
+)
+# Iceberg time-travel SQL: SELECT … FROM t VERSION AS OF 3 /
+# t TIMESTAMP AS OF '2026-01-01 00:00:00' (FOR SYSTEM_VERSION/
+# SYSTEM_TIME spellings accepted)
+_TIME_TRAVEL_RE = re.compile(
+    r"([\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?(VERSION|TIME(?:STAMP)?)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.I,
+)
+
+
+def _split_top_level(text: str, keyword: str) -> tuple[str, str | None]:
+    """Split ``text`` at the first whole-word occurrence of ``keyword``
+    outside parentheses and string literals. Returns (head, tail) with
+    the keyword consumed; tail is None when the keyword is absent."""
+    depth = 0
+    in_str: str | None = None
+    kw = keyword.upper()
+    n = len(kw)
+    up = text.upper()
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up[i : i + n] == kw
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + n >= len(text)
+                or not (text[i + n].isalnum() or text[i + n] == "_")
+            )
+        ):
+            return text[:i], text[i + n :]
+    return text, None
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas outside parentheses and string literals."""
+    parts, depth, in_str, start = [], 0, None, 0
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in (p.strip() for p in parts) if p]
 
 
 def _matching_paren(text: str, open_idx: int) -> int:
@@ -81,6 +159,40 @@ class SqlFrontend:
                 for f in self.warehouse.schema_of(m.group(1)).fields
             ]
             return self.spark.createDataFrame(rows, "col_name string, data_type string")
+        m = _DELETE_RE.match(query)
+        if m:
+            self.warehouse.delete_from(m.group(1), m.group(2))
+            return None
+        m = _MERGE_RE.match(query)  # before UPDATE: MERGE bodies contain UPDATE SET
+        if m:
+            return self._merge(m.group(1), m.group(2), m.group(3))
+        m = _UPDATE_RE.match(query)
+        if m:
+            set_part, where = _split_top_level(m.group(2), "WHERE")
+            assignments = {}
+            for part in _split_top_commas(set_part):
+                am = re.match(r"`?([\w]+)`?\s*=\s*(.+)$", part, re.S)
+                if not am:
+                    raise ValueError(f"Cannot parse SET assignment: {part!r}")
+                assignments[am.group(1)] = am.group(2).strip()
+            self.warehouse.update_where(
+                m.group(1),
+                assignments,
+                where.rstrip().rstrip(";") if where else None,
+            )
+            return None
+        m = _ALTER_ADD_RE.match(query)
+        if m:
+            self.warehouse.add_columns(m.group(1), m.group(2))
+            return None
+        m = _ALTER_DROP_RE.match(query)
+        if m:
+            self.warehouse.drop_column(m.group(1), m.group(2))
+            return None
+        m = _ALTER_RENAME_RE.match(query)
+        if m:
+            self.warehouse.rename_column(m.group(1), m.group(2), m.group(3))
+            return None
         return self._query(query)
 
     # ------------------------------------------------------------ pieces
@@ -120,14 +232,114 @@ class SqlFrontend:
         self.warehouse.insert_into(name, df.toDF(*cols))
         return None
 
+    def _merge(self, target: str, target_alias: str | None, tail: str) -> None:
+        """MERGE INTO target [AS t] USING (source|(subquery)) [AS s]
+        ON cond WHEN MATCHED THEN UPDATE SET …|DELETE
+        [WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)] —
+        the supported subset is single-clause per branch, Iceberg's
+        common upsert shape."""
+        src_text, after_on = _split_top_level(tail, "ON")
+        if after_on is None:
+            raise ValueError("MERGE requires an ON clause")
+        source, source_alias = self._source_frame(src_text.strip())
+        on_cond, clause_text = _split_top_level(after_on, "WHEN")
+        matched_update = None
+        matched_delete = False
+        not_matched_insert: dict | bool = False
+        while clause_text is not None:
+            clause, clause_text = _split_top_level(clause_text, "WHEN")
+            clause = clause.strip().rstrip(";").strip()
+            um = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S)
+            if um:
+                matched_update = {}
+                for part in _split_top_commas(um.group(1)):
+                    am = re.match(r"`?([\w.]+)`?\s*=\s*(.+)$", part, re.S)
+                    col = am.group(1).split(".")[-1]  # t.col = … → col
+                    matched_update[col] = am.group(2).strip()
+                continue
+            if re.match(r"MATCHED\s+THEN\s+DELETE$", clause, re.I):
+                matched_delete = True
+                continue
+            im = re.match(
+                r"NOT\s+MATCHED\s+THEN\s+INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+                clause,
+                re.I | re.S,
+            )
+            if im:
+                if im.group(1) == "*":
+                    not_matched_insert = True
+                else:
+                    cols = [c.strip().strip("`") for c in im.group(2).split(",")]
+                    exprs = _split_top_commas(im.group(3))
+                    if len(cols) != len(exprs):
+                        raise ValueError("INSERT column/value count mismatch")
+                    not_matched_insert = dict(zip(cols, exprs))
+                continue
+            raise ValueError(f"Unsupported MERGE clause: WHEN {clause[:60]}…")
+        self.warehouse.merge_into(
+            target,
+            source,
+            on_cond.strip(),
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+            target_alias=target_alias or target,
+            source_alias=source_alias,
+        )
+        return None
+
+    def _source_frame(self, text: str) -> tuple[DataFrame, str]:
+        """Resolve a MERGE USING source — a warehouse table name or a
+        parenthesized subquery over warehouse tables — to a DataFrame in
+        the main session, plus its alias."""
+        if text.startswith("("):
+            close = _matching_paren(text, 0)
+            inner = text[1:close]
+            am = re.match(r"\s*(?:AS\s+)?(\w+)\s*$", text[close + 1 :], re.I)
+            alias = am.group(1) if am else "s"
+            for name in sorted(self.warehouse.list_tables(), key=len, reverse=True):
+                pat = rf"(?<![\w.`]){re.escape(name)}(?![\w.])"
+                if re.search(pat, inner):
+                    view = f"__wh_{name.replace('.', '__')}"
+                    self.warehouse.read_table(name).createOrReplaceTempView(view)
+                    inner = re.sub(pat, f"`{view}`", inner)
+            return self.spark.sql(inner), alias
+        m = re.match(r"([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$", text, re.I)
+        if not m:
+            raise ValueError(f"Cannot parse MERGE source: {text[:60]}…")
+        return self.warehouse.read_table(m.group(1)), m.group(2) or m.group(1)
+
     def _query(self, query: str) -> DataFrame:
         """Trusted read path: every warehouse table as an unmediated view
-        in an isolated session (the producer role reads its own lake)."""
+        in an isolated session (the producer role reads its own lake).
+        ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF 'ts'`` resolve
+        through the warehouse's snapshot log (Iceberg time-travel SQL)."""
         scratch = self.spark.newSession()
         wh = Warehouse(scratch, self.warehouse.root)
-        for name in self.warehouse.list_tables():
+        tables = set(self.warehouse.list_tables())
+
+        def _travel(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in tables:
+                return m.group(0)
+            kind, literal = m.group(2).upper(), m.group(3)
+            if kind == "VERSION":
+                df = wh.read_table(name, snapshot_id=int(literal))
+                view = f"__tt_{name.replace('.', '__')}_v{literal}"
+            else:
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(literal.strip("'"))
+                ms = int(ts.timestamp() * 1000)
+                df = wh.read_table(name, as_of_timestamp_ms=ms)
+                view = f"__tt_{name.replace('.', '__')}_t{ms}"
+            df.createOrReplaceTempView(view)
+            return f"`{view}`"
+
+        query = _TIME_TRAVEL_RE.sub(_travel, query)
+        for name in tables:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
-        for name in sorted(self.warehouse.list_tables(), key=len, reverse=True):
+        for name in sorted(tables, key=len, reverse=True):
             if "." in name:
                 query = re.sub(
                     rf"(?<![\w.`]){re.escape(name)}(?![\w.])",

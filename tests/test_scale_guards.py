@@ -10,7 +10,15 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "sample_emr_on_eks_fgac_iceb
 # .collect() sites that are explicitly bounded (not data-sized):
 #   plans/explain.py        — test/bench helper, not a query path
 #   operators/similarity.py — IVF probe selection: N_QUERIES (=10) rows
-ALLOWED_COLLECT_FILES = {"plans/explain.py", "operators/similarity.py"}
+#   sources/warehouse.py    — DML commit planning: single-row aggregates
+#                             (match count + collect_set of file paths,
+#                             bounded by the table's data-file count —
+#                             the same metadata Iceberg's commit handles)
+ALLOWED_COLLECT_FILES = {
+    "plans/explain.py",
+    "operators/similarity.py",
+    "sources/warehouse.py",
+}
 
 
 def _package_sources():

@@ -1,0 +1,111 @@
+"""SQL-statement surface for row-level DML, schema evolution, and time
+travel — the full Iceberg SQL shape the reference's producer would use
+through Athena/Spark SQL (producer_account_setup/
+producer_iceberg_datalake_setup.sh runs pure SQL; Iceberg tables
+additionally accept UPDATE/DELETE/MERGE and ALTER TABLE)."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE inv (k INT, qty INT, city STRING) PARTITIONED BY (city)")
+    e.sql("INSERT INTO inv VALUES (1, 10, 'Austin'), (2, 20, 'Dallas'), (3, 30, 'Austin')")
+    return e
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sql_delete(engine):
+    engine.sql("DELETE FROM inv WHERE qty >= 30")
+    assert _rows(engine.sql("SELECT k FROM inv")) == [(1,), (2,)]
+
+
+def test_sql_update(engine):
+    engine.sql("UPDATE inv SET qty = qty * 2, city = upper(city) WHERE k = 1")
+    assert _rows(engine.sql("SELECT k, qty, city FROM inv ORDER BY k")) == [
+        (1, 20, "AUSTIN"), (2, 20, "Dallas"), (3, 30, "Austin"),
+    ]
+
+
+def test_sql_update_no_where(engine):
+    engine.sql("UPDATE inv SET qty = 0")
+    assert _rows(engine.sql("SELECT DISTINCT qty FROM inv")) == [(0,)]
+
+
+def test_sql_merge_upsert(engine):
+    engine.sql("CREATE TABLE updates (k INT, qty INT, city STRING)")
+    engine.sql("INSERT INTO updates VALUES (2, 99, 'Dallas'), (4, 40, 'Houston')")
+    engine.sql(
+        """
+        MERGE INTO inv t USING updates s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert _rows(engine.sql("SELECT k, qty FROM inv")) == [
+        (1, 10), (2, 99), (3, 30), (4, 40),
+    ]
+
+
+def test_sql_merge_subquery_source_and_delete_clause(engine):
+    engine.sql("CREATE TABLE updates (k INT, qty INT)")
+    engine.sql("INSERT INTO updates VALUES (1, -1), (3, -1)")
+    engine.sql(
+        """
+        MERGE INTO inv t USING (SELECT k FROM updates WHERE k > 1) s
+        ON t.k = s.k
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    assert _rows(engine.sql("SELECT k FROM inv")) == [(1,), (2,)]
+
+
+def test_sql_merge_insert_values_clause(engine):
+    engine.sql("CREATE TABLE updates (k INT, qty INT)")
+    engine.sql("INSERT INTO updates VALUES (9, 90)")
+    engine.sql(
+        """
+        MERGE INTO inv t USING updates s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, qty, city) VALUES (s.k, s.qty, 'Web')
+        """
+    )
+    assert _rows(engine.sql("SELECT k, qty, city FROM inv WHERE k = 9")) == [(9, 90, "Web")]
+
+
+def test_sql_alter_add_drop_rename(engine):
+    engine.sql("ALTER TABLE inv ADD COLUMNS (note STRING)")
+    assert _rows(engine.sql("SELECT note FROM inv WHERE k = 1")) == [(None,)]
+    engine.sql("UPDATE inv SET note = 'checked' WHERE k = 1")
+    engine.sql("ALTER TABLE inv RENAME COLUMN note TO remark")
+    assert _rows(engine.sql("SELECT remark FROM inv WHERE k = 1")) == [("checked",)]
+    engine.sql("ALTER TABLE inv DROP COLUMN remark")
+    cols = [r.col_name for r in engine.sql("DESCRIBE inv").collect()]
+    assert cols == ["k", "qty", "city"]
+
+
+def test_sql_time_travel_version(engine):
+    engine.sql("DELETE FROM inv WHERE k = 1")
+    assert _rows(engine.sql("SELECT k FROM inv")) == [(2,), (3,)]
+    assert _rows(engine.sql("SELECT k FROM inv VERSION AS OF 1")) == [(1,), (2,), (3,)]
+    # Iceberg FOR SYSTEM_VERSION spelling
+    assert _rows(engine.sql("SELECT k FROM inv FOR SYSTEM_VERSION AS OF 1")) == [
+        (1,), (2,), (3,),
+    ]
+
+
+def test_sql_time_travel_timestamp(engine):
+    from datetime import datetime
+
+    snap_ts = engine.warehouse.snapshots("inv")[0]["timestamp_ms"]
+    engine.sql("INSERT INTO inv VALUES (4, 40, 'Austin')")
+    lit = datetime.fromtimestamp(snap_ts / 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert _rows(engine.sql(f"SELECT k FROM inv TIMESTAMP AS OF '{lit}'")) == [
+        (1,), (2,), (3,),
+    ]
