@@ -54,4 +54,9 @@ class FgacEngine:
             principal,
             table_loader=self._load_for_session,
             known_tables=self.warehouse.list_tables,
+            # writes that pass the permission check execute through the
+            # trusted producer frontend (table-level, unfiltered — LF
+            # write permissions have no cell-level variant)
+            dml_executor=self.sql,
+            data_version=self.warehouse.state_token,
         )

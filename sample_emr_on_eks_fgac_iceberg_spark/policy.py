@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 
 SELECT = "SELECT"
 DESCRIBE = "DESCRIBE"
+# Lake Formation's write-side permission types (the reference grants
+# only SELECT/DESCRIBE to its teams — producer_iceberg_datalake_setup
+# .sh:265-274 — so consumer writes deny by default; LF's full enum
+# includes these for principals that own the data):
+INSERT = "INSERT"
+DELETE = "DELETE"
+ALTER = "ALTER"
+DROP = "DROP"
 ALL_PERMISSIONS = frozenset({SELECT, DESCRIBE})
 
 
@@ -192,6 +200,18 @@ class SecureSession:
     fails at plan time with ``AccessDeniedException``.
     """
 
+    # statement shape → (table-name group, required permissions);
+    # UPDATE/MERGE need INSERT+DELETE (a row rewrite is both, Lake
+    # Formation's model for engines without an UPDATE permission type)
+    _WRITE_SHAPES = (
+        (r"\s*INSERT\s+INTO\s+([\w.]+)", (INSERT,)),
+        (r"\s*DELETE\s+FROM\s+([\w.]+)", (DELETE,)),
+        (r"\s*UPDATE\s+([\w.]+)\s+SET\b", (INSERT, DELETE)),
+        (r"\s*MERGE\s+INTO\s+([\w.]+)", (INSERT, DELETE)),
+        (r"\s*ALTER\s+TABLE\s+([\w.]+)", (ALTER,)),
+        (r"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", (DROP,)),
+    )
+
     def __init__(
         self,
         spark: SparkSession,
@@ -199,6 +219,8 @@ class SecureSession:
         principal: str,
         table_loader,
         known_tables,
+        dml_executor=None,
+        data_version=None,
     ):
         self._spark = spark.newSession()
         # The SQL surface is a principal boundary: path-based relations
@@ -212,8 +234,19 @@ class SecureSession:
         self.principal = principal
         self._table_loader = table_loader
         self._known_tables = known_tables
+        # Trusted write path used only AFTER a write permission check
+        # passes (None → the session is read-only and authorized writes
+        # still deny: fail closed). FGAC filters do not apply to writes
+        # — LF write permissions are table-level, and a filter-scoped
+        # principal holds SELECT only.
+        self._dml_executor = dml_executor
+        # Data-side change token (e.g. Warehouse.state_token): manifest-
+        # planned reads freeze the snapshot's file list inside the
+        # registered view, so views must re-resolve after commits too,
+        # not only after policy mutations.
+        self._data_version = data_version or (lambda: None)
         self._registered: set[str] = set()
-        self._seen_version: int | None = None
+        self._seen_version: tuple | None = None
         self._refresh_views()
 
     def _secured(self, table: str) -> DataFrame:
@@ -232,9 +265,11 @@ class SecureSession:
         per sql() so policy changes (revoke, filter delete) propagate to
         live sessions instead of serving a stale construction-time
         snapshot; the .table() path re-authorizes per call already.
-        Gated on the policy's version counter, so the steady-state cost
-        per query is one integer compare, not N view registrations."""
-        if self._policy.version == self._seen_version:
+        Gated on (policy version, warehouse state token), so the
+        steady-state cost per query is one compare + one stat() per
+        table, not N view registrations."""
+        token = (self._policy.version, self._data_version())
+        if token == self._seen_version:
             return
         granted = set()
         for name in self._policy.tables_granted(self.principal):
@@ -251,7 +286,7 @@ class SecureSession:
         for stale in self._registered - granted:
             self._spark.catalog.dropTempView(self._view_alias(stale))
         self._registered = granted
-        self._seen_version = self._policy.version
+        self._seen_version = token
 
     # ---------------------------------------------------------- queries
     def table(self, name: str) -> DataFrame:
@@ -265,6 +300,20 @@ class SecureSession:
         from pyspark.sql.utils import AnalysisException
 
         self._refresh_views()
+        # Write statements: authorize against LF write permissions, then
+        # delegate to the trusted engine frontend. CREATE TABLE is a
+        # database-level permission the consumer model doesn't carry —
+        # always denied (the reference's consumers are read-only jobs).
+        if re.match(r"\s*CREATE\s+TABLE\b", query, re.I):
+            raise AccessDeniedException(self.principal, "<database>", "CREATE_TABLE")
+        for shape, perms in self._WRITE_SHAPES:
+            wm = re.match(shape, query, re.I)
+            if wm:
+                for perm in perms:
+                    self._policy.authorize(self.principal, wm.group(1), perm)
+                if self._dml_executor is None:
+                    raise AccessDeniedException(self.principal, wm.group(1), perms[0])
+                return self._dml_executor(query)
         m = re.match(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", query, re.I)
         if m:
             rows = self.describe(m.group(1))

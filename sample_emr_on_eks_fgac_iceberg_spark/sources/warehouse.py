@@ -118,6 +118,18 @@ class Warehouse:
     def table_exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))
 
+    def state_token(self) -> tuple:
+        """Cheap change token over every table's metadata file (name,
+        mtime_ns, size). Manifest-planned reads freeze the file list in
+        the plan, so cached views must be re-resolved when this changes
+        — one stat() per table, no data I/O."""
+        out = []
+        for f in sorted(os.listdir(self._meta_dir)):
+            if f.endswith(".json"):
+                st = os.stat(os.path.join(self._meta_dir, f))
+                out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+
     def list_tables(self) -> list[str]:
         return sorted(
             os.path.splitext(f)[0]
@@ -656,6 +668,64 @@ class Warehouse:
         ]
         meta.renames.append([old, new])
         self._write_schema(meta, fields)
+
+    # ------------------------------------------------- incremental reads
+    def read_changes(
+        self,
+        name: str,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read /
+        changelog): the rows ADDED strictly after ``from_snapshot_id``
+        up to and including ``to_snapshot_id`` — i.e. only the new data
+        files, never a rescan of the table. This is the primitive a
+        streaming consumer tails: each micro-batch reads the file delta
+        between two snapshots, so cost scales with the delta, not the
+        table. Files added by delete/update/merge rewrites carry
+        pre-existing rows; pass appends_only=False semantics by
+        filtering on the snapshot operation yourself via snapshots()."""
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.read_changes(meta.link_to, from_snapshot_id, to_snapshot_id)
+        known = {s["snapshot_id"] for s in meta.snapshots}
+        for sid in (from_snapshot_id, to_snapshot_id):
+            if sid is not None and sid not in known:
+                raise SnapshotNotFoundError(
+                    f"Table '{name}' has no snapshot {sid} (known: {sorted(known)})"
+                )
+        lo = from_snapshot_id or 0
+        hi = to_snapshot_id if to_snapshot_id is not None else float("inf")
+        files = [
+            f
+            for s in meta.snapshots
+            if lo < s["snapshot_id"] <= hi and s["operation"] == "append"
+            for f in s["added_files"]
+        ]
+        if not files:
+            return self.spark.createDataFrame([], meta.schema)
+        data = self.data_dir(name)
+        reader = self.spark.read.option("basePath", data)
+        if meta.properties.get("schema_evolved") == "true":
+            reader = reader.option("mergeSchema", "true")
+        return self._project(
+            reader.parquet(*sorted(os.path.join(data, f) for f in files)), meta
+        )
+
+    def rollback_to_snapshot(self, name: str, snapshot_id: int) -> None:
+        """Iceberg's rollback_to_snapshot: commit a new snapshot whose
+        live set equals the old one — history is preserved (the rolled-
+        back snapshots stay readable until expired), no data is moved."""
+        meta = self._read_meta(name)
+        if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
+            raise SnapshotNotFoundError(
+                f"Table '{name}' has no snapshot {snapshot_id}"
+            )
+        target = self._live_files(meta, snapshot_id)
+        current = self._live_files(meta)
+        self._commit_snapshot(
+            meta, "rollback", added=target - current, removed=current - target
+        )
 
     # ------------------------------------------------- table maintenance
     def expire_snapshots(

@@ -1,0 +1,105 @@
+"""Write-side FGAC: Lake Formation's INSERT/DELETE/ALTER/DROP
+permission types gate consumer DML. The reference's teams hold only
+SELECT/DESCRIBE (producer_account_setup/
+producer_iceberg_datalake_setup.sh:265-274), so their writes must deny
+at plan time; a principal granted write permissions executes through
+the trusted table-level path (LF write permissions have no cell-level
+variant). Also covers the warehouse's incremental changelog read and
+snapshot rollback."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+    DELETE,
+    DESCRIBE,
+    DROP,
+    INSERT,
+    SELECT,
+    AccessDeniedException,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import SnapshotNotFoundError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE inv (k INT, qty INT)")
+    e.sql("INSERT INTO inv VALUES (1, 10), (2, 20)")
+    e.policy.grant("reader", "inv", {SELECT, DESCRIBE})
+    e.policy.grant("writer", "inv", {SELECT, DESCRIBE, INSERT, DELETE})
+    return e
+
+
+def test_read_only_principal_writes_deny(engine):
+    sess = engine.session_for("reader")
+    for stmt in (
+        "INSERT INTO inv VALUES (3, 30)",
+        "DELETE FROM inv WHERE k = 1",
+        "UPDATE inv SET qty = 0 WHERE k = 1",
+        "MERGE INTO inv t USING inv s ON t.k = s.k WHEN MATCHED THEN DELETE",
+        "ALTER TABLE inv ADD COLUMNS (x INT)",
+        "DROP TABLE inv",
+    ):
+        with pytest.raises(AccessDeniedException):
+            sess.sql(stmt)
+    # the denial is plan-time: nothing changed
+    assert sess.sql("SELECT count(*) AS n FROM inv").collect()[0].n == 2
+
+
+def test_create_table_always_denied_for_consumers(engine):
+    with pytest.raises(AccessDeniedException, match="CREATE_TABLE"):
+        engine.session_for("writer").sql("CREATE TABLE mine (k INT)")
+
+
+def test_writer_principal_dml_executes(engine):
+    sess = engine.session_for("writer")
+    sess.sql("INSERT INTO inv VALUES (3, 30)")
+    sess.sql("UPDATE inv SET qty = 99 WHERE k = 1")
+    sess.sql("DELETE FROM inv WHERE k = 2")
+    rows = sorted((r.k, r.qty) for r in sess.sql("SELECT * FROM inv").collect())
+    assert rows == [(1, 99), (3, 30)]
+
+
+def test_insert_only_principal_cannot_update(engine):
+    engine.policy.grant("appender", "inv", {SELECT, INSERT})
+    sess = engine.session_for("appender")
+    sess.sql("INSERT INTO inv VALUES (4, 40)")
+    with pytest.raises(AccessDeniedException):
+        sess.sql("UPDATE inv SET qty = 0 WHERE k = 4")  # needs DELETE too
+    with pytest.raises(AccessDeniedException):
+        sess.sql("DELETE FROM inv WHERE k = 4")
+
+
+def test_drop_requires_drop_permission(engine):
+    engine.policy.grant("owner", "inv", {SELECT, DROP})
+    engine.session_for("owner").sql("DROP TABLE inv")
+    assert not engine.warehouse.table_exists("inv")
+
+
+# ------------------------------------------- changelog + rollback (API)
+def test_read_changes_between_snapshots(engine):
+    wh = engine.warehouse
+    engine.sql("INSERT INTO inv VALUES (3, 30), (4, 40)")  # snapshot 2
+    engine.sql("INSERT INTO inv VALUES (5, 50)")            # snapshot 3
+    delta = wh.read_changes("inv", from_snapshot_id=1, to_snapshot_id=3)
+    assert sorted(r.k for r in delta.collect()) == [3, 4, 5]
+    tail = wh.read_changes("inv", from_snapshot_id=2)
+    assert sorted(r.k for r in tail.collect()) == [5]
+    # a delete rewrite is not an append — the changelog stays append-only
+    engine.sql("DELETE FROM inv WHERE k = 3")
+    assert wh.read_changes("inv", from_snapshot_id=3).count() == 0
+    with pytest.raises(SnapshotNotFoundError):
+        wh.read_changes("inv", from_snapshot_id=99)
+
+
+def test_rollback_to_snapshot(engine):
+    wh = engine.warehouse
+    engine.sql("DELETE FROM inv WHERE k = 1")
+    assert wh.read_table("inv").count() == 1
+    wh.rollback_to_snapshot("inv", 1)
+    assert sorted(r.k for r in wh.read_table("inv").collect()) == [1, 2]
+    # rollback is itself a snapshot — history is linear and auditable
+    assert wh.snapshots("inv")[-1]["operation"] == "rollback"
+    with pytest.raises(SnapshotNotFoundError):
+        wh.rollback_to_snapshot("inv", 99)
