@@ -236,32 +236,59 @@ class Warehouse:
         operation: str,
         added: set[str],
         removed: set[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Optimistic commit: re-read the on-disk metadata so a
         concurrent committer's snapshots are not clobbered, then append
         ours with the next sequence number (Iceberg's
-        commit-by-swapping-metadata, linearized per table)."""
+        commit-by-swapping-metadata, linearized per table). ``txn``
+        stamps the snapshot with a (source_id, batch_id) pair — the
+        exactly-once hook streaming sinks key their idempotence on."""
         if os.path.exists(self._meta_path(meta.name)):
             meta = self._read_meta(meta.name)
         seq = meta.snapshots[-1]["sequence_number"] + 1 if meta.snapshots else 1
-        meta.snapshots.append(
-            {
-                "snapshot_id": seq,
-                "sequence_number": seq,
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": operation,
-                "added_files": sorted(added),
-                "removed_files": sorted(removed or ()),
-            }
-        )
+        entry = {
+            "snapshot_id": seq,
+            "sequence_number": seq,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "added_files": sorted(added),
+            "removed_files": sorted(removed or ()),
+        }
+        if txn is not None:
+            entry["source_id"], entry["batch_id"] = txn[0], int(txn[1])
+        meta.snapshots.append(entry)
         self._write_meta(meta)
 
+    def last_committed_batch(self, name: str, source_id: str) -> int | None:
+        """Highest batch_id a given streaming source has committed into
+        this table, or None — the replay fence for exactly-once
+        ingestion (Iceberg/Delta's txn-id pattern: the sink skips any
+        micro-batch at or below this watermark)."""
+        best = None
+        for s in self._read_meta(name).snapshots:
+            if s.get("source_id") == source_id:
+                b = s["batch_id"]
+                best = b if best is None or b > best else best
+        return best
+
     # --------------------------------------------------------------- DML
-    def insert_into(self, name: str, df: DataFrame) -> None:
+    def insert_into(
+        self, name: str, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> bool:
         """D2: INSERT INTO — schema-on-write append, partition fan-out.
         Every append commits a new snapshot whose manifest lists the
-        files it added, enabling read-at-snapshot / time travel."""
+        files it added, enabling read-at-snapshot / time travel.
+
+        ``txn=(source_id, batch_id)`` makes the append idempotent: a
+        batch at or below the source's committed watermark is skipped
+        (returns False) — the exactly-once contract for streaming
+        foreachBatch sinks replaying after failure."""
         meta = self._read_meta(name)
+        if txn is not None:
+            fence = self.last_committed_batch(name, txn[0])
+            if fence is not None and int(txn[1]) <= fence:
+                return False
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
@@ -275,7 +302,8 @@ class Warehouse:
         if meta.partition_by:
             writer = writer.partitionBy(*meta.partition_by)
         writer.parquet(self.data_dir(name))
-        self._commit_snapshot(meta, "append", self._data_files(name) - before)
+        self._commit_snapshot(meta, "append", self._data_files(name) - before, txn=txn)
+        return True
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
         """D2 literal form: INSERT INTO t VALUES (…), (…)."""

@@ -312,3 +312,69 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
     got = spark.table("enriched_out")
     batch = enrich_with_segments(load_table(spark, sf_dir, "events"), customers)
     assert _rows(got) == _rows(batch)
+
+
+def test_exactly_once_ingestion_replay_fence(spark, events_dir, tmp_path):
+    """Idempotent streaming ingestion: a redelivered micro-batch (the
+    at-least-once failure mode of foreachBatch) commits nothing — the
+    warehouse's (source_id, batch_id) fence skips it. Iceberg/Delta's
+    txn-id exactly-once pattern."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        stream_into_warehouse,
+        warehouse_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    raw = read_event_stream(spark, events_dir).selectExpr(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    wh.create_table(
+        "landed",
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+        partition_by=["event_type"],
+    )
+    stream_into_warehouse(
+        raw, wh, "landed", "ingest-job-1", str(tmp_path / "ckpt"), available_now=True
+    )
+    n = wh.read_table("landed").count()
+    assert n > 0
+    snaps = [s for s in wh.snapshots("landed") if s.get("source_id") == "ingest-job-1"]
+    assert snaps and all("batch_id" in s for s in snaps)
+
+    # redeliver every committed batch verbatim → all fenced, no growth
+    sink = warehouse_sink(wh, "landed", "ingest-job-1")
+    batch0 = wh.read_table("landed")
+    for s in snaps:
+        sink(batch0.limit(5), s["batch_id"])
+    assert wh.read_table("landed").count() == n
+    # a genuinely new batch id still lands
+    assert wh.insert_into("landed", batch0.limit(2), txn=("ingest-job-1", max(s["batch_id"] for s in snaps) + 1))
+    assert wh.read_table("landed").count() == n + 2
+    # an unrelated source is not fenced by this one
+    assert wh.insert_into("landed", batch0.limit(1), txn=("other-job", 0))
+    assert wh.read_table("landed").count() == n + 3
+
+
+def test_ingested_table_tailed_incrementally(spark, events_dir, tmp_path):
+    """Downstream incremental consumption: after ingestion, a consumer
+    tails the table via read_changes between snapshot fences instead of
+    rescanning — the batch analog of a changelog subscription."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        stream_into_warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    raw = read_event_stream(spark, events_dir).selectExpr("event_id", "ts")
+    wh.create_table("landed", "event_id bigint, ts timestamp")
+    stream_into_warehouse(
+        raw, wh, "landed", "job", str(tmp_path / "ckpt"), available_now=True
+    )
+    fence = wh.current_snapshot_id("landed")
+    total = wh.read_table("landed").count()
+    assert wh.read_changes("landed", from_snapshot_id=fence).count() == 0
+    wh.insert_values("landed", [(10**12, None)])
+    delta = wh.read_changes("landed", from_snapshot_id=fence)
+    assert [r.event_id for r in delta.collect()] == [10**12]
+    assert wh.read_table("landed").count() == total + 1
