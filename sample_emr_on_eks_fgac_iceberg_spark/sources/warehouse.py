@@ -257,6 +257,9 @@ class Warehouse:
         }
         if txn is not None:
             entry["source_id"], entry["batch_id"] = txn[0], int(txn[1])
+        # record the spec the added files were written under (partition
+        # evolution: reads group files by spec)
+        entry["partition_by"] = list(meta.partition_by)
         meta.snapshots.append(entry)
         self._write_meta(meta)
 
@@ -325,11 +328,7 @@ class Warehouse:
         return self._read_meta(meta.link_to) if meta.link_to is not None else meta
 
     def _scan_with_filepath(self, meta: TableMeta) -> DataFrame | None:
-        raw = self._scan_live(meta)
-        if raw is None:
-            return None
-        raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
-        return self._project(raw, meta, extra=("__file_path",))
+        return self._scan_live(meta, with_file=True)
 
     def _rel_file(self, meta: TableMeta, uri: str) -> str:
         path = uri[len("file:"):] if uri.startswith("file:") else uri
@@ -587,28 +586,69 @@ class Warehouse:
                 raise SnapshotNotFoundError(
                     f"Table '{name}' has no snapshot {snapshot_id} (known: {sorted(known)})"
                 )
-        raw = self._scan_live(meta, snapshot_id=snapshot_id)
-        if raw is None:
+        scan = self._scan_live(meta, snapshot_id=snapshot_id)
+        if scan is None:
             return self.spark.createDataFrame([], meta.schema)
-        return self._project(raw, meta)
+        return scan
 
-    def _scan_live(self, meta: TableMeta, snapshot_id: int | None = None) -> DataFrame | None:
-        """Raw manifest-planned scan: exactly the live data files of the
-        requested snapshot, partition columns recovered from the layout.
-        Returns None for an empty live set. No projection is applied, so
-        callers can still reach ``_metadata.file_path``."""
-        files = self._live_files(meta, snapshot_id)
+    def _file_specs(self, meta: TableMeta) -> dict[str, tuple]:
+        """Relative data file → the partition spec it was written under
+        (replayed from the snapshot log; pre-evolution entries without a
+        recorded spec default to the current one)."""
+        current = tuple(meta.partition_by)
+        out: dict[str, tuple] = {}
+        for s in meta.snapshots:
+            spec = tuple(s.get("partition_by", current))
+            for f in s["added_files"]:
+                out[f] = spec
+        return out
+
+    def _read_files(
+        self, meta: TableMeta, files: set[str] | list[str], with_file: bool = False
+    ) -> DataFrame | None:
+        """Manifest-planned read of an explicit file set, resolved
+        against the current schema. Files are grouped by the partition
+        spec they were written under (partition evolution: each group
+        has a consistent directory layout; partition values come from
+        the directory for that group's spec and from the file for every
+        other column), then the projected groups union by name."""
         if not files:
             return None
         data = self.data_dir(meta.name)
-        reader = self.spark.read.option("basePath", data)
-        if meta.properties.get("schema_evolved") == "true":
-            # only after an ALTER: pre-evolution files have a different
-            # physical schema, so the union of footers is needed; the
-            # extra footer pass is the manifest-planning cost Iceberg
-            # pays in metadata instead
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*sorted(os.path.join(data, f) for f in files))
+        specs = self._file_specs(meta)
+        groups: dict[tuple, list[str]] = {}
+        for f in sorted(files):
+            groups.setdefault(specs.get(f, tuple(meta.partition_by)), []).append(f)
+        extra = ("__file_path",) if with_file else ()
+        parts = []
+        for group_files in groups.values():
+            reader = self.spark.read.option("basePath", data)
+            if meta.properties.get("schema_evolved") == "true":
+                # only after an ALTER: pre-evolution files have a
+                # different physical schema, so the union of footers is
+                # needed; the extra footer pass is the manifest-planning
+                # cost Iceberg pays in metadata instead
+                reader = reader.option("mergeSchema", "true")
+            raw = reader.parquet(*(os.path.join(data, f) for f in group_files))
+            if with_file:
+                raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
+            parts.append(self._project(raw, meta, extra=extra))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan_live(
+        self,
+        meta: TableMeta,
+        snapshot_id: int | None = None,
+        with_file: bool = False,
+    ) -> DataFrame | None:
+        """Scan of the live data files of the requested snapshot,
+        resolved against the current schema. None for an empty set."""
+        return self._read_files(
+            meta, self._live_files(meta, snapshot_id), with_file=with_file
+        )
 
     def _project(self, df: DataFrame, meta: TableMeta, extra: tuple = ()) -> DataFrame:
         """Resolve a raw scan against the *current* declared schema:
@@ -697,6 +737,21 @@ class Warehouse:
         meta.renames.append([old, new])
         self._write_schema(meta, fields)
 
+    def alter_partition_spec(self, name: str, partition_by: list[str]) -> None:
+        """Partition evolution (Iceberg spec evolution): future writes
+        use the new identity spec; existing files keep their layout and
+        are never rewritten — reads group files by the spec they were
+        written under. DML rewrites and compaction migrate rewritten
+        rows to the current spec as a side effect, exactly as Iceberg
+        does."""
+        meta = self._read_meta(name)
+        names = {f.name for f in meta.schema.fields}
+        for col in partition_by:
+            if col not in names:
+                raise ValueError(f"Partition column '{col}' not in schema")
+        meta.partition_by = list(partition_by)
+        self._write_meta(meta)
+
     # ------------------------------------------------- incremental reads
     def read_changes(
         self,
@@ -730,15 +785,8 @@ class Warehouse:
             if lo < s["snapshot_id"] <= hi and s["operation"] == "append"
             for f in s["added_files"]
         ]
-        if not files:
-            return self.spark.createDataFrame([], meta.schema)
-        data = self.data_dir(name)
-        reader = self.spark.read.option("basePath", data)
-        if meta.properties.get("schema_evolved") == "true":
-            reader = reader.option("mergeSchema", "true")
-        return self._project(
-            reader.parquet(*sorted(os.path.join(data, f) for f in files)), meta
-        )
+        out = self._read_files(meta, files)
+        return out if out is not None else self.spark.createDataFrame([], meta.schema)
 
     def rollback_to_snapshot(self, name: str, snapshot_id: int) -> None:
         """Iceberg's rollback_to_snapshot: commit a new snapshot whose
@@ -807,7 +855,7 @@ class Warehouse:
         data = self.data_dir(name)
         total = sum(os.path.getsize(os.path.join(data, f)) for f in live)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self._project(self._scan_live(meta), meta)
+        df = self._scan_live(meta)
         packed = (
             df.repartition(int(n_out), *meta.partition_by)
             if meta.partition_by

@@ -48,6 +48,10 @@ _ALTER_RENAME_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
     re.I,
 )
+_ALTER_PARTITION_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
+    re.I,
+)
 # Iceberg time-travel SQL: SELECT … FROM t VERSION AS OF 3 /
 # t TIMESTAMP AS OF '2026-01-01 00:00:00' (FOR SYSTEM_VERSION/
 # SYSTEM_TIME spellings accepted)
@@ -192,6 +196,13 @@ class SqlFrontend:
         m = _ALTER_RENAME_RE.match(query)
         if m:
             self.warehouse.rename_column(m.group(1), m.group(2), m.group(3))
+            return None
+        m = _ALTER_PARTITION_RE.match(query)
+        if m:
+            self.warehouse.alter_partition_spec(
+                m.group(1),
+                [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
+            )
             return None
         return self._query(query)
 

@@ -227,3 +227,56 @@ def test_compact_reduces_file_count_preserves_rows(wh):
     # pre-compaction snapshot still readable (history preserved)
     assert len(_rows(wh.read_table("t", snapshot_id=1))) == 2
     assert wh.snapshots("t")[-1]["operation"] == "replace"
+
+
+# ------------------------------------------------- partition evolution
+def test_partition_evolution_mixed_layout_reads(wh):
+    wh.create_table("t", "k int, city string, status string", partition_by=["city"])
+    wh.insert_values("t", [(1, "Austin", "open"), (2, "Dallas", "open")])
+    wh.alter_partition_spec("t", ["status"])
+    wh.insert_values("t", [(3, "Austin", "closed")])
+    # mixed layouts read as one table, every column correct
+    assert _rows(wh.read_table("t")) == [
+        (1, "Austin", "open"), (2, "Dallas", "open"), (3, "Austin", "closed"),
+    ]
+    # new files landed under the new spec's directories
+    import os
+    dirs = set(os.listdir(wh.data_dir("t")))
+    assert any(d.startswith("city=") for d in dirs)
+    assert any(d.startswith("status=") for d in dirs)
+
+
+def test_partition_evolution_dml_migrates_rewritten_rows(wh):
+    wh.create_table("t", "k int, city string", partition_by=["city"])
+    wh.insert_values("t", [(1, "Austin"), (2, "Dallas")])
+    wh.alter_partition_spec("t", [])
+    wh.update_where("t", {"k": "k + 10"}, "city = 'Austin'")
+    assert _rows(wh.read_table("t")) == [(2, "Dallas"), (11, "Austin")]
+    # time travel across the spec change still works
+    assert _rows(wh.read_table("t", snapshot_id=1)) == [(1, "Austin"), (2, "Dallas")]
+
+
+def test_partition_evolution_compaction_unifies_spec(wh):
+    wh.create_table("t", "k int, city string", partition_by=["city"])
+    wh.insert_values("t", [(1, "Austin"), (2, "Dallas")])
+    wh.alter_partition_spec("t", [])
+    wh.insert_values("t", [(3, "Austin")])
+    wh.compact_table("t")
+    # all live files now under the current (unpartitioned) spec
+    meta = wh._read_meta("t")
+    specs = wh._file_specs(meta)
+    assert {specs[f] for f in wh._live_files(meta)} == {()}
+    assert _rows(wh.read_table("t")) == [(1, "Austin"), (2, "Dallas"), (3, "Austin")]
+
+
+def test_partition_evolution_sql_surface(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    e = FgacEngine(spark, str(tmp_path / "wh2"))
+    e.sql("CREATE TABLE t (k INT, city STRING) PARTITIONED BY (city)")
+    e.sql("INSERT INTO t VALUES (1, 'Austin')")
+    e.sql("ALTER TABLE t PARTITIONED BY ()")
+    e.sql("INSERT INTO t VALUES (2, 'Dallas')")
+    assert sorted(tuple(r) for r in e.sql("SELECT * FROM t").collect()) == [
+        (1, "Austin"), (2, "Dallas"),
+    ]
