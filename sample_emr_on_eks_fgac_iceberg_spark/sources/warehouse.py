@@ -737,6 +737,86 @@ class Warehouse:
         meta.renames.append([old, new])
         self._write_schema(meta, fields)
 
+    # ------------------------------------------------- metadata tables
+    # Iceberg's queryable introspection surface (SELECT * FROM
+    # t.snapshots / t.files / t.history / t.partitions). All are
+    # manifest/footer-only — row counts come from parquet footers, not
+    # data scans, exactly as Iceberg serves them from manifests.
+
+    def snapshots_df(self, name: str) -> DataFrame:
+        meta = self._read_meta(name)
+        rows = [
+            (
+                s["snapshot_id"],
+                s["sequence_number"],
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["added_files"]),
+                len(s.get("removed_files", ())),
+                s.get("source_id"),
+                s.get("batch_id"),
+            )
+            for s in meta.snapshots
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, sequence_number bigint, committed_at_ms bigint, "
+            "operation string, added_files_count int, removed_files_count int, "
+            "source_id string, batch_id bigint",
+        )
+        return df.withColumn(
+            "committed_at", F.timestamp_millis(F.col("committed_at_ms"))
+        )
+
+    def history_df(self, name: str) -> DataFrame:
+        meta = self._read_meta(name)
+        cur = meta.snapshots[-1]["snapshot_id"] if meta.snapshots else None
+        rows = [
+            (s["timestamp_ms"], s["snapshot_id"], s["snapshot_id"] <= (cur or 0))
+            for s in meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id bigint, is_current_ancestor boolean",
+        ).withColumn("made_current_at", F.timestamp_millis(F.col("made_current_at_ms")))
+
+    def files_df(self, name: str) -> DataFrame:
+        """One row per live data file: path, partition dir, footer row
+        count, size. Footers are read driver-side — bounded by file
+        count (manifest-scale), no data I/O."""
+        import pyarrow.parquet as pq
+
+        meta = self._read_meta(name)
+        data = self.data_dir(name)
+        rows = []
+        for f in sorted(self._live_files(meta)):
+            full = os.path.join(data, f)
+            rows.append(
+                (
+                    f,
+                    os.path.dirname(f) or None,
+                    pq.ParquetFile(full).metadata.num_rows,
+                    os.path.getsize(full),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count bigint, "
+            "file_size_in_bytes bigint",
+        )
+
+    def partitions_df(self, name: str) -> DataFrame:
+        """Per-partition record/file counts aggregated from footers."""
+        return (
+            self.files_df(name)
+            .groupBy("partition")
+            .agg(
+                F.sum("record_count").alias("record_count"),
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
+            )
+        )
+
     def alter_partition_spec(self, name: str, partition_by: list[str]) -> None:
         """Partition evolution (Iceberg spec evolution): future writes
         use the new identity spec; existing files keep their layout and

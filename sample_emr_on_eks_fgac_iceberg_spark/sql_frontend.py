@@ -59,6 +59,12 @@ _TIME_TRAVEL_RE = re.compile(
     r"([\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?(VERSION|TIME(?:STAMP)?)\s+AS\s+OF\s+('[^']*'|\d+)",
     re.I,
 )
+_SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Iceberg metadata tables: SELECT * FROM t.snapshots / t.files /
+# t.history / t.partitions
+_META_TABLE_RE = re.compile(
+    r"([\w.]+)\.(snapshots|files|history|partitions)(?![\w.])", re.I
+)
 
 
 def _split_top_level(text: str, keyword: str) -> tuple[str, str | None]:
@@ -204,6 +210,10 @@ class SqlFrontend:
                 [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
             )
             return None
+        if _SHOW_TABLES_RE.match(query):
+            return self.spark.createDataFrame(
+                [(t,) for t in self.warehouse.list_tables()], "table_name string"
+            )
         return self._query(query)
 
     # ------------------------------------------------------------ pieces
@@ -348,6 +358,17 @@ class SqlFrontend:
             return f"`{view}`"
 
         query = _TIME_TRAVEL_RE.sub(_travel, query)
+
+        def _meta_table(m: re.Match) -> str:
+            name, kind = m.group(1), m.group(2).lower()
+            if name not in tables:
+                return m.group(0)
+            df = getattr(wh, f"{kind}_df")(name)
+            view = f"__meta_{name.replace('.', '__')}_{kind}"
+            df.createOrReplaceTempView(view)
+            return f"`{view}`"
+
+        query = _META_TABLE_RE.sub(_meta_table, query)
         for name in tables:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
         for name in sorted(tables, key=len, reverse=True):

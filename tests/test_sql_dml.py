@@ -109,3 +109,41 @@ def test_sql_time_travel_timestamp(engine):
     assert _rows(engine.sql(f"SELECT k FROM inv TIMESTAMP AS OF '{lit}'")) == [
         (1,), (2,), (3,),
     ]
+
+
+# ---------------------------------------------------- metadata tables
+def test_metadata_tables(engine):
+    engine.sql("DELETE FROM inv WHERE k = 1")
+    snaps = engine.sql("SELECT * FROM inv.snapshots ORDER BY snapshot_id").collect()
+    assert [s.operation for s in snaps] == ["append", "delete"]
+    assert snaps[0].added_files_count >= 1
+    assert snaps[1].removed_files_count >= 1
+
+    files = engine.sql("SELECT * FROM inv.files").collect()
+    assert sum(f.record_count for f in files) == 2  # rows 2 and 3 remain
+    assert all(f.file_size_in_bytes > 0 for f in files)
+
+    hist = engine.sql("SELECT snapshot_id FROM inv.history").collect()
+    assert [h.snapshot_id for h in hist] == [1, 2]
+
+    parts = engine.sql(
+        "SELECT partition, record_count FROM inv.partitions ORDER BY partition"
+    ).collect()
+    assert {p.partition for p in parts} <= {"city=Austin", "city=Dallas"}
+    assert sum(p.record_count for p in parts) == 2
+
+    # metadata joins with data tables in one statement
+    joined = engine.sql(
+        """
+        SELECT s.operation, count(*) AS n
+        FROM inv.snapshots s CROSS JOIN inv
+        GROUP BY s.operation ORDER BY s.operation
+        """
+    ).collect()
+    assert [(r.operation, r.n) for r in joined] == [("append", 2), ("delete", 2)]
+
+
+def test_show_tables(engine):
+    engine.sql("CREATE TABLE zed (k INT)")
+    names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
+    assert "inv" in names and "zed" in names
