@@ -64,6 +64,7 @@ class TableMeta:
     snapshots: list[dict] = field(default_factory=list)
     link_to: str | None = None  # M2: resource link → target table name
     renames: list = field(default_factory=list)  # [[old, new], …] oldest first
+    refs: dict = field(default_factory=dict)  # name → {snapshot_id, type}
 
     @property
     def schema(self) -> T.StructType:
@@ -102,6 +103,7 @@ class Warehouse:
                     "snapshots": meta.snapshots,
                     "link_to": meta.link_to,
                     "renames": meta.renames,
+                    "refs": meta.refs,
                 },
                 f,
                 indent=2,
@@ -552,6 +554,7 @@ class Warehouse:
         name: str,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """S1: cataloged scan. Partition columns come back from the
         directory layout (basePath keeps them in the schema); declared
@@ -568,9 +571,12 @@ class Warehouse:
                 meta.link_to,
                 snapshot_id=snapshot_id,
                 as_of_timestamp_ms=as_of_timestamp_ms,
+                ref=ref,
             )
-        if snapshot_id is not None and as_of_timestamp_ms is not None:
-            raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+            raise ValueError("pass only one of snapshot_id, as_of_timestamp_ms, ref")
+        if ref is not None:
+            snapshot_id = self.resolve_ref(name, ref)
         if as_of_timestamp_ms is not None:
             eligible = [
                 s["snapshot_id"]
@@ -736,6 +742,58 @@ class Warehouse:
         ]
         meta.renames.append([old, new])
         self._write_schema(meta, fields)
+
+    # ------------------------------------------------------------- refs
+    # Iceberg named refs: a tag pins a snapshot permanently (until
+    # dropped); a branch is a movable pointer (fast_forward advances it
+    # to the current head). Both are readable via read_table(ref=…) and
+    # SQL's VERSION AS OF 'name'; expire_snapshots never reclaims a
+    # snapshot a ref can still reach.
+
+    def create_tag(self, name: str, tag: str, snapshot_id: int | None = None) -> None:
+        self._set_ref(name, tag, "tag", snapshot_id)
+
+    def create_branch(
+        self, name: str, branch: str, snapshot_id: int | None = None
+    ) -> None:
+        self._set_ref(name, branch, "branch", snapshot_id)
+
+    def _set_ref(
+        self, name: str, ref: str, kind: str, snapshot_id: int | None
+    ) -> None:
+        meta = self._read_meta(name)
+        if ref in meta.refs:
+            raise ValueError(f"Ref '{ref}' already exists on '{name}'")
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id(name)
+        if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
+            raise SnapshotNotFoundError(f"Table '{name}' has no snapshot {snapshot_id}")
+        meta.refs[ref] = {"snapshot_id": int(snapshot_id), "type": kind}
+        self._write_meta(meta)
+
+    def fast_forward(self, name: str, branch: str) -> None:
+        """Advance a branch to the current head (Iceberg's
+        fast_forward procedure). Tags are immutable and refuse."""
+        meta = self._read_meta(name)
+        if branch not in meta.refs:
+            raise ValueError(f"Unknown ref '{branch}' on '{name}'")
+        if meta.refs[branch]["type"] != "branch":
+            raise ValueError(f"Ref '{branch}' is a tag; tags are immutable")
+        meta.refs[branch]["snapshot_id"] = self.current_snapshot_id(name)
+        self._write_meta(meta)
+
+    def drop_ref(self, name: str, ref: str) -> None:
+        meta = self._read_meta(name)
+        meta.refs.pop(ref, None)
+        self._write_meta(meta)
+
+    def resolve_ref(self, name: str, ref: str) -> int:
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.resolve_ref(meta.link_to, ref)
+        if ref not in meta.refs:
+            raise SnapshotNotFoundError(f"Table '{name}' has no ref '{ref}'")
+        return meta.refs[ref]["snapshot_id"]
 
     # ------------------------------------------------- metadata tables
     # Iceberg's queryable introspection surface (SELECT * FROM
@@ -907,6 +965,13 @@ class Warehouse:
             retained = [s for s in snaps if s["timestamp_ms"] > older_than_ms] or snaps[-1:]
         else:
             raise ValueError("pass keep_last or older_than_ms")
+        # a snapshot a named ref can still reach is never expired
+        # (Iceberg: expire_snapshots skips tagged/branched snapshots)
+        if meta.refs:
+            floor = min(r["snapshot_id"] for r in meta.refs.values())
+            first = retained[0]["snapshot_id"] if retained else floor
+            if floor < first:
+                retained = [s for s in snaps if s["snapshot_id"] >= floor]
         n_expired = len(snaps) - len(retained)
         if n_expired == 0:
             return {"expired_snapshots": 0, "deleted_files": 0}

@@ -345,8 +345,13 @@ class SqlFrontend:
                 return m.group(0)
             kind, literal = m.group(2).upper(), m.group(3)
             if kind == "VERSION":
-                df = wh.read_table(name, snapshot_id=int(literal))
-                view = f"__tt_{name.replace('.', '__')}_v{literal}"
+                if literal.startswith("'"):  # named ref: tag or branch
+                    ref = literal.strip("'")
+                    df = wh.read_table(name, ref=ref)
+                    view = f"__tt_{name.replace('.', '__')}_r{ref}"
+                else:
+                    df = wh.read_table(name, snapshot_id=int(literal))
+                    view = f"__tt_{name.replace('.', '__')}_v{literal}"
             else:
                 from datetime import datetime
 

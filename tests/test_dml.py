@@ -280,3 +280,51 @@ def test_partition_evolution_sql_surface(spark, tmp_path):
     assert sorted(tuple(r) for r in e.sql("SELECT * FROM t").collect()) == [
         (1, "Austin"), (2, "Dallas"),
     ]
+
+
+# --------------------------------------------------------- named refs
+def test_tags_and_branches(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    wh.create_tag("t", "v1.0")
+    wh.create_branch("t", "audit")
+    wh.insert_values("t", [(2,)])
+    wh.delete_from("t", "k = 1")
+    # tag pins the original state; branch lags until fast-forwarded
+    assert _rows(wh.read_table("t", ref="v1.0")) == [(1,)]
+    assert _rows(wh.read_table("t", ref="audit")) == [(1,)]
+    wh.fast_forward("t", "audit")
+    assert _rows(wh.read_table("t", ref="audit")) == [(2,)]
+    with pytest.raises(ValueError, match="immutable"):
+        wh.fast_forward("t", "v1.0")
+    with pytest.raises(SnapshotNotFoundError):
+        wh.read_table("t", ref="nope")
+
+
+def test_expire_protects_refs(wh):
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    wh.create_tag("t", "keepme")
+    wh.insert_values("t", [(2,)])
+    wh.delete_from("t", "k = 1")
+    stats = wh.expire_snapshots("t", keep_last=1)
+    # the tagged snapshot (and everything after) survives
+    assert stats["expired_snapshots"] == 0
+    assert _rows(wh.read_table("t", ref="keepme")) == [(1,)]
+    # dropping the ref releases the history
+    wh.drop_ref("t", "keepme")
+    stats = wh.expire_snapshots("t", keep_last=1)
+    assert stats["expired_snapshots"] == 2 and stats["deleted_files"] >= 1
+    assert _rows(wh.read_table("t")) == [(2,)]
+
+
+def test_ref_sql_spelling(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    e = FgacEngine(spark, str(tmp_path / "whr"))
+    e.sql("CREATE TABLE t (k INT)")
+    e.sql("INSERT INTO t VALUES (1)")
+    e.warehouse.create_tag("t", "launch")
+    e.sql("INSERT INTO t VALUES (2)")
+    assert sorted(r.k for r in e.sql("SELECT k FROM t").collect()) == [1, 2]
+    assert [r.k for r in e.sql("SELECT k FROM t VERSION AS OF 'launch'").collect()] == [1]
