@@ -81,14 +81,15 @@ _PRIORITY = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_potential_promotion",
+    # training-data curation (deterministic hash sampling / splits)
+    "sample_hash_fraction",
+    "split_train_holdout",
+    "sample_stratified_cap",
+    "curation_pipeline",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
     "q9_product_profit",
-    "q18_large_volume_customer",
     "grouping_sets_revenue",
-    "topk_orders",
 ]
 
 
