@@ -165,3 +165,27 @@ def test_q21_scans_lineitem_once(spark, sf_dir):
     # rewrite must read it exactly once
     plan = explain_str(QUERIES["q21_waiting_suppliers"](spark, sf_dir), "simple")
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_curation_sampling_stays_narrow(spark, sf_dir):
+    # hash-fraction sampling must be a filter over the scan — one keyed
+    # fan-out exchange, no aggregation, no join, no window
+    plan = explain_str(QUERIES["sample_hash_fraction"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") == 0
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    # normalize → dedup-window → filter → agg: the dedup window and the
+    # aggregate are the only width — fan-out + window + partial/final
+    # agg exchanges, and nothing else (no join, single scan)
+    plan = explain_str(QUERIES["curation_pipeline"](spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 3  # fan_out + window key + agg key
+
+
+def test_split_accounting_partial_agg(spark, sf_dir):
+    # per-split counting must map-side combine (partial + final)
+    plan = explain_str(QUERIES["split_train_holdout"](spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2
