@@ -302,6 +302,11 @@ class Warehouse:
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        order = self._write_order(meta)
+        if order:
+            # task-local sort (no shuffle): tightens parquet min/max
+            # stats so scans on the order columns skip row groups
+            aligned = aligned.sortWithinPartitions(*order)
         before = self._data_files(name)
         writer = aligned.write.mode("append")
         if meta.partition_by:
@@ -358,6 +363,9 @@ class Warehouse:
         aligned = rewritten.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
         )
+        order = self._write_order(meta)
+        if order:
+            aligned = aligned.sortWithinPartitions(*order)
         before = self._data_files(meta.name)
         writer = aligned.write.mode("append")
         if meta.partition_by:
@@ -874,6 +882,24 @@ class Warehouse:
                 F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
             )
         )
+
+    def alter_write_order(self, name: str, order_by: list[str]) -> None:
+        """Iceberg's WRITE ORDERED BY: every subsequent write (append,
+        DML rewrite, compaction) sorts rows by these columns within
+        each output task, so parquet min/max stats become selective and
+        scans with predicates on the order columns skip row groups.
+        Metadata-only; no existing file is rewritten (compaction
+        migrates old files lazily)."""
+        meta = self._read_meta(name)
+        names = {f.name for f in meta.schema.fields}
+        for col in order_by:
+            if col not in names:
+                raise ValueError(f"Order column '{col}' not in schema")
+        meta.properties["write_order"] = json.dumps(list(order_by))
+        self._write_meta(meta)
+
+    def _write_order(self, meta: TableMeta) -> list[str]:
+        return json.loads(meta.properties.get("write_order", "[]"))
 
     def alter_partition_spec(self, name: str, partition_by: list[str]) -> None:
         """Partition evolution (Iceberg spec evolution): future writes

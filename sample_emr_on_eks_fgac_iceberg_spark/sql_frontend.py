@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
 
 _CREATE_RE = re.compile(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", re.I | re.S)
+_CTAS_RE = re.compile(
+    r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)$",
+    re.I | re.S,
+)
 _PARTITIONED_RE = re.compile(r"PARTITIONED\s+BY\s*\(([^)]*)\)", re.I)
 _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
@@ -50,6 +55,10 @@ _ALTER_RENAME_RE = re.compile(
 )
 _ALTER_PARTITION_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
+    re.I,
+)
+_ALTER_WRITE_ORDER_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
     re.I,
 )
 # Iceberg time-travel SQL: SELECT … FROM t VERSION AS OF 3 /
@@ -151,6 +160,9 @@ class SqlFrontend:
         self.warehouse = warehouse
 
     def execute(self, query: str) -> DataFrame | None:
+        m = _CTAS_RE.match(query)
+        if m:
+            return self._ctas(m)
         m = _CREATE_RE.match(query)
         if m:
             return self._create(query, m)
@@ -210,6 +222,13 @@ class SqlFrontend:
                 [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
             )
             return None
+        m = _ALTER_WRITE_ORDER_RE.match(query)
+        if m:
+            self.warehouse.alter_write_order(
+                m.group(1),
+                [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
+            )
+            return None
         if _SHOW_TABLES_RE.match(query):
             return self.spark.createDataFrame(
                 [(t,) for t in self.warehouse.list_tables()], "table_name string"
@@ -217,6 +236,22 @@ class SqlFrontend:
         return self._query(query)
 
     # ------------------------------------------------------------ pieces
+    def _ctas(self, m: re.Match) -> None:
+        """CREATE TABLE … [PARTITIONED BY (…)] AS SELECT — schema comes
+        from the query, data lands as the table's first snapshot."""
+        if_not_exists, name = bool(m.group(1)), m.group(2)
+        if if_not_exists and self.warehouse.table_exists(name):
+            return None
+        partition_by = (
+            [c.strip().strip("`") for c in m.group(3).split(",") if c.strip()]
+            if m.group(3)
+            else None
+        )
+        df = self._query(m.group(4).rstrip().rstrip(";"))
+        self.warehouse.create_table(name, df.schema, partition_by=partition_by)
+        self.warehouse.insert_into(name, df)
+        return None
+
     def _create(self, query: str, m: re.Match) -> None:
         if_not_exists, name = bool(m.group(1)), m.group(2)
         if if_not_exists and self.warehouse.table_exists(name):

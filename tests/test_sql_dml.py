@@ -147,3 +147,38 @@ def test_show_tables(engine):
     engine.sql("CREATE TABLE zed (k INT)")
     names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
     assert "inv" in names and "zed" in names
+
+
+# ------------------------------------------------- CTAS + write order
+def test_ctas(engine):
+    engine.sql(
+        "CREATE TABLE austin_inv PARTITIONED BY (city) AS "
+        "SELECT k, qty, city FROM inv WHERE city = 'Austin'"
+    )
+    assert _rows(engine.sql("SELECT k FROM austin_inv")) == [(1,), (3,)]
+    # CTAS result is a first-class table: snapshots, DML, time travel
+    engine.sql("DELETE FROM austin_inv WHERE k = 1")
+    assert _rows(engine.sql("SELECT k FROM austin_inv VERSION AS OF 1")) == [(1,), (3,)]
+    # IF NOT EXISTS is a no-op on an existing table
+    engine.sql("CREATE TABLE IF NOT EXISTS austin_inv AS SELECT 1 AS x")
+    assert _rows(engine.sql("SELECT k FROM austin_inv")) == [(3,)]
+
+
+def test_write_ordered_by_sorts_files(engine, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    engine.sql("CREATE TABLE wo (k INT, v INT)")
+    engine.sql("ALTER TABLE wo WRITE ORDERED BY (v)")
+    engine.sql(
+        "INSERT INTO wo VALUES (1, 9), (2, 3), (3, 7), (4, 1), (5, 5), (6, 2)"
+    )
+    wh = engine.warehouse
+    data = wh.data_dir("wo")
+    for f in wh._live_files(wh._read_meta("wo")):
+        vals = pq.read_table(os.path.join(data, f)).column("v").to_pylist()
+        assert vals == sorted(vals), f"file {f} not sorted: {vals}"
+    # rows unharmed
+    assert _rows(engine.sql("SELECT k, v FROM wo ORDER BY k"))[0] == (1, 9)
+    with pytest.raises(ValueError, match="not in schema"):
+        engine.sql("ALTER TABLE wo WRITE ORDERED BY (nope)")
