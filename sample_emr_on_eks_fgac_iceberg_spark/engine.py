@@ -37,7 +37,7 @@ class FgacEngine:
         if self._sql_frontend is None:
             from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
 
-            self._sql_frontend = SqlFrontend(self.spark, self.warehouse)
+            self._sql_frontend = SqlFrontend(self.spark, self.warehouse, self.policy)
         return self._sql_frontend.execute(query)
 
     def _load_for_session(self, session_spark: SparkSession, name: str) -> DataFrame:

@@ -249,6 +249,9 @@ class Warehouse:
         if os.path.exists(self._meta_path(meta.name)):
             meta = self._read_meta(meta.name)
         seq = meta.snapshots[-1]["sequence_number"] + 1 if meta.snapshots else 1
+        import pyarrow.parquet as pq
+
+        data = self.data_dir(meta.name)
         entry = {
             "snapshot_id": seq,
             "sequence_number": seq,
@@ -256,6 +259,13 @@ class Warehouse:
             "operation": operation,
             "added_files": sorted(added),
             "removed_files": sorted(removed or ()),
+            # commit summary (Iceberg's snapshot summary): row count of
+            # the added files from their footers — bounded by file
+            # count, no data I/O
+            "added_records": sum(
+                pq.ParquetFile(os.path.join(data, f)).metadata.num_rows
+                for f in added
+            ),
         }
         if txn is not None:
             entry["source_id"], entry["batch_id"] = txn[0], int(txn[1])
@@ -819,6 +829,7 @@ class Warehouse:
                 s["operation"],
                 len(s["added_files"]),
                 len(s.get("removed_files", ())),
+                s.get("added_records"),
                 s.get("source_id"),
                 s.get("batch_id"),
             )
@@ -828,7 +839,7 @@ class Warehouse:
             rows,
             "snapshot_id bigint, sequence_number bigint, committed_at_ms bigint, "
             "operation string, added_files_count int, removed_files_count int, "
-            "source_id string, batch_id bigint",
+            "added_records bigint, source_id string, batch_id bigint",
         )
         return df.withColumn(
             "committed_at", F.timestamp_millis(F.col("committed_at_ms"))
@@ -1013,6 +1024,20 @@ class Warehouse:
         for f in dropped:
             os.remove(os.path.join(data, f))
         return {"expired_snapshots": n_expired, "deleted_files": len(dropped)}
+
+    def remove_orphan_files(self, name: str) -> dict:
+        """Iceberg's remove_orphan_files: physically delete data files
+        on disk that no snapshot (live or historical) references —
+        debris from failed/interrupted writes that committed nothing.
+        Never touches referenced files, so every snapshot stays
+        readable."""
+        meta = self._read_meta(name)
+        referenced = {f for s in meta.snapshots for f in s["added_files"]}
+        data = self.data_dir(name)
+        orphans = self._data_files(name) - referenced
+        for f in orphans:
+            os.remove(os.path.join(data, f))
+        return {"deleted_files": len(orphans)}
 
     def compact_table(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Iceberg's rewrite_data_files (bin-pack): rewrite the live

@@ -69,6 +69,19 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Lake Formation grant/revoke as SQL (A1/A2 — the reference drives
+# these through `aws lakeformation grant-permissions` / `revoke-…`,
+# producer_iceberg_datalake_setup.sh:221-229, producer_clean_up.sh:18-47)
+_GRANT_RE = re.compile(
+    r"\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+`?([\w.-]+)`?"
+    r"\s*(WITH\s+GRANT\s+OPTION)?\s*;?\s*$",
+    re.I,
+)
+_REVOKE_RE = re.compile(
+    r"\s*REVOKE\s+[\w,\s]+?\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+`?([\w.-]+)`?\s*;?\s*$",
+    re.I,
+)
+_ALL_GRANTABLE = {"SELECT", "DESCRIBE", "INSERT", "DELETE", "ALTER", "DROP"}
 # Iceberg metadata tables: SELECT * FROM t.snapshots / t.files /
 # t.history / t.partitions
 _META_TABLE_RE = re.compile(
@@ -155,9 +168,10 @@ def _matching_paren(text: str, open_idx: int) -> int:
 class SqlFrontend:
     """Dispatches SQL statements onto a Warehouse."""
 
-    def __init__(self, spark: SparkSession, warehouse: Warehouse):
+    def __init__(self, spark: SparkSession, warehouse: Warehouse, policy=None):
         self.spark = spark
         self.warehouse = warehouse
+        self.policy = policy  # PolicyStore for GRANT/REVOKE statements
 
     def execute(self, query: str) -> DataFrame | None:
         m = _CTAS_RE.match(query)
@@ -233,6 +247,29 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 [(t,) for t in self.warehouse.list_tables()], "table_name string"
             )
+        m = _GRANT_RE.match(query)
+        if m:
+            if self.policy is None:
+                raise ValueError("No policy store wired for GRANT")
+            perms = {p.strip().upper() for p in m.group(1).split(",") if p.strip()}
+            if perms == {"ALL"}:
+                perms = set(_ALL_GRANTABLE)
+            unknown = perms - _ALL_GRANTABLE
+            if unknown:
+                raise ValueError(f"Unknown permissions {sorted(unknown)}")
+            if not self.warehouse.table_exists(m.group(2)):
+                raise ValueError(f"Table '{m.group(2)}' does not exist")
+            self.policy.grant(
+                m.group(3), m.group(2), perms, grant_option=bool(m.group(4))
+            )
+            return None
+        m = _REVOKE_RE.match(query)
+        if m:
+            if self.policy is None:
+                raise ValueError("No policy store wired for REVOKE")
+            # LF's revoke removes the principal's grant on the table
+            self.policy.revoke(m.group(2), m.group(1))
+            return None
         return self._query(query)
 
     # ------------------------------------------------------------ pieces

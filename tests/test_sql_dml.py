@@ -182,3 +182,52 @@ def test_write_ordered_by_sorts_files(engine, tmp_path):
     assert _rows(engine.sql("SELECT k, v FROM wo ORDER BY k"))[0] == (1, 9)
     with pytest.raises(ValueError, match="not in schema"):
         engine.sql("ALTER TABLE wo WRITE ORDERED BY (nope)")
+
+
+# --------------------------------------- GRANT/REVOKE + orphan cleanup
+def test_sql_grant_revoke_roundtrip(engine):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import AccessDeniedException
+
+    engine.sql("GRANT SELECT, DESCRIBE ON inv TO analyst")
+    sess = engine.session_for("analyst")
+    assert sess.sql("SELECT count(*) AS n FROM inv").collect()[0].n == 3
+    with pytest.raises(AccessDeniedException):
+        sess.sql("DELETE FROM inv WHERE k = 1")  # no write perms granted
+    engine.sql("GRANT ALL ON inv TO steward WITH GRANT OPTION")
+    st = engine.session_for("steward")
+    st.sql("DELETE FROM inv WHERE k = 3")
+    assert engine.sql("SELECT count(*) AS n FROM inv").collect()[0].n == 2
+    # steward's grant_option allows delegation through the policy API
+    engine.policy.grant("junior", "inv", {"SELECT"}, granted_by="steward")
+    engine.sql("REVOKE ALL ON inv FROM analyst")
+    with pytest.raises(AccessDeniedException):
+        engine.session_for("analyst").sql("SELECT * FROM inv")
+    with pytest.raises(ValueError, match="Unknown permissions"):
+        engine.sql("GRANT FROB ON inv TO x")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.sql("GRANT SELECT ON nope TO x")
+
+
+def test_remove_orphan_files(engine):
+    import os
+
+    wh = engine.warehouse
+    data = wh.data_dir("inv")
+    stray = os.path.join(data, "part-99999-orphan.snappy.parquet")
+    # simulate a failed write's debris: copy a real file uncommitted
+    real = next(iter(wh._live_files(wh._read_meta("inv"))))
+    import shutil
+
+    shutil.copy(os.path.join(data, real), stray)
+    stats = wh.remove_orphan_files("inv")
+    assert stats["deleted_files"] == 1
+    assert not os.path.exists(stray)
+    assert engine.sql("SELECT count(*) AS n FROM inv").collect()[0].n == 3
+
+
+def test_snapshot_summary_records(engine):
+    engine.sql("INSERT INTO inv VALUES (7, 70, 'Austin'), (8, 80, 'Dallas')")
+    snaps = engine.sql(
+        "SELECT operation, added_records FROM inv.snapshots ORDER BY snapshot_id"
+    ).collect()
+    assert snaps[0].added_records == 3 and snaps[1].added_records == 2
