@@ -40,10 +40,16 @@ class FgacEngine:
             self._sql_frontend = SqlFrontend(self.spark, self.warehouse, self.policy)
         return self._sql_frontend.execute(query)
 
-    def _load_for_session(self, session_spark: SparkSession, name: str) -> DataFrame:
+    def _load_for_session(
+        self, session_spark: SparkSession, name: str, **time_travel
+    ) -> DataFrame:
         # Re-read through the warehouse so each SecureSession resolves
-        # the current snapshot (fresh reads see new appends).
-        return Warehouse(session_spark, self.warehouse.root).read_table(name)
+        # the current snapshot (fresh reads see new appends). Time-
+        # travel kwargs (snapshot_id / as_of_timestamp_ms / ref) pass
+        # through so consumer VERSION AS OF reads stay policy-mediated.
+        return Warehouse(session_spark, self.warehouse.root).read_table(
+            name, **time_travel
+        )
 
     def session_for(self, principal: str) -> SecureSession:
         """Build the per-principal secured session (the reference's

@@ -249,8 +249,8 @@ class SecureSession:
         self._seen_version: tuple | None = None
         self._refresh_views()
 
-    def _secured(self, table: str) -> DataFrame:
-        raw = self._table_loader(self._spark, table)
+    def _secured(self, table: str, **time_travel) -> DataFrame:
+        raw = self._table_loader(self._spark, table, **time_travel)
         return self._policy.secured_frame(self.principal, table, raw)
 
     @staticmethod
@@ -320,6 +320,42 @@ class SecureSession:
             return self._spark.createDataFrame(
                 rows, "col_name string, data_type string"
             )
+
+        # Time travel under policy: `t VERSION AS OF n` / `t TIMESTAMP
+        # AS OF 'ts'` loads the historical snapshot and applies the SAME
+        # row filter + column whitelist — history is never a policy
+        # bypass (a row the filter hides today is hidden in every
+        # snapshot it ever appeared in).
+        def _travel(tm: re.Match) -> str:
+            name = tm.group(1)
+            if name not in set(self._known_tables()):
+                return tm.group(0)
+            kind, literal = tm.group(2).upper(), tm.group(3)
+            if kind == "VERSION":
+                if literal.startswith("'"):
+                    kw = {"ref": literal.strip("'")}
+                    tag = f"r{literal.strip(chr(39))}"
+                else:
+                    kw = {"snapshot_id": int(literal)}
+                    tag = f"v{literal}"
+            else:
+                from datetime import datetime
+
+                ms = int(
+                    datetime.fromisoformat(literal.strip("'")).timestamp() * 1000
+                )
+                kw, tag = {"as_of_timestamp_ms": ms}, f"t{ms}"
+            secured = self._secured(name, **kw)  # authorizes; denies if ungranted
+            view = f"__tt_{self._view_alias(name)}_{tag}"
+            secured.createOrReplaceTempView(view)
+            return f"`{view}`"
+
+        query = re.sub(
+            r"([\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?(VERSION|TIME(?:STAMP)?)\s+AS\s+OF\s+('[^']*'|\d+)",
+            _travel,
+            query,
+            flags=re.I,
+        )
         # Catalog-qualified references: a granted dev.db.table rewrites
         # to its registered alias; a known-but-ungranted one is a
         # plan-time denial (consumer_emr_on_eks_setup.sh:407 queries

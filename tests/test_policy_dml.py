@@ -103,3 +103,33 @@ def test_rollback_to_snapshot(engine):
     assert wh.snapshots("inv")[-1]["operation"] == "rollback"
     with pytest.raises(SnapshotNotFoundError):
         wh.rollback_to_snapshot("inv", 99)
+
+
+# ------------------------------------------- FGAC over time travel
+def test_time_travel_under_policy(spark, tmp_path):
+    import datetime as dt
+
+    from sample_emr_on_eks_fgac_iceberg_spark import healthcare
+
+    e = FgacEngine(spark, str(tmp_path / "tt_wh"))
+    healthcare.setup_healthcare(e)
+    # producer appends two more patients after the teams were granted
+    e.sql(
+        "INSERT INTO patients VALUES "
+        "(1013, 'fgac13 Tex', DATE'1991-01-01', 'M', 'Austin', 'Texas', "
+        "'999-00-0001', TIMESTAMP'2025-03-28 10:00:00', TIMESTAMP'2025-03-28 10:00:00'), "
+        "(1014, 'fgac14 Cal', DATE'1992-02-02', 'F', 'Fresno', 'California', "
+        "'999-00-0002', TIMESTAMP'2025-03-28 10:00:00', TIMESTAMP'2025-03-28 10:00:00')"
+    )
+    sess = e.session_for("team1")
+    # current read: 8 original TX/NY + the new TX row; CA row filtered
+    assert sess.sql("SELECT count(*) AS n FROM patients").collect()[0].n == 9
+    # historical read: the SAME policy applies to the old snapshot
+    old = sess.sql("SELECT * FROM patients VERSION AS OF 1")
+    assert old.count() == 8
+    assert "ssn" not in old.columns  # column mask holds on history
+    # time travel is not a bypass for an ungranted principal
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import AccessDeniedException
+
+    with pytest.raises(AccessDeniedException):
+        e.session_for("team2").sql("SELECT * FROM patients VERSION AS OF 1")
