@@ -65,4 +65,7 @@ class FgacEngine:
             # write permissions have no cell-level variant)
             dml_executor=self.sql,
             data_version=self.warehouse.state_token,
+            metadata_loader=lambda s, name, kind: getattr(
+                Warehouse(s, self.warehouse.root), f"{kind}_df"
+            )(name),
         )

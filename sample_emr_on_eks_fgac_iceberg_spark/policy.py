@@ -107,6 +107,11 @@ class PolicyStore:
         self._filters: dict[str, DataCellsFilter] = {}
         self._grants: dict[tuple[str, str], Grant] = {}
         self._version = 0  # bumped on every mutation; sessions re-resolve lazily
+        # Authorization audit trail (the reference's CloudTrail story:
+        # every Lake Formation permission check is logged). Entries:
+        # (principal, table, action, "granted"|"denied"). Bounded by
+        # query count, not data.
+        self.audit_log: list[tuple[str, str, str, str]] = []
 
     @property
     def version(self) -> int:
@@ -170,7 +175,9 @@ class PolicyStore:
     def authorize(self, principal: str, table: str, action: str = SELECT) -> Grant:
         grant = self.grant_for(principal, table)
         if grant is None or action not in grant.permissions:
+            self.audit_log.append((principal, table, action, "denied"))
             raise AccessDeniedException(principal, table, action)
+        self.audit_log.append((principal, table, action, "granted"))
         return grant
 
     def secured_frame(
@@ -221,6 +228,7 @@ class SecureSession:
         known_tables,
         dml_executor=None,
         data_version=None,
+        metadata_loader=None,
     ):
         self._spark = spark.newSession()
         # The SQL surface is a principal boundary: path-based relations
@@ -245,6 +253,11 @@ class SecureSession:
         # registered view, so views must re-resolve after commits too,
         # not only after policy mutations.
         self._data_version = data_version or (lambda: None)
+        # (name, kind) -> DataFrame for t.snapshots / t.history under
+        # the DESCRIBE permission (LF: table metadata is DESCRIBE-
+        # scoped). t.files / t.partitions stay producer-only — they
+        # expose physical paths.
+        self._metadata_loader = metadata_loader
         self._registered: set[str] = set()
         self._seen_version: tuple | None = None
         self._refresh_views()
@@ -319,6 +332,27 @@ class SecureSession:
             rows = self.describe(m.group(1))
             return self._spark.createDataFrame(
                 rows, "col_name string, data_type string"
+            )
+
+        # Metadata tables under DESCRIBE: a principal who may DESCRIBE
+        # the table may read its snapshot log / history (not files or
+        # partitions — those expose physical paths, a producer surface).
+        if self._metadata_loader is not None:
+
+            def _meta(mm: re.Match) -> str:
+                name, kind = mm.group(1), mm.group(2).lower()
+                if name not in set(self._known_tables()):
+                    return mm.group(0)
+                self._policy.authorize(self.principal, name, DESCRIBE)
+                # built against this session's SparkSession so the temp
+                # view lands in this session's catalog
+                df = self._metadata_loader(self._spark, name, kind)
+                view = f"__meta_{self._view_alias(name)}_{kind}"
+                df.createOrReplaceTempView(view)
+                return f"`{view}`"
+
+            query = re.sub(
+                r"([\w.]+)\.(snapshots|history)(?![\w.])", _meta, query, flags=re.I
             )
 
         # Time travel under policy: `t VERSION AS OF n` / `t TIMESTAMP

@@ -133,3 +133,28 @@ def test_time_travel_under_policy(spark, tmp_path):
 
     with pytest.raises(AccessDeniedException):
         e.session_for("team2").sql("SELECT * FROM patients VERSION AS OF 1")
+
+
+# ------------------------------- metadata under DESCRIBE + audit log
+def test_consumer_metadata_tables_require_describe(engine):
+    sess = engine.session_for("reader")  # has SELECT + DESCRIBE
+    snaps = sess.sql("SELECT operation FROM inv.snapshots").collect()
+    assert [s.operation for s in snaps] == ["append"]
+    # files/partitions expose physical paths → not a consumer surface
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM inv.files").collect()
+    # a SELECT-only principal can't read metadata either
+    engine.policy.grant("peeker", "inv", {SELECT})
+    with pytest.raises(AccessDeniedException):
+        engine.session_for("peeker").sql("SELECT * FROM inv.snapshots")
+
+
+def test_audit_log_records_decisions(engine):
+    engine.policy.audit_log.clear()
+    sess = engine.session_for("reader")
+    sess.sql("SELECT count(*) AS n FROM inv").collect()
+    with pytest.raises(AccessDeniedException):
+        sess.sql("DELETE FROM inv WHERE k = 1")
+    log = engine.policy.audit_log
+    assert ("reader", "inv", "SELECT", "granted") in log
+    assert ("reader", "inv", "DELETE", "denied") in log
