@@ -104,11 +104,15 @@ def test_q8_dims_broadcast(spark, sf_dir):
 
 
 def test_grouping_sets_single_scan(spark, sf_dir):
-    # GROUPING SETS must expand in one pass (Expand node), not re-scan
-    # the fact table per grouping set.
+    # Rollup-from-finest: no Expand (which would feed 3× the fact rows
+    # into the aggregate), no fact re-scan per grouping set — the
+    # coarser sets re-aggregate the checkpointed finest-level base
+    # (Scan ExistingRDD), so the fact is scanned exactly once, at base
+    # materialization.
     plan = explain_str(QUERIES["grouping_sets_revenue"](spark, sf_dir), "simple")
-    assert "Expand" in plan
-    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1, plan
+    assert "Expand" not in plan
+    assert "Union" in plan and "ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0 and plan.count("FileScan") == 0, plan
 
 
 def test_warehouse_partition_pruning(spark, tmp_path):
