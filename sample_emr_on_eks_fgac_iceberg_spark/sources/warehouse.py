@@ -31,6 +31,7 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +120,23 @@ class Warehouse:
 
     def table_exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))
+
+    @contextmanager
+    def _table_lock(self, name: str):
+        """Per-table advisory lock held across a mutation's
+        read-modify-write of the metadata file — what makes the commit
+        path actually linearizable (Iceberg's atomic metadata swap;
+        concurrent committers serialize here while their data writes
+        proceed in parallel elsewhere). File-based (flock), so it also
+        covers multiple Warehouse instances over the same root."""
+        import fcntl
+
+        with open(os.path.join(self._meta_dir, f".{name}.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def state_token(self) -> tuple:
         """Cheap change token over every table's metadata file (name,
@@ -300,10 +318,6 @@ class Warehouse:
         (returns False) — the exactly-once contract for streaming
         foreachBatch sinks replaying after failure."""
         meta = self._read_meta(name)
-        if txn is not None:
-            fence = self.last_committed_batch(name, txn[0])
-            if fence is not None and int(txn[1]) <= fence:
-                return False
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
@@ -317,12 +331,22 @@ class Warehouse:
             # task-local sort (no shuffle): tightens parquet min/max
             # stats so scans on the order columns skip row groups
             aligned = aligned.sortWithinPartitions(*order)
-        before = self._data_files(name)
-        writer = aligned.write.mode("append")
-        if meta.partition_by:
-            writer = writer.partitionBy(*meta.partition_by)
-        writer.parquet(self.data_dir(name))
-        self._commit_snapshot(meta, "append", self._data_files(name) - before, txn=txn)
+        # lock spans fence-check → write → commit so the added-file
+        # diff can't absorb a concurrent writer's files and the replay
+        # fence can't be passed twice
+        with self._table_lock(name):
+            if txn is not None:
+                fence = self.last_committed_batch(name, txn[0])
+                if fence is not None and int(txn[1]) <= fence:
+                    return False
+            before = self._data_files(name)
+            writer = aligned.write.mode("append")
+            if meta.partition_by:
+                writer = writer.partitionBy(*meta.partition_by)
+            writer.parquet(self.data_dir(name))
+            self._commit_snapshot(
+                meta, "append", self._data_files(name) - before, txn=txn
+            )
         return True
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
@@ -376,13 +400,14 @@ class Warehouse:
         order = self._write_order(meta)
         if order:
             aligned = aligned.sortWithinPartitions(*order)
-        before = self._data_files(meta.name)
-        writer = aligned.write.mode("append")
-        if meta.partition_by:
-            writer = writer.partitionBy(*meta.partition_by)
-        writer.parquet(self.data_dir(meta.name))
-        added = self._data_files(meta.name) - before
-        self._commit_snapshot(meta, operation, added, removed)
+        with self._table_lock(meta.name):
+            before = self._data_files(meta.name)
+            writer = aligned.write.mode("append")
+            if meta.partition_by:
+                writer = writer.partitionBy(*meta.partition_by)
+            writer.parquet(self.data_dir(meta.name))
+            added = self._data_files(meta.name) - before
+            self._commit_snapshot(meta, operation, added, removed)
         return added
 
     def delete_from(self, name: str, condition=None) -> dict:
@@ -720,46 +745,49 @@ class Warehouse:
     def add_columns(self, name: str, cols: T.StructType | str) -> None:
         """ALTER TABLE name ADD COLUMNS (c type, …) — existing rows read
         back NULL for the new columns."""
-        meta = self._read_meta(name)
-        if isinstance(cols, str):
-            cols = T.StructType.fromDDL(cols)
-        fields = list(meta.schema.fields)
-        existing = {f.name for f in fields}
-        for f in cols.fields:
-            if f.name in existing:
-                raise ValueError(f"Column '{f.name}' already exists in '{name}'")
-            fields.append(f)
-        self._write_schema(meta, fields)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if isinstance(cols, str):
+                cols = T.StructType.fromDDL(cols)
+            fields = list(meta.schema.fields)
+            existing = {f.name for f in fields}
+            for f in cols.fields:
+                if f.name in existing:
+                    raise ValueError(f"Column '{f.name}' already exists in '{name}'")
+                fields.append(f)
+            self._write_schema(meta, fields)
 
     def drop_column(self, name: str, col: str) -> None:
         """ALTER TABLE name DROP COLUMN col — the physical column stays
         in old files; reads project it away."""
-        meta = self._read_meta(name)
-        if col in meta.partition_by:
-            raise ValueError(f"Cannot drop partition column '{col}'")
-        fields = [f for f in meta.schema.fields if f.name != col]
-        if len(fields) == len(meta.schema.fields):
-            raise ValueError(f"Column '{col}' does not exist in '{name}'")
-        self._write_schema(meta, fields)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if col in meta.partition_by:
+                raise ValueError(f"Cannot drop partition column '{col}'")
+            fields = [f for f in meta.schema.fields if f.name != col]
+            if len(fields) == len(meta.schema.fields):
+                raise ValueError(f"Column '{col}' does not exist in '{name}'")
+            self._write_schema(meta, fields)
 
     def rename_column(self, name: str, old: str, new: str) -> None:
         """ALTER TABLE name RENAME COLUMN old TO new — recorded in the
         rename log; old files keep the old physical name and resolve per
         row at read time."""
-        meta = self._read_meta(name)
-        if old in meta.partition_by:
-            raise ValueError(f"Cannot rename partition column '{old}'")
-        names = [f.name for f in meta.schema.fields]
-        if old not in names:
-            raise ValueError(f"Column '{old}' does not exist in '{name}'")
-        if new in names:
-            raise ValueError(f"Column '{new}' already exists in '{name}'")
-        fields = [
-            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
-            for f in meta.schema.fields
-        ]
-        meta.renames.append([old, new])
-        self._write_schema(meta, fields)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if old in meta.partition_by:
+                raise ValueError(f"Cannot rename partition column '{old}'")
+            names = [f.name for f in meta.schema.fields]
+            if old not in names:
+                raise ValueError(f"Column '{old}' does not exist in '{name}'")
+            if new in names:
+                raise ValueError(f"Column '{new}' already exists in '{name}'")
+            fields = [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in meta.schema.fields
+            ]
+            meta.renames.append([old, new])
+            self._write_schema(meta, fields)
 
     # ------------------------------------------------------------- refs
     # Iceberg named refs: a tag pins a snapshot permanently (until
@@ -779,31 +807,34 @@ class Warehouse:
     def _set_ref(
         self, name: str, ref: str, kind: str, snapshot_id: int | None
     ) -> None:
-        meta = self._read_meta(name)
-        if ref in meta.refs:
-            raise ValueError(f"Ref '{ref}' already exists on '{name}'")
-        if snapshot_id is None:
-            snapshot_id = self.current_snapshot_id(name)
-        if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
-            raise SnapshotNotFoundError(f"Table '{name}' has no snapshot {snapshot_id}")
-        meta.refs[ref] = {"snapshot_id": int(snapshot_id), "type": kind}
-        self._write_meta(meta)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if ref in meta.refs:
+                raise ValueError(f"Ref '{ref}' already exists on '{name}'")
+            if snapshot_id is None:
+                snapshot_id = self.current_snapshot_id(name)
+            if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
+                raise SnapshotNotFoundError(f"Table '{name}' has no snapshot {snapshot_id}")
+            meta.refs[ref] = {"snapshot_id": int(snapshot_id), "type": kind}
+            self._write_meta(meta)
 
     def fast_forward(self, name: str, branch: str) -> None:
         """Advance a branch to the current head (Iceberg's
         fast_forward procedure). Tags are immutable and refuse."""
-        meta = self._read_meta(name)
-        if branch not in meta.refs:
-            raise ValueError(f"Unknown ref '{branch}' on '{name}'")
-        if meta.refs[branch]["type"] != "branch":
-            raise ValueError(f"Ref '{branch}' is a tag; tags are immutable")
-        meta.refs[branch]["snapshot_id"] = self.current_snapshot_id(name)
-        self._write_meta(meta)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if branch not in meta.refs:
+                raise ValueError(f"Unknown ref '{branch}' on '{name}'")
+            if meta.refs[branch]["type"] != "branch":
+                raise ValueError(f"Ref '{branch}' is a tag; tags are immutable")
+            meta.refs[branch]["snapshot_id"] = self.current_snapshot_id(name)
+            self._write_meta(meta)
 
     def drop_ref(self, name: str, ref: str) -> None:
-        meta = self._read_meta(name)
-        meta.refs.pop(ref, None)
-        self._write_meta(meta)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            meta.refs.pop(ref, None)
+            self._write_meta(meta)
 
     def resolve_ref(self, name: str, ref: str) -> int:
         meta = self._read_meta(name)
@@ -901,13 +932,14 @@ class Warehouse:
         scans with predicates on the order columns skip row groups.
         Metadata-only; no existing file is rewritten (compaction
         migrates old files lazily)."""
-        meta = self._read_meta(name)
-        names = {f.name for f in meta.schema.fields}
-        for col in order_by:
-            if col not in names:
-                raise ValueError(f"Order column '{col}' not in schema")
-        meta.properties["write_order"] = json.dumps(list(order_by))
-        self._write_meta(meta)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            names = {f.name for f in meta.schema.fields}
+            for col in order_by:
+                if col not in names:
+                    raise ValueError(f"Order column '{col}' not in schema")
+            meta.properties["write_order"] = json.dumps(list(order_by))
+            self._write_meta(meta)
 
     def _write_order(self, meta: TableMeta) -> list[str]:
         return json.loads(meta.properties.get("write_order", "[]"))
@@ -919,13 +951,14 @@ class Warehouse:
         written under. DML rewrites and compaction migrate rewritten
         rows to the current spec as a side effect, exactly as Iceberg
         does."""
-        meta = self._read_meta(name)
-        names = {f.name for f in meta.schema.fields}
-        for col in partition_by:
-            if col not in names:
-                raise ValueError(f"Partition column '{col}' not in schema")
-        meta.partition_by = list(partition_by)
-        self._write_meta(meta)
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            names = {f.name for f in meta.schema.fields}
+            for col in partition_by:
+                if col not in names:
+                    raise ValueError(f"Partition column '{col}' not in schema")
+            meta.partition_by = list(partition_by)
+            self._write_meta(meta)
 
     # ------------------------------------------------- incremental reads
     def read_changes(
@@ -967,16 +1000,17 @@ class Warehouse:
         """Iceberg's rollback_to_snapshot: commit a new snapshot whose
         live set equals the old one — history is preserved (the rolled-
         back snapshots stay readable until expired), no data is moved."""
-        meta = self._read_meta(name)
-        if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
-            raise SnapshotNotFoundError(
-                f"Table '{name}' has no snapshot {snapshot_id}"
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
+                raise SnapshotNotFoundError(
+                    f"Table '{name}' has no snapshot {snapshot_id}"
+                )
+            target = self._live_files(meta, snapshot_id)
+            current = self._live_files(meta)
+            self._commit_snapshot(
+                meta, "rollback", added=target - current, removed=current - target
             )
-        target = self._live_files(meta, snapshot_id)
-        current = self._live_files(meta)
-        self._commit_snapshot(
-            meta, "rollback", added=target - current, removed=current - target
-        )
 
     # ------------------------------------------------- table maintenance
     def expire_snapshots(

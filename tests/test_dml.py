@@ -328,3 +328,38 @@ def test_ref_sql_spelling(spark, tmp_path):
     e.sql("INSERT INTO t VALUES (2)")
     assert sorted(r.k for r in e.sql("SELECT k FROM t").collect()) == [1, 2]
     assert [r.k for r in e.sql("SELECT k FROM t VERSION AS OF 'launch'").collect()] == [1]
+
+
+# ----------------------------------------------------- concurrency
+def test_concurrent_appends_lose_no_snapshots(wh):
+    """Six threads commit appends to one table concurrently; the
+    per-table commit lock (Iceberg's linearized metadata swap) must
+    keep every snapshot — no lost updates, no absorbed file diffs."""
+    import threading
+
+    wh.create_table("t", "k int, worker int")
+    errors = []
+
+    def append(w):
+        try:
+            wh.insert_values("t", [(i, w) for i in range(3)])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=append, args=(w,)) for w in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    snaps = wh.snapshots("t")
+    assert len(snaps) == 6
+    assert [s["sequence_number"] for s in snaps] == list(range(1, 7))
+    # every snapshot's file diff is its own: 18 rows total, 3 per worker
+    assert wh.read_table("t").count() == 18
+    assert sum(s["added_records"] for s in snaps) == 18
+    per_worker = {
+        r.worker: r.n
+        for r in wh.read_table("t").groupBy("worker").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_worker == {w: 3 for w in range(6)}
