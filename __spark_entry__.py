@@ -86,6 +86,9 @@ _PRIORITY = [
     "split_train_holdout",
     "sample_stratified_cap",
     "curation_pipeline",
+    "quality_repetition_filter",
+    "decontaminate_ngrams",
+    "pack_sequences",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
     "q9_product_profit",

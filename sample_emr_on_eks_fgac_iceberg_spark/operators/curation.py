@@ -191,3 +191,206 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
     )
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: repetition-based quality filtering (the Gopher
+# rules), benchmark decontamination (the GPT-3 appendix-C n-gram
+# overlap check), and fixed-budget sequence packing — the three passes
+# between "curated corpus" and "tokenizer input" in a pretraining
+# pipeline.
+# ---------------------------------------------------------------------------
+
+_NORM = r"\s+"
+# Repetition thresholds (integer-exact compares, see below): flag when
+# duplicate-word fraction > 0.60 or top-word fraction > 0.13.
+_DUP_PCT = 60
+_TOP_PCT = 13
+# Decontamination: 4-word shingles; benchmark slice = md5 bucket >= 'e0'.
+_GRAM_N = 4
+_BENCH_FLOOR = "e0"
+# Packing: per-sequence character budget.
+_PACK_BUDGET = 2048
+
+
+def _norm_words(col="text"):
+    return F.split(F.regexp_replace(F.trim(F.lower(col)), _NORM, " "), " ")
+
+
+@register(
+    "quality_repetition_filter",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, source,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+    wc AS (SELECT doc_id, source, w, COUNT(*) AS c FROM words GROUP BY ALL),
+    perdoc AS (
+        SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS total_w,
+               COUNT(*) AS distinct_w, CAST(MAX(c) AS BIGINT) AS top_w
+        FROM wc GROUP BY doc_id, source)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (total_w - distinct_w) * 100 > {_DUP_PCT} * total_w
+                           OR top_w * 100 > {_TOP_PCT} * total_w
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(total_w) AS BIGINT) AS sum_total_w,
+           CAST(SUM(distinct_w) AS BIGINT) AS sum_distinct_w
+    FROM perdoc GROUP BY source
+    """,
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    flag documents whose duplicate-word fraction exceeds 0.60 or whose
+    single most frequent word exceeds 0.13 of all tokens. Both
+    thresholds are evaluated as pure integer cross-multiplications
+    (``(total-distinct)*100 > 60*total``), so the Spark and DuckDB
+    sides agree bit-for-bit with no float compare at the boundary.
+
+    Plan shape: explode → two partial-aggregated shuffles keyed on
+    (doc_id, word) then (doc_id) — both combine map-side, so the
+    shuffled volume is per-doc vocabulary counts, not raw tokens. At
+    100 TB the reduce keys are doc-unique and uniformly hash-spread;
+    no key is hotter than one document's vocabulary."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    words = d.select("doc_id", "source", F.explode(_norm_words()).alias("w"))
+    wc = words.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("c"))
+    perdoc = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("total_w"),
+        F.count(F.lit(1)).alias("distinct_w"),
+        F.max("c").alias("top_w"),
+    )
+    flagged = ((F.col("total_w") - F.col("distinct_w")) * 100 > _DUP_PCT * F.col("total_w")) | (
+        F.col("top_w") * 100 > _TOP_PCT * F.col("total_w")
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).alias("n_flagged"),
+        F.sum("total_w").alias("sum_total_w"),
+        F.sum("distinct_w").alias("sum_distinct_w"),
+    )
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w,
+               unnest(range(1, len(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) + 1)) AS pos,
+               len(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n_w
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_GRAM_N - 1} FOLLOWING) AS gram,
+               pos, n_w
+        FROM toks),
+    grams AS (SELECT doc_id, md5(gram) AS gh FROM sh WHERE pos <= n_w - {_GRAM_N - 1}),
+    bench AS (SELECT DISTINCT gh FROM grams
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{_BENCH_FLOOR}'),
+    contam AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.gh = b.gh
+               WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < '{_BENCH_FLOOR}')
+    SELECT d.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+    FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '{_BENCH_FLOOR}'
+    GROUP BY d.source
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 paper's
+    appendix-C procedure): a training document is contaminated when it
+    shares any {4}-word shingle with the held-out benchmark slice
+    (here the deterministic md5-bucket >= 0xe0 slice of the corpus).
+
+    Plan shape at scale: the benchmark's distinct shingle-hash set is
+    tiny relative to the corpus (eval sets are MBs, corpora are TBs),
+    so it broadcasts; the corpus side is a narrow explode → broadcast
+    semi-join — the 100 TB scan is never shuffled. Shingling is pure
+    JVM (transform over an index sequence + slice + concat_ws)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    bucket = F.substring(_doc_hash("doc_id"), 1, 2)
+    words = _norm_words()
+    grams = F.when(
+        F.size(words) >= _GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(_GRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _GRAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id", bucket.alias("bucket"), F.explode(grams).alias("gram")
+    ).withColumn("gh", F.md5("gram"))
+    bench = g.filter(F.col("bucket") >= _BENCH_FLOOR).select("gh").distinct()
+    contam = (
+        g.filter(F.col("bucket") < _BENCH_FLOOR)
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_c", F.lit(1))
+    )
+    train = d.filter(bucket < _BENCH_FLOOR).select("doc_id", "source")
+    return train.join(contam, "doc_id", "left").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.coalesce(F.col("is_c"), F.lit(0))).alias("n_contaminated"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=rf"""
+    WITH ordered AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents),
+    binned AS (
+        SELECT source, doc_id, n_chars,
+               (CAST(cum AS BIGINT) - n_chars) // {_PACK_BUDGET} AS bin
+        FROM ordered)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin) AS n_bins,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM binned GROUP BY source
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing: stream each source's documents in
+    deterministic hash order and cut a new training sequence every
+    {2048} cumulative characters (the running-sum formulation of
+    greedy packing — a doc belongs to bin floor(prefix_sum/budget)).
+    Deterministic by construction: bin assignment is a pure function
+    of the (source, hash-order) prefix sums, independent of cluster
+    size or partitioning.
+
+    Plan shape: one shuffle on the low-cardinality source key for the
+    running-sum window, then the final aggregate reuses the same
+    partitioning. At 100 TB a single source is still one stratum —
+    the production variant packs per (source, shard) where shard =
+    pmod(hash(doc_id), k) to bound any one window's width; the
+    packing guarantee is unchanged because prefix sums are computed
+    within the shard."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_doc_hash("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn("bin", F.expr(f"(cum - n_chars) div {_PACK_BUDGET}"))
+    )
+    return binned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("n_chars").alias("total_chars"),
+    )
