@@ -250,6 +250,139 @@ class Warehouse:
             live -= set(s.get("removed_files", ()))
         return live
 
+    # --------------------------------- merge-on-read equality deletes
+    # Iceberg v2 row-level deletes without rewriting data files: a
+    # DELETE on a table with write.delete.mode=merge-on-read writes a
+    # small *equality delete file* holding the identifier-column values
+    # of the deleted rows; scans subtract them with an anti-join. A
+    # delete at sequence D applies only to rows in data files with
+    # sequence < D (Iceberg's sequence-number rule) — which is what
+    # makes later inserts of the same key, and DML/compaction rewrites
+    # (whose new files get a higher sequence), immune to old deletes.
+    # At 100 TB the win is the write path: deleting a billion rows
+    # spread over the table costs one small keys file, not a rewrite
+    # of every touched data file; compaction materializes deletes in
+    # the background.
+
+    def delete_dir(self, name: str) -> str:
+        return os.path.join(self.root, name, "deletes")
+
+    def _delete_files_on_disk(self, name: str) -> set[str]:
+        d = self.delete_dir(name)
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.path.relpath(os.path.join(dirpath, fn), d)
+            for dirpath, _, fns in os.walk(d)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+
+    @staticmethod
+    def _live_delete_files(
+        meta: TableMeta, snapshot_id: int | None = None
+    ) -> dict[str, int]:
+        """Replay the manifest log → {delete file: the sequence number
+        it was committed at}. Removal (compaction / expiry / rollback)
+        takes a file out of the live set; re-adds keep the original
+        sequence so the apply-to-older-data rule stays stable."""
+        live: dict[str, int] = {}
+        first_seq: dict[str, int] = {}
+        for s in meta.snapshots:
+            if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+                break
+            # a collapsed base manifest (expire_snapshots) records the
+            # original commit sequences explicitly
+            for f, seq in s.get("delete_file_seqs", {}).items():
+                first_seq.setdefault(f, int(seq))
+            for f in s.get("added_delete_files", ()):
+                seq = first_seq.setdefault(f, s["sequence_number"])
+                live[f] = seq
+            for f in s.get("removed_delete_files", ()):
+                live.pop(f, None)
+        return live
+
+    @staticmethod
+    def _file_seqs(meta: TableMeta) -> dict[str, int]:
+        """Data file → sequence number of the snapshot that first added
+        it (re-adds by rollback keep the original sequence, mirroring
+        Iceberg's per-entry data_sequence_number). A collapsed base
+        manifest carries its pre-collapse sequences in ``file_seqs``."""
+        out: dict[str, int] = {}
+        for s in meta.snapshots:
+            for f, seq in s.get("file_seqs", {}).items():
+                out.setdefault(f, int(seq))
+            for f in s["added_files"]:
+                out.setdefault(f, s["sequence_number"])
+        return out
+
+    def identifier_fields(self, name: str) -> list[str]:
+        meta = self._resolve_dml_target(name)
+        return json.loads(meta.properties.get("identifier_fields", "[]"))
+
+    def set_identifier_fields(self, name: str, cols: list[str]) -> None:
+        """Iceberg's identifier_field_ids: the row-identity columns
+        equality deletes key on (a natural/primary key)."""
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            names = {f.name for f in meta.schema.fields}
+            for c in cols:
+                if c not in names:
+                    raise ValueError(f"Identifier column '{c}' not in schema")
+            meta.properties["identifier_fields"] = json.dumps(list(cols))
+            self._write_meta(meta)
+
+    def set_delete_mode(self, name: str, mode: str) -> None:
+        """write.delete.mode: 'copy-on-write' (default) or
+        'merge-on-read'. MoR requires identifier fields."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"Unknown delete mode '{mode}'")
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if mode == "merge-on-read" and not json.loads(
+                meta.properties.get("identifier_fields", "[]")
+            ):
+                raise ValueError(
+                    "merge-on-read deletes need identifier fields "
+                    "(set_identifier_fields first)"
+                )
+            meta.properties["write.delete.mode"] = mode
+            self._write_meta(meta)
+
+    def _apply_equality_deletes(
+        self, meta: TableMeta, df: DataFrame, del_map: dict[str, int]
+    ) -> DataFrame:
+        """Subtract equality-delete rows: anti-join on the identifier
+        columns with the sequence guard del_seq > data_seq. The delete
+        side is key tuples only — small — so it broadcasts; the data
+        scan is never shuffled by the subtraction."""
+        keys = json.loads(meta.properties.get("identifier_fields", "[]"))
+        by_seq: dict[int, list[str]] = {}
+        for f, s in del_map.items():
+            by_seq.setdefault(s, []).append(f)
+        ddir = self.delete_dir(meta.name)
+        parts = []
+        for seq, files in sorted(by_seq.items()):
+            raw = self.spark.read.parquet(*(os.path.join(ddir, f) for f in files))
+            # renames committed after the delete file was written: the
+            # stored key columns resolve through the same rename log as
+            # data files
+            for old, new in meta.renames:
+                if old in raw.columns and new not in raw.columns:
+                    raw = raw.withColumnRenamed(old, new)
+            parts.append(
+                raw.select(*keys).withColumn("__del_seq", F.lit(int(seq)))
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        d = dels.alias("__dels")
+        t = df.alias("__tgt")
+        cond = F.col("__dels.__del_seq") > F.col("__tgt.__seq")
+        for k in keys:
+            cond = cond & F.col(f"__tgt.{k}").eqNullSafe(F.col(f"__dels.{k}"))
+        return t.join(F.broadcast(d), cond, "left_anti").drop("__seq")
+
     def _commit_snapshot(
         self,
         meta: TableMeta,
@@ -257,6 +390,9 @@ class Warehouse:
         added: set[str],
         removed: set[str] | None = None,
         txn: tuple[str, int] | None = None,
+        added_deletes: set[str] | None = None,
+        removed_deletes: set[str] | None = None,
+        equality_ids: list[str] | None = None,
     ) -> None:
         """Optimistic commit: re-read the on-disk metadata so a
         concurrent committer's snapshots are not clobbered, then append
@@ -287,6 +423,11 @@ class Warehouse:
         }
         if txn is not None:
             entry["source_id"], entry["batch_id"] = txn[0], int(txn[1])
+        if added_deletes or removed_deletes:
+            entry["added_delete_files"] = sorted(added_deletes or ())
+            entry["removed_delete_files"] = sorted(removed_deletes or ())
+        if equality_ids:
+            entry["equality_ids"] = list(equality_ids)
         # record the spec the added files were written under (partition
         # evolution: reads group files by spec)
         entry["partition_by"] = list(meta.partition_by)
@@ -390,7 +531,12 @@ class Warehouse:
         return row["n"], {self._rel_file(meta, u) for u in row["files"]}, list(row["files"])
 
     def _rewrite_files(
-        self, meta: TableMeta, rewritten: DataFrame, operation: str, removed: set[str]
+        self,
+        meta: TableMeta,
+        rewritten: DataFrame,
+        operation: str,
+        removed: set[str],
+        removed_deletes: set[str] | None = None,
     ) -> set[str]:
         """Append the rewritten rows as new data files and commit a
         snapshot that removes the old files from the live set."""
@@ -407,7 +553,9 @@ class Warehouse:
                 writer = writer.partitionBy(*meta.partition_by)
             writer.parquet(self.data_dir(meta.name))
             added = self._data_files(meta.name) - before
-            self._commit_snapshot(meta, operation, added, removed)
+            self._commit_snapshot(
+                meta, operation, added, removed, removed_deletes=removed_deletes
+            )
         return added
 
     def delete_from(self, name: str, condition=None) -> dict:
@@ -419,6 +567,8 @@ class Warehouse:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if cond is None:
             cond = F.lit(True)
+        if meta.properties.get("write.delete.mode") == "merge-on-read":
+            return self._delete_merge_on_read(meta, cond)
         scan = self._scan_with_filepath(meta)
         if scan is None:
             return {"deleted_rows": 0, "rewritten_files": 0}
@@ -433,6 +583,45 @@ class Warehouse:
         )
         self._rewrite_files(meta, kept, "delete", affected)
         return {"deleted_rows": n, "rewritten_files": len(affected)}
+
+    def _delete_merge_on_read(self, meta: TableMeta, cond) -> dict:
+        """DELETE under write.delete.mode=merge-on-read: write the
+        matched rows' identifier-column tuples as an equality delete
+        file and commit — no data file is rewritten. The scan already
+        subtracts previously-committed deletes, so re-deleting the same
+        rows is a no-op commit. Cost at 100 TB: one pruned scan to find
+        the keys + a keys-only write, vs CoW's rewrite of every file
+        containing a match."""
+        keys = json.loads(meta.properties.get("identifier_fields", "[]"))
+        if not keys:
+            raise ValueError(
+                f"merge-on-read delete on '{meta.name}' needs identifier fields"
+            )
+        scan = self._scan_live(meta)
+        if scan is None:
+            return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        hit = F.coalesce(cond, F.lit(False))
+        matched = scan.filter(hit).select(*keys).localCheckpoint(eager=False)
+        n = matched.count()
+        if n == 0:
+            return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        ddir = self.delete_dir(meta.name)
+        os.makedirs(ddir, exist_ok=True)
+        with self._table_lock(meta.name):
+            before = self._delete_files_on_disk(meta.name)
+            # key tuples are tiny relative to the data; one file per
+            # non-empty task is fine (Iceberg writes per-task delete
+            # files too)
+            matched.dropDuplicates(keys).write.mode("append").parquet(ddir)
+            added = self._delete_files_on_disk(meta.name) - before
+            self._commit_snapshot(
+                meta,
+                "delete",
+                added=set(),
+                added_deletes=added,
+                equality_ids=keys,
+            )
+        return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
 
     def update_where(self, name: str, assignments: dict, condition=None) -> dict:
         """UPDATE name SET col = expr[, …] [WHERE condition] — same
@@ -653,24 +842,35 @@ class Warehouse:
         return out
 
     def _read_files(
-        self, meta: TableMeta, files: set[str] | list[str], with_file: bool = False
+        self,
+        meta: TableMeta,
+        files: set[str] | list[str],
+        with_file: bool = False,
+        seq_of: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """Manifest-planned read of an explicit file set, resolved
         against the current schema. Files are grouped by the partition
         spec they were written under (partition evolution: each group
         has a consistent directory layout; partition values come from
         the directory for that group's spec and from the file for every
-        other column), then the projected groups union by name."""
+        other column), then the projected groups union by name.
+        ``seq_of`` additionally groups by commit sequence and tags rows
+        with a ``__seq`` column (only needed when equality deletes are
+        live — the sequence guard is per data file)."""
         if not files:
             return None
         data = self.data_dir(meta.name)
         specs = self._file_specs(meta)
         groups: dict[tuple, list[str]] = {}
         for f in sorted(files):
-            groups.setdefault(specs.get(f, tuple(meta.partition_by)), []).append(f)
+            spec = specs.get(f, tuple(meta.partition_by))
+            key = (spec, seq_of.get(f, 0)) if seq_of is not None else (spec,)
+            groups.setdefault(key, []).append(f)
         extra = ("__file_path",) if with_file else ()
+        if seq_of is not None:
+            extra = extra + ("__seq",)
         parts = []
-        for group_files in groups.values():
+        for key, group_files in groups.items():
             reader = self.spark.read.option("basePath", data)
             if meta.properties.get("schema_evolved") == "true":
                 # only after an ALTER: pre-evolution files have a
@@ -681,6 +881,8 @@ class Warehouse:
             raw = reader.parquet(*(os.path.join(data, f) for f in group_files))
             if with_file:
                 raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
+            if seq_of is not None:
+                raw = raw.withColumn("__seq", F.lit(int(key[1])))
             parts.append(self._project(raw, meta, extra=extra))
         out = parts[0]
         for p in parts[1:]:
@@ -693,11 +895,19 @@ class Warehouse:
         snapshot_id: int | None = None,
         with_file: bool = False,
     ) -> DataFrame | None:
-        """Scan of the live data files of the requested snapshot,
-        resolved against the current schema. None for an empty set."""
-        return self._read_files(
-            meta, self._live_files(meta, snapshot_id), with_file=with_file
+        """Scan of the live data files of the requested snapshot minus
+        any live equality deletes, resolved against the current schema.
+        None for an empty set."""
+        del_map = self._live_delete_files(meta, snapshot_id)
+        scan = self._read_files(
+            meta,
+            self._live_files(meta, snapshot_id),
+            with_file=with_file,
+            seq_of=self._file_seqs(meta) if del_map else None,
         )
+        if scan is None or not del_map:
+            return scan
+        return self._apply_equality_deletes(meta, scan, del_map)
 
     def _project(self, df: DataFrame, meta: TableMeta, extra: tuple = ()) -> DataFrame:
         """Resolve a raw scan against the *current* declared schema:
@@ -764,6 +974,10 @@ class Warehouse:
             meta = self._read_meta(name)
             if col in meta.partition_by:
                 raise ValueError(f"Cannot drop partition column '{col}'")
+            if col in json.loads(meta.properties.get("identifier_fields", "[]")):
+                raise ValueError(
+                    f"Cannot drop identifier column '{col}' (equality deletes key on it)"
+                )
             fields = [f for f in meta.schema.fields if f.name != col]
             if len(fields) == len(meta.schema.fields):
                 raise ValueError(f"Column '{col}' does not exist in '{name}'")
@@ -901,22 +1115,36 @@ class Warehouse:
             full = os.path.join(data, f)
             rows.append(
                 (
+                    "data",
                     f,
                     os.path.dirname(f) or None,
                     pq.ParquetFile(full).metadata.num_rows,
                     os.path.getsize(full),
                 )
             )
+        ddir = self.delete_dir(name)
+        for f in sorted(self._live_delete_files(meta)):
+            full = os.path.join(ddir, f)
+            rows.append(
+                (
+                    "equality-deletes",
+                    f,
+                    None,
+                    pq.ParquetFile(full).metadata.num_rows,
+                    os.path.getsize(full),
+                )
+            )
         return self.spark.createDataFrame(
             rows,
-            "file_path string, partition string, record_count bigint, "
-            "file_size_in_bytes bigint",
+            "content string, file_path string, partition string, "
+            "record_count bigint, file_size_in_bytes bigint",
         )
 
     def partitions_df(self, name: str) -> DataFrame:
         """Per-partition record/file counts aggregated from footers."""
         return (
             self.files_df(name)
+            .filter(F.col("content") == "data")
             .groupBy("partition")
             .agg(
                 F.sum("record_count").alias("record_count"),
@@ -1008,8 +1236,15 @@ class Warehouse:
                 )
             target = self._live_files(meta, snapshot_id)
             current = self._live_files(meta)
+            target_dels = set(self._live_delete_files(meta, snapshot_id))
+            current_dels = set(self._live_delete_files(meta))
             self._commit_snapshot(
-                meta, "rollback", added=target - current, removed=current - target
+                meta,
+                "rollback",
+                added=target - current,
+                removed=current - target,
+                added_deletes=target_dels - current_dels,
+                removed_deletes=current_dels - target_dels,
             )
 
     # ------------------------------------------------- table maintenance
@@ -1046,18 +1281,40 @@ class Warehouse:
         n_expired = len(snaps) - len(retained)
         if n_expired == 0:
             return {"expired_snapshots": 0, "deleted_files": 0}
-        base_live = self._live_files(meta, retained[0]["snapshot_id"])
-        base = dict(retained[0], added_files=sorted(base_live), removed_files=[])
+        base_sid = retained[0]["snapshot_id"]
+        base_live = self._live_files(meta, base_sid)
+        base_dels = self._live_delete_files(meta, base_sid)
+        all_seqs = self._file_seqs(meta)
+        base = dict(
+            retained[0],
+            added_files=sorted(base_live),
+            removed_files=[],
+            # preserve pre-collapse commit sequences so the equality-
+            # delete rule (del_seq > data_seq) survives expiry
+            file_seqs={f: all_seqs[f] for f in base_live if f in all_seqs},
+            added_delete_files=sorted(base_dels),
+            removed_delete_files=[],
+            delete_file_seqs=dict(base_dels),
+        )
         referenced: set[str] = set()
+        referenced_dels: set[str] = set()
         for s in retained:
             referenced |= self._live_files(meta, s["snapshot_id"])
+            referenced_dels |= set(self._live_delete_files(meta, s["snapshot_id"]))
         meta.snapshots = [base] + retained[1:]
         self._write_meta(meta)
         data = self.data_dir(name)
         dropped = self._data_files(name) - referenced
         for f in dropped:
             os.remove(os.path.join(data, f))
-        return {"expired_snapshots": n_expired, "deleted_files": len(dropped)}
+        ddir = self.delete_dir(name)
+        dropped_dels = self._delete_files_on_disk(name) - referenced_dels
+        for f in dropped_dels:
+            os.remove(os.path.join(ddir, f))
+        return {
+            "expired_snapshots": n_expired,
+            "deleted_files": len(dropped) + len(dropped_dels),
+        }
 
     def remove_orphan_files(self, name: str) -> dict:
         """Iceberg's remove_orphan_files: physically delete data files
@@ -1071,7 +1328,14 @@ class Warehouse:
         orphans = self._data_files(name) - referenced
         for f in orphans:
             os.remove(os.path.join(data, f))
-        return {"deleted_files": len(orphans)}
+        referenced_dels = {
+            f for s in meta.snapshots for f in s.get("added_delete_files", ())
+        }
+        ddir = self.delete_dir(name)
+        del_orphans = self._delete_files_on_disk(name) - referenced_dels
+        for f in del_orphans:
+            os.remove(os.path.join(ddir, f))
+        return {"deleted_files": len(orphans) + len(del_orphans)}
 
     def compact_table(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Iceberg's rewrite_data_files (bin-pack): rewrite the live
@@ -1080,16 +1344,23 @@ class Warehouse:
         old files until expired."""
         meta = self._read_meta(name)
         live = self._live_files(meta)
-        if len(live) <= 1:
+        live_dels = self._live_delete_files(meta)
+        if len(live) <= 1 and not live_dels:
             return {"rewritten_files": 0, "added_files": 0}
         data = self.data_dir(name)
         total = sum(os.path.getsize(os.path.join(data, f)) for f in live)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self._scan_live(meta)
+        df = self._scan_live(meta)  # equality deletes already subtracted
         packed = (
             df.repartition(int(n_out), *meta.partition_by)
             if meta.partition_by
             else df.repartition(int(n_out))
         )
-        added = self._rewrite_files(meta, packed, "replace", live)
-        return {"rewritten_files": len(live), "added_files": len(added)}
+        added = self._rewrite_files(
+            meta, packed, "replace", live, removed_deletes=set(live_dels)
+        )
+        return {
+            "rewritten_files": len(live),
+            "added_files": len(added),
+            "materialized_delete_files": len(live_dels),
+        }

@@ -57,6 +57,10 @@ _ALTER_PARTITION_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
     re.I,
 )
+_ALTER_TBLPROPS_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
 _ALTER_WRITE_ORDER_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
     re.I,
@@ -242,6 +246,26 @@ class SqlFrontend:
                 m.group(1),
                 [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
             )
+            return None
+        m = _ALTER_TBLPROPS_RE.match(query)
+        if m:
+            name = m.group(1)
+            for kv in _split_top_commas(m.group(2)):
+                pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", kv)
+                if not pm:
+                    raise ValueError(f"Cannot parse TBLPROPERTIES entry: {kv!r}")
+                key, value = pm.group(1), pm.group(2)
+                if key == "write.delete.mode":
+                    self.warehouse.set_delete_mode(name, value)
+                elif key == "identifier_fields":
+                    self.warehouse.set_identifier_fields(
+                        name, [c.strip() for c in value.split(",") if c.strip()]
+                    )
+                else:
+                    with self.warehouse._table_lock(name):
+                        meta = self.warehouse._read_meta(name)
+                        meta.properties[key] = value
+                        self.warehouse._write_meta(meta)
             return None
         if _SHOW_TABLES_RE.match(query):
             return self.spark.createDataFrame(

@@ -1,0 +1,177 @@
+"""Merge-on-read equality deletes (Iceberg v2 delete files).
+
+The reference's tables are Iceberg (producer_iceberg_datalake_setup.sh:
+116-131); format v2's row-level delete contract is: DELETE under
+write.delete.mode=merge-on-read writes an equality delete file instead
+of rewriting data files, scans subtract it, a delete at sequence D
+applies only to data files with sequence < D, and compaction
+materializes outstanding deletes.
+
+Scale contract under test: the delete writes key tuples only (no data
+file is rewritten), later inserts of the same key survive (sequence
+rule), and snapshots from before the delete still read the rows.
+"""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mor_table(wh, name="t"):
+    wh.create_table(name, "k int, v string")
+    wh.set_identifier_fields(name, ["k"])
+    wh.set_delete_mode(name, "merge-on-read")
+    return name
+
+
+def test_mor_delete_writes_no_data_files(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b"), (3, "c")])
+    files_before = wh._data_files("t")
+    stats = wh.delete_from("t", "k = 2")
+    assert stats["mode"] == "merge-on-read"
+    assert stats["deleted_rows"] == 1
+    assert stats["delete_files"] >= 1
+    # zero data files rewritten or added
+    assert wh._data_files("t") == files_before
+    assert _rows(wh.read_table("t")) == [(1, "a"), (3, "c")]
+    snap = wh.snapshots("t")[-1]
+    assert snap["operation"] == "delete"
+    assert snap["added_files"] == [] and snap["added_delete_files"]
+    assert snap["equality_ids"] == ["k"]
+
+
+def test_mor_requires_identifier_fields(wh):
+    wh.create_table("t", "k int, v string")
+    with pytest.raises(ValueError, match="identifier fields"):
+        wh.set_delete_mode("t", "merge-on-read")
+
+
+def test_mor_time_travel_reads_pre_delete_rows(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.delete_from("t", "k = 1")
+    assert _rows(wh.read_table("t")) == [(2, "b")]
+    assert _rows(wh.read_table("t", snapshot_id=1)) == [(1, "a"), (2, "b")]
+
+
+def test_mor_sequence_rule_reinsert_survives(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "old")])
+    wh.delete_from("t", "k = 1")
+    # a later insert of the same key has a higher sequence: the old
+    # equality delete must not swallow it
+    wh.insert_values("t", [(1, "new")])
+    assert _rows(wh.read_table("t")) == [(1, "new")]
+
+
+def test_mor_redelete_is_noop(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a")])
+    wh.delete_from("t", "k = 1")
+    n_snaps = len(wh.snapshots("t"))
+    stats = wh.delete_from("t", "k = 1")
+    assert stats["deleted_rows"] == 0
+    assert len(wh.snapshots("t")) == n_snaps  # no empty commit
+
+
+def test_mor_compaction_materializes_deletes(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.insert_values("t", [(3, "c")])
+    wh.delete_from("t", "k = 2")
+    assert wh._live_delete_files(wh._read_meta("t"))
+    stats = wh.compact_table("t")
+    assert stats["materialized_delete_files"] >= 1
+    # delete files are out of the live set; rows unchanged
+    assert wh._live_delete_files(wh._read_meta("t")) == {}
+    assert _rows(wh.read_table("t")) == [(1, "a"), (3, "c")]
+
+
+def test_mor_cow_update_does_not_resurrect(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.delete_from("t", "k = 1")
+    # UPDATE stays copy-on-write; its rewrite must not bring k=1 back
+    wh.update_where("t", {"v": "upper(v)"}, "k = 2")
+    assert _rows(wh.read_table("t")) == [(2, "B")]
+
+
+def test_mor_rollback_restores_deleted_rows(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.delete_from("t", "k = 1")
+    wh.rollback_to_snapshot("t", 1)
+    assert _rows(wh.read_table("t")) == [(1, "a"), (2, "b")]
+
+
+def test_mor_expire_preserves_delete_semantics(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])  # seq 1
+    wh.delete_from("t", "k = 1")                 # seq 2
+    wh.insert_values("t", [(1, "again")])        # seq 3 — immune to seq-2 delete
+    wh.insert_values("t", [(9, "z")])            # seq 4
+    stats = wh.expire_snapshots("t", keep_last=2)
+    assert stats["expired_snapshots"] == 2
+    # collapsed base keeps original sequences: the delete still hides
+    # the seq-1 (1, 'a') row but not the seq-3 re-insert
+    assert _rows(wh.read_table("t")) == [(1, "again"), (2, "b"), (9, "z")]
+
+
+def test_mor_files_metadata_table_shows_delete_content(wh):
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a")])
+    wh.delete_from("t", "k = 1")
+    rows = {(r["content"],) for r in wh.files_df("t").collect()}
+    assert ("equality-deletes",) in rows and ("data",) in rows
+
+
+def test_mor_orphan_cleanup_spares_live_delete_files(wh):
+    import os
+
+    _mor_table(wh)
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.delete_from("t", "k = 1")
+    # plant an orphan in the deletes dir
+    orphan = os.path.join(wh.delete_dir("t"), "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    stats = wh.remove_orphan_files("t")
+    assert stats["deleted_files"] == 1
+    assert not os.path.exists(orphan)
+    assert _rows(wh.read_table("t")) == [(2, "b")]
+
+
+def test_mor_sql_surface(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    fe = SqlFrontend(spark, wh)
+    fe.execute("CREATE TABLE t (k INT, v STRING)")
+    fe.execute(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('identifier_fields'='k', 'write.delete.mode'='merge-on-read')"
+    )
+    fe.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    files_before = wh._data_files("t")
+    fe.execute("DELETE FROM t WHERE k = 1")
+    assert wh._data_files("t") == files_before  # no rewrite
+    assert _rows(fe.execute("SELECT * FROM t")) == [(2, "b")]
+    # metadata table exposes the delete file
+    contents = {r["content"] for r in fe.execute("SELECT * FROM t.files").collect()}
+    assert "equality-deletes" in contents
+
+
+def test_mor_guard_cannot_drop_identifier_column(wh):
+    _mor_table(wh)
+    with pytest.raises(ValueError, match="identifier column"):
+        wh.drop_column("t", "k")
