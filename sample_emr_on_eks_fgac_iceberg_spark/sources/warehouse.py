@@ -29,14 +29,89 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms): a spec entry is
+# either an identity column name or a transform expression —
+# year(ts) / month(ts) / day(ts) / hour(ts) / bucket(N, col) /
+# truncate(W, col). The derived partition value is engine-managed: it
+# appears in the directory layout (ts_day=2024-01-05/…) but never in
+# the logical schema, and queries filter on the SOURCE column — the
+# engine's scan planner converts those predicates into partition
+# pruning (Iceberg's metadata-time file planning), so a query never
+# has to know how the table is partitioned.
+# --------------------------------------------------------------------
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(years?|months?|days?|hours?)\s*\(\s*`?(\w+)`?\s*\)\s*$"
+    r"|^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)\s*$",
+    re.I,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    kind: str  # identity | year | month | day | hour | bucket | truncate
+    source: str
+    param: int | None
+    name: str  # directory column name (ts_day, k_bucket, …)
+
+
+def parse_partition_spec(entries: list[str]) -> list[PartitionField]:
+    out = []
+    for e in entries:
+        m = _TRANSFORM_RE.match(e)
+        if m is None:
+            col = e.strip().strip("`")
+            out.append(PartitionField("identity", col, None, col))
+        elif m.group(1):
+            kind = m.group(1).lower().rstrip("s")
+            src = m.group(2)
+            out.append(PartitionField(kind, src, None, f"{src}_{kind}"))
+        else:
+            kind = m.group(3).lower()
+            param, src = int(m.group(4)), m.group(5)
+            suffix = "bucket" if kind == "bucket" else "trunc"
+            out.append(PartitionField(kind, src, param, f"{src}_{suffix}"))
+    return out
+
+
+def _transform_column(f: PartitionField, dtype: str) -> F.Column:
+    """The derived partition value as a Spark expression (write path).
+    ``dtype`` is the source column's simpleString type."""
+    c = F.col(f.source)
+    if f.kind == "year":
+        return F.year(c)
+    if f.kind == "month":
+        return F.date_format(c, "yyyy-MM")
+    if f.kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if f.kind == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if f.kind == "bucket":
+        return F.pmod(F.hash(c), F.lit(f.param))
+    if f.kind == "truncate":
+        # order-preserving: ints floor to a multiple of W, strings to
+        # a W-char prefix (Iceberg's truncate semantics)
+        if dtype in _INT_TYPES:
+            return c - F.pmod(c, F.lit(f.param))
+        return F.substring(c, 1, f.param)
+    raise ValueError(f.kind)
 
 
 class TableNotFoundError(Exception):
@@ -172,9 +247,13 @@ class Warehouse:
             schema = T.StructType.fromDDL(schema)
         partition_by = list(partition_by or [])
         names = [f.name for f in schema.fields]
-        for col in partition_by:
-            if col not in names:
-                raise ValueError(f"Partition column '{col}' not in schema")
+        for pf in parse_partition_spec(partition_by):
+            if pf.source not in names:
+                raise ValueError(f"Partition column '{pf.source}' not in schema")
+            if pf.name in names and pf.kind != "identity":
+                raise ValueError(
+                    f"Derived partition name '{pf.name}' collides with a schema column"
+                )
         meta = TableMeta(
             name=name,
             schema_json=json.dumps(schema.jsonValue()),
@@ -481,9 +560,10 @@ class Warehouse:
                 if fence is not None and int(txn[1]) <= fence:
                     return False
             before = self._data_files(name)
+            aligned, part_cols = self._prepare_partitions(meta, aligned)
             writer = aligned.write.mode("append")
-            if meta.partition_by:
-                writer = writer.partitionBy(*meta.partition_by)
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(name))
             self._commit_snapshot(
                 meta, "append", self._data_files(name) - before, txn=txn
@@ -548,9 +628,10 @@ class Warehouse:
             aligned = aligned.sortWithinPartitions(*order)
         with self._table_lock(meta.name):
             before = self._data_files(meta.name)
+            aligned, part_cols = self._prepare_partitions(meta, aligned)
             writer = aligned.write.mode("append")
-            if meta.partition_by:
-                writer = writer.partitionBy(*meta.partition_by)
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(meta.name))
             added = self._data_files(meta.name) - before
             self._commit_snapshot(
@@ -787,6 +868,7 @@ class Warehouse:
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         ref: str | None = None,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """S1: cataloged scan. Partition columns come back from the
         directory layout (basePath keeps them in the schema); declared
@@ -796,7 +878,14 @@ class Warehouse:
         of every manifest up to and including it — appends are
         cumulative), mirroring Iceberg's ``VERSION AS OF``;
         ``as_of_timestamp_ms`` picks the last snapshot committed at or
-        before that time (``TIMESTAMP AS OF``)."""
+        before that time (``TIMESTAMP AS OF``).
+
+        ``filters`` — [(col, op, literal), …] with op in
+        {=, <, <=, >, >=, in} over SOURCE columns — plans the file set
+        at the manifest level first (hidden-partitioning pruning:
+        day(ts)/bucket(k)/truncate specs prune without the query
+        mentioning the partition layout), then applies the exact
+        predicate row-level."""
         meta = self._read_meta(name)
         if meta.link_to is not None:
             return self.read_table(
@@ -804,6 +893,7 @@ class Warehouse:
                 snapshot_id=snapshot_id,
                 as_of_timestamp_ms=as_of_timestamp_ms,
                 ref=ref,
+                filters=filters,
             )
         if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
             raise ValueError("pass only one of snapshot_id, as_of_timestamp_ms, ref")
@@ -824,9 +914,11 @@ class Warehouse:
                 raise SnapshotNotFoundError(
                     f"Table '{name}' has no snapshot {snapshot_id} (known: {sorted(known)})"
                 )
-        scan = self._scan_live(meta, snapshot_id=snapshot_id)
+        scan = self._scan_live(meta, snapshot_id=snapshot_id, filters=filters)
         if scan is None:
             return self.spark.createDataFrame([], meta.schema)
+        if filters:
+            scan = scan.filter(self._residual_condition(filters))
         return scan
 
     def _file_specs(self, meta: TableMeta) -> dict[str, tuple]:
@@ -840,6 +932,180 @@ class Warehouse:
             for f in s["added_files"]:
                 out[f] = spec
         return out
+
+    def _prepare_partitions(
+        self, meta: TableMeta, df: DataFrame
+    ) -> tuple[DataFrame, list[str]]:
+        """Write path: materialize derived partition columns (hidden
+        partitioning) and return the directory-column list. Identity
+        entries pass through; transform entries add an engine-managed
+        column named after the transform (ts_day, k_bucket, …) that
+        lands in the directory layout and never in the data files'
+        logical schema."""
+        fields = parse_partition_spec(meta.partition_by)
+        types = {f.name: f.dataType.simpleString() for f in meta.schema.fields}
+        for pf in fields:
+            if pf.kind != "identity":
+                df = df.withColumn(pf.name, _transform_column(pf, types[pf.source]))
+        return df, [pf.name for pf in fields]
+
+    # ------------------------------------------------- scan planning
+    def _partition_values(self, rel_path: str) -> dict[str, str]:
+        """Directory-encoded partition values of a data file."""
+        out = {}
+        for seg in os.path.dirname(rel_path).split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out[k] = unquote(v)
+        return out
+
+    def _bucket_of(self, val, n: int, cache: dict) -> int:
+        """murmur3 bucket of a literal — one metadata-scale Spark job,
+        memoized per planning pass (matches F.hash on the write path)."""
+        key = (val, n)
+        if key not in cache:
+            cache[key] = (
+                self.spark.range(1)
+                .select(F.pmod(F.hash(F.lit(val)), F.lit(n)).alias("b"))
+                .collect()[0]["b"]
+            )
+        return cache[key]
+
+    @staticmethod
+    def _conservative(fv, t, op, tvals=None) -> bool:
+        """May a partition with transformed value ``fv`` contain rows
+        matching (op, literal) whose transformed literal is ``t``?
+        Transforms are order-preserving but lossy, so range bounds stay
+        inclusive (the residual filter finalizes row-level truth)."""
+        if op == "=":
+            return fv == t
+        if op == "in":
+            return fv in tvals
+        if op in ("<", "<="):
+            return fv <= t
+        if op in (">", ">="):
+            return fv >= t
+        return True
+
+    def _may_contain(
+        self, pf: PartitionField, pval: str | None, op: str, val,
+        dtype: str, bucket_cache: dict,
+    ) -> bool:
+        if pval is None:
+            return True  # file predates this spec field
+        if pval == _HIVE_NULL:
+            return False  # NULL source never matches =, <, >, IN
+        if pf.kind == "identity":
+            if dtype in _INT_TYPES:
+                fv, t = int(pval), int(val)
+            else:
+                fv, t = pval, str(val)
+            if op == "=":
+                return fv == t
+            if op == "in":
+                return fv in {int(x) if dtype in _INT_TYPES else str(x) for x in val}
+            if op == "<":
+                return fv < t
+            if op == "<=":
+                return fv <= t
+            if op == ">":
+                return fv > t
+            if op == ">=":
+                return fv >= t
+            return True
+        if pf.kind == "year":
+            tf = lambda v: v.year  # noqa: E731
+            fv = int(pval)
+        elif pf.kind == "month":
+            tf = lambda v: f"{v.year:04d}-{v.month:02d}"  # noqa: E731
+            fv = pval
+        elif pf.kind == "day":
+            tf = lambda v: f"{v.year:04d}-{v.month:02d}-{v.day:02d}"  # noqa: E731
+            fv = pval
+        elif pf.kind == "hour":
+            tf = (  # noqa: E731
+                lambda v: f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
+            )
+            fv = pval
+        elif pf.kind == "truncate":
+            if dtype in _INT_TYPES:
+                tf = lambda v: int(v) - (int(v) % pf.param)  # noqa: E731
+                fv = int(pval)
+            else:
+                tf = lambda v: str(v)[: pf.param]  # noqa: E731
+                fv = pval
+        elif pf.kind == "bucket":
+            if op == "=":
+                return int(pval) == self._bucket_of(val, pf.param, bucket_cache)
+            if op == "in":
+                return int(pval) in {
+                    self._bucket_of(v, pf.param, bucket_cache) for v in val
+                }
+            return True  # buckets carry no order
+        else:
+            return True
+        if op == "in":
+            return self._conservative(fv, None, op, {tf(v) for v in val})
+        return self._conservative(fv, tf(val), op)
+
+    def _prune_files(
+        self, meta: TableMeta, files: set[str], filters: list[tuple]
+    ) -> set[str]:
+        """Iceberg-style metadata-time scan planning: convert predicates
+        on SOURCE columns into partition-value checks and drop files
+        that cannot contain a match. Pure manifest work — cost is
+        O(files × filters), zero data I/O; at 100 TB this is what turns
+        a full-table scan into a handful of partitions. Files written
+        under an older spec (partition evolution) are only pruned by
+        the fields that spec actually has."""
+        specs = self._file_specs(meta)
+        types = {f.name: f.dataType.simpleString() for f in meta.schema.fields}
+        parsed: dict[tuple, list[PartitionField]] = {}
+        bucket_cache: dict = {}
+        kept = set()
+        for fpath in files:
+            spec = specs.get(fpath, tuple(meta.partition_by))
+            if spec not in parsed:
+                parsed[spec] = parse_partition_spec(list(spec))
+            pvals = self._partition_values(fpath)
+            keep = True
+            for col, op, val in filters:
+                for pf in parsed[spec]:
+                    if pf.source != col:
+                        continue
+                    if not self._may_contain(
+                        pf, pvals.get(pf.name), op, val, types.get(col, ""), bucket_cache
+                    ):
+                        keep = False
+                        break
+                if not keep:
+                    break
+            if keep:
+                kept.add(fpath)
+        return kept
+
+    @staticmethod
+    def _residual_condition(filters: list[tuple]):
+        """The exact row-level predicate for the pruned scan — pruning
+        is conservative, the residual makes it precise."""
+        cond = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            if op == "=":
+                cond = cond & (c == F.lit(val))
+            elif op == "<":
+                cond = cond & (c < F.lit(val))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(val))
+            elif op == ">":
+                cond = cond & (c > F.lit(val))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(val))
+            elif op == "in":
+                cond = cond & c.isin(list(val))
+            else:
+                raise ValueError(f"Unsupported filter op '{op}'")
+        return cond
 
     def _read_files(
         self,
@@ -894,14 +1160,20 @@ class Warehouse:
         meta: TableMeta,
         snapshot_id: int | None = None,
         with_file: bool = False,
+        filters: list[tuple] | None = None,
     ) -> DataFrame | None:
         """Scan of the live data files of the requested snapshot minus
         any live equality deletes, resolved against the current schema.
+        ``filters`` prune the file list at the manifest level (hidden-
+        partitioning scan planning) — the caller applies the residual.
         None for an empty set."""
+        files = self._live_files(meta, snapshot_id)
+        if filters:
+            files = self._prune_files(meta, files, filters)
         del_map = self._live_delete_files(meta, snapshot_id)
         scan = self._read_files(
             meta,
-            self._live_files(meta, snapshot_id),
+            files,
             with_file=with_file,
             seq_of=self._file_seqs(meta) if del_map else None,
         )
@@ -972,7 +1244,7 @@ class Warehouse:
         in old files; reads project it away."""
         with self._table_lock(name):
             meta = self._read_meta(name)
-            if col in meta.partition_by:
+            if col in {pf.source for pf in parse_partition_spec(meta.partition_by)}:
                 raise ValueError(f"Cannot drop partition column '{col}'")
             if col in json.loads(meta.properties.get("identifier_fields", "[]")):
                 raise ValueError(
@@ -989,7 +1261,7 @@ class Warehouse:
         row at read time."""
         with self._table_lock(name):
             meta = self._read_meta(name)
-            if old in meta.partition_by:
+            if old in {pf.source for pf in parse_partition_spec(meta.partition_by)}:
                 raise ValueError(f"Cannot rename partition column '{old}'")
             names = [f.name for f in meta.schema.fields]
             if old not in names:
@@ -1182,9 +1454,9 @@ class Warehouse:
         with self._table_lock(name):
             meta = self._read_meta(name)
             names = {f.name for f in meta.schema.fields}
-            for col in partition_by:
-                if col not in names:
-                    raise ValueError(f"Partition column '{col}' not in schema")
+            for pf in parse_partition_spec(list(partition_by)):
+                if pf.source not in names:
+                    raise ValueError(f"Partition column '{pf.source}' not in schema")
             meta.partition_by = list(partition_by)
             self._write_meta(meta)
 
@@ -1351,10 +1623,9 @@ class Warehouse:
         total = sum(os.path.getsize(os.path.join(data, f)) for f in live)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         df = self._scan_live(meta)  # equality deletes already subtracted
+        cluster = [F.col(pf.source) for pf in parse_partition_spec(meta.partition_by)]
         packed = (
-            df.repartition(int(n_out), *meta.partition_by)
-            if meta.partition_by
-            else df.repartition(int(n_out))
+            df.repartition(int(n_out), *cluster) if cluster else df.repartition(int(n_out))
         )
         added = self._rewrite_files(
             meta, packed, "replace", live, removed_deletes=set(live_dels)

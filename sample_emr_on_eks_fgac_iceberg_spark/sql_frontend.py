@@ -25,12 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
 
 _CREATE_RE = re.compile(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", re.I | re.S)
+# partition specs may hold transform calls — allow one paren nesting
+# level: day(ts), bucket(8, k), truncate(4, name)
+_SPEC_BODY = r"((?:[^()]|\([^()]*\))*)"
 _CTAS_RE = re.compile(
     r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
-    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)$",
+    rf"(?:PARTITIONED\s+BY\s*\({_SPEC_BODY}\)\s*)?AS\s+(SELECT\b.*)$",
     re.I | re.S,
 )
-_PARTITIONED_RE = re.compile(r"PARTITIONED\s+BY\s*\(([^)]*)\)", re.I)
+_PARTITIONED_RE = re.compile(rf"PARTITIONED\s+BY\s*\({_SPEC_BODY}\)", re.I)
 _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
 )
@@ -54,7 +57,8 @@ _ALTER_RENAME_RE = re.compile(
     re.I,
 )
 _ALTER_PARTITION_RE = re.compile(
-    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*$",
     re.I,
 )
 _ALTER_TBLPROPS_RE = re.compile(
@@ -237,7 +241,7 @@ class SqlFrontend:
         if m:
             self.warehouse.alter_partition_spec(
                 m.group(1),
-                [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
+                [c.strip().strip("`") for c in _split_top_commas(m.group(2)) if c.strip()],
             )
             return None
         m = _ALTER_WRITE_ORDER_RE.match(query)
@@ -304,7 +308,7 @@ class SqlFrontend:
         if if_not_exists and self.warehouse.table_exists(name):
             return None
         partition_by = (
-            [c.strip().strip("`") for c in m.group(3).split(",") if c.strip()]
+            [c.strip().strip("`") for c in _split_top_commas(m.group(3)) if c.strip()]
             if m.group(3)
             else None
         )
@@ -323,7 +327,7 @@ class SqlFrontend:
         tail = query[close_idx + 1 :]
         pm = _PARTITIONED_RE.search(tail)
         partition_by = (
-            [c.strip().strip("`") for c in pm.group(1).split(",") if c.strip()]
+            [c.strip().strip("`") for c in _split_top_commas(pm.group(1)) if c.strip()]
             if pm
             else None
         )
