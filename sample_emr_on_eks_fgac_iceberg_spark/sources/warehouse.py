@@ -1425,6 +1425,44 @@ class Warehouse:
             )
         )
 
+    def refs_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.refs``: one row per named ref (plus main)."""
+        meta = self._read_meta(name)
+        rows = [
+            (r, v["type"].upper(), v["snapshot_id"]) for r, v in sorted(meta.refs.items())
+        ]
+        if meta.snapshots:
+            rows.insert(0, ("main", "BRANCH", meta.snapshots[-1]["snapshot_id"]))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+
+    def manifests_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.manifests`` analog: one row per commit's file
+        diff (the engine's manifest = the snapshot entry). Counts only
+        — no data I/O."""
+        meta = self._read_meta(name)
+        rows = [
+            (
+                s["snapshot_id"],
+                s["sequence_number"],
+                s["operation"],
+                len(s["added_files"]),
+                len(s.get("removed_files", ())),
+                len(s.get("added_delete_files", ())),
+                len(s.get("removed_delete_files", ())),
+                s.get("added_records"),
+            )
+            for s in meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, sequence_number bigint, operation string, "
+            "added_data_files_count int, removed_data_files_count int, "
+            "added_delete_files_count int, removed_delete_files_count int, "
+            "added_records bigint",
+        )
+
     def alter_write_order(self, name: str, order_by: list[str]) -> None:
         """Iceberg's WRITE ORDERED BY: every subsequent write (append,
         DML rewrite, compaction) sorts rows by these columns within

@@ -231,3 +231,17 @@ def test_snapshot_summary_records(engine):
         "SELECT operation, added_records FROM inv.snapshots ORDER BY snapshot_id"
     ).collect()
     assert snaps[0].added_records == 3 and snaps[1].added_records == 2
+
+
+def test_refs_and_manifests_metadata_tables(engine):
+    wh = engine.warehouse
+    wh.create_tag("inv", "v1")
+    engine.sql("INSERT INTO inv VALUES (9, 90, 'Austin')")
+    refs = {(r.name, r.type, r.snapshot_id) for r in engine.sql(
+        "SELECT * FROM inv.refs").collect()}
+    assert ("v1", "TAG", 1) in refs and ("main", "BRANCH", 2) in refs
+    man = engine.sql(
+        "SELECT * FROM inv.manifests ORDER BY sequence_number").collect()
+    assert [m.operation for m in man] == ["append", "append"]
+    assert man[0].added_records == 3 and man[1].added_records == 1
+    assert man[0].added_delete_files_count == 0
