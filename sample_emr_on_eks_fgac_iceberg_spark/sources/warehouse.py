@@ -312,7 +312,9 @@ class Warehouse:
         return list(self._read_meta(name).snapshots)
 
     def current_snapshot_id(self, name: str) -> int | None:
-        snaps = self._read_meta(name).snapshots
+        """Head of the main lineage — staged (unpublished WAP)
+        snapshots are not the table head."""
+        snaps = [s for s in self._read_meta(name).snapshots if not s.get("staged")]
         return snaps[-1]["snapshot_id"] if snaps else None
 
     @staticmethod
@@ -325,6 +327,11 @@ class Warehouse:
         for s in meta.snapshots:
             if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
                 break
+            # a staged (write-audit-publish) snapshot is invisible to
+            # the live set until published — unless it is itself the
+            # read target (the audit read)
+            if s.get("staged") and s["snapshot_id"] != snapshot_id:
+                continue
             live |= set(s["added_files"])
             live -= set(s.get("removed_files", ()))
         return live
@@ -389,6 +396,10 @@ class Warehouse:
         manifest carries its pre-collapse sequences in ``file_seqs``."""
         out: dict[str, int] = {}
         for s in meta.snapshots:
+            if s.get("staged"):
+                # sequence is assigned at publish time (Iceberg's
+                # cherry-pick re-sequences the picked snapshot)
+                continue
             for f, seq in s.get("file_seqs", {}).items():
                 out.setdefault(f, int(seq))
             for f in s["added_files"]:
@@ -472,6 +483,7 @@ class Warehouse:
         added_deletes: set[str] | None = None,
         removed_deletes: set[str] | None = None,
         equality_ids: list[str] | None = None,
+        staged: bool = False,
     ) -> None:
         """Optimistic commit: re-read the on-disk metadata so a
         concurrent committer's snapshots are not clobbered, then append
@@ -507,6 +519,8 @@ class Warehouse:
             entry["removed_delete_files"] = sorted(removed_deletes or ())
         if equality_ids:
             entry["equality_ids"] = list(equality_ids)
+        if staged:
+            entry["staged"] = True
         # record the spec the added files were written under (partition
         # evolution: reads group files by spec)
         entry["partition_by"] = list(meta.partition_by)
@@ -527,8 +541,12 @@ class Warehouse:
 
     # --------------------------------------------------------------- DML
     def insert_into(
-        self, name: str, df: DataFrame, txn: tuple[str, int] | None = None
-    ) -> bool:
+        self,
+        name: str,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        staged: bool = False,
+    ) -> bool | int:
         """D2: INSERT INTO — schema-on-write append, partition fan-out.
         Every append commits a new snapshot whose manifest lists the
         files it added, enabling read-at-snapshot / time travel.
@@ -536,7 +554,14 @@ class Warehouse:
         ``txn=(source_id, batch_id)`` makes the append idempotent: a
         batch at or below the source's committed watermark is skipped
         (returns False) — the exactly-once contract for streaming
-        foreachBatch sinks replaying after failure."""
+        foreachBatch sinks replaying after failure.
+
+        ``staged=True`` is the write-audit-publish path (Iceberg's WAP):
+        the data is written and committed as a snapshot that is
+        INVISIBLE to normal reads; the returned snapshot id can be
+        audited with ``read_table(snapshot_id=…)`` and made live with
+        ``publish_snapshot`` (cherry-pick) or abandoned (expiry reclaims
+        it)."""
         meta = self._read_meta(name)
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
@@ -566,8 +591,14 @@ class Warehouse:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(name))
             self._commit_snapshot(
-                meta, "append", self._data_files(name) - before, txn=txn
+                meta,
+                "append",
+                self._data_files(name) - before,
+                txn=txn,
+                staged=staged,
             )
+            if staged:
+                return self._read_meta(name).snapshots[-1]["snapshot_id"]
         return True
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
@@ -1556,6 +1587,38 @@ class Warehouse:
                 added_deletes=target_dels - current_dels,
                 removed_deletes=current_dels - target_dels,
             )
+
+    def publish_snapshot(self, name: str, snapshot_id: int) -> int:
+        """Write-audit-publish, step 3 (Iceberg's cherrypick_snapshot):
+        make a staged snapshot's files live by committing a new head
+        snapshot that adds them. The staged snapshot stays in history
+        (audit trail); its files get their sequence number at publish
+        time, so equality deletes committed while the data sat in
+        staging do not swallow it. Returns the published snapshot id."""
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            target = next(
+                (s for s in meta.snapshots if s["snapshot_id"] == snapshot_id), None
+            )
+            if target is None:
+                raise SnapshotNotFoundError(
+                    f"Table '{name}' has no snapshot {snapshot_id}"
+                )
+            if not target.get("staged"):
+                raise ValueError(f"Snapshot {snapshot_id} is not staged")
+            if target.get("published_as"):
+                raise ValueError(
+                    f"Snapshot {snapshot_id} was already published as "
+                    f"{target['published_as']}"
+                )
+            self._commit_snapshot(meta, "publish", set(target["added_files"]))
+            meta = self._read_meta(name)
+            new_id = meta.snapshots[-1]["snapshot_id"]
+            for s in meta.snapshots:
+                if s["snapshot_id"] == snapshot_id:
+                    s["published_as"] = new_id
+            self._write_meta(meta)
+        return new_id
 
     # ------------------------------------------------- table maintenance
     def expire_snapshots(
