@@ -180,6 +180,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "n_chunks", "features"])
 
-    return media_frame(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+    feats = media_frame(spark, sf_dir).select("doc_id", "payload").mapInPandas(
         extract, FEATURE_SCHEMA
+    )
+    # Flatten the feature vector to scalar columns for the driver's
+    # row-hash compare (array cells are unhashable in its canonicalizer);
+    # the typed-array column remains the mapInPandas contract above.
+    return feats.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            F.round(F.element_at("features", i + 1), 9).alias(f"f{i}")
+            for i in range(_N_FEATURES)
+        ],
     )

@@ -1716,7 +1716,7 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single pass, mergeable, bounded memory; exact interpolated
     counterpart is percentile_order_prices). Engine-specific sketch →
     rows-only driver check."""
-    return (
+    q = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
@@ -1724,6 +1724,14 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
             ).alias("price_quantiles")
         )
+    )
+    # Scalar columns (not the raw array) so the driver's row-hash
+    # canonicalizer — which cannot hash list cells — can compare rows.
+    return q.select(
+        "o_orderstatus",
+        F.element_at("price_quantiles", 1).alias("p50"),
+        F.element_at("price_quantiles", 2).alias("p90"),
+        F.element_at("price_quantiles", 3).alias("p99"),
     )
 
 

@@ -138,7 +138,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # ts may arrive as TIMESTAMP or TIMESTAMP_NTZ (parquet
+    # inferTimestampNTZ) — NTZ has no direct cast to BIGINT, so route
+    # through TIMESTAMP first; the session-tz offset cancels in the diff.
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    gap_s = epoch("ts") - F.lag(epoch("ts")).over(w)
     new_session = F.when(
         F.lag("ts").over(w).isNull() | (gap_s > SESSION_GAP_SECONDS), 1
     ).otherwise(0)
