@@ -1,0 +1,45 @@
+"""Driver-gate compatibility guards.
+
+Two failure classes cost round 2 its artifacts (CORRECTNESS_r02
+errors, BENCH_r02 rc=1):
+
+1. The driver canonicalizes result rows with pandas `sort_values` +
+   hashing — a cell holding a list/dict/Row is unhashable and the
+   whole query is recorded as an error. So: no registered query may
+   expose an array/map/struct column in its OUTPUT schema (internal
+   plan stages may use them freely).
+2. The driver's session reads parquet timestamps as TIMESTAMP_NTZ
+   (`spark.sql.parquet.inferTimestampNTZ.enabled=true`, mirrored in
+   build_session). NTZ has no cast to numeric, so any
+   `ts.cast("long")`-style expression fails analysis only under that
+   config. Building every query's plan under the same session config
+   (conftest uses build_session) catches this class at test time.
+
+Both checks run plan analysis only (no execution) so the whole
+100-query sweep stays cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_analyzes_and_output_schema_is_scalar(name, spark, sf_dir):
+    # .schema forces full analysis under the driver-matching session
+    # config (TIMESTAMP_NTZ parquet reads included) without executing.
+    schema = QUERIES[name](spark, sf_dir).schema
+    complex_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, COMPLEX)
+    ]
+    assert not complex_cols, (
+        f"{name}: output columns {complex_cols} are array/map/struct — "
+        "the driver's row canonicalizer cannot hash them; project to "
+        "scalar columns (see approx_percentile_prices / "
+        "multimodal_features)"
+    )
