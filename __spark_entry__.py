@@ -89,6 +89,11 @@ _PRIORITY = [
     "quality_repetition_filter",
     "decontaminate_ngrams",
     "pack_sequences",
+    # round-3 additions: export sharding, language rebalancing,
+    # snapshot-delta incremental read
+    "shard_export_manifest",
+    "sample_language_temperature",
+    "cdc_incremental_append",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
     "q9_product_profit",

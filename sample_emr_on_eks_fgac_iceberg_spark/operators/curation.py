@@ -394,3 +394,127 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin").alias("n_bins"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: the export end of the pipeline — deterministic
+# shard assignment for the tokenizer/trainer fan-in, and
+# temperature-based language rebalancing (the multilingual mixing rule
+# of Conneau & Lample 2019 §3.1 / the T5 mixture) with integer-exact
+# quota arithmetic so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16  # one hex nibble of md5 → 16 balanced shards
+_LANG_BUDGET = 200  # documents kept across all languages
+
+
+@register(
+    "shard_export_manifest",
+    oracle="""
+    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents GROUP BY shard_id
+    """,
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data export: shard =
+    first md5 nibble of doc_id (16 shards), plus the per-shard manifest
+    (row/byte accounting) a trainer consumes. Because the shard is a
+    pure function of the row key, re-running the export after a
+    failure, on a different cluster size, or engine produces byte-
+    identical shards — the property that makes exports resumable.
+
+    Plan shape at 100 TB: the real export is
+    ``df.write.partitionBy("shard_id")`` riding this same expression —
+    one hash shuffle on a uniformly distributed 16-value key (md5
+    nibbles are uniform, so no shard skew), and the manifest here is
+    the map-side-combined aggregate of that same shuffle."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    shard = F.substring(_doc_hash("doc_id"), 1, 1)
+    return (
+        d.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "sample_language_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    weights AS (
+        SELECT lang, c, CAST(FLOOR(SQRT(c)) AS BIGINT) AS w FROM counts),
+    quotas AS (
+        SELECT lang, c, w,
+               CAST((w * {_LANG_BUDGET}) // (SELECT SUM(w) FROM weights)
+                    AS BIGINT) AS quota
+        FROM weights),
+    ranked AS (
+        SELECT d.lang, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        FROM documents d)
+    SELECT q.lang,
+           q.c AS n_orig,
+           q.quota,
+           COUNT(r.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM quotas q LEFT JOIN ranked r ON r.lang = q.lang AND r.rk <= q.quota
+    GROUP BY q.lang, q.c, q.quota
+    """,
+)
+def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): each
+    language's keep-quota is proportional to sqrt(count), so
+    low-resource languages are up-weighted relative to their corpus
+    share — the standard multilingual pretraining mixture. Selection
+    within a language is md5-rank order, so the kept set is a
+    deterministic function of the corpus, not of partitioning.
+
+    Exactness: quota arithmetic never leaves integers —
+    ``floor(sqrt(c))`` (sqrt is IEEE-correctly-rounded in both
+    engines), an integer weight sum, and integer ``div`` — so quota
+    boundaries cannot drift between engines. Plan shape: the per-lang
+    counts/quotas frame is a few rows (broadcast); the corpus side is
+    one window over the low-cardinality lang key — same shuffle the
+    downstream per-lang packing reuses."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    weights = counts.withColumn("w", F.floor(F.sqrt("c")).cast("long"))
+    quotas = weights.withColumn(
+        "quota", F.expr(f"(w * {_LANG_BUDGET}) div (sum(w) over ())")
+    ).select("lang", F.col("c").alias("n_orig"), "quota")
+    w_rank = Window.partitionBy("lang").orderBy(_doc_hash("doc_id"), F.col("doc_id"))
+    ranked = d.select("lang", "doc_id", "n_chars").withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
+    kept = ranked.join(F.broadcast(quotas), "lang").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    return (
+        quotas.join(
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept_inner"),
+                F.sum("n_chars").alias("kept_chars_inner"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_orig",
+            "quota",
+            F.coalesce("n_kept_inner", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars_inner", F.lit(0)).alias("kept_chars"),
+        )
+    )
