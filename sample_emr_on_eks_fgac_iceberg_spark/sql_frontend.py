@@ -77,6 +77,16 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Compaction as SQL: Athena's `OPTIMIZE t REWRITE DATA USING BIN_PACK`
+# (the maintenance statement the reference's Iceberg tables get) plus
+# the ZORDER strategy spelling `… USING ZORDER (a, b)` / Delta-style
+# `OPTIMIZE t ZORDER BY (a, b)`.
+_OPTIMIZE_RE = re.compile(
+    r"\s*OPTIMIZE\s+([\w.]+)\s*"
+    r"(?:REWRITE\s+DATA\s+USING\s+(?:(BIN_PACK)|ZORDER\s*\(([^)]*)\))"
+    r"|ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.I,
+)
 # Lake Formation grant/revoke as SQL (A1/A2 — the reference drives
 # these through `aws lakeformation grant-permissions` / `revoke-…`,
 # producer_iceberg_datalake_setup.sh:221-229, producer_clean_up.sh:18-47)
@@ -271,6 +281,24 @@ class SqlFrontend:
                         meta.properties[key] = value
                         self.warehouse._write_meta(meta)
             return None
+        m = _OPTIMIZE_RE.match(query)
+        if m:
+            zcols = m.group(3) or m.group(4)
+            stats = self.warehouse.compact_table(
+                m.group(1),
+                zorder_by=[c.strip().strip("`") for c in zcols.split(",") if c.strip()]
+                if zcols
+                else None,
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        stats.get("rewritten_files", 0),
+                        stats.get("added_files", 0),
+                    )
+                ],
+                "rewritten_files long, added_files long",
+            )
         if _SHOW_TABLES_RE.match(query):
             return self.spark.createDataFrame(
                 [(t,) for t in self.warehouse.list_tables()], "table_name string"
