@@ -47,6 +47,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "udf_scalar_charge",
     "udaf_weighted_discount",
+    "shard_export_manifest",
+    "sample_language_temperature",
 ]
 
 

@@ -193,3 +193,21 @@ def test_split_accounting_partial_agg(spark, sf_dir):
     # per-split counting must map-side combine (partial + final)
     plan = explain_str(QUERIES["split_train_holdout"](spark, sf_dir), "simple")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_shard_export_one_shuffle_partial_agg(spark, sf_dir):
+    # shard manifest = one hash shuffle on the 16-value shard key with
+    # map-side combine — no join, no window, single scan
+    plan = explain_str(QUERIES["shard_export_manifest"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_language_temperature_broadcasts_quotas(spark, sf_dir):
+    # the per-lang quota frame is a few rows: it must broadcast into
+    # the ranked corpus side, never cartesian/sort-merge
+    df = QUERIES["sample_language_temperature"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df), plan
