@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    fan_out,
+    load_table,
+    materialize_once,
+)
 
 # Keep rows whose md5(doc_id) first byte is below the cutoff: 0x1a/0x100
 # ≈ 10.2% — an exact, engine-independent "sample 10%".
@@ -491,9 +495,13 @@ def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "lang")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     weights = counts.withColumn("w", F.floor(F.sqrt("c")).cast("long"))
-    quotas = weights.withColumn(
-        "quota", F.expr(f"(w * {_LANG_BUDGET}) div (sum(w) over ())")
-    ).select("lang", F.col("c").alias("n_orig"), "quota")
+    # quotas feed both the output frame and the keep-filter: cut the
+    # lineage so the per-lang count aggregate runs once, not per consumer
+    quotas = materialize_once(
+        weights.withColumn(
+            "quota", F.expr(f"(w * {_LANG_BUDGET}) div (sum(w) over ())")
+        ).select("lang", F.col("c").alias("n_orig"), "quota")
+    )
     w_rank = Window.partitionBy("lang").orderBy(_doc_hash("doc_id"), F.col("doc_id"))
     ranked = d.select("lang", "doc_id", "n_chars").withColumn(
         "rk", F.row_number().over(w_rank)

@@ -77,6 +77,14 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Iceberg stored procedures: CALL [catalog.]system.<proc>(args) — the
+# Spark-SQL spelling of table maintenance
+# (expire_snapshots/remove_orphan_files/rollback_to_snapshot/
+# cherrypick_snapshot/fast_forward/rewrite_data_files). Positional or
+# named (`arg => value`) arguments.
+_CALL_RE = re.compile(
+    r"\s*CALL\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S
+)
 # Compaction as SQL: Athena's `OPTIMIZE t REWRITE DATA USING BIN_PACK`
 # (the maintenance statement the reference's Iceberg tables get) plus
 # the ZORDER strategy spelling `… USING ZORDER (a, b)` / Delta-style
@@ -281,6 +289,9 @@ class SqlFrontend:
                         meta.properties[key] = value
                         self.warehouse._write_meta(meta)
             return None
+        m = _CALL_RE.match(query)
+        if m:
+            return self._call_procedure(m.group(1).lower(), m.group(2))
         m = _OPTIMIZE_RE.match(query)
         if m:
             zcols = m.group(3) or m.group(4)
@@ -329,6 +340,107 @@ class SqlFrontend:
         return self._query(query)
 
     # ------------------------------------------------------------ pieces
+    def _call_procedure(self, proc: str, argtext: str) -> DataFrame:
+        """Iceberg stored procedures over the warehouse's maintenance
+        API. Mirrors the Spark-SQL `CALL catalog.system.<proc>(...)`
+        surface (positional or `name => value` arguments)."""
+        import datetime as _dt
+
+        pos: list = []
+        named: dict = {}
+        for raw in _split_top_commas(argtext):
+            raw = raw.strip()
+            if not raw:
+                continue
+            am = re.match(r"(\w+)\s*=>\s*(.+)$", raw, re.S)
+            key, val = (am.group(1).lower(), am.group(2).strip()) if am else (None, raw)
+            if val.startswith("'") and val.endswith("'"):
+                parsed: object = val[1:-1]
+            elif re.fullmatch(r"-?\d+", val):
+                parsed = int(val)
+            else:
+                parsed = val
+            if key:
+                named[key] = parsed
+            else:
+                pos.append(parsed)
+
+        def arg(name: str, idx: int, default=None):
+            if name in named:
+                return named[name]
+            return pos[idx] if idx < len(pos) else default
+
+        table = str(arg("table", 0))
+        if proc == "expire_snapshots":
+            older = arg("older_than", 1)
+            keep = arg("retain_last", 2)
+            older_ms = None
+            if older is not None:
+                older_ms = (
+                    int(older)
+                    if isinstance(older, int)
+                    else int(
+                        _dt.datetime.fromisoformat(str(older)).timestamp() * 1000
+                    )
+                )
+            stats = self.warehouse.expire_snapshots(
+                table,
+                keep_last=int(keep) if keep is not None else None,
+                older_than_ms=older_ms,
+            )
+            return self.spark.createDataFrame(
+                [(stats["expired_snapshots"], stats["deleted_files"])],
+                "expired_snapshots long, deleted_data_files_count long",
+            )
+        if proc == "remove_orphan_files":
+            stats = self.warehouse.remove_orphan_files(table)
+            return self.spark.createDataFrame(
+                [(stats["deleted_files"],)], "orphan_file_location_count long"
+            )
+        if proc == "rollback_to_snapshot":
+            sid = int(arg("snapshot_id", 1))
+            prev = self.warehouse.current_snapshot_id(table)
+            self.warehouse.rollback_to_snapshot(table, sid)
+            return self.spark.createDataFrame(
+                [(prev, self.warehouse.current_snapshot_id(table))],
+                "previous_snapshot_id long, current_snapshot_id long",
+            )
+        if proc == "cherrypick_snapshot":
+            sid = int(arg("snapshot_id", 1))
+            new_sid = self.warehouse.publish_snapshot(table, sid)
+            return self.spark.createDataFrame(
+                [(sid, new_sid)], "source_snapshot_id long, current_snapshot_id long"
+            )
+        if proc == "fast_forward":
+            branch = str(arg("branch", 1))
+            self.warehouse.fast_forward(table, branch)
+            return self.spark.createDataFrame(
+                [(branch, self.warehouse.resolve_ref(table, branch))],
+                "branch_updated string, latest_ref long",
+            )
+        if proc == "rewrite_data_files":
+            strategy = str(arg("strategy", 1, "binpack")).lower()
+            sort_order = arg("sort_order", 2)
+            zcols = None
+            if sort_order:
+                zm = re.match(r"zorder\s*\(([^)]*)\)", str(sort_order), re.I)
+                if zm:
+                    zcols = [
+                        c.strip().strip("`")
+                        for c in zm.group(1).split(",")
+                        if c.strip()
+                    ]
+                elif strategy == "sort":
+                    raise ValueError(
+                        f"Unsupported sort_order {sort_order!r} (use zorder(cols))"
+                    )
+            stats = self.warehouse.compact_table(table, zorder_by=zcols)
+            return self.spark.createDataFrame(
+                [(stats.get("rewritten_files", 0), stats.get("added_files", 0))],
+                "rewritten_data_files_count long, added_data_files_count long",
+            )
+        raise ValueError(f"Unknown procedure system.{proc}")
+
     def _ctas(self, m: re.Match) -> None:
         """CREATE TABLE … [PARTITIONED BY (…)] AS SELECT — schema comes
         from the query, data lands as the table's first snapshot."""

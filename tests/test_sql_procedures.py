@@ -1,0 +1,79 @@
+"""Iceberg stored procedures through the SQL frontend:
+`CALL [catalog.]system.<proc>(...)` — the Spark-SQL maintenance
+surface over the warehouse API (expire_snapshots, remove_orphan_files,
+rollback_to_snapshot, cherrypick_snapshot, fast_forward,
+rewrite_data_files), with positional and named-argument spellings."""
+
+import os
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+
+@pytest.fixture()
+def fe(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    return SqlFrontend(spark, wh)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_call_expire_snapshots_retain_last(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    for i in range(3):
+        fe.execute(f"INSERT INTO t VALUES ({i})")
+    out = fe.execute("CALL system.expire_snapshots(table => 't', retain_last => 1)")
+    row = out.collect()[0]
+    assert row["expired_snapshots"] == 2
+    assert len(fe.warehouse.snapshots("t")) == 1
+    assert _rows(fe.execute("SELECT * FROM t")) == [(0,), (1,), (2,)]
+
+
+def test_call_remove_orphan_files(fe, tmp_path):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    orphan = os.path.join(fe.warehouse.data_dir("t"), "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    out = fe.execute("CALL system.remove_orphan_files('t')")
+    assert out.collect()[0]["orphan_file_location_count"] == 1
+    assert not os.path.exists(orphan)
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,)]
+
+
+def test_call_rollback_to_snapshot(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    sid = fe.warehouse.current_snapshot_id("t")
+    fe.execute("INSERT INTO t VALUES (2)")
+    out = fe.execute(f"CALL system.rollback_to_snapshot('t', {sid})")
+    assert out.collect()[0]["previous_snapshot_id"] != sid
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,)]
+
+
+def test_call_rewrite_data_files_zorder(fe):
+    fe.execute("CREATE TABLE t (a INT, b INT)")
+    for i in range(3):
+        fe.execute(
+            "INSERT INTO t VALUES "
+            + ",".join(f"({j},{(j * 7) % 32})" for j in range(i * 50, i * 50 + 50))
+        )
+    out = fe.execute(
+        "CALL system.rewrite_data_files(table => 't', strategy => 'sort', "
+        "sort_order => 'zorder(a, b)')"
+    )
+    row = out.collect()[0]
+    assert row["rewritten_data_files_count"] > 0
+    assert row["added_data_files_count"] >= 1
+    assert fe.warehouse.snapshots("t")[-1]["operation"] == "replace"
+    assert len(_rows(fe.execute("SELECT * FROM t"))) == 150
+
+
+def test_call_unknown_procedure_raises(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    with pytest.raises(ValueError, match="Unknown procedure"):
+        fe.execute("CALL system.shrink_ray('t')")
