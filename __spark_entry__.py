@@ -62,6 +62,11 @@ _PRIORITY = [
     "multimodal_catalog",
     "multimodal_frame_sample",
     "multimodal_features",
+    # round-3 additions: export sharding, language rebalancing,
+    # snapshot-delta incremental read
+    "shard_export_manifest",
+    "sample_language_temperature",
+    "cdc_incremental_append",
     # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",
@@ -89,11 +94,6 @@ _PRIORITY = [
     "quality_repetition_filter",
     "decontaminate_ngrams",
     "pack_sequences",
-    # round-3 additions: export sharding, language rebalancing,
-    # snapshot-delta incremental read
-    "shard_export_manifest",
-    "sample_language_temperature",
-    "cdc_incremental_append",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
     "q9_product_profit",
