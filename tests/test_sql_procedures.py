@@ -77,3 +77,28 @@ def test_call_unknown_procedure_raises(fe):
     fe.execute("CREATE TABLE t (k INT)")
     with pytest.raises(ValueError, match="Unknown procedure"):
         fe.execute("CALL system.shrink_ray('t')")
+
+
+def test_call_cherrypick_snapshot_publishes_staged(fe):
+    fe.execute("CREATE TABLE t (k INT, v STRING)")
+    fe.execute("INSERT INTO t VALUES (1, 'live')")
+    wh = fe.warehouse
+    staged = wh.spark.createDataFrame([(2, "staged")], wh.schema_of("t"))
+    sid = wh.insert_into("t", staged, staged=True)
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1, "live")]
+    out = fe.execute(f"CALL system.cherrypick_snapshot('t', {sid})")
+    row = out.collect()[0]
+    assert row["source_snapshot_id"] == sid
+    assert row["current_snapshot_id"] == wh.current_snapshot_id("t")
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1, "live"), (2, "staged")]
+
+
+def test_call_fast_forward_branch(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    fe.warehouse.create_branch("t", "audit")
+    fe.execute("INSERT INTO t VALUES (2)")
+    assert _rows(fe.warehouse.read_table("t", ref="audit")) == [(1,)]
+    out = fe.execute("CALL system.fast_forward(table => 't', branch => 'audit')")
+    assert out.collect()[0]["branch_updated"] == "audit"
+    assert _rows(fe.warehouse.read_table("t", ref="audit")) == [(1,), (2,)]
