@@ -36,6 +36,17 @@ MONEY = "decimal(12,2)"
 RATE = "decimal(4,2)"
 
 
+# Scan parallelism note: the testdata ships ONE parquet row group per
+# file, and parquet cannot parallelize below row-group granularity, so
+# every fact scan here is a single task regardless of split size. A
+# blanket fan_out was measured to HURT the broadcast-probe queries
+# (q3/q5/q9/q18: scan → broadcast join → light agg pipelines entirely
+# inside one codegen stage; adding a shuffle trades that pipeline for a
+# serial shuffle write). Only queries whose per-row compute dominates
+# the scan (q1's 8-aggregate pass) fan out explicitly. On a real
+# multi-row-group layout fan_out is a no-op either way.
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -72,7 +83,9 @@ def _dsum(expr, alias: str):
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 adaptation — hash aggregate with map-side partials."""
+    """TPC-H Q1 adaptation — hash aggregate with map-side partials.
+    The 8-aggregate decimal pass dominates the scan, so the fact is
+    fanned out (see the _t parallelism note; no-op on real layouts)."""
     price, disc, tax, qty = (
         _dec("l_extendedprice"),
         _dec("l_discount", RATE),
@@ -81,7 +94,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     return (
-        _t(spark, sf_dir, "lineitem")
+        fan_out(_t(spark, sf_dir, "lineitem"), spark)
         .filter(F.col("l_shipdate") <= "2000-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
