@@ -61,3 +61,64 @@ def stream_into_warehouse(
     if available_now:
         q.awaitTermination()
     return q
+
+
+class ChangelogTail:
+    """Incremental consumer of a warehouse table's snapshot log — the
+    read side of the CDC loop (`read_changes` is the primitive; this
+    adds the durable consumer checkpoint).
+
+    Each `poll()` returns the rows appended strictly after the
+    consumer's last acknowledged snapshot, up to the current head, and
+    `ack()` advances the checkpoint — the classic at-least-once tail
+    with consumer-managed offsets (Iceberg's incremental read +
+    Kafka-style offset commit). A crashed consumer re-created with the
+    same checkpoint path resumes from its last ack, never reprocessing
+    acknowledged snapshots and never skipping unacknowledged ones.
+
+    100 TB posture: cost per poll is the file delta between two
+    snapshots (manifest-planned, no table rescan), and the checkpoint
+    is one integer — nothing scales with table size.
+    """
+
+    def __init__(self, wh: Warehouse, table: str, checkpoint_path: str):
+        import json
+        import os
+
+        self.wh = wh
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        self._json = json
+        self._os = os
+        self._pending: int | None = None
+
+    def _committed(self) -> int | None:
+        if not self._os.path.exists(self.checkpoint_path):
+            return None
+        with open(self.checkpoint_path) as f:
+            return self._json.load(f)["snapshot_id"]
+
+    def poll(self) -> tuple[DataFrame, int | None]:
+        """(delta frame, head snapshot id to ack). The frame is empty
+        and head is None when there is nothing new."""
+        head = self.wh.current_snapshot_id(self.table)
+        last = self._committed()
+        if head is None or head == last:
+            return (
+                self.wh.spark.createDataFrame([], self.wh.schema_of(self.table)),
+                None,
+            )
+        df = self.wh.read_changes(
+            self.table, from_snapshot_id=last, to_snapshot_id=head
+        )
+        self._pending = head
+        return df, head
+
+    def ack(self, snapshot_id: int) -> None:
+        """Durably advance the checkpoint to ``snapshot_id``. Call
+        after the polled delta has been fully processed."""
+        tmp = f"{self.checkpoint_path}.tmp"
+        with open(tmp, "w") as f:
+            self._json.dump({"snapshot_id": snapshot_id}, f)
+        self._os.replace(tmp, self.checkpoint_path)  # atomic
+        self._pending = None

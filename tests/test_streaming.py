@@ -378,3 +378,41 @@ def test_ingested_table_tailed_incrementally(spark, events_dir, tmp_path):
     delta = wh.read_changes("landed", from_snapshot_id=fence)
     assert [r.event_id for r in delta.collect()] == [10**12]
     assert wh.read_table("landed").count() == total + 1
+
+
+# ------------------------------------------------- changelog tail (CDC read)
+def test_changelog_tail_exactly_once_consumption(spark, tmp_path):
+    """The read side of the CDC loop: poll/ack with a durable
+    checkpoint — acknowledged snapshots never reprocess (even across
+    consumer restarts), unacknowledged ones redeliver."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import ChangelogTail
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t", "k int")
+    ckpt = str(tmp_path / "tail.ckpt")
+
+    tail = ChangelogTail(wh, "t", ckpt)
+    df, head = tail.poll()
+    assert head is None and df.count() == 0  # empty table → nothing
+
+    wh.insert_values("t", [(1,)])
+    wh.insert_values("t", [(2,)])
+    df, head = tail.poll()
+    assert sorted(r.k for r in df.collect()) == [1, 2]
+    tail.ack(head)
+
+    # crash: new consumer instance, same checkpoint — nothing redelivers
+    tail2 = ChangelogTail(wh, "t", ckpt)
+    df, head2 = tail2.poll()
+    assert head2 is None and df.count() == 0
+
+    # new append, polled but NOT acked → redelivered after restart
+    wh.insert_values("t", [(3,)])
+    df, head3 = tail2.poll()
+    assert [r.k for r in df.collect()] == [3]
+    tail3 = ChangelogTail(wh, "t", ckpt)  # no ack happened
+    df, head4 = tail3.poll()
+    assert [r.k for r in df.collect()] == [3] and head4 == head3
+    tail3.ack(head4)
+    assert tail3.poll()[1] is None
