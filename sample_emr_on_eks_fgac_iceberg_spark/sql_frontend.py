@@ -39,6 +39,10 @@ _INSERT_RE = re.compile(
 )
 _DROP_RE = re.compile(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.I)
+_DESCRIBE_EXT_RE = re.compile(
+    r"\s*DESCRIBE\s+(?:TABLE\s+)?EXTENDED\s+([\w.]+)\s*;?\s*$", re.I
+)
+_SHOW_CREATE_RE = re.compile(r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 _DELETE_RE = re.compile(
     r"\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S
 )
@@ -214,6 +218,12 @@ class SqlFrontend:
             if not (m.group(1) and not self.warehouse.table_exists(m.group(2))):
                 self.warehouse.drop_table(m.group(2))
             return None
+        m = _DESCRIBE_EXT_RE.match(query)
+        if m:
+            return self._describe_extended(m.group(1))
+        m = _SHOW_CREATE_RE.match(query)
+        if m:
+            return self._show_create(m.group(1))
         m = _DESCRIBE_RE.match(query)
         if m:
             rows = [
@@ -340,6 +350,44 @@ class SqlFrontend:
         return self._query(query)
 
     # ------------------------------------------------------------ pieces
+    def _describe_extended(self, name: str) -> DataFrame:
+        """DESCRIBE EXTENDED: schema rows, then the `# Detailed Table
+        Information` block (partition spec, current snapshot, row
+        properties) in Spark's two-column layout."""
+        wh = self.warehouse
+        meta = wh._read_meta(name)
+        rows = [
+            (f.name, f.dataType.simpleString())
+            for f in wh.schema_of(name).fields
+        ]
+        rows += [("", ""), ("# Detailed Table Information", "")]
+        rows.append(("Name", meta.name))
+        if meta.link_to:
+            rows.append(("Type", f"RESOURCE_LINK -> {meta.link_to}"))
+        rows.append(("Partition Spec", ", ".join(meta.partition_by) or "(none)"))
+        sid = wh.current_snapshot_id(name)
+        rows.append(("Current Snapshot", str(sid) if sid is not None else "(none)"))
+        rows.append(("Snapshots", str(len(wh.snapshots(name)))))
+        for k in sorted(meta.properties):
+            rows.append((f"Property: {k}", meta.properties[k]))
+        return self.spark.createDataFrame(rows, "col_name string, data_type string")
+
+    def _show_create(self, name: str) -> DataFrame:
+        wh = self.warehouse
+        meta = wh._read_meta(name)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in wh.schema_of(name).fields
+        )
+        stmt = f"CREATE TABLE {meta.name} (\n  {cols})"
+        if meta.partition_by:
+            stmt += f"\nPARTITIONED BY ({', '.join(meta.partition_by)})"
+        props = {k: v for k, v in sorted(meta.properties.items())}
+        if props:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+            stmt += f"\nTBLPROPERTIES ({kv})"
+        return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
     def _call_procedure(self, proc: str, argtext: str) -> DataFrame:
         """Iceberg stored procedures over the warehouse's maintenance
         API. Mirrors the Spark-SQL `CALL catalog.system.<proc>(...)`

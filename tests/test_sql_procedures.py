@@ -102,3 +102,17 @@ def test_call_fast_forward_branch(fe):
     out = fe.execute("CALL system.fast_forward(table => 't', branch => 'audit')")
     assert out.collect()[0]["branch_updated"] == "audit"
     assert _rows(fe.warehouse.read_table("t", ref="audit")) == [(1,), (2,)]
+
+
+def test_describe_extended_and_show_create(fe):
+    fe.execute(
+        "CREATE TABLE t (k BIGINT, city STRING) PARTITIONED BY (city)"
+    )
+    fe.execute("INSERT INTO t VALUES (1, 'Austin')")
+    ext = {r.col_name: r.data_type for r in fe.execute("DESCRIBE EXTENDED t").collect()}
+    assert ext["k"] == "bigint"
+    assert ext["Partition Spec"] == "city"
+    assert ext["Current Snapshot"] == "1"
+    stmt = fe.execute("SHOW CREATE TABLE t").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE t" in stmt
+    assert "k BIGINT" in stmt and "PARTITIONED BY (city)" in stmt
