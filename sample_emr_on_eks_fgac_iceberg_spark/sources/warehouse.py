@@ -1620,6 +1620,53 @@ class Warehouse:
             self._write_meta(meta)
         return new_id
 
+    # --------------------------------------------------------- statistics
+    def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]: one
+        distributed aggregation pass over the live set; results land in
+        table properties (`stats.*`) so DESCRIBE EXTENDED and planners
+        can read them without touching data. Column stats: null count,
+        approx NDV (HLL), and min/max for orderable primitives. The
+        collect is a single stats row — metadata-sized, never data."""
+        meta = self._resolve_dml_target(name)
+        df = self.read_table(name)
+        cols = list(columns or [])
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"ANALYZE: column '{c}' not in {name}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n{i}"),
+                F.approx_count_distinct(c).alias(f"__d{i}"),
+                F.min(c).cast("string").alias(f"__mn{i}"),
+                F.max(c).cast("string").alias(f"__mx{i}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        data = self.data_dir(meta.name)
+        live = self._live_files(meta)
+        size = sum(os.path.getsize(os.path.join(data, f)) for f in live)
+        stats: dict[str, str] = {
+            "stats.row_count": str(row["__rows"]),
+            "stats.size_bytes": str(size),
+            "stats.file_count": str(len(live)),
+        }
+        for i, c in enumerate(cols):
+            stats[f"stats.col.{c}.null_count"] = str(row[f"__n{i}"])
+            stats[f"stats.col.{c}.ndv"] = str(row[f"__d{i}"])
+            if row[f"__mn{i}"] is not None:
+                stats[f"stats.col.{c}.min"] = row[f"__mn{i}"]
+                stats[f"stats.col.{c}.max"] = row[f"__mx{i}"]
+        with self._table_lock(meta.name):
+            m = self._read_meta(meta.name)
+            # drop stale stats keys, then install the fresh snapshot
+            m.properties = {
+                k: v for k, v in m.properties.items() if not k.startswith("stats.")
+            }
+            m.properties.update(stats)
+            self._write_meta(m)
+        return stats
+
     # ------------------------------------------------- table maintenance
     def expire_snapshots(
         self,

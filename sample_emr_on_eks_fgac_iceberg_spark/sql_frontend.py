@@ -43,6 +43,11 @@ _DESCRIBE_EXT_RE = re.compile(
     r"\s*DESCRIBE\s+(?:TABLE\s+)?EXTENDED\s+([\w.]+)\s*;?\s*$", re.I
 )
 _SHOW_CREATE_RE = re.compile(r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
+_ANALYZE_RE = re.compile(
+    r"\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
 _DELETE_RE = re.compile(
     r"\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S
 )
@@ -218,6 +223,17 @@ class SqlFrontend:
             if not (m.group(1) and not self.warehouse.table_exists(m.group(2))):
                 self.warehouse.drop_table(m.group(2))
             return None
+        m = _ANALYZE_RE.match(query)
+        if m:
+            cols = (
+                [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()]
+                if m.group(2)
+                else None
+            )
+            stats = self.warehouse.analyze_table(m.group(1), cols)
+            return self.spark.createDataFrame(
+                sorted(stats.items()), "key string, value string"
+            )
         m = _DESCRIBE_EXT_RE.match(query)
         if m:
             return self._describe_extended(m.group(1))

@@ -116,3 +116,29 @@ def test_describe_extended_and_show_create(fe):
     stmt = fe.execute("SHOW CREATE TABLE t").collect()[0]["createtab_stmt"]
     assert "CREATE TABLE t" in stmt
     assert "k BIGINT" in stmt and "PARTITIONED BY (city)" in stmt
+
+
+def test_analyze_table_statistics(fe):
+    fe.execute("CREATE TABLE t (k BIGINT, v STRING)")
+    fe.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    out = {
+        r.key: r.value
+        for r in fe.execute(
+            "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, v"
+        ).collect()
+    }
+    assert out["stats.row_count"] == "3"
+    assert out["stats.col.k.min"] == "1" and out["stats.col.k.max"] == "3"
+    assert out["stats.col.v.null_count"] == "1"
+    assert int(out["stats.col.k.ndv"]) == 3
+    # stats persist into properties -> DESCRIBE EXTENDED shows them
+    ext = {r.col_name: r.data_type for r in fe.execute("DESCRIBE EXTENDED t").collect()}
+    assert ext["Property: stats.row_count"] == "3"
+    # re-analyze after DML refreshes, does not accumulate stale keys
+    fe.execute("DELETE FROM t WHERE k = 1")
+    out2 = {
+        r.key: r.value
+        for r in fe.execute("ANALYZE TABLE t COMPUTE STATISTICS").collect()
+    }
+    assert out2["stats.row_count"] == "2"
+    assert not any(k.startswith("stats.col.") for k in out2)
