@@ -69,23 +69,48 @@ class AccessDeniedException(PermissionError):
 
 @dataclass(frozen=True)
 class DataCellsFilter:
-    """Combined column whitelist + row filter bound to a table.
+    """Combined column whitelist + row filter + column masks bound to a
+    table.
 
     ``allowed_columns=None`` means all columns; ``row_filter=None``
     means no row predicate (full-table grant, as the reference's claims
     grant at producer_iceberg_datalake_setup.sh:303-313).
+
+    ``column_masks`` extends the reference's drop-only model with
+    value-level vending: `{col: sql_expr}` rewrites the column to the
+    mask expression (e.g. ``"concat('XXX-XX-', substr(ssn, 8, 4))"``)
+    instead of hiding it — the governed-sharing pattern engines pair
+    with row/column filters. The mask expression may reference any
+    column of the full row; the masked column keeps its name, so joins
+    and projections over it still resolve, and the cleartext never
+    leaves the policy layer.
     """
 
     name: str
     table: str
     allowed_columns: tuple[str, ...] | None = None
     row_filter: str | None = None
+    column_masks: dict[str, str] | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
         # Row filter first: it may reference columns that the column
         # whitelist then hides (LF evaluates the filter on full rows).
         if self.row_filter:
             df = df.filter(F.expr(self.row_filter))
+        if self.column_masks:
+            unknown = set(self.column_masks) - set(df.columns)
+            if unknown:
+                raise ValueError(f"column_masks reference unknown columns {sorted(unknown)}")
+            # masks see the pre-mask row (like the row filter); apply
+            # them in one projection so no mask reads another's output
+            df = df.select(
+                *[
+                    F.expr(self.column_masks[c]).cast(df.schema[c].dataType).alias(c)
+                    if c in self.column_masks
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         if self.allowed_columns is not None:
             df = df.select(*self.allowed_columns)
         return df
