@@ -607,6 +607,79 @@ class Warehouse:
         df = self.spark.createDataFrame(rows, schema=meta.schema)
         self.insert_into(name, df)
 
+    def insert_overwrite(
+        self, name: str, df: DataFrame, dynamic: bool = True
+    ) -> dict:
+        """INSERT OVERWRITE: replace instead of append.
+
+        ``dynamic=True`` is Iceberg's / Spark's dynamic partition
+        overwrite (`partitionOverwriteMode=dynamic`): only the
+        partitions present in the incoming frame are replaced; all
+        other partitions are untouched and shared with the previous
+        snapshot. ``dynamic=False`` (static) replaces the whole table.
+        On an unpartitioned table both modes replace everything.
+
+        Implementation: write the new files, then retire exactly the
+        previously-live files whose partition directory matches a
+        written partition (dynamic) or all of them (static) in one
+        'overwrite' commit — the swap is atomic at the snapshot level
+        and rewrite cost is the incoming data, never a table rescan."""
+        meta = self._read_meta(name)
+        schema = meta.schema
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise SchemaMismatchError(
+                f"Insert overwrite '{name}' missing columns {missing}"
+            )
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        order = self._write_order(meta)
+        if order:
+            aligned = aligned.sortWithinPartitions(*order)
+        with self._table_lock(name):
+            live_before = self._live_files(meta)
+            files_before = self._data_files(name)
+            aligned, part_cols = self._prepare_partitions(meta, aligned)
+            writer = aligned.write.mode("append")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(self.data_dir(name))
+            added = self._data_files(name) - files_before
+            if dynamic and meta.partition_by:
+                new_parts = {os.path.dirname(f) for f in added}
+                removed = {
+                    f for f in live_before if os.path.dirname(f) in new_parts
+                }
+            else:
+                removed = set(live_before)
+            self._commit_snapshot(
+                meta,
+                "overwrite",
+                added,
+                removed,
+                removed_deletes=set(self._live_delete_files(meta)) if removed == set(live_before) else None,
+            )
+        return {
+            "added_files": len(added),
+            "replaced_files": len(removed),
+            "replaced_partitions": len({os.path.dirname(f) for f in removed}),
+        }
+
+    def truncate_table(self, name: str) -> dict:
+        """TRUNCATE TABLE: metadata-only commit retiring every live
+        data (and delete) file — no data is read or rewritten, and
+        history stays time-travelable until expiry (Iceberg truncate
+        semantics)."""
+        with self._table_lock(name):
+            meta = self._resolve_dml_target(name)
+            live = self._live_files(meta)
+            dels = set(self._live_delete_files(meta))
+            self._commit_snapshot(
+                meta, "truncate", set(), live, removed_deletes=dels
+            )
+        return {"removed_files": len(live)}
+
     # -------------------------------------------- row-level DML (CoW)
     # Copy-on-write at file granularity, Iceberg's default write.mode:
     # one scan finds the data files containing matches (predicate pushed

@@ -37,6 +37,13 @@ _PARTITIONED_RE = re.compile(rf"PARTITIONED\s+BY\s*\({_SPEC_BODY}\)", re.I)
 _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
 )
+# INSERT OVERWRITE [TABLE] t VALUES (…) | SELECT … — dynamic partition
+# overwrite (Iceberg/Spark partitionOverwriteMode=dynamic semantics)
+_INSERT_OVERWRITE_RE = re.compile(
+    r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\s+.*|SELECT\b.*)$",
+    re.I | re.S,
+)
+_TRUNCATE_RE = re.compile(r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 _DROP_RE = re.compile(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.I)
 _DESCRIBE_EXT_RE = re.compile(
@@ -215,6 +222,20 @@ class SqlFrontend:
         m = _CREATE_RE.match(query)
         if m:
             return self._create(query, m)
+        m = _INSERT_OVERWRITE_RE.match(query)
+        if m:
+            name, tail = m.group(1), m.group(2).strip()
+            if tail.upper().startswith("VALUES"):
+                src = self.spark.sql(f"SELECT * FROM {tail}")
+                schema = self.warehouse.schema_of(name)
+                src = src.toDF(*[f.name for f in schema.fields[: len(src.columns)]])
+            else:
+                src = self._query(tail)
+            stats = self.warehouse.insert_overwrite(name, src)
+            return self.spark.createDataFrame(
+                [(stats["added_files"], stats["replaced_files"])],
+                "added_files long, replaced_files long",
+            )
         m = _INSERT_RE.match(query)
         if m:
             return self._insert(m.group(1), m.group(2), m.group(3))
@@ -247,6 +268,10 @@ class SqlFrontend:
                 for f in self.warehouse.schema_of(m.group(1)).fields
             ]
             return self.spark.createDataFrame(rows, "col_name string, data_type string")
+        m = _TRUNCATE_RE.match(query)
+        if m:
+            self.warehouse.truncate_table(m.group(1))
+            return None
         m = _DELETE_RE.match(query)
         if m:
             self.warehouse.delete_from(m.group(1), m.group(2))
