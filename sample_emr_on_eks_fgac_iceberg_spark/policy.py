@@ -236,11 +236,15 @@ class SecureSession:
     # UPDATE/MERGE need INSERT+DELETE (a row rewrite is both, Lake
     # Formation's model for engines without an UPDATE permission type)
     _WRITE_SHAPES = (
+        (r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)", (INSERT, DELETE)),
         (r"\s*INSERT\s+INTO\s+([\w.]+)", (INSERT,)),
         (r"\s*DELETE\s+FROM\s+([\w.]+)", (DELETE,)),
+        (r"\s*TRUNCATE\s+TABLE\s+([\w.]+)", (DELETE,)),
         (r"\s*UPDATE\s+([\w.]+)\s+SET\b", (INSERT, DELETE)),
         (r"\s*MERGE\s+INTO\s+([\w.]+)", (INSERT, DELETE)),
         (r"\s*ALTER\s+TABLE\s+([\w.]+)", (ALTER,)),
+        (r"\s*ANALYZE\s+TABLE\s+([\w.]+)", (ALTER,)),
+        (r"\s*OPTIMIZE\s+([\w.]+)", (ALTER,)),
         (r"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", (DROP,)),
     )
 
@@ -344,6 +348,11 @@ class SecureSession:
         # always denied (the reference's consumers are read-only jobs).
         if re.match(r"\s*CREATE\s+TABLE\b", query, re.I):
             raise AccessDeniedException(self.principal, "<database>", "CREATE_TABLE")
+        # Stored procedures are a producer/maintenance surface; the
+        # consumer permission model (SELECT/DESCRIBE ± write perms on
+        # tables) has no procedure grants — always denied.
+        if re.match(r"\s*CALL\s+", query, re.I):
+            raise AccessDeniedException(self.principal, "<maintenance>", "CALL")
         for shape, perms in self._WRITE_SHAPES:
             wm = re.match(shape, query, re.I)
             if wm:

@@ -158,3 +158,19 @@ def test_audit_log_records_decisions(engine):
     log = engine.policy.audit_log
     assert ("reader", "inv", "SELECT", "granted") in log
     assert ("reader", "inv", "DELETE", "denied") in log
+
+
+def test_maintenance_statements_denied_for_readonly_consumer(engine):
+    """TRUNCATE / INSERT OVERWRITE / OPTIMIZE / ANALYZE / CALL deny at
+    plan time for a SELECT/DESCRIBE-only principal — the round-3
+    maintenance surface stays producer-side."""
+    sess = engine.session_for("reader")
+    for stmt in (
+        "TRUNCATE TABLE inv",
+        "INSERT OVERWRITE inv VALUES (1, 1)",
+        "OPTIMIZE inv REWRITE DATA USING BIN_PACK",
+        "ANALYZE TABLE inv COMPUTE STATISTICS",
+        "CALL system.expire_snapshots('inv', 1)",
+    ):
+        with pytest.raises(AccessDeniedException):
+            sess.sql(stmt)
