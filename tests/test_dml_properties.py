@@ -21,6 +21,8 @@ _seq = itertools.count()
 #   ("delete", mod, rem)          → DELETE WHERE v % mod = rem
 #   ("update", mod, rem, delta)   → UPDATE SET v = v + delta WHERE v % mod = rem
 #   ("merge", [(k, v), ...])      → upsert by k
+#   ("overwrite", [(k, v), ...])  → static INSERT OVERWRITE (replace all)
+#   ("truncate",)                 → TRUNCATE TABLE
 _kv = st.tuples(st.integers(0, 30), st.integers(0, 100))
 _op = st.one_of(
     st.tuples(st.just("insert"), st.lists(_kv, min_size=1, max_size=4)),
@@ -29,6 +31,8 @@ _op = st.one_of(
         st.just("update"), st.integers(2, 5), st.integers(0, 4), st.integers(1, 9)
     ),
     st.tuples(st.just("merge"), st.lists(_kv, min_size=1, max_size=3)),
+    st.tuples(st.just("overwrite"), st.lists(_kv, min_size=1, max_size=3)),
+    st.tuples(st.just("truncate")),
 )
 
 
@@ -59,6 +63,12 @@ def _apply_model(model: dict, op) -> None:
                     model[s] = (k, v)
             else:
                 model[max(model, default=-1) + 1] = (k, v)
+    elif op[0] == "overwrite":
+        model.clear()
+        for i, (k, v) in enumerate(op[1]):
+            model[i] = (k, v)
+    elif op[0] == "truncate":
+        model.clear()
 
 
 def _rows(df):
@@ -99,6 +109,11 @@ def test_dml_sequences_match_model(wh, ops):
                 name, src, "t.k = s.k", matched_update={"v": "s.v"},
                 not_matched_insert=True,
             )
+        elif op[0] == "overwrite":
+            src = wh.spark.createDataFrame(op[1], "k int, v int")
+            wh.insert_overwrite(name, src, dynamic=False)
+        elif op[0] == "truncate":
+            wh.truncate_table(name)
         _apply_model(model, op)
         history.append((wh.current_snapshot_id(name), _model_rows(model)))
 
