@@ -47,6 +47,7 @@ _PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",
+    "text_vocab_topk",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -228,3 +228,44 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling(F.col("text")).alias("rolling_hash"),
         F.array_min(F.transform(toks, rolling)).alias("min_token_hash"),
     )
+
+
+_VOCAB_TOP_K = 50
+
+
+@register(
+    "text_vocab_topk",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    ranked AS (
+        SELECT word, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM counts)
+    SELECT rank, word, n FROM ranked WHERE rank <= {_VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-K — the canonical distributed wordcount
+    feeding tokenizer training / frequency-based filtering. Plan shape
+    at 100 TB: explode → one hash-shuffled count with map-side partials
+    (shuffle volume is per-partition distinct words, not tokens), then
+    TakeOrderedAndProject for the bounded top-K — no global sort of the
+    vocabulary. Tie-break on the word itself keeps the rank total and
+    engine-independent."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    counts = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_TOP_K)
+        .select("rank", "word", "n")
+    )
