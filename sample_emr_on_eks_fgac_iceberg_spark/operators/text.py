@@ -263,9 +263,11 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bounded top-K FIRST (TakeOrderedAndProject — per-partition heaps,
+    # never a global sort of the vocabulary), then rank the K survivors
+    # with a window that only ever sees K rows
+    top = counts.orderBy(F.col("n").desc(), F.col("word")).limit(_VOCAB_TOP_K)
     w = Window.orderBy(F.col("n").desc(), F.col("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _VOCAB_TOP_K)
-        .select("rank", "word", "n")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "word", "n"
     )
