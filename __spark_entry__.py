@@ -95,6 +95,7 @@ _PRIORITY = [
     "quality_repetition_filter",
     "decontaminate_ngrams",
     "pack_sequences",
+    "pack_sequences_sharded",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
     "q9_product_profit",

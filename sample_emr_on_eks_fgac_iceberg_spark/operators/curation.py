@@ -400,6 +400,62 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences_sharded",
+    oracle=rf"""
+    WITH sharded AS (
+        SELECT doc_id, source, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents),
+    ordered AS (
+        SELECT source, shard, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source, shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sharded),
+    binned AS (
+        SELECT source, shard, n_chars,
+               (CAST(cum AS BIGINT) - n_chars) // {_PACK_BUDGET} AS bin
+        FROM ordered)
+    SELECT source, shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin) AS n_bins,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM binned GROUP BY source, shard
+    """,
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of `pack_sequences`: packing runs per
+    (source, shard) where shard = first md5 nibble of doc_id, so no
+    window partition is ever wider than 1/16th of a source — the
+    bounded-state form a real corpus needs (a single web-crawl source
+    would otherwise be one window). The packing guarantee is unchanged:
+    bin = floor(prefix_sum / budget) within the shard, a pure function
+    of (source, shard, hash order). One shuffle on the compound key;
+    the final aggregate reuses the same partitioning."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "source")
+    sharded = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.substring(_doc_hash("doc_id"), 1, 1).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy(_doc_hash("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        sharded.withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn("bin", F.expr(f"(cum - n_chars) div {_PACK_BUDGET}"))
+    )
+    return binned.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 additions: the export end of the pipeline — deterministic
 # shard assignment for the tokenizer/trainer fan-in, and
