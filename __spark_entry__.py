@@ -91,11 +91,11 @@ _PRIORITY = [
     "sample_hash_fraction",
     "split_train_holdout",
     "sample_stratified_cap",
+    "pack_sequences_sharded",
     "curation_pipeline",
     "quality_repetition_filter",
     "decontaminate_ngrams",
     "pack_sequences",
-    "pack_sequences_sharded",
     # headline relational (green in round 1; keep representatives in-window)
     "q1_pricing_summary",
     "q9_product_profit",
