@@ -33,6 +33,7 @@ _PRIORITY = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_catalog_qualified_scan",
+    "fgac_corpus_stats",
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",

@@ -137,3 +137,74 @@ def fgac_claims_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.withColumn("amount", F.col("amount").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# FGAC composed over the LLM-pipeline corpus: the documents table
+# loaded into a governed warehouse table, vended to an analyst
+# principal through a row filter (lang whitelist) plus a column mask
+# (source pseudonymization), with a text-analysis aggregate running on
+# the policy-wrapped frame. Shows the two engine halves compose: the
+# policy layer governs WHAT the pipeline sees; the pipeline operators
+# are unchanged.
+# ---------------------------------------------------------------------------
+
+_ANALYST = "corpus-analyst"
+_GOV_LANGS = ("en", "de")
+# source pseudonymization: stable token, cleartext never vended
+_SOURCE_MASK = "concat('src-', substr(md5(source), 1, 8))"
+
+
+def _gov_engine_for(spark: SparkSession, sf_dir: str):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "gov_docs")
+    if key not in _ENGINES:
+        eng = FgacEngine(spark, tempfile.mkdtemp(prefix="fgac_docs_wh_"))
+        docs = load_table(spark, sf_dir, "documents")
+        eng.warehouse.create_table(
+            "documents_gov", "doc_id BIGINT, text STRING, lang STRING, "
+            "source STRING, n_chars BIGINT"
+        )
+        eng.warehouse.insert_into("documents_gov", docs)
+        langs = ", ".join(f"'{lg}'" for lg in _GOV_LANGS)
+        eng.policy.create_data_cells_filter(
+            DataCellsFilter(
+                name="docs_lang_masked",
+                table="documents_gov",
+                row_filter=f"lang in ({langs})",
+                column_masks={"source": _SOURCE_MASK},
+            )
+        )
+        eng.policy.grant(_ANALYST, "documents_gov", filter_name="docs_lang_masked")
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+@register(
+    "fgac_corpus_stats",
+    oracle=f"""
+    SELECT lang,
+           concat('src-', substr(md5(source), 1, 8)) AS source_token,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ({", ".join(f"''{lg}''" for lg in _GOV_LANGS).replace("''", "'")})
+    GROUP BY lang, source_token
+    """,
+)
+def fgac_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting under FGAC: the analyst principal sees only
+    whitelisted languages and a pseudonymized source token; the
+    aggregate runs on the policy-wrapped frame, so the row filter and
+    mask push into the same scan the pipeline uses."""
+    sess = _gov_engine_for(spark, sf_dir).session_for(_ANALYST)
+    return sess.sql(
+        """
+        SELECT lang, source AS source_token,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents_gov GROUP BY lang, source
+        """
+    )
