@@ -119,3 +119,54 @@ def test_masked_columns_unreachable_via_sql(engine, hidden):
     for col in hidden:
         with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot be resolved"):
             sess.sql(f"SELECT {col} FROM patients").collect()
+
+
+@given(
+    states=st.lists(
+        st.sampled_from(STATES), min_size=1, max_size=3, unique=True
+    ),
+    masked=st.lists(
+        st.sampled_from(["patient_name", "city", "gender"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_masked_scan_equals_manual_mask(engine, states, masked):
+    """For arbitrary (row filter, mask set) combinations, the secured
+    scan equals filter → mask-projection done by hand, and no masked
+    column ever vends a cleartext value."""
+    n = next(_seq)
+    principal = f"prop_mask_user_{n}"
+    in_list = ", ".join(f"'{s}'" for s in states)
+    masks = {c: f"concat('masked:', substr(md5({c}), 1, 6))" for c in masked}
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name=f"prop_mask_filter_{n}",
+            table="patients",
+            row_filter=f"state in ({in_list})",
+            column_masks=masks,
+        )
+    )
+    engine.policy.grant(principal, "patients", filter_name=f"prop_mask_filter_{n}")
+
+    got = engine.session_for(principal).table("patients")
+    assert got.columns == ALL_COLS  # masked, never hidden
+    base = engine.warehouse.read_table("patients").filter(
+        F.col("state").isin(*states)
+    )
+    expected = base.select(
+        *[
+            F.expr(masks[c]).alias(c) if c in masks else F.col(c)
+            for c in ALL_COLS
+        ]
+    )
+    key = lambda r: r["patient_id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(expected.collect(), key=key)
+    for c in masked:
+        assert all(r[c].startswith("masked:") for r in got.collect())
