@@ -1836,6 +1836,21 @@ class Warehouse:
         aggregate, then the grid coordinates' bits are interleaved with
         pure JVM shift/mask expressions. Everything after the
         (bounded, 2·n_cols-value) stats row stays inside codegen."""
+        numeric_ok = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+        )
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.name in cols and not isinstance(f.dataType, numeric_ok)
+        ]
+        if bad:
+            raise ValueError(
+                f"zorder_by supports numeric/date/timestamp columns; "
+                f"got non-orderable-on-grid columns {bad}"
+            )
         bits = max(1, min(16, 32 // max(1, len(cols))))
         grid = (1 << bits) - 1
         stats = df.agg(

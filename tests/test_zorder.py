@@ -117,3 +117,11 @@ def test_optimize_sql_statement(wh):
     _load_grid(wh, "tb")
     out = fe.execute("OPTIMIZE tb REWRITE DATA USING BIN_PACK")
     assert out.collect()[0]["rewritten_files"] > 0
+
+
+def test_zorder_string_column_rejected(wh):
+    wh.create_table("ts", "a int, name string")
+    wh.insert_values("ts", [(1, "x")])
+    wh.insert_values("ts", [(2, "y")])
+    with pytest.raises(ValueError, match="numeric/date/timestamp"):
+        wh.compact_table("ts", zorder_by=["a", "name"])
