@@ -356,10 +356,34 @@ class SecureSession:
         for shape, perms in self._WRITE_SHAPES:
             wm = re.match(shape, query, re.I)
             if wm:
+                target = wm.group(1)
                 for perm in perms:
-                    self._policy.authorize(self.principal, wm.group(1), perm)
+                    self._policy.authorize(self.principal, target, perm)
+                # The statement executes on the TRUSTED frontend, where
+                # source clauses (MERGE … USING s / INSERT OVERWRITE t
+                # SELECT … FROM s) resolve without policy wrapping — so
+                # every other known table referenced in the statement
+                # text needs this principal's SELECT, or a write grant
+                # on one table becomes a read of any table
+                # (exfiltration via DML source). Word-boundary matching
+                # is conservative by design: a false positive demands a
+                # grant, never leaks.
+                for t in self._known_tables():
+                    if t != target and re.search(
+                        rf"\b{re.escape(t)}\b", query, re.I
+                    ):
+                        self._policy.authorize(self.principal, t, SELECT)
+                        # A data-cells-filtered SELECT grant cannot be
+                        # honored on the trusted path (the frontend
+                        # reads the source unwrapped) — only full-table
+                        # SELECT may feed a write statement.
+                        g = self._policy.grant_for(self.principal, t)
+                        if g is not None and g.filter_name is not None:
+                            raise AccessDeniedException(
+                                self.principal, t, "SELECT (unfiltered)"
+                            )
                 if self._dml_executor is None:
-                    raise AccessDeniedException(self.principal, wm.group(1), perms[0])
+                    raise AccessDeniedException(self.principal, target, perms[0])
                 return self._dml_executor(query)
         m = re.match(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", query, re.I)
         if m:

@@ -174,3 +174,55 @@ def test_maintenance_statements_denied_for_readonly_consumer(engine):
     ):
         with pytest.raises(AccessDeniedException):
             sess.sql(stmt)
+
+
+def test_dml_source_tables_require_unfiltered_select(engine):
+    """A write grant on one table must not become a read of another:
+    MERGE USING / INSERT OVERWRITE SELECT sources execute on the
+    trusted frontend, so each referenced source needs the principal's
+    SELECT — and a data-cells-FILTERED select is refused (the trusted
+    path cannot apply the filter)."""
+    engine.sql("CREATE TABLE secret (k INT, qty INT)")
+    engine.sql("INSERT INTO secret VALUES (9, 99)")
+    sess = engine.session_for("writer")  # writer: perms on inv only
+
+    for stmt in (
+        "MERGE INTO inv AS t USING (SELECT k, qty FROM secret) AS s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.qty)",
+        "INSERT OVERWRITE inv SELECT k, qty FROM secret",
+    ):
+        with pytest.raises(AccessDeniedException):
+            sess.sql(stmt)
+    # nothing leaked into inv
+    assert sorted(tuple(r) for r in engine.warehouse.read_table("inv").collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+
+    # full-table SELECT on the source unlocks the same statement
+    engine.policy.grant("writer", "secret", {SELECT})
+    sess2 = engine.session_for("writer")
+    sess2.sql(
+        "MERGE INTO inv AS t USING (SELECT k, qty FROM secret) AS s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.qty)"
+    )
+    assert (9, 99) in {
+        tuple(r) for r in engine.warehouse.read_table("inv").collect()
+    }
+
+
+def test_filtered_select_cannot_feed_dml(engine):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+
+    engine.sql("CREATE TABLE src2 (k INT, qty INT)")
+    engine.sql("INSERT INTO src2 VALUES (5, 50), (6, 60)")
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(name="src2_half", table="src2", row_filter="k = 5")
+    )
+    engine.policy.grant("writer", "src2", {SELECT}, filter_name="src2_half")
+    sess = engine.session_for("writer")
+    # plain read IS allowed (and filtered) …
+    assert [tuple(r) for r in sess.sql("SELECT * FROM src2").collect()] == [(5, 50)]
+    # … but feeding a write statement with it is refused
+    with pytest.raises(AccessDeniedException, match="unfiltered"):
+        sess.sql("INSERT OVERWRITE inv SELECT k, qty FROM src2")
