@@ -671,8 +671,9 @@ class Warehouse:
         data (and delete) file — no data is read or rewritten, and
         history stays time-travelable until expiry (Iceberg truncate
         semantics)."""
-        with self._table_lock(name):
-            meta = self._resolve_dml_target(name)
+        meta = self._resolve_dml_target(name)
+        with self._table_lock(meta.name):
+            meta = self._read_meta(meta.name)  # re-read under the lock
             live = self._live_files(meta)
             dels = set(self._live_delete_files(meta))
             self._commit_snapshot(
