@@ -561,8 +561,13 @@ class Warehouse:
         INVISIBLE to normal reads; the returned snapshot id can be
         audited with ``read_table(snapshot_id=…)`` and made live with
         ``publish_snapshot`` (cherry-pick) or abandoned (expiry reclaims
-        it)."""
-        meta = self._read_meta(name)
+        it).
+
+        Writes through a resource link land in the LINKED table (Glue
+        resource links are write-through); reads delegate the same way,
+        so link and target always agree."""
+        meta = self._resolve_dml_target(name)
+        name = meta.name
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
@@ -624,7 +629,8 @@ class Warehouse:
         written partition (dynamic) or all of them (static) in one
         'overwrite' commit — the swap is atomic at the snapshot level
         and rewrite cost is the incoming data, never a table rescan."""
-        meta = self._read_meta(name)
+        meta = self._resolve_dml_target(name)
+        name = meta.name
         schema = meta.schema
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
@@ -1906,7 +1912,8 @@ class Warehouse:
         just the leading sort key. At 100 TB this is the difference
         between pruning on one predicate column and pruning on all
         common filter columns."""
-        meta = self._read_meta(name)
+        meta = self._resolve_dml_target(name)
+        name = meta.name
         if target_file_bytes is None:
             # Iceberg's sizing knob for rewrites; 128 MiB default
             target_file_bytes = int(

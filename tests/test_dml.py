@@ -363,3 +363,24 @@ def test_concurrent_appends_lose_no_snapshots(wh):
         for r in wh.read_table("t").groupBy("worker").count().withColumnRenamed("count", "n").collect()
     }
     assert per_worker == {w: 3 for w in range(6)}
+
+
+def test_writes_through_resource_link_reach_target(wh):
+    """Glue resource links are write-through: INSERT / overwrite /
+    compaction via the link land in the linked table (reads already
+    delegate, so link and target must agree — previously a link write
+    silently vanished into the alias's own directory)."""
+    wh.create_table("t", "k int")
+    wh.create_resource_link("l", "t")
+    wh.insert_values("l", [(7,)])
+    assert _rows(wh.read_table("l")) == [(7,)]
+    assert _rows(wh.read_table("t")) == [(7,)]
+    df = wh.spark.createDataFrame([(8,)], "k int")
+    wh.insert_overwrite("l", df, dynamic=False)
+    assert _rows(wh.read_table("t")) == [(8,)]
+    # maintenance through the link operates on the target too
+    wh.insert_values("l", [(9,)])
+    stats = wh.compact_table("l", target_file_bytes=1)
+    assert stats["rewritten_files"] > 0
+    assert _rows(wh.read_table("t")) == [(8,), (9,)]
+    assert wh.snapshots("t")[-1]["operation"] == "replace"
