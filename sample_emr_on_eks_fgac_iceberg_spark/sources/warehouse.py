@@ -413,6 +413,7 @@ class Warehouse:
     def set_identifier_fields(self, name: str, cols: list[str]) -> None:
         """Iceberg's identifier_field_ids: the row-identity columns
         equality deletes key on (a natural/primary key)."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             names = {f.name for f in meta.schema.fields}
@@ -425,6 +426,7 @@ class Warehouse:
     def set_delete_mode(self, name: str, mode: str) -> None:
         """write.delete.mode: 'copy-on-write' (default) or
         'merge-on-read'. MoR requires identifier fields."""
+        name = self._resolve_dml_target(name).name
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"Unknown delete mode '{mode}'")
         with self._table_lock(name):
@@ -1338,6 +1340,7 @@ class Warehouse:
     def add_columns(self, name: str, cols: T.StructType | str) -> None:
         """ALTER TABLE name ADD COLUMNS (c type, …) — existing rows read
         back NULL for the new columns."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             if isinstance(cols, str):
@@ -1353,6 +1356,7 @@ class Warehouse:
     def drop_column(self, name: str, col: str) -> None:
         """ALTER TABLE name DROP COLUMN col — the physical column stays
         in old files; reads project it away."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             if col in {pf.source for pf in parse_partition_spec(meta.partition_by)}:
@@ -1370,6 +1374,7 @@ class Warehouse:
         """ALTER TABLE name RENAME COLUMN old TO new — recorded in the
         rename log; old files keep the old physical name and resolve per
         row at read time."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             if old in {pf.source for pf in parse_partition_spec(meta.partition_by)}:
@@ -1394,11 +1399,13 @@ class Warehouse:
     # snapshot a ref can still reach.
 
     def create_tag(self, name: str, tag: str, snapshot_id: int | None = None) -> None:
+        name = self._resolve_dml_target(name).name
         self._set_ref(name, tag, "tag", snapshot_id)
 
     def create_branch(
         self, name: str, branch: str, snapshot_id: int | None = None
     ) -> None:
+        name = self._resolve_dml_target(name).name
         self._set_ref(name, branch, "branch", snapshot_id)
 
     def _set_ref(
@@ -1418,6 +1425,7 @@ class Warehouse:
     def fast_forward(self, name: str, branch: str) -> None:
         """Advance a branch to the current head (Iceberg's
         fast_forward procedure). Tags are immutable and refuse."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             if branch not in meta.refs:
@@ -1428,12 +1436,14 @@ class Warehouse:
             self._write_meta(meta)
 
     def drop_ref(self, name: str, ref: str) -> None:
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             meta.refs.pop(ref, None)
             self._write_meta(meta)
 
     def resolve_ref(self, name: str, ref: str) -> int:
+        name = self._resolve_dml_target(name).name
         meta = self._read_meta(name)
         if meta.link_to is not None:
             return self.resolve_ref(meta.link_to, ref)
@@ -1581,6 +1591,7 @@ class Warehouse:
         scans with predicates on the order columns skip row groups.
         Metadata-only; no existing file is rewritten (compaction
         migrates old files lazily)."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             names = {f.name for f in meta.schema.fields}
@@ -1600,6 +1611,7 @@ class Warehouse:
         written under. DML rewrites and compaction migrate rewritten
         rows to the current spec as a side effect, exactly as Iceberg
         does."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             names = {f.name for f in meta.schema.fields}
@@ -1649,6 +1661,7 @@ class Warehouse:
         """Iceberg's rollback_to_snapshot: commit a new snapshot whose
         live set equals the old one — history is preserved (the rolled-
         back snapshots stay readable until expired), no data is moved."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             if snapshot_id not in {s["snapshot_id"] for s in meta.snapshots}:
@@ -1675,6 +1688,7 @@ class Warehouse:
         (audit trail); its files get their sequence number at publish
         time, so equality deletes committed while the data sat in
         staging do not swallow it. Returns the published snapshot id."""
+        name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
             target = next(
@@ -1761,7 +1775,8 @@ class Warehouse:
         retained snapshot is collapsed into a base manifest (its
         added_files become the full live set at that point) so the log
         still replays."""
-        meta = self._read_meta(name)
+        meta = self._resolve_dml_target(name)
+        name = meta.name
         snaps = meta.snapshots
         if not snaps:
             return {"expired_snapshots": 0, "deleted_files": 0}
@@ -1822,6 +1837,7 @@ class Warehouse:
         debris from failed/interrupted writes that committed nothing.
         Never touches referenced files, so every snapshot stays
         readable."""
+        name = self._resolve_dml_target(name).name
         meta = self._read_meta(name)
         referenced = {f for s in meta.snapshots for f in s["added_files"]}
         data = self.data_dir(name)

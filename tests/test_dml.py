@@ -384,3 +384,20 @@ def test_writes_through_resource_link_reach_target(wh):
     assert stats["rewritten_files"] > 0
     assert _rows(wh.read_table("t")) == [(8,), (9,)]
     assert wh.snapshots("t")[-1]["operation"] == "replace"
+
+
+def test_maintenance_and_evolution_through_link_affect_target(wh):
+    wh.create_table("t", "k int")
+    wh.create_resource_link("l", "t")
+    wh.insert_values("l", [(1,)])
+    wh.insert_values("l", [(2,)])
+    # schema evolution via link lands on the target (not a diverging copy)
+    wh.add_columns("l", "extra string")
+    assert "extra" in [f.name for f in wh.schema_of("t").fields]
+    # refs + time travel via link resolve to the target's snapshot log
+    wh.create_tag("l", "v1")
+    assert _rows(wh.read_table("t", ref="v1")) == [(1, None), (2, None)]
+    # expiry via link drops the target's history
+    out = wh.expire_snapshots("l", keep_last=1)
+    assert out["expired_snapshots"] >= 0
+    assert len(wh.snapshots("t")) >= 1
