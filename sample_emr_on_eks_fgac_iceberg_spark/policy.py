@@ -359,6 +359,15 @@ class SecureSession:
                 target = wm.group(1)
                 for perm in perms:
                     self._policy.authorize(self.principal, target, perm)
+                # ANALYZE/OPTIMIZE return data-derived numbers (min/max,
+                # row counts) computed over the UNFILTERED table — a
+                # data-cells-filtered principal may not see those.
+                if re.match(r"\s*(ANALYZE|OPTIMIZE)\b", query, re.I):
+                    g = self._policy.grant_for(self.principal, target)
+                    if g is not None and g.filter_name is not None:
+                        raise AccessDeniedException(
+                            self.principal, target, "ALTER (unfiltered)"
+                        )
                 # The statement executes on the TRUSTED frontend, where
                 # source clauses (MERGE … USING s / INSERT OVERWRITE t
                 # SELECT … FROM s) resolve without policy wrapping — so

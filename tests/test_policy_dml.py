@@ -226,3 +226,21 @@ def test_filtered_select_cannot_feed_dml(engine):
     # … but feeding a write statement with it is refused
     with pytest.raises(AccessDeniedException, match="unfiltered"):
         sess.sql("INSERT OVERWRITE inv SELECT k, qty FROM src2")
+
+
+def test_filtered_principal_cannot_analyze_or_optimize(engine):
+    """ANALYZE/OPTIMIZE return unfiltered-data-derived numbers; a
+    data-cells-filtered principal is refused even when holding ALTER."""
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import ALTER, DataCellsFilter
+
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(name="inv_half", table="inv", row_filter="k = 1")
+    )
+    engine.policy.grant(
+        "half-admin", "inv", {SELECT, ALTER}, filter_name="inv_half"
+    )
+    sess = engine.session_for("half-admin")
+    with pytest.raises(AccessDeniedException, match="unfiltered"):
+        sess.sql("ANALYZE TABLE inv COMPUTE STATISTICS")
+    with pytest.raises(AccessDeniedException, match="unfiltered"):
+        sess.sql("OPTIMIZE inv REWRITE DATA USING BIN_PACK")
