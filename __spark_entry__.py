@@ -69,6 +69,7 @@ _PRIORITY = [
     "shard_export_manifest",
     "sample_language_temperature",
     "cdc_incremental_append",
+    "page_orders_offset",
     # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",

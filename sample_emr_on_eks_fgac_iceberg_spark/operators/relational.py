@@ -1965,3 +1965,33 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+@register(
+    "page_orders_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def page_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY … LIMIT k OFFSET n): Spark
+    plans offset+limit as a single bounded global-TopK
+    (CollectLimit/TakeOrdered with offset), so the cost is the top
+    n+k rows, never a full sort. Tie-break on the key makes every page
+    deterministic across engines — the property a paginated export
+    needs. At 100 TB prefer keyset pagination (WHERE key > last_seen)
+    for deep pages; OFFSET stays correct but scans the top n+k."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

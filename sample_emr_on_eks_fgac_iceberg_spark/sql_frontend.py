@@ -37,6 +37,9 @@ _PARTITIONED_RE = re.compile(rf"PARTITIONED\s+BY\s*\({_SPEC_BODY}\)", re.I)
 _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
 )
+_INSERT_SELECT_RE = re.compile(
+    r"\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", re.I | re.S
+)
 # INSERT OVERWRITE [TABLE] t VALUES (…) | SELECT … — dynamic partition
 # overwrite (Iceberg/Spark partitionOverwriteMode=dynamic semantics)
 _INSERT_OVERWRITE_RE = re.compile(
@@ -239,6 +242,10 @@ class SqlFrontend:
         m = _INSERT_RE.match(query)
         if m:
             return self._insert(m.group(1), m.group(2), m.group(3))
+        m = _INSERT_SELECT_RE.match(query)
+        if m:
+            self.warehouse.insert_into(m.group(1), self._query(m.group(2)))
+            return None
         m = _DROP_RE.match(query)
         if m:
             if not (m.group(1) and not self.warehouse.table_exists(m.group(2))):

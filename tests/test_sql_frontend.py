@@ -115,3 +115,12 @@ def test_sql_partitioned_create_prunes(engine):
     assert engine.warehouse.partition_spec("pt") == ["city"]
     engine.sql("INSERT INTO pt VALUES (1, 'Austin'), (2, 'Dallas')")
     assert engine.sql("SELECT k FROM pt WHERE city='Austin'").collect()[0].k == 1
+
+
+def test_insert_into_select(engine):
+    engine.sql("CREATE TABLE src_is (k BIGINT, v STRING)")
+    engine.sql("INSERT INTO src_is VALUES (1, 'a'), (2, 'b')")
+    engine.sql("CREATE TABLE dst_is (k BIGINT, v STRING)")
+    engine.sql("INSERT INTO dst_is SELECT k, v FROM src_is WHERE k = 2")
+    rows = sorted(tuple(r) for r in engine.sql("SELECT * FROM dst_is").collect())
+    assert rows == [(2, "b")]
