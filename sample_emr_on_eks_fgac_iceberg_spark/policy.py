@@ -196,6 +196,14 @@ class PolicyStore:
     def tables_granted(self, principal: str) -> list[str]:
         return sorted(t for (p, t) in self._grants if p == principal)
 
+    def list_grants(self, table: str | None = None) -> list[Grant]:
+        """A2/A1 audit surface (LF's list-permissions): every grant,
+        optionally restricted to one table."""
+        return sorted(
+            (g for g in self._grants.values() if table is None or g.table == table),
+            key=lambda g: (g.table, g.principal),
+        )
+
     # -------------------------------------------------- enforcement (A4)
     def authorize(self, principal: str, table: str, action: str = SELECT) -> Grant:
         grant = self.grant_for(principal, table)

@@ -96,6 +96,10 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Lake Formation's list-permissions as SQL: SHOW GRANTS [ON t]
+_SHOW_GRANTS_RE = re.compile(
+    r"\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*$", re.I
+)
 # Iceberg stored procedures: CALL [catalog.]system.<proc>(args) — the
 # Spark-SQL spelling of table maintenance
 # (expire_snapshots/remove_orphan_files/rollback_to_snapshot/
@@ -367,6 +371,26 @@ class SqlFrontend:
                     )
                 ],
                 "rewritten_files long, added_files long",
+            )
+        m = _SHOW_GRANTS_RE.match(query)
+        if m:
+            if self.policy is None:
+                raise ValueError("No policy store wired for SHOW GRANTS")
+            table = m.group(1)
+            rows = [
+                (
+                    g.principal,
+                    g.table,
+                    ", ".join(sorted(g.permissions)),
+                    g.grant_option,
+                    g.filter_name or "",
+                )
+                for g in self.policy.list_grants(table)
+            ]
+            return self.spark.createDataFrame(
+                sorted(rows),
+                "principal string, table string, permissions string, "
+                "grant_option boolean, data_cells_filter string",
             )
         if _SHOW_TABLES_RE.match(query):
             return self.spark.createDataFrame(

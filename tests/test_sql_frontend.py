@@ -124,3 +124,15 @@ def test_insert_into_select(engine):
     engine.sql("INSERT INTO dst_is SELECT k, v FROM src_is WHERE k = 2")
     rows = sorted(tuple(r) for r in engine.sql("SELECT * FROM dst_is").collect())
     assert rows == [(2, "b")]
+
+
+def test_show_grants(engine):
+    engine.sql("CREATE TABLE g1 (k INT)")
+    engine.sql("GRANT SELECT, DESCRIBE ON g1 TO team-a WITH GRANT OPTION")
+    engine.sql("GRANT SELECT ON g1 TO team-b")
+    rows = engine.sql("SHOW GRANTS ON g1").collect()
+    got = {(r.principal, r.permissions, r.grant_option) for r in rows}
+    assert ("team-a", "DESCRIBE, SELECT", True) in got
+    assert ("team-b", "SELECT", False) in got
+    all_rows = engine.sql("SHOW GRANTS").collect()
+    assert len(all_rows) >= len(rows)
