@@ -626,11 +626,16 @@ class Warehouse:
         snapshot. ``dynamic=False`` (static) replaces the whole table.
         On an unpartitioned table both modes replace everything.
 
-        Implementation: write the new files, then retire exactly the
-        previously-live files whose partition directory matches a
-        written partition (dynamic) or all of them (static) in one
-        'overwrite' commit — the swap is atomic at the snapshot level
-        and rewrite cost is the incoming data, never a table rescan."""
+        The dynamic path replaces partitions LOGICALLY — the touched
+        partition-value tuples become a predicate over the table's
+        rows (same transform expressions the write path uses), and the
+        CoW machinery rewrites exactly the files containing matches.
+        That stays correct across partition-spec evolution: a legacy
+        file from an older spec that straddles a replaced partition is
+        rewritten keeping only its other-partition rows, where a
+        directory-layout diff would silently leave stale duplicates.
+        Cost is the incoming data plus matched files, never a rescan;
+        the commit swaps everything atomically at the snapshot level."""
         meta = self._resolve_dml_target(name)
         name = meta.name
         schema = meta.schema
@@ -645,6 +650,53 @@ class Warehouse:
         order = self._write_order(meta)
         if order:
             aligned = aligned.sortWithinPartitions(*order)
+
+        spec = parse_partition_spec(meta.partition_by)
+        if dynamic and spec:
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            tcols = [
+                (
+                    pf,
+                    F.col(pf.source)
+                    if pf.kind == "identity"
+                    else _transform_column(pf, types[pf.source]),
+                )
+                for pf in spec
+            ]
+            # partition tuples the incoming frame touches — bounded
+            # collect (number of replaced partitions, metadata-sized)
+            pvals = (
+                aligned.select(*[tc.alias(pf.name) for pf, tc in tcols])
+                .distinct()
+                .collect()
+            )
+            pred = None
+            for r in pvals:
+                clause = None
+                for pf, tc in tcols:
+                    eq = tc.eqNullSafe(F.lit(r[pf.name]))
+                    clause = eq if clause is None else (clause & eq)
+                pred = clause if pred is None else (pred | clause)
+            scan = self._scan_with_filepath(meta)
+            kept = None
+            affected: set[str] = set()
+            if scan is not None and pred is not None:
+                _, affected, uris = self._matched_stats(meta, scan.filter(pred))
+                if affected:
+                    kept = (
+                        scan.filter(F.col("__file_path").isin(uris))
+                        .filter(~F.coalesce(pred, F.lit(False)))
+                        .drop("__file_path")
+                    )
+            rewritten = aligned if kept is None else kept.unionByName(aligned)
+            added = self._rewrite_files(meta, rewritten, "overwrite", affected)
+            return {
+                "added_files": len(added),
+                "replaced_files": len(affected),
+                "replaced_partitions": len(pvals),
+            }
+
+        # static, or unpartitioned table: full replace
         with self._table_lock(name):
             live_before = self._live_files(meta)
             files_before = self._data_files(name)
@@ -654,19 +706,13 @@ class Warehouse:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(name))
             added = self._data_files(name) - files_before
-            if dynamic and meta.partition_by:
-                new_parts = {os.path.dirname(f) for f in added}
-                removed = {
-                    f for f in live_before if os.path.dirname(f) in new_parts
-                }
-            else:
-                removed = set(live_before)
+            removed = set(live_before)
             self._commit_snapshot(
                 meta,
                 "overwrite",
                 added,
                 removed,
-                removed_deletes=set(self._live_delete_files(meta)) if removed == set(live_before) else None,
+                removed_deletes=set(self._live_delete_files(meta)),
             )
         return {
             "added_files": len(added),

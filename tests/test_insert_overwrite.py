@@ -82,3 +82,39 @@ def test_truncate_is_metadata_only_with_history(fe):
     assert len(fe.warehouse._data_files("t")) == n_files_on_disk
     assert _rows(fe.warehouse.read_table("t", snapshot_id=prev)) == [(1,), (2,)]
     assert fe.warehouse.snapshots("t")[-1]["operation"] == "truncate"
+
+
+def test_dynamic_overwrite_correct_across_partition_evolution(fe):
+    """A legacy-layout file (written before the spec evolved) that
+    straddles a replaced partition must be rewritten, not left as a
+    stale duplicate — logical partition replacement, not directory
+    matching."""
+    fe.execute("CREATE TABLE t (k INT, city STRING)")  # unpartitioned
+    fe.execute("INSERT INTO t VALUES (1, 'Austin'), (2, 'Dallas')")
+    fe.warehouse.alter_partition_spec("t", ["city"])  # evolve
+    df = fe.spark.createDataFrame([(10, "Austin")], fe.warehouse.schema_of("t"))
+    fe.warehouse.insert_overwrite("t", df, dynamic=True)
+    assert _rows(fe.execute("SELECT * FROM t")) == [(2, "Dallas"), (10, "Austin")]
+    # history: the pre-overwrite state still reads intact
+    snaps = fe.warehouse.snapshots("t")
+    assert snaps[-1]["operation"] == "overwrite"
+    assert _rows(fe.warehouse.read_table("t", snapshot_id=snaps[-2]["snapshot_id"])) == [
+        (1, "Austin"),
+        (2, "Dallas"),
+    ]
+
+
+def test_dynamic_overwrite_hidden_partition_transform(fe):
+    """Dynamic overwrite with a transform spec (bucket) replaces the
+    transform-value partitions of the incoming rows."""
+    fe.execute("CREATE TABLE t (k INT, v STRING) PARTITIONED BY (bucket(2, k))")
+    fe.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    df = fe.spark.createDataFrame([(2, "B!")], fe.warehouse.schema_of("t"))
+    fe.warehouse.insert_overwrite("t", df, dynamic=True)
+    got = dict(_rows(fe.execute("SELECT * FROM t")))
+    # rows in k=2's bucket are replaced by the single new row; the
+    # other bucket's rows survive untouched
+    assert got[2] == "B!"
+    assert 2 in got and len(got) < 5
+    all_rows = set(got.items())
+    assert all_rows & {(1, "a"), (3, "c"), (4, "d")}  # other bucket intact
