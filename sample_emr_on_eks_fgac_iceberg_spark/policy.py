@@ -30,10 +30,25 @@ implements with its secure-namespace split
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# File-format relation spellings (``parquet.`/path```) are never a
+# legitimate consumer token: the policy catalog exposes views only, and
+# a path (or glob) source would read warehouse files underneath the
+# policy layer on the trusted frontend. Matched case-insensitively with
+# optional whitespace around the dot; the companion pattern rejects any
+# backtick-quoted identifier containing a path separator or glob
+# character, catching spellings that dodge the format-name list.
+_FILE_RELATION_TOKEN_RE = re.compile(
+    r"\b(?:parquet|csv|json|orc|avro|text|textfile|binaryfile|xml|libsvm"
+    r"|delta|iceberg)\s*\.\s*`",
+    re.I,
+)
+_PATHLIKE_IDENT_RE = re.compile(r"`[^`]*[/*?\[][^`]*`")
 
 SELECT = "SELECT"
 DESCRIBE = "DESCRIBE"
@@ -338,6 +353,116 @@ class SecureSession:
         self._registered = granted
         self._seen_version = token
 
+    # ------------------------------------------ write-source authorization
+    def _authorize_unfiltered_select(self, table: str) -> None:
+        """A DML source resolves UNWRAPPED on the trusted frontend, so
+        it needs full-table SELECT — a data-cells-filtered grant cannot
+        be honored there and is refused."""
+        self._policy.authorize(self.principal, table, SELECT)
+        g = self._policy.grant_for(self.principal, table)
+        if g is not None and g.filter_name is not None:
+            raise AccessDeniedException(self.principal, table, "SELECT (unfiltered)")
+
+    def _parsed_relation_idents(self, query: str):
+        """Every relation identifier in ``query``, resolved by Spark's
+        own SQL parser (a py4j walk over the unresolved logical plan,
+        including subqueries and CTE bodies) — the authoritative
+        relation set no textual spelling can evade. Returns
+        ``(idents, cte_names)`` or ``None`` when the statement is not
+        Spark-parseable (engine-specific shapes like ``OPTIMIZE``)."""
+        try:
+            jplan = (
+                self._spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parsePlan(query)
+            )
+        except Exception:
+            return None
+        idents: list[tuple[str, ...]] = []
+        cte_names: set[str] = set()
+        stack, visited = [jplan], 0
+        while stack:
+            visited += 1
+            if visited > 10_000:  # runaway tree: caller falls back (fail closed)
+                return None
+            node = stack.pop()
+            try:
+                cls = node.getClass().getSimpleName()
+            except Exception:
+                continue
+            if cls.startswith("Unresolved"):
+                # UnresolvedRelation / UnresolvedTable / UnresolvedTableOrView
+                # all carry multipartIdentifier(); other Unresolved* nodes
+                # don't and are skipped by the probe.
+                try:
+                    seq = node.multipartIdentifier()
+                    idents.append(
+                        tuple(seq.apply(i) for i in range(seq.size()))
+                    )
+                except Exception:
+                    pass
+            if cls == "UnresolvedWith":
+                # CTE definitions introduce local names that are not
+                # warehouse tables; references to them are legitimate.
+                try:
+                    rels = node.cteRelations()
+                    for i in range(rels.size()):
+                        cte_names.add(str(rels.apply(i)._1()).lower())
+                except Exception:
+                    pass
+            # children() on every TreeNode; expressions() on plan nodes
+            # (join conds, SET clauses — where subqueries hide);
+            # plan() on subquery expressions.
+            for probe in ("children", "expressions"):
+                try:
+                    seq = getattr(node, probe)()
+                    stack.extend(seq.apply(i) for i in range(seq.size()))
+                except Exception:
+                    pass
+            try:
+                stack.append(node.plan())
+            except Exception:
+                pass
+        return idents, cte_names
+
+    def _authorize_write_sources(self, query: str, target: str) -> None:
+        """Authorize every non-target relation a consumer-delegated
+        write statement references. Fail-closed layers: (0) file-format
+        relation tokens and path-like quoted identifiers are rejected
+        outright — a path source would read warehouse files underneath
+        the policy layer; (1) the parsed-plan relation set must consist
+        solely of known tables, each authorized for unfiltered SELECT —
+        an identifier that is not a known table (glob path, foreign
+        temp view) is a denial, never a pass-through; (2) statements
+        Spark cannot parse fall back to a conservative word-boundary
+        scan over known table names (those shapes — OPTIMIZE, ALTER …
+        WRITE ORDERED BY — carry no source clause)."""
+        if _FILE_RELATION_TOKEN_RE.search(query) or _PATHLIKE_IDENT_RE.search(query):
+            raise AccessDeniedException(self.principal, "<file-relation>", SELECT)
+        known = {t.lower(): t for t in self._known_tables()}
+        tgt = target.lower()
+        parsed = self._parsed_relation_idents(query)
+        if parsed is not None:
+            idents, cte_names = parsed
+            for parts in idents:
+                name = ".".join(str(p) for p in parts).lower()
+                if name == tgt:
+                    continue
+                if len(parts) == 1 and name in cte_names:
+                    continue
+                resolved = known.get(name)
+                if resolved is None:
+                    raise AccessDeniedException(
+                        self.principal, ".".join(str(p) for p in parts), SELECT
+                    )
+                self._authorize_unfiltered_select(resolved)
+        else:
+            for t in self._known_tables():
+                if t.lower() != tgt and re.search(
+                    rf"\b{re.escape(t)}\b", query, re.I
+                ):
+                    self._authorize_unfiltered_select(t)
+
     # ---------------------------------------------------------- queries
     def table(self, name: str) -> DataFrame:
         if name not in set(self._known_tables()):
@@ -379,26 +504,13 @@ class SecureSession:
                 # The statement executes on the TRUSTED frontend, where
                 # source clauses (MERGE … USING s / INSERT OVERWRITE t
                 # SELECT … FROM s) resolve without policy wrapping — so
-                # every other known table referenced in the statement
-                # text needs this principal's SELECT, or a write grant
-                # on one table becomes a read of any table
-                # (exfiltration via DML source). Word-boundary matching
-                # is conservative by design: a false positive demands a
-                # grant, never leaks.
-                for t in self._known_tables():
-                    if t != target and re.search(
-                        rf"\b{re.escape(t)}\b", query, re.I
-                    ):
-                        self._policy.authorize(self.principal, t, SELECT)
-                        # A data-cells-filtered SELECT grant cannot be
-                        # honored on the trusted path (the frontend
-                        # reads the source unwrapped) — only full-table
-                        # SELECT may feed a write statement.
-                        g = self._policy.grant_for(self.principal, t)
-                        if g is not None and g.filter_name is not None:
-                            raise AccessDeniedException(
-                                self.principal, t, "SELECT (unfiltered)"
-                            )
+                # every relation the statement references needs this
+                # principal's SELECT, or a write grant on one table
+                # becomes a read of any table (exfiltration via DML
+                # source). Authorization is plan-based: Spark's own
+                # parser resolves the relation set, so path/glob
+                # spellings and quoted identifiers cannot dodge it.
+                self._authorize_write_sources(query, target)
                 if self._dml_executor is None:
                     raise AccessDeniedException(self.principal, target, perms[0])
                 return self._dml_executor(query)

@@ -221,6 +221,15 @@ class SqlFrontend:
         self.spark = spark
         self.warehouse = warehouse
         self.policy = policy  # PolicyStore for GRANT/REVOKE statements
+        # The frontend executes consumer-delegated DML on behalf of
+        # SecureSession principals; path relations (``parquet.`/p```)
+        # are never a legitimate spelling here — every source the
+        # frontend needs is registered as a view. Leaving Spark's
+        # default runSQLOnFiles=true would let a statement that slips
+        # past the consumer-side relation authorization read arbitrary
+        # warehouse files on this trusted session (round-3 verdict's
+        # glob-path exfiltration).
+        self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
 
     def execute(self, query: str) -> DataFrame | None:
         m = _CTAS_RE.match(query)
@@ -696,6 +705,11 @@ class SqlFrontend:
         ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF 'ts'`` resolve
         through the warehouse's snapshot log (Iceberg time-travel SQL)."""
         scratch = self.spark.newSession()
+        # Trusted ≠ path-addressable: the scratch session resolves every
+        # legitimate source through registered views, so SQL-on-files
+        # stays off (defense in depth behind the consumer-side
+        # plan-relation authorization).
+        scratch.conf.set("spark.sql.runSQLOnFiles", "false")
         wh = Warehouse(scratch, self.warehouse.root)
         tables = set(self.warehouse.list_tables())
 
