@@ -698,6 +698,11 @@ class Warehouse:
 
         # static, or unpartitioned table: full replace
         with self._table_lock(name):
+            # re-read under the lock (matching truncate_table): a commit
+            # landing between the earlier meta read and lock acquisition
+            # must have its files in `removed`, or a "replace everything"
+            # overwrite silently keeps the concurrent batch's rows
+            meta = self._read_meta(name)
             live_before = self._live_files(meta)
             files_before = self._data_files(name)
             aligned, part_cols = self._prepare_partitions(meta, aligned)
@@ -1694,10 +1699,16 @@ class Warehouse:
                 )
         lo = from_snapshot_id or 0
         hi = to_snapshot_id if to_snapshot_id is not None else float("inf")
+        # "publish" makes a WAP-staged append live — its added files are
+        # new rows for a changelog consumer exactly like an append. A
+        # still-staged snapshot is invisible (matching scan semantics)
+        # unless it is itself the explicit range head (the audit read).
         files = [
             f
             for s in meta.snapshots
-            if lo < s["snapshot_id"] <= hi and s["operation"] == "append"
+            if lo < s["snapshot_id"] <= hi
+            and s["operation"] in ("append", "publish")
+            and (not s.get("staged") or s["snapshot_id"] == to_snapshot_id)
             for f in s["added_files"]
         ]
         out = self._read_files(meta, files)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
 
@@ -38,7 +39,8 @@ _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
 )
 _INSERT_SELECT_RE = re.compile(
-    r"\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", re.I | re.S
+    r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|TABLE)\b.*)$",
+    re.I | re.S,
 )
 # INSERT OVERWRITE [TABLE] t VALUES (…) | SELECT … — dynamic partition
 # overwrite (Iceberg/Spark partitionOverwriteMode=dynamic semantics)
@@ -257,7 +259,10 @@ class SqlFrontend:
             return self._insert(m.group(1), m.group(2), m.group(3))
         m = _INSERT_SELECT_RE.match(query)
         if m:
-            self.warehouse.insert_into(m.group(1), self._query(m.group(2)))
+            src = self._query(m.group(3))
+            if m.group(2):
+                src = self._align_to_column_list(m.group(1), m.group(2), src)
+            self.warehouse.insert_into(m.group(1), src)
             return None
         m = _DROP_RE.match(query)
         if m:
@@ -609,18 +614,43 @@ class SqlFrontend:
     def _insert(self, name: str, col_list: str | None, values_tail: str) -> None:
         schema = self.warehouse.schema_of(name)
         df = self.spark.sql(f"SELECT * FROM VALUES {values_tail.rstrip().rstrip(';')}")
-        cols = (
-            [c.strip().strip("`") for c in col_list.split(",")]
-            if col_list
-            else [f.name for f in schema.fields]
-        )
-        if len(df.columns) != len(cols):
-            raise ValueError(
-                f"INSERT INTO {name}: {len(df.columns)} values per row "
-                f"for {len(cols)} target columns"
-            )
-        self.warehouse.insert_into(name, df.toDF(*cols))
+        if col_list:
+            df = self._align_to_column_list(name, col_list, df)
+        else:
+            cols = [f.name for f in schema.fields]
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(df.columns)} values per row "
+                    f"for {len(cols)} target columns"
+                )
+            df = df.toDF(*cols)
+        self.warehouse.insert_into(name, df)
         return None
+
+    def _align_to_column_list(
+        self, name: str, col_list: str, src: DataFrame
+    ) -> DataFrame:
+        """Standard SQL INSERT column-list semantics: the source's
+        output maps positionally onto the listed target columns;
+        unlisted table columns are filled with typed NULLs."""
+        schema = self.warehouse.schema_of(name)
+        listed = [c.strip().strip("`") for c in col_list.split(",") if c.strip()]
+        known = {f.name for f in schema.fields}
+        unknown = [c for c in listed if c not in known]
+        if unknown:
+            raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
+        if len(src.columns) != len(listed):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(src.columns)} source columns "
+                f"for {len(listed)} target columns"
+            )
+        src = src.toDF(*listed)
+        fill = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name not in listed
+        ]
+        return src.select(*[F.col(c) for c in listed], *fill)
 
     def _merge(self, target: str, target_alias: str | None, tail: str) -> None:
         """MERGE INTO target [AS t] USING (source|(subquery)) [AS s]

@@ -63,12 +63,29 @@ def stream_into_warehouse(
     return q
 
 
+class ChangelogRewriteError(RuntimeError):
+    """The polled snapshot range contains a rewrite commit (overwrite /
+    update / merge) whose added files may hold rows an appends-only
+    tail would otherwise never emit. Carries the offending
+    ``(snapshot_id, operation)`` pairs as ``.snapshots``."""
+
+    def __init__(self, table: str, snapshots: list[tuple[int, str]]):
+        self.snapshots = snapshots
+        ops = ", ".join(f"{sid}:{op}" for sid, op in snapshots)
+        super().__init__(
+            f"Changelog range on '{table}' contains rewrite commits "
+            f"[{ops}] — an appends-only tail cannot represent them. "
+            "Reprocess the table, or construct ChangelogTail("
+            "on_rewrite='skip') to acknowledge past them explicitly."
+        )
+
+
 class ChangelogTail:
     """Incremental consumer of a warehouse table's snapshot log — the
     read side of the CDC loop (`read_changes` is the primitive; this
     adds the durable consumer checkpoint).
 
-    Each `poll()` returns the rows appended strictly after the
+    Each `poll()` returns the rows APPENDED strictly after the
     consumer's last acknowledged snapshot, up to the current head, and
     `ack()` advances the checkpoint — the classic at-least-once tail
     with consumer-managed offsets (Iceberg's incremental read +
@@ -76,18 +93,42 @@ class ChangelogTail:
     same checkpoint path resumes from its last ack, never reprocessing
     acknowledged snapshots and never skipping unacknowledged ones.
 
+    Appends-only contract (Iceberg incremental-append-scan semantics):
+    the delta contains rows from ``append`` (and WAP ``publish``)
+    commits. Commits that add no new logical rows — compaction
+    (``replace``), ``truncate``, ``rollback``, copy-on-write
+    ``delete`` — are skipped silently: their added files only carry
+    rows an earlier append already emitted. Commits that CAN introduce
+    rows an appends-only tail would lose — ``overwrite``, ``update``,
+    ``merge`` — make ``poll()`` raise :class:`ChangelogRewriteError`
+    by default (mirroring Iceberg, which fails incremental scans over
+    overwrite snapshots); pass ``on_rewrite='skip'`` to acknowledge
+    past them knowingly.
+
     100 TB posture: cost per poll is the file delta between two
     snapshots (manifest-planned, no table rescan), and the checkpoint
     is one integer — nothing scales with table size.
     """
 
-    def __init__(self, wh: Warehouse, table: str, checkpoint_path: str):
+    # added files carry only rows already emitted by an earlier append
+    _NO_NEW_ROWS = {"append", "publish", "replace", "truncate", "rollback", "delete"}
+
+    def __init__(
+        self,
+        wh: Warehouse,
+        table: str,
+        checkpoint_path: str,
+        on_rewrite: str = "error",
+    ):
         import json
         import os
 
+        if on_rewrite not in ("error", "skip"):
+            raise ValueError("on_rewrite must be 'error' or 'skip'")
         self.wh = wh
         self.table = table
         self.checkpoint_path = checkpoint_path
+        self.on_rewrite = on_rewrite
         self._json = json
         self._os = os
         self._pending: int | None = None
@@ -108,6 +149,16 @@ class ChangelogTail:
                 self.wh.spark.createDataFrame([], self.wh.schema_of(self.table)),
                 None,
             )
+        if self.on_rewrite == "error":
+            rewrites = [
+                (s["snapshot_id"], s["operation"])
+                for s in self.wh.snapshots(self.table)
+                if (last or 0) < s["snapshot_id"] <= head
+                and not s.get("staged")
+                and s["operation"] not in self._NO_NEW_ROWS
+            ]
+            if rewrites:
+                raise ChangelogRewriteError(self.table, rewrites)
         df = self.wh.read_changes(
             self.table, from_snapshot_id=last, to_snapshot_id=head
         )

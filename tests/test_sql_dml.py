@@ -245,3 +245,29 @@ def test_refs_and_manifests_metadata_tables(engine):
     assert [m.operation for m in man] == ["append", "append"]
     assert man[0].added_records == 3 and man[1].added_records == 1
     assert man[0].added_delete_files_count == 0
+
+
+# ---------------------------------------- INSERT column-list alignment
+def test_insert_select_with_column_list(engine):
+    """INSERT INTO t (cols) SELECT … maps the select output onto the
+    listed columns positionally; unlisted columns NULL-fill (standard
+    SQL semantics — previously this shape fell through to an obscure
+    AnalysisException)."""
+    engine.sql("CREATE TABLE inv2 (k INT, qty INT, city STRING)")
+    engine.sql("INSERT INTO inv2 (k, city) SELECT k + 100, city FROM inv WHERE k = 1")
+    assert _rows(engine.sql("SELECT * FROM inv2")) == [(101, None, "Austin")]
+
+
+def test_insert_values_with_partial_column_list(engine):
+    engine.sql("INSERT INTO inv (k, city) VALUES (9, 'Waco')")
+    assert (9, None, "Waco") in _rows(engine.sql("SELECT * FROM inv"))
+
+
+def test_insert_column_list_unknown_column_rejected(engine):
+    with pytest.raises(ValueError, match="unknown columns"):
+        engine.sql("INSERT INTO inv (k, nope) VALUES (9, 'x')")
+
+
+def test_insert_column_list_arity_mismatch_rejected(engine):
+    with pytest.raises(ValueError, match="source columns"):
+        engine.sql("INSERT INTO inv (k, qty, city) SELECT k, qty FROM inv")

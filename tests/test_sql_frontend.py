@@ -102,10 +102,13 @@ def test_sql_insert_width_mismatch_raises(engine):
 
 def test_sql_insert_with_column_list(engine):
     engine.sql("CREATE TABLE t (k INT, v STRING)")
-    with pytest.raises(Exception):  # missing column v → schema-on-write error
-        engine.sql("INSERT INTO t (k) VALUES (1)")
-    engine.sql("INSERT INTO t (v, k) VALUES ('a', 1)")
-    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM t").collect()] == [(1, "a")]
+    # round 4: partial column list NULL-fills the unlisted columns
+    # (standard SQL INSERT semantics) instead of erroring
+    engine.sql("INSERT INTO t (k) VALUES (1)")
+    engine.sql("INSERT INTO t (v, k) VALUES ('a', 2)")
+    assert sorted(
+        (r.k, r.v) for r in engine.sql("SELECT * FROM t").collect()
+    ) == [(1, None), (2, "a")]
 
 
 def test_sql_partitioned_create_prunes(engine):

@@ -416,3 +416,70 @@ def test_changelog_tail_exactly_once_consumption(spark, tmp_path):
     assert [r.k for r in df.collect()] == [3] and head4 == head3
     tail3.ack(head4)
     assert tail3.poll()[1] is None
+
+
+def test_changelog_tail_rewrite_contract(spark, tmp_path):
+    """Appends-only contract surfaced, not silently violated: a CoW
+    DELETE in the polled range is skipped (its added files carry only
+    rows an earlier append emitted) but an UPDATE — whose rewritten
+    files hold rows the tail would otherwise lose — raises
+    ChangelogRewriteError unless the consumer opted into skipping."""
+    import pytest as _pytest
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        ChangelogRewriteError,
+        ChangelogTail,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t", "k int, v string")
+    ckpt = str(tmp_path / "tail.ckpt")
+    tail = ChangelogTail(wh, "t", ckpt)
+
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    _, head = tail.poll()
+    tail.ack(head)
+
+    # CoW delete: no new logical rows — poll passes, delta is the
+    # append landed after it
+    wh.delete_from("t", "k = 1")
+    wh.insert_values("t", [(3, "c")])
+    df, head = tail.poll()
+    assert sorted(r.k for r in df.collect()) == [3]
+    tail.ack(head)
+
+    # UPDATE rewrites rows — appends-only tail must refuse by default
+    wh.update_where("t", {"v": "'B'"}, "k = 2")
+    with _pytest.raises(ChangelogRewriteError) as exc:
+        tail.poll()
+    assert exc.value.snapshots and exc.value.snapshots[0][1] == "update"
+    # checkpoint did not advance — the range stays unacknowledged
+    assert ChangelogTail(wh, "t", ckpt, on_rewrite="skip").poll()[0].count() == 0
+
+    # opting in acknowledges past the rewrite explicitly
+    skip_tail = ChangelogTail(wh, "t", ckpt, on_rewrite="skip")
+    df, head = skip_tail.poll()
+    skip_tail.ack(head)
+    assert tail.poll()[1] is None  # strict consumer is clean again
+
+
+def test_read_changes_includes_wap_publish(spark, tmp_path):
+    """Rows landing through write-audit-publish appear in the changelog
+    when PUBLISHED (not while staged) — previously they never appeared
+    at all (publish commits carry operation='publish')."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t", "k int")
+    wh.insert_values("t", [(1,)])
+    base = wh.current_snapshot_id("t")
+
+    df = spark.createDataFrame([(2,)], "k int")
+    staged_id = wh.insert_into("t", df, staged=True)
+    # staged rows are invisible to the incremental read
+    assert wh.read_changes("t", from_snapshot_id=base).count() == 0
+    wh.publish_snapshot("t", staged_id)
+    assert sorted(
+        r.k for r in wh.read_changes("t", from_snapshot_id=base).collect()
+    ) == [2]
