@@ -26,6 +26,10 @@ class FgacEngine:
         self.spark = spark
         self.warehouse = Warehouse(spark, warehouse_root)
         self.policy = PolicyStore()
+        # User-defined views (CREATE VIEW in a SecureSession): shared
+        # across principals' sessions; each read re-secures the view
+        # text under the READER's grants (invoker's rights).
+        self.views: dict[str, dict] = {}
         self._sql_frontend = None
 
     def sql(self, query: str):
@@ -68,4 +72,5 @@ class FgacEngine:
             metadata_loader=lambda s, name, kind: getattr(
                 Warehouse(s, self.warehouse.root), f"{kind}_df"
             )(name),
+            view_store=self.views,
         )

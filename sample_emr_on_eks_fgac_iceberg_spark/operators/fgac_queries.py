@@ -139,6 +139,35 @@ def fgac_claims_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("amount", F.col("amount").cast("double"))
 
 
+@register(
+    "fgac_view_scan",
+    oracle=f"""
+    WITH {_patients_values_sql()}
+    SELECT state, COUNT(*) AS n_patients, COUNT(DISTINCT city) AS n_cities
+    FROM patients_src
+    WHERE state IN ('Texas', 'New York')
+    GROUP BY state
+    """,
+)
+def fgac_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 consumer views (SURVEY §1.6: resource link ≈ "a view or
+    second catalog name"): the principal CREATEs a view over the
+    policy-filtered patients relation and aggregates through it. The
+    view is invoker's-rights — its text re-secures under the reader per
+    query — so the filtered row set (TX/NY only) is what the aggregate
+    sees, and the oracle applies the same predicate directly."""
+    sess = _engine_for(spark).session_for(TEAM1)
+    sess.sql(
+        "CREATE OR REPLACE VIEW patient_states AS "
+        "SELECT state, city FROM patients"
+    )
+    return sess.sql(
+        "SELECT state, COUNT(*) AS n_patients, "
+        "COUNT(DISTINCT city) AS n_cities "
+        "FROM patient_states GROUP BY state"
+    )
+
+
 # ---------------------------------------------------------------------------
 # FGAC composed over the LLM-pipeline corpus: the documents table
 # loaded into a governed warehouse table, vended to an analyst

@@ -138,6 +138,7 @@ class Grant:
     permissions: frozenset[str] = ALL_PERMISSIONS
     grant_option: bool = False
     filter_name: str | None = None  # None → full-table grant
+    granted_by: str | None = None  # None → admin/producer path
 
 
 class PolicyStore:
@@ -196,7 +197,12 @@ class PolicyStore:
         if filter_name is not None and filter_name not in self._filters:
             raise ValueError(f"Unknown data-cells filter '{filter_name}'")
         self._grants[(principal, table)] = Grant(
-            principal, table, frozenset(permissions), grant_option, filter_name
+            principal,
+            table,
+            frozenset(permissions),
+            grant_option,
+            filter_name,
+            granted_by,
         )
         self._version += 1
 
@@ -218,6 +224,18 @@ class PolicyStore:
             (g for g in self._grants.values() if table is None or g.table == table),
             key=lambda g: (g.table, g.principal),
         )
+
+    def list_grants_visible_to(
+        self, principal: str, table: str | None = None
+    ) -> list[Grant]:
+        """LF's list-permissions scoping for a non-admin caller: a
+        principal sees the permissions it HOLDS and the permissions it
+        GRANTED (delegation chain), never other principals' grants."""
+        return [
+            g
+            for g in self.list_grants(table)
+            if g.principal == principal or g.granted_by == principal
+        ]
 
     # -------------------------------------------------- enforcement (A4)
     def authorize(self, principal: str, table: str, action: str = SELECT) -> Grant:
@@ -281,6 +299,7 @@ class SecureSession:
         dml_executor=None,
         data_version=None,
         metadata_loader=None,
+        view_store: dict | None = None,
     ):
         self._spark = spark.newSession()
         # The SQL surface is a principal boundary: path-based relations
@@ -310,6 +329,16 @@ class SecureSession:
         # scoped). t.files / t.partitions stay producer-only — they
         # expose physical paths.
         self._metadata_loader = metadata_loader
+        # Engine-shared user-view registry (SURVEY §1.6 maps the
+        # reference's resource links to "a view or second catalog
+        # name"): name -> {"owner", "text"}. Views are INVOKER'S
+        # RIGHTS — the stored SQL text is re-secured per read in the
+        # querying principal's own session, so policy changes (revoke,
+        # filter edits) propagate instantly and a view is never a
+        # privilege escalation channel.
+        self._views = view_store
+        self._views_in_progress: set[str] = set()
+        self._view_registered: set[str] = set()
         self._registered: set[str] = set()
         self._seen_version: tuple | None = None
         self._refresh_views()
@@ -463,6 +492,71 @@ class SecureSession:
                 ):
                     self._authorize_unfiltered_select(t)
 
+    # ------------------------------------------------------ user views
+    def _create_view(self, or_replace: bool, name: str, body: str):
+        if self._views is None:
+            raise AccessDeniedException(self.principal, name, "CREATE_VIEW")
+        if "." in name:
+            raise ValueError(
+                f"View names are single-part identifiers, got '{name}'"
+            )
+        if name.lower() in {t.lower() for t in self._known_tables()}:
+            raise ValueError(f"View name '{name}' collides with a table")
+        existing = self._views.get(name)
+        if existing is not None:
+            if existing["owner"] != self.principal:
+                raise AccessDeniedException(self.principal, name, "ALTER_VIEW")
+            if not or_replace:
+                raise ValueError(f"View '{name}' already exists")
+        # Validate by executing the body as this principal right now:
+        # an ungranted or filter-dangling source denies at creation the
+        # same way it would at read time (fail closed, plan-time).
+        self._views_in_progress.add(name)
+        try:
+            self.sql(body)
+        finally:
+            self._views_in_progress.discard(name)
+        self._views[name] = {"owner": self.principal, "text": body}
+        return None
+
+    def _drop_view(self, if_exists: bool, name: str):
+        if self._views is None or name not in self._views:
+            if if_exists:
+                return None
+            raise ValueError(f"View '{name}' does not exist")
+        if self._views[name]["owner"] != self.principal:
+            raise AccessDeniedException(self.principal, name, "DROP_VIEW")
+        del self._views[name]
+        return None
+
+    def _materialize_views(self, query: str) -> None:
+        """Register (invoker's-rights, freshly re-secured) frames for
+        every stored view the query references, and sweep session temp
+        views whose registry entry is gone — a dropped view must not
+        keep serving from a stale temp copy. Rebuild cost is plan-time
+        metadata only; no data materializes."""
+        for stale in self._view_registered - (
+            set(self._views) if self._views else set()
+        ):
+            self._spark.catalog.dropTempView(stale)
+            self._view_registered.discard(stale)
+        if not self._views:
+            return
+        for vname in list(self._views):
+            if vname in self._views_in_progress:
+                continue  # cycle guard (self/mutual references)
+            if not re.search(
+                rf"(?<![\w.`]){re.escape(vname)}(?![\w.])", query, re.I
+            ):
+                continue
+            self._views_in_progress.add(vname)
+            try:
+                frame = self.sql(self._views[vname]["text"])
+            finally:
+                self._views_in_progress.discard(vname)
+            frame.createOrReplaceTempView(vname)
+            self._view_registered.add(vname)
+
     # ---------------------------------------------------------- queries
     def table(self, name: str) -> DataFrame:
         if name not in set(self._known_tables()):
@@ -481,11 +575,54 @@ class SecureSession:
         # always denied (the reference's consumers are read-only jobs).
         if re.match(r"\s*CREATE\s+TABLE\b", query, re.I):
             raise AccessDeniedException(self.principal, "<database>", "CREATE_TABLE")
+        # User-defined views over granted tables (SURVEY §1.6: the
+        # consumer-side equivalent of a resource link / secured view).
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+            query,
+            re.I | re.S,
+        )
+        if m:
+            return self._create_view(
+                bool(m.group(1)), m.group(2), m.group(3).rstrip().rstrip(";")
+            )
+        m = re.match(
+            r"\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", query, re.I
+        )
+        if m:
+            return self._drop_view(bool(m.group(1)), m.group(2))
         # Stored procedures are a producer/maintenance surface; the
         # consumer permission model (SELECT/DESCRIBE ± write perms on
         # tables) has no procedure grants — always denied.
         if re.match(r"\s*CALL\s+", query, re.I):
             raise AccessDeniedException(self.principal, "<maintenance>", "CALL")
+        # SHOW GRANTS [ON t]: Lake Formation lets any principal list its
+        # own permissions (and the ones it granted down a delegation
+        # chain) — never other principals'. Same row shape as the
+        # producer surface (sql_frontend.py) so tooling can reuse it.
+        m = re.match(
+            r"\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*$",
+            query,
+            re.I,
+        )
+        if m:
+            rows = [
+                (
+                    g.principal,
+                    g.table,
+                    ", ".join(sorted(g.permissions)),
+                    g.grant_option,
+                    g.filter_name or "",
+                )
+                for g in self._policy.list_grants_visible_to(
+                    self.principal, m.group(1)
+                )
+            ]
+            return self._spark.createDataFrame(
+                sorted(rows),
+                "principal string, table string, permissions string, "
+                "grant_option boolean, data_cells_filter string",
+            )
         for shape, perms in self._WRITE_SHAPES:
             wm = re.match(shape, query, re.I)
             if wm:
@@ -590,6 +727,10 @@ class SecureSession:
             if self._policy.grant_for(self.principal, name) is None:
                 raise AccessDeniedException(self.principal, name)
             query = re.sub(pattern, f"`{self._view_alias(name)}`", query)
+        # User views referenced by the query: rebuild each through this
+        # principal's own policy path (invoker's rights) so revokes and
+        # filter changes propagate to every subsequent read.
+        self._materialize_views(query)
         try:
             return self._spark.sql(query)
         except AnalysisException as exc:

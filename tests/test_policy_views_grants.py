@@ -1,0 +1,187 @@
+"""Round-4 consumer surfaces (verdict r3 tasks 3+4): SHOW GRANTS for
+the principal it describes, and user-defined CREATE VIEW over granted
+tables with invoker's-rights re-securing — a view is a convenience, not
+a privilege escalation channel, matching the reference's model where
+all access flows through Lake Formation grants regardless of the
+relation spelling (consumer_account_setup/consumer_emr_on_eks_setup
+.sh:18-19, 407-418)."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+from sample_emr_on_eks_fgac_iceberg_spark.healthcare import (
+    TEAM1,
+    TEAM2,
+    setup_healthcare,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+    SELECT,
+    AccessDeniedException,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = FgacEngine(spark, str(tmp_path / "wh"))
+    setup_healthcare(eng)
+    return eng
+
+
+# ------------------------------------------------- consumer SHOW GRANTS
+def test_consumer_show_grants_scopes_to_own(engine):
+    rows = engine.session_for(TEAM1).sql("SHOW GRANTS").collect()
+    assert rows, "team1 holds grants and must see them"
+    assert {r.principal for r in rows} == {TEAM1}
+    tables = {r.table for r in rows}
+    assert {"patients", "claims"} <= tables
+    filt = {r.table: r.data_cells_filter for r in rows}
+    assert filt["patients"] == "patients_column_row_filter"
+    assert filt["claims"] == ""
+
+
+def test_consumer_show_grants_on_table(engine):
+    rows = engine.session_for(TEAM2).sql("SHOW GRANTS ON claims").collect()
+    assert [(r.principal, r.table) for r in rows] == [(TEAM2, "claims")]
+    # team2 holds nothing on patients — empty, not an error
+    assert engine.session_for(TEAM2).sql("SHOW GRANTS ON patients").count() == 0
+
+
+def test_consumer_show_grants_includes_delegated(engine):
+    """A grantor sees the grants it issued (LF list-permissions shows a
+    principal its delegation chain), but a third party sees neither."""
+    engine.policy.grant("steward", "claims", grant_option=True)
+    engine.policy.grant("junior", "claims", {SELECT}, granted_by="steward")
+    seen = {
+        (r.principal, r.table)
+        for r in engine.session_for("steward").sql("SHOW GRANTS").collect()
+    }
+    assert ("steward", "claims") in seen and ("junior", "claims") in seen
+    other = engine.session_for(TEAM1).sql("SHOW GRANTS").collect()
+    assert all(r.principal == TEAM1 for r in other)
+
+
+def test_producer_show_grants_unchanged(engine):
+    """The trusted producer surface still lists everything."""
+    rows = engine.sql("SHOW GRANTS").collect()
+    assert {r.principal for r in rows} >= {TEAM1, TEAM2}
+
+
+# ------------------------------------------------------ CREATE VIEW
+def test_view_over_filtered_table_serves_filtered_rows(engine):
+    sess = engine.session_for(TEAM1)
+    sess.sql(
+        "CREATE VIEW tx_patients AS "
+        "SELECT patient_id, patient_name, state FROM patients "
+        "WHERE state = 'Texas'"
+    )
+    rows = sess.sql("SELECT * FROM tx_patients ORDER BY patient_id").collect()
+    assert len(rows) == 4 and all(r.state == "Texas" for r in rows)
+    # the view output is the FILTERED relation — ssn never existed in it
+    assert "ssn" not in rows[0].asDict()
+
+
+def test_view_is_invokers_rights_not_owners(engine):
+    """team1 creates a view over patients; team2 (no patients grant)
+    reading it must deny — the view re-secures under the READER."""
+    engine.session_for(TEAM1).sql(
+        "CREATE VIEW pview AS SELECT patient_id FROM patients"
+    )
+    with pytest.raises(AccessDeniedException):
+        engine.session_for(TEAM2).sql("SELECT * FROM pview").collect()
+
+
+def test_view_does_not_outlive_revoke(engine):
+    sess = engine.session_for(TEAM1)
+    sess.sql("CREATE VIEW cview AS SELECT claim_id FROM claims")
+    assert sess.sql("SELECT * FROM cview").count() == 10
+    engine.policy.revoke(TEAM1, "claims")
+    with pytest.raises(AccessDeniedException):
+        sess.sql("SELECT * FROM cview").collect()
+
+
+def test_view_reflects_policy_filter_changes(engine):
+    """Re-secured per read: narrowing the row filter narrows what the
+    SAME view returns on the next query, no re-create needed."""
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+
+    sess = engine.session_for(TEAM1)
+    sess.sql("CREATE VIEW states AS SELECT patient_id, state FROM patients")
+    assert sess.sql("SELECT * FROM states").count() == 8  # TX + NY
+    engine.policy.delete_data_cells_filter("patients_column_row_filter")
+    engine.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name="patients_column_row_filter",
+            table="patients",
+            allowed_columns=("patient_id", "state"),
+            row_filter="state = 'Texas'",
+        )
+    )
+    assert sess.sql("SELECT * FROM states").count() == 4  # TX only
+
+
+def test_view_creation_denied_on_ungranted_source(engine):
+    with pytest.raises(AccessDeniedException):
+        engine.session_for(TEAM2).sql(
+            "CREATE VIEW leak AS SELECT * FROM patients"
+        )
+    assert "leak" not in engine.views
+
+
+def test_view_creation_rejects_path_relation(engine):
+    data_dir = engine.warehouse.data_dir("patients")
+    with pytest.raises(Exception):
+        engine.session_for(TEAM1).sql(
+            f"CREATE VIEW leak AS SELECT * FROM parquet.`{data_dir}`"
+        )
+    assert "leak" not in engine.views
+
+
+def test_view_name_cannot_shadow_table(engine):
+    with pytest.raises(ValueError, match="collides"):
+        engine.session_for(TEAM1).sql(
+            "CREATE VIEW claims AS SELECT claim_id FROM claims"
+        )
+
+
+def test_view_over_view_and_drop(engine):
+    sess = engine.session_for(TEAM1)
+    sess.sql("CREATE VIEW v1 AS SELECT claim_id, amount FROM claims")
+    sess.sql("CREATE VIEW v2 AS SELECT count(*) AS n FROM v1")
+    assert sess.sql("SELECT * FROM v2").collect()[0].n == 10
+    sess.sql("DROP VIEW v2")
+    sess.sql("DROP VIEW v1")
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM v1").collect()
+
+
+def test_drop_view_requires_ownership(engine):
+    engine.session_for(TEAM1).sql(
+        "CREATE VIEW owned AS SELECT claim_id FROM claims"
+    )
+    with pytest.raises(AccessDeniedException):
+        engine.session_for(TEAM2).sql("DROP VIEW owned")
+    assert "owned" in engine.views
+
+
+def test_replace_view_requires_ownership_and_flag(engine):
+    s1 = engine.session_for(TEAM1)
+    s1.sql("CREATE VIEW mine AS SELECT claim_id FROM claims")
+    with pytest.raises(ValueError, match="already exists"):
+        s1.sql("CREATE VIEW mine AS SELECT amount FROM claims")
+    s1.sql("CREATE OR REPLACE VIEW mine AS SELECT amount FROM claims")
+    assert engine.views["mine"]["text"].strip().startswith("SELECT amount")
+    with pytest.raises(AccessDeniedException):
+        engine.session_for(TEAM2).sql(
+            "CREATE OR REPLACE VIEW mine AS SELECT status FROM claims"
+        )
+
+
+def test_dropped_view_not_served_stale_across_sessions(engine):
+    """A session that already materialized the view must not keep
+    serving the stale temp copy after the registry entry is gone."""
+    s1 = engine.session_for(TEAM1)
+    s1.sql("CREATE VIEW ephemeral AS SELECT claim_id FROM claims")
+    assert s1.sql("SELECT * FROM ephemeral").count() == 10
+    s1.sql("DROP VIEW ephemeral")
+    with pytest.raises(Exception):
+        s1.sql("SELECT * FROM ephemeral").collect()
