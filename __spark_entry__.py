@@ -34,6 +34,8 @@ _PRIORITY = [
     "fgac_claims_join",
     "fgac_catalog_qualified_scan",
     "fgac_corpus_stats",
+    # round-4: consumer CREATE VIEW (invoker's rights) through the driver
+    "fgac_view_scan",
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",
@@ -49,6 +51,8 @@ _PRIORITY = [
     "text_fingerprint",
     "text_rolling_hash",
     "text_vocab_topk",
+    # round-4: per-language collocation mining
+    "bigram_topk_per_lang",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -60,6 +64,8 @@ _PRIORITY = [
     "similarity_pairs_threshold",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    # round-4: exact IVF/k-means training aggregation
+    "embedding_centroids",
     # multimodal
     "multimodal_catalog",
     "multimodal_frame_sample",
@@ -70,6 +76,9 @@ _PRIORITY = [
     "sample_language_temperature",
     "cdc_incremental_append",
     "page_orders_offset",
+    # round-4: the one oracle-bearing query that had never been inside
+    # a driver window (verdict r3 task 2) — pinned well inside it now
+    "pack_sequences_sharded",
     # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",
@@ -93,7 +102,6 @@ _PRIORITY = [
     "sample_hash_fraction",
     "split_train_holdout",
     "sample_stratified_cap",
-    "pack_sequences_sharded",
     "curation_pipeline",
     "quality_repetition_filter",
     "decontaminate_ngrams",

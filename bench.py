@@ -49,6 +49,11 @@ HEADLINE = [
     "udaf_weighted_discount",
     "shard_export_manifest",
     "sample_language_temperature",
+    # round-4 additions (verdict task 8): perf-track the LLM-pipeline
+    # curation surface too
+    "curation_pipeline",
+    "decontaminate_ngrams",
+    "text_vocab_topk",
 ]
 
 

@@ -348,3 +348,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS e
+        FROM embeddings)
+    SELECT label, dim, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_fixed
+    FROM flat GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid accumulation — the core
+    aggregation of k-means / IVF quantizer training (the batch job the
+    `ann_ivf_topk` docstring points to for the 100 TB path). Emitted in
+    long form (label, dim, n_vecs, sum_fixed): the caller derives the
+    centroid as sum_fixed / 1000 / n_vecs; fixed-point bigint sums are
+    associative-exact, so the result is invariant to partitioning and
+    engine (float addition order is not).
+
+    Plan shape at 100 TB: posexplode inside codegen (rows × dims, a
+    narrow long-format stream), then ONE hash aggregation with map-side
+    partials on (label, dim) — k × d cells of state, independent of row
+    count. No collect; the quantizer artifact is the (small) result
+    table itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.floor(F.col("val").cast("double") * 1000).cast("bigint")
+        ).alias("sum_fixed"),
+    )

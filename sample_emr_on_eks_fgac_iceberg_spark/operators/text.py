@@ -271,3 +271,59 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "word", "n"
     )
+
+
+_BIGRAM_TOP_K = 5
+
+
+@register(
+    "bigram_topk_per_lang",
+    oracle=rf"""
+    WITH words AS (
+        SELECT lang,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    bg AS (
+        SELECT lang, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            ELSE []::VARCHAR[] END) AS bigram
+        FROM words),
+    counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+    ranked AS (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
+                   AS rank
+        FROM counts)
+    SELECT lang, rank, bigram, n FROM ranked WHERE rank <= {_BIGRAM_TOP_K}
+    """,
+)
+def bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K bigrams (collocation mining — the n-gram
+    statistics feeding tokenizer merges and contamination screens).
+    Plan shape at 100 TB: bigrams are built per-document inside codegen
+    (transform over the token array, no self-join of the corpus),
+    then ONE hash-shuffled count with map-side partials — shuffle
+    volume is distinct (lang, bigram) pairs, vocabulary-bounded, not
+    token-count-bounded. The rank window sorts distinct bigrams within
+    each language partition: post-aggregation data, orders of magnitude
+    below corpus size. Tie-break on the bigram keeps ranks total."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])) "
+        "ELSE array() END"
+    )
+    counts = (
+        d.select("lang", toks.alias("w"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BIGRAM_TOP_K)
+        .select("lang", "rank", "bigram", "n")
+    )
