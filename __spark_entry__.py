@@ -51,8 +51,9 @@ _PRIORITY = [
     "text_fingerprint",
     "text_rolling_hash",
     "text_vocab_topk",
-    # round-4: per-language collocation mining
+    # round-4: per-language collocation mining + corpus-LM quality proxy
     "bigram_topk_per_lang",
+    "quality_unigram_rarity",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -327,3 +327,64 @@ def bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BIGRAM_TOP_K)
         .select("lang", "rank", "bigram", "n")
     )
+
+
+_RARITY_VOCAB = 100
+
+
+@register(
+    "quality_unigram_rarity",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    vocab AS (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM counts QUALIFY rank <= {_RARITY_VOCAB}),
+    scored AS (
+        SELECT w.doc_id, coalesce(v.rank, {_RARITY_VOCAB + 1}) AS r
+        FROM words w LEFT JOIN vocab v USING (word))
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN r > {_RARITY_VOCAB} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(r) AS BIGINT) AS sum_rank,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_rank
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality proxy without the float hazard:
+    rank every token against the corpus's top-V unigram vocabulary
+    (OOV → V+1) and score each document by mean token rank — rare-word
+    soup scores high, common prose scores low. Integer ranks keep the
+    score engine-exact (a log-prob variant differs in libm ulps across
+    engines); the single float is one sum/count division.
+
+    Plan shape at 100 TB: two passes over the corpus (the standard LM
+    scoring shape) — pass 1 is the vocabulary count (map-side partials,
+    shuffle volume = distinct words) with a bounded
+    TakeOrderedAndProject top-V; pass 2 re-explodes and joins against
+    the BROADCAST vocabulary (V rows), then one hash agg on doc_id.
+    No corpus-sized shuffle except the per-doc aggregation itself."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    words = d.select("doc_id", F.explode(toks).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word")).limit(_RARITY_VOCAB)
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    vocab = top.withColumn("rank", F.row_number().over(w)).select("word", "rank")
+    scored = words.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        F.coalesce(F.col("rank"), F.lit(_RARITY_VOCAB + 1)).alias("r"),
+        F.col("rank").isNull().cast("int").alias("oov"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("r").cast("bigint").alias("sum_rank"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("mean_rank"),
+    )

@@ -211,3 +211,29 @@ def test_language_temperature_broadcasts_quotas(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert uses_broadcast_join(df), plan
+
+
+def test_bigram_topk_no_join(spark, sf_dir):
+    """Bigrams are built per-document inside codegen — the plan must
+    not contain any join of the corpus with itself."""
+    df = QUERIES["bigram_topk_per_lang"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan[:800]
+
+
+def test_embedding_centroids_partial_agg_no_sort(spark, sf_dir):
+    """One hash aggregation with map-side partials on (label, dim);
+    no sort anywhere — centroid accumulation is orderless."""
+    df = QUERIES["embedding_centroids"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2, plan[:800]  # partial+final
+    assert "Sort" not in plan, plan[:800]
+
+
+def test_unigram_rarity_vocab_broadcast(spark, sf_dir):
+    """The scoring join must broadcast the (bounded) vocabulary, never
+    shuffle the exploded corpus against it."""
+    df = QUERIES["quality_unigram_rarity"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan[:800]
