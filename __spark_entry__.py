@@ -71,6 +71,8 @@ _PRIORITY = [
     "multimodal_catalog",
     "multimodal_frame_sample",
     "multimodal_features",
+    # round-4: genuine PCM decode (numpy frombuffer), oracle-checked
+    "multimodal_audio_rms",
     # round-3 additions: export sharding, language rebalancing,
     # snapshot-delta incremental read
     "shard_export_manifest",

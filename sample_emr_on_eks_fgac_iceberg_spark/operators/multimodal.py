@@ -194,3 +194,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_FEATURES)
         ],
     )
+
+
+_PCM_WINDOW = 128  # samples per analysis window
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) // 2 AS n_samp FROM documents),
+    i AS (SELECT doc_id, text, unnest(range(0, n_samp)) AS s
+          FROM d WHERE n_samp > 0),
+    samp AS (
+        SELECT doc_id, s,
+               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS val
+        FROM (SELECT doc_id, s,
+                     ascii(substring(text, CAST(2 * s + 1 AS BIGINT), 1))
+                     + 256 * ascii(substring(text, CAST(2 * s + 2 AS BIGINT), 1))
+                         AS v
+              FROM i))
+    SELECT doc_id,
+           CAST(s // {_PCM_WINDOW} AS INT) AS window_index,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(val)) AS INT) AS peak
+    FROM samp GROUP BY doc_id, window_index
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE decode path needing no media library: the binary
+    payload is interpreted as 16-bit little-endian PCM
+    (`np.frombuffer('<i2')` — the actual wire decode a WAV data chunk
+    needs) and each 128-sample window yields its energy (sum of
+    squares) and peak amplitude — the loudness/clipping screen an audio
+    curation pipeline runs before feature extraction. Integer
+    accumulators keep it engine-exact; RMS itself is
+    sqrt(sum_sq/n_samples), left to the caller to stay float-free.
+
+    Scale shape: Arrow-batched mapInPandas, one pass, ~payload/256 rows
+    out per doc; the decode is vectorized C (numpy view + int64 square)
+    per batch — no per-sample Python. Partition-preserving: no shuffle
+    anywhere in the plan."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_index", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "window_index", "n_samples", "sum_sq", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                usable = len(buf) - (len(buf) % 2)
+                if usable == 0:
+                    continue
+                samples = np.frombuffer(buf[:usable], dtype="<i2").astype(np.int64)
+                for w in range(0, len(samples), _PCM_WINDOW):
+                    win = samples[w : w + _PCM_WINDOW]
+                    out["doc_id"].append(doc_id)
+                    out["window_index"].append(w // _PCM_WINDOW)
+                    out["n_samples"].append(len(win))
+                    out["sum_sq"].append(int((win * win).sum()))
+                    out["peak"].append(int(np.abs(win).max()))
+            yield pd.DataFrame(out)
+
+    return (
+        media_frame(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(decode, out_schema)
+    )
