@@ -321,9 +321,25 @@ def bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Two-phase exact top-K to dodge the language-cardinality skew: a
+    # window partitioned on lang alone has only |langs| partitions — at
+    # 100 TB that is a handful of giant sorts. Phase 1 ranks within
+    # (lang, salt-of-bigram) buckets (|langs|×16 partitions, each
+    # vocabulary/16 rows) and keeps K per bucket — any global top-K row
+    # is necessarily top-K in its bucket, so this loses nothing. Phase
+    # 2's per-lang window then sees at most 16K candidate rows.
+    salt = (F.crc32(F.col("bigram")) % 16).alias("salt")
+    local_w = Window.partitionBy("lang", "salt").orderBy(
+        F.col("n").desc(), F.col("bigram")
+    )
+    cand = (
+        counts.select("lang", "bigram", "n", salt)
+        .withColumn("lr", F.row_number().over(local_w))
+        .filter(F.col("lr") <= _BIGRAM_TOP_K)
+    )
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _BIGRAM_TOP_K)
         .select("lang", "rank", "bigram", "n")
     )

@@ -502,6 +502,16 @@ class SecureSession:
             )
         if name.lower() in {t.lower() for t in self._known_tables()}:
             raise ValueError(f"View name '{name}' collides with a table")
+        # A view body is a QUERY, never a statement: the body re-executes
+        # through sql() at creation and on every referencing read, so a
+        # DML/DDL body would run its side effect repeatedly (and a write
+        # smuggled into a body would bypass nothing — but reject the
+        # shape outright rather than rely on downstream checks).
+        if not re.match(r"\s*(\(|SELECT\b|WITH\b|VALUES\b|TABLE\b)", body, re.I):
+            raise ValueError(
+                f"View body must be a query (SELECT/WITH/VALUES/TABLE), "
+                f"got: {body[:60]!r}"
+            )
         existing = self._views.get(name)
         if existing is not None:
             if existing["owner"] != self.principal:
@@ -591,6 +601,13 @@ class SecureSession:
         )
         if m:
             return self._drop_view(bool(m.group(1)), m.group(2))
+        if re.match(r"\s*SHOW\s+VIEWS\s*;?\s*$", query, re.I):
+            rows = sorted(
+                (name, v["owner"]) for name, v in (self._views or {}).items()
+            )
+            return self._spark.createDataFrame(
+                rows, "view_name string, owner string"
+            )
         # Stored procedures are a producer/maintenance surface; the
         # consumer permission model (SELECT/DESCRIBE ± write perms on
         # tables) has no procedure grants — always denied.

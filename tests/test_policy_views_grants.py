@@ -185,3 +185,28 @@ def test_dropped_view_not_served_stale_across_sessions(engine):
     s1.sql("DROP VIEW ephemeral")
     with pytest.raises(Exception):
         s1.sql("SELECT * FROM ephemeral").collect()
+
+
+def test_show_views_lists_registry(engine):
+    s1 = engine.session_for(TEAM1)
+    s1.sql("CREATE VIEW audit_v AS SELECT claim_id FROM claims")
+    rows = s1.sql("SHOW VIEWS").collect()
+    assert ("audit_v", TEAM1) in [(r.view_name, r.owner) for r in rows]
+    # visible to other principals too (names are catalog metadata;
+    # contents stay invoker-secured)
+    rows2 = engine.session_for(TEAM2).sql("SHOW VIEWS").collect()
+    assert "audit_v" in [r.view_name for r in rows2]
+
+
+def test_view_body_must_be_a_query(engine):
+    """A DML body would re-execute its side effect on every read of the
+    view — rejected at creation regardless of the caller's grants."""
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DESCRIBE, INSERT
+
+    engine.sql("CREATE TABLE vb_scratch (k INT)")
+    engine.policy.grant(TEAM1, "vb_scratch", {SELECT, DESCRIBE, INSERT})
+    sess = engine.session_for(TEAM1)
+    with pytest.raises(ValueError, match="must be a query"):
+        sess.sql("CREATE VIEW evil AS INSERT INTO vb_scratch VALUES (1)")
+    assert "evil" not in engine.views
+    assert engine.warehouse.read_table("vb_scratch").count() == 0
