@@ -492,6 +492,44 @@ class SecureSession:
                 ):
                     self._authorize_unfiltered_select(t)
 
+    # Top-level parsed-plan classes that are writes. A statement whose
+    # TEXT dodges every _WRITE_SHAPES prefix can still parse to one of
+    # these (CTE-prefixed `WITH … INSERT INTO`, Hive-style
+    # `FROM t INSERT INTO u SELECT`); such spellings are denied rather
+    # than allowed to fall through to the read path.
+    _WRITE_PLAN_CLASSES = frozenset(
+        {
+            "InsertIntoStatement",
+            "DeleteFromTable",
+            "UpdateTable",
+            "MergeIntoTable",
+            "OverwriteByExpression",
+            "OverwritePartitionsDynamic",
+            "InsertIntoDir",
+        }
+    )
+
+    def _parsed_write_class(self, query: str) -> str | None:
+        """Spark's own parser as the authority on whether a statement
+        is a write, regardless of textual spelling. Returns the plan
+        class name for write statements, None for reads/unparseable
+        (unparseable shapes are engine-specific and handled upstream)."""
+        try:
+            node = (
+                self._spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parsePlan(query)
+            )
+            cls = node.getClass().getSimpleName()
+            for _ in range(4):  # unwrap CTE wrappers: WITH … <command>
+                if cls != "UnresolvedWith":
+                    break
+                node = node.child()
+                cls = node.getClass().getSimpleName()
+        except Exception:
+            return None
+        return cls if cls in self._WRITE_PLAN_CLASSES else None
+
     # ------------------------------------------------------ user views
     def _create_view(self, or_replace: bool, name: str, body: str):
         if self._views is None:
@@ -668,6 +706,12 @@ class SecureSession:
                 if self._dml_executor is None:
                     raise AccessDeniedException(self.principal, target, perms[0])
                 return self._dml_executor(query)
+        # A write statement whose spelling matched no shape above (CTE
+        # prefix, Hive FROM…INSERT, future syntax) must never reach the
+        # read path — deny on the parsed plan class, fail closed.
+        wcls = self._parsed_write_class(query)
+        if wcls is not None:
+            raise AccessDeniedException(self.principal, f"<{wcls}>", "WRITE")
         m = re.match(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", query, re.I)
         if m:
             rows = self.describe(m.group(1))

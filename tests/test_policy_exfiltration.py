@@ -180,3 +180,21 @@ def test_no_file_relation_in_delegated_plan(engine):
     df = frontend._query("SELECT * FROM secrets")
     plan = df._jdf.queryExecution().analyzed().toString().lower()
     assert "unresolvedrelation" not in plan and "parquet.`" not in plan
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "WITH c AS (SELECT 1 AS id, 'x' AS ssn) INSERT INTO scratch SELECT * FROM c",
+        "FROM secrets INSERT INTO scratch SELECT *",
+    ],
+)
+def test_write_spellings_that_dodge_shape_regexes_denied(engine, stmt):
+    """Round-4 hardening: a CTE-prefixed INSERT or Hive-style
+    FROM…INSERT matches none of the textual write shapes, but Spark's
+    parser still classifies it as a write — the read path must deny it
+    on the plan class, not rely on temp views being unwritable."""
+    sess = engine.session_for("mallory")
+    with pytest.raises(AccessDeniedException):
+        sess.sql(stmt)
+    assert _scratch_rows(engine) == []

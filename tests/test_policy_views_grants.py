@@ -210,3 +210,64 @@ def test_view_body_must_be_a_query(engine):
         sess.sql("CREATE VIEW evil AS INSERT INTO vb_scratch VALUES (1)")
     assert "evil" not in engine.views
     assert engine.warehouse.read_table("vb_scratch").count() == 0
+
+
+# --------------------------------------- property: view/grant interplay
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = ["grant_reader", "revoke_reader", "create", "drop", "read"]
+
+
+@given(ops=st.lists(st.sampled_from(_OPS), min_size=1, max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_view_grant_state_machine(engine, ops):
+    """Invariant under ARBITRARY interleavings of grant/revoke/create/
+    drop: a read through the view succeeds iff the view exists AND the
+    reader currently holds the source grant — and a successful read
+    returns exactly the policy-filtered row count. Long-lived sessions
+    (owner and reader) must observe every mutation."""
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DESCRIBE
+
+    reader = "prop_reader"
+    owner_sess = engine.session_for(TEAM1)
+    reader_sess = engine.session_for(reader)
+    engine.policy.revoke(reader, "patients")
+    owner_sess.sql("DROP VIEW IF EXISTS prop_v")
+
+    exists, granted = False, False
+    for op in ops:
+        if op == "grant_reader":
+            engine.policy.grant(
+                reader, "patients",
+                filter_name="patients_column_row_filter",
+            )
+            granted = True
+        elif op == "revoke_reader":
+            engine.policy.revoke(reader, "patients")
+            granted = False
+        elif op == "create":
+            owner_sess.sql(
+                "CREATE OR REPLACE VIEW prop_v AS "
+                "SELECT patient_id, state FROM patients"
+            )
+            exists = True
+        elif op == "drop":
+            owner_sess.sql("DROP VIEW IF EXISTS prop_v")
+            exists = False
+        else:  # read
+            if exists and granted:
+                n = reader_sess.sql("SELECT count(*) AS n FROM prop_v").collect()[0].n
+                assert n == 8, n  # TX + NY under the policy filter
+            else:
+                with pytest.raises(Exception) as exc:
+                    reader_sess.sql("SELECT * FROM prop_v").collect()
+                if exists and not granted:
+                    assert "AccessDeniedException" in str(exc.value)
+    # cleanup for the next example (module-scoped engine state)
+    owner_sess.sql("DROP VIEW IF EXISTS prop_v")
+    engine.policy.revoke(reader, "patients")
