@@ -58,6 +58,9 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # round-4: md5-deterministic MinHash-LSH — full oracle, unlike the
+    # pyspark.ml hash-family variant above
+    "dedup_minhash_det",
     "dedup_simhash",
     "dedup_embedding_cosine",
     # similarity search

@@ -277,3 +277,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     return blocked_allpairs_cosine(quant, EMB_DUP_THRESHOLD)
+
+
+_MH_SEEDS = 32
+_MH_ROWS = 4  # rows per band -> 8 bands
+_MH_VERIFY = 0.5
+
+
+@register(
+    "dedup_minhash_det",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(t) - {SHINGLE_N - 1}),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= {SHINGLE_N}),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    seeded AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+        FROM ex, (SELECT unnest(range({_MH_SEEDS})) AS seed)),
+    sigs AS (SELECT doc_id, seed, min(h) AS sig
+             FROM seeded GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, CAST(seed // {_MH_ROWS} AS INT) AS band,
+                     md5(string_agg(sig, ',' ORDER BY seed)) AS bsig
+              FROM sigs GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bsig = y.bsig
+                  AND x.doc_id < y.doc_id),
+    shared AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS shared,
+               MIN(ea.n) AS n_a, MIN(eb.n) AS n_b
+        FROM cand c
+          JOIN ex ea ON ea.doc_id = c.a_id
+          JOIN ex eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+        GROUP BY c.a_id, c.b_id)
+    SELECT a_id, b_id, shared,
+           CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+    FROM shared
+    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= {_MH_VERIFY}
+    """,
+)
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a DETERMINISTIC md5 hash family, so unlike the
+    pyspark.ml variant (dedup_minhash_lsh, engine-private coefficients,
+    rows-only check) every stage — signatures, band buckets, candidate
+    pairs, verified Jaccard — is reproduced bit-for-bit by the DuckDB
+    oracle. {32} hashes in {8} bands of {4}: a pair collides in a band
+    iff the band's 4 min-hashes all agree, giving the standard
+    S-curve (P = 1-(1-J^4)^8, ~87% at J=0.7); bucket collisions are
+    then verified against exact shingle Jaccard >= {0.5}.
+
+    Scale shape: signatures are one groupBy(doc, seed) min-aggregation
+    (map-side partials; never a cross join of docs); band buckets join
+    on (band, band-signature) — sub-linear candidate generation, the
+    corpus is never all-paired; verification joins only candidate pairs
+    back to the shingle index."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    ex = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", _shingles("t").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+    )
+    # the shingle index feeds both the signature pass and verification
+    ex = materialize_once(ex)
+    seeds = F.array([F.lit(i) for i in range(_MH_SEEDS)])
+    seeded = ex.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        F.col("s"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))
+        ).alias("h"),
+    )
+    sigs = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("sig"))
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / _MH_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("bsig")
+        )
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "s")
+    shared = (
+        F.broadcast(cand)
+        .join(ea, "a_id")
+        .join(eb, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.select("a_id", "b_id", "shared", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _MH_VERIFY
+    )
