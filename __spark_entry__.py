@@ -62,6 +62,7 @@ _PRIORITY = [
     # pyspark.ml hash-family variant above
     "dedup_minhash_det",
     "dedup_simhash",
+    "dedup_simhash_det",
     "dedup_embedding_cosine",
     # similarity search
     "ann_cosine_topk",

@@ -392,8 +392,10 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "s")
     eb = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "s")
+    # no broadcast hint: the candidate set is data-dependent (unbounded
+    # at scale) — AQE picks broadcast at runtime when it is small
     shared = (
-        F.broadcast(cand)
+        cand
         .join(ea, "a_id")
         .join(eb, ["b_id", "s"])
         .groupBy("a_id", "b_id")
@@ -408,4 +410,164 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shared.select("a_id", "b_id", "shared", jac.alias("jaccard")).filter(
         F.col("jaccard") >= _MH_VERIFY
+    )
+
+
+_SH_BANDS = 4  # 4 x 16-bit bands over a 64-bit fingerprint
+_SH_HAMMING = 8
+
+
+def _simhash_oracle() -> str:
+    """Generate the DuckDB mirror of the 64-bit md5-simhash: nibble
+    j of the first 16 md5 hex chars contributes bits 4j..4j+3."""
+    bit_sums = ",\n               ".join(
+        f"SUM((strpos('0123456789abcdef', substr(h16, {b // 4 + 1}, 1)) - 1) "
+        f"// {1 << (b % 4)} % 2) AS s{b}"
+        for b in range(64)
+    )
+    bands = ",\n               ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * s{k * 16 + i} > n THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        + f" AS BIGINT) AS b{k}"
+        for k in range(_SH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_idx, b{k} AS band_val FROM fp"
+        for k in range(_SH_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(_SH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> ''))) AS w
+        FROM documents),
+    hashed AS (SELECT doc_id, substr(md5(w), 1, 16) AS h16 FROM toks),
+    sums AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id,
+               {bands}
+        FROM sums),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                  AND x.doc_id < y.doc_id)
+    SELECT c.a_id, c.b_id,
+           CAST({hamming} AS INT) AS hamming
+    FROM cand c
+      JOIN fp fa ON fa.doc_id = c.a_id
+      JOIN fp fb ON fb.doc_id = c.b_id
+    WHERE {hamming} <= {_SH_HAMMING}
+    """
+
+
+@register("dedup_simhash_det", oracle=_simhash_oracle())
+def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with a DETERMINISTIC md5 bit
+    family — the cross-engine-verifiable sibling of dedup_simhash
+    (whose xxhash64 family is engine-specific, rows-only). Each
+    distinct token contributes its md5's first 64 bits; fingerprint
+    bit b is the majority vote (1 iff more than half the tokens set
+    it); candidate pairs share at least one of the 4 16-bit bands —
+    complete for the Hamming <= 3 core by pigeonhole, and in practice
+    for near-dups well past that; collisions are then verified by
+    exact Hamming distance over the full fingerprint (threshold 8).
+
+    Scale shape: the bit sums are ONE hash aggregation per doc (64
+    integer sums, map-side partials), the band index is 4 rows per doc
+    joined on (band, value) — sub-linear candidates, never all-pairs —
+    and verification joins only candidate pairs back to the (tiny)
+    fingerprint table."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("w"),
+    )
+    hashed = toks.select(
+        "doc_id", F.substring(F.md5("w"), 1, 16).alias("h16")
+    )
+    bit_sums = [
+        F.sum(
+            F.expr(
+                f"CAST(conv(substring(h16, {b // 4 + 1}, 1), 16, 10) AS INT) "
+                f"div {1 << (b % 4)} % 2"
+            )
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_sums
+    )
+    band_cols = [
+        sum(
+            (
+                F.when(2 * F.col(f"s{k * 16 + i}") > F.col("n"), 1 << i)
+                .otherwise(0)
+                for i in range(16)
+            ),
+            start=F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"b{k}")
+        for k in range(_SH_BANDS)
+    ]
+    fp = sums.select("doc_id", *band_cols)
+    fp = materialize_once(fp)
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(_SH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"b{k}").alias(f"a_b{k}") for k in range(_SH_BANDS)],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"b{k}").alias(f"b_b{k}") for k in range(_SH_BANDS)],
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.expr(f"a_b{k} ^ b_b{k}"))
+            for k in range(_SH_BANDS)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    return (
+        cand
+        .join(fa, "a_id")
+        .join(fb, "b_id")
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_HAMMING)
     )
