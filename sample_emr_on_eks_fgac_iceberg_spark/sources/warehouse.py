@@ -232,6 +232,58 @@ class Warehouse:
             if f.endswith(".json")
         )
 
+    # -------------------------------------------------------- databases
+    # A Glue-style database registry (the reference creates
+    # healthcare_db via `aws glue create-database`,
+    # producer_iceberg_datalake_setup.sh:106-107, and deletes it in
+    # cleanup). Tables live under a database by NAME PREFIX
+    # (`db.table`), which is how the engine's catalog-qualified
+    # resolution already addresses them; the registry adds the
+    # explicit lifecycle.
+
+    @property
+    def _db_dir(self) -> str:
+        return os.path.join(self._meta_dir, "databases")
+
+    def create_database(self, db: str, if_not_exists: bool = False) -> None:
+        os.makedirs(self._db_dir, exist_ok=True)
+        marker = os.path.join(self._db_dir, db)
+        if os.path.exists(marker):
+            if if_not_exists:
+                return
+            raise ValueError(f"Database '{db}' already exists")
+        with open(marker, "w"):
+            pass
+
+    def list_databases(self) -> list[str]:
+        if not os.path.isdir(self._db_dir):
+            return []
+        return sorted(os.listdir(self._db_dir))
+
+    def tables_in_database(self, db: str) -> list[str]:
+        prefix = db + "."
+        return [t for t in self.list_tables() if t.startswith(prefix)]
+
+    def drop_database(
+        self, db: str, cascade: bool = False, if_exists: bool = False
+    ) -> None:
+        """Glue semantics: dropping a non-empty database requires
+        CASCADE (which drops its tables, resource links included)."""
+        marker = os.path.join(self._db_dir, db)
+        if not os.path.exists(marker):
+            if if_exists:
+                return
+            raise ValueError(f"Database '{db}' does not exist")
+        members = self.tables_in_database(db)
+        if members and not cascade:
+            raise ValueError(
+                f"Database '{db}' is not empty ({len(members)} tables); "
+                "use DROP DATABASE ... CASCADE"
+            )
+        for t in members:
+            self.drop_table(t)
+        os.remove(marker)
+
     # --------------------------------------------------------------- DDL
     def create_table(
         self,

@@ -98,6 +98,19 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+# Glue-style database lifecycle (the reference: `aws glue
+# create-database` / `delete-database`, producer setup + cleanup)
+_CREATE_DB_RE = re.compile(
+    r"\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+_DROP_DB_RE = re.compile(
+    r"\s*DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?(\w+)\s*(CASCADE)?\s*;?\s*$",
+    re.I,
+)
+_SHOW_DBS_RE = re.compile(r"\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*;?\s*$", re.I)
+_SHOW_TABLES_IN_RE = re.compile(
+    r"\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(\w+)\s*;?\s*$", re.I
+)
 # Lake Formation's list-permissions as SQL: SHOW GRANTS [ON t]
 _SHOW_GRANTS_RE = re.compile(
     r"\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*$", re.I
@@ -409,6 +422,27 @@ class SqlFrontend:
         if _SHOW_TABLES_RE.match(query):
             return self.spark.createDataFrame(
                 [(t,) for t in self.warehouse.list_tables()], "table_name string"
+            )
+        m = _CREATE_DB_RE.match(query)
+        if m:
+            self.warehouse.create_database(m.group(2), if_not_exists=bool(m.group(1)))
+            return None
+        m = _DROP_DB_RE.match(query)
+        if m:
+            self.warehouse.drop_database(
+                m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1))
+            )
+            return None
+        if _SHOW_DBS_RE.match(query):
+            return self.spark.createDataFrame(
+                [(d,) for d in self.warehouse.list_databases()],
+                "database_name string",
+            )
+        m = _SHOW_TABLES_IN_RE.match(query)
+        if m:
+            return self.spark.createDataFrame(
+                [(t,) for t in self.warehouse.tables_in_database(m.group(1))],
+                "table_name string",
             )
         m = _GRANT_RE.match(query)
         if m:

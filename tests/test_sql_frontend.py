@@ -139,3 +139,28 @@ def test_show_grants(engine):
     assert ("team-b", "SELECT", False) in got
     all_rows = engine.sql("SHOW GRANTS").collect()
     assert len(all_rows) >= len(rows)
+
+
+def test_database_lifecycle(engine):
+    engine.sql("CREATE DATABASE healthcare_db")
+    assert [r.database_name for r in engine.sql("SHOW DATABASES").collect()] == [
+        "healthcare_db"
+    ]
+    engine.sql("CREATE DATABASE IF NOT EXISTS healthcare_db")  # idempotent form
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE DATABASE healthcare_db")
+    engine.sql("CREATE TABLE healthcare_db.pat (k INT)")
+    engine.sql("INSERT INTO healthcare_db.pat VALUES (1)")
+    assert [
+        r.table_name
+        for r in engine.sql("SHOW TABLES IN healthcare_db").collect()
+    ] == ["healthcare_db.pat"]
+    # Glue semantics: non-empty database needs CASCADE
+    with pytest.raises(ValueError, match="CASCADE"):
+        engine.sql("DROP DATABASE healthcare_db")
+    engine.sql("DROP DATABASE healthcare_db CASCADE")
+    assert engine.sql("SHOW DATABASES").count() == 0
+    assert not engine.warehouse.table_exists("healthcare_db.pat")
+    engine.sql("DROP DATABASE IF EXISTS healthcare_db")  # no error
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.sql("DROP DATABASE healthcare_db")
