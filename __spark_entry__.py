@@ -68,6 +68,8 @@ _PRIORITY = [
     "ann_cosine_topk",
     "similarity_pairs_threshold",
     "ann_lsh_bucketed",
+    # round-4: md5-hyperplane fixed-point LSH — full oracle
+    "ann_lsh_det",
     "ann_ivf_topk",
     # round-4: exact IVF/k-means training aggregation
     "embedding_centroids",

@@ -388,3 +388,125 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("val").cast("double") * 1000).cast("bigint")
         ).alias("sum_fixed"),
     )
+
+
+_LSH_DET_PLANES = 16
+_LSH_DET_DIM = 64
+
+
+def _lsh_det_coefs() -> list[list[int]]:
+    """±1 hyperplane coefficients derived from md5 — deterministic at
+    module import (hashlib, no RNG), inlined as literals into BOTH the
+    Spark plan and the DuckDB oracle so the two engines use the exact
+    same hyperplanes."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{k}:{j}".encode()).digest()[0] % 2 else -1
+            for j in range(_LSH_DET_DIM)
+        ]
+        for k in range(_LSH_DET_PLANES)
+    ]
+
+
+_LSH_COEFS = _lsh_det_coefs()
+
+
+def _lsh_det_oracle() -> str:
+    proj = ",\n               ".join(
+        f"CASE WHEN list_inner_product(fv, {_LSH_COEFS[k]}::DOUBLE[]) > 0 "
+        f"THEN {1 << k} ELSE 0 END AS p{k}"
+        for k in range(_LSH_DET_PLANES)
+    )
+    bucket = " + ".join(f"p{k}" for k in range(_LSH_DET_PLANES))
+    return f"""
+    WITH fx AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS fv
+        FROM embeddings),
+    pr AS (
+        SELECT vec_id, fv,
+               {proj}
+        FROM fx),
+    bk AS (SELECT vec_id, fv, {bucket} AS bucket FROM pr),
+    cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_inner_product(q.fv::DOUBLE[], c.fv::DOUBLE[]) AS BIGINT)
+                   AS dot_fixed
+        FROM bk q JOIN bk c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT q_id, neighbor_id, dot_fixed,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY dot_fixed DESC, neighbor_id) AS rank
+        FROM cand)
+    SELECT q_id, neighbor_id, dot_fixed, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_lsh_det", oracle=_lsh_det_oracle())
+def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a fully DETERMINISTIC, cross-engine-
+    verifiable pipeline — the oracle-checked sibling of
+    `ann_lsh_bucketed` (whose float hyperplanes make sign bits
+    engine-fragile). Vectors quantize to fixed-point bigints
+    (floor(x*1000), the same convention as embedding_centroids); the 16
+    hyperplanes are md5-derived ±1 vectors inlined identically into
+    both engines, so projections are exact integer sums and the
+    16-bit bucket is bit-for-bit reproducible; candidates share a
+    bucket and rank by the exact integer dot product.
+
+    Scale shape: one narrow projection pass (zip_with/aggregate inside
+    codegen — no Python), one shuffle on the bucket id for the
+    candidate join, top-K per query via a rank window over
+    bucket-local candidates. Never all-pairs; the broadcast side is
+    the bounded query set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    fx = e.select("vec_id", fv.alias("fv"))
+
+    def proj(k: int):
+        coefs = F.array(*[F.lit(c).cast("long") for c in _LSH_COEFS[k]])
+        s = F.aggregate(
+            F.zip_with(F.col("fv"), coefs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s > 0, F.lit(1 << k)).otherwise(F.lit(0))
+
+    bk = fx.withColumn(
+        "bucket", sum((proj(k) for k in range(_LSH_DET_PLANES)), start=F.lit(0))
+    )
+    q = bk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("fv").alias("q_fv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_fv"), F.col("fv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot_fixed").desc(), F.col("neighbor_id")
+    )
+    return (
+        bk.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot_fixed"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
