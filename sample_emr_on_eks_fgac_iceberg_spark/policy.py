@@ -810,7 +810,11 @@ class SecureSession:
                 if name in unresolved and name not in self._registered:
                     # Exists in the warehouse but is not serveable for
                     # this principal (ungranted, or its filter was
-                    # deleted) → plan-time denial.
+                    # deleted) → plan-time denial, recorded in the
+                    # audit trail like every other authorization check.
+                    self._policy.audit_log.append(
+                        (self.principal, name, SELECT, "denied")
+                    )
                     raise AccessDeniedException(self.principal, name) from exc
             raise
 

@@ -812,6 +812,20 @@ class SqlFrontend:
             return f"`{view}`"
 
         query = _META_TABLE_RE.sub(_meta_table, query)
+        # CloudTrail-style queryable audit: every authorization decision
+        # the policy layer recorded, as SQL (producer-only — the scratch
+        # session is the trusted surface)
+        if self.policy is not None and re.search(
+            r"\bsystem\.audit_log\b", query, re.I
+        ):
+            scratch.createDataFrame(
+                list(self.policy.audit_log),
+                "principal string, table_name string, action string, "
+                "decision string",
+            ).createOrReplaceTempView("__system_audit_log")
+            query = re.sub(
+                r"\bsystem\.audit_log\b", "`__system_audit_log`", query, flags=re.I
+            )
         for name in tables:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
         for name in sorted(tables, key=len, reverse=True):

@@ -164,3 +164,19 @@ def test_database_lifecycle(engine):
     engine.sql("DROP DATABASE IF EXISTS healthcare_db")  # no error
     with pytest.raises(ValueError, match="does not exist"):
         engine.sql("DROP DATABASE healthcare_db")
+
+
+def test_audit_log_queryable_as_sql(engine):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import AccessDeniedException
+
+    engine.sql("CREATE TABLE aud (k INT)")
+    engine.policy.grant("alice", "aud")
+    engine.session_for("alice").sql("SELECT * FROM aud")
+    with pytest.raises(AccessDeniedException):
+        engine.session_for("mallet").sql("SELECT * FROM aud")
+    rows = engine.sql(
+        "SELECT principal, decision, COUNT(*) AS n FROM system.audit_log "
+        "GROUP BY principal, decision"
+    ).collect()
+    got = {(r.principal, r.decision) for r in rows}
+    assert ("alice", "granted") in got and ("mallet", "denied") in got
