@@ -401,3 +401,52 @@ def test_maintenance_and_evolution_through_link_affect_target(wh):
     out = wh.expire_snapshots("l", keep_last=1)
     assert out["expired_snapshots"] >= 0
     assert len(wh.snapshots("t")) >= 1
+
+
+def test_concurrent_overwrite_and_insert_linearizable(spark, tmp_path):
+    """Regression for the round-4 lock fix: a static INSERT OVERWRITE
+    racing a concurrent INSERT must serialize to one of the two valid
+    histories — insert-then-overwrite (overwrite retires the inserted
+    rows) or overwrite-then-insert (both survive). The pre-fix bug
+    produced a third, invalid history: overwrite computed its retired
+    file set from a stale snapshot and the concurrent batch leaked
+    through a 'replace everything' overwrite undetected... while still
+    claiming full replacement."""
+    import threading
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    for trial in range(3):
+        wh = Warehouse(spark, str(tmp_path / f"wh{trial}"))
+        wh.create_table("t", "k int")
+        wh.insert_values("t", [(1,), (2,)])
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def overwrite():
+            try:
+                barrier.wait()
+                wh.insert_overwrite(
+                    "t", spark.createDataFrame([(100,)], "k int"), dynamic=False
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def insert():
+            try:
+                barrier.wait()
+                wh.insert_values("t", [(50,)])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=overwrite), threading.Thread(target=insert)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        rows = sorted(r.k for r in wh.read_table("t").collect())
+        assert rows in ([100], [50, 100]), (
+            f"trial {trial}: invalid serialization {rows} — "
+            "a concurrent batch leaked through the overwrite"
+        )

@@ -237,3 +237,31 @@ def test_unigram_rarity_vocab_broadcast(spark, sf_dir):
     assert uses_broadcast_join(df)
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_ann_lsh_det_projection_in_codegen_no_python(spark, sf_dir):
+    """The hyperplane projection must be pure JVM (zip_with/aggregate
+    inside codegen): no Python evaluation node anywhere in the plan."""
+    df = QUERIES["ann_lsh_det"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan[:800]
+
+
+def test_minhash_det_no_allpairs_before_banding(spark, sf_dir):
+    """Candidates must come from the band-bucket equi-join; the plan
+    must not contain any cartesian/nested-loop join."""
+    df = QUERIES["dedup_minhash_det"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_audio_rms_partition_preserving_no_shuffle(spark, sf_dir):
+    """PCM decode is a single mapInPandas pass: no Exchange in the
+    plan (fan_out's repartition happens at load, before this check's
+    concern — assert no aggregation-induced shuffle after the scan)."""
+    df = QUERIES["multimodal_audio_rms"](spark, sf_dir)
+    plan = explain_str(df)
+    # one allowed Exchange from fan_out's explicit repartition; none
+    # from the operator itself (no HashAggregate/Sort/Join)
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan, plan[:800]
