@@ -590,11 +590,16 @@ class SecureSession:
             self._view_registered.discard(stale)
         if not self._views:
             return
+        # Scan with string literals blanked: a view name inside a
+        # quoted literal ("SELECT 'states' FROM t") is data, not a
+        # relation reference — materializing on it could raise a
+        # spurious denial for a principal who never touched the view.
+        scannable = re.sub(r"'[^']*'", "''", query)
         for vname in list(self._views):
             if vname in self._views_in_progress:
                 continue  # cycle guard (self/mutual references)
             if not re.search(
-                rf"(?<![\w.`]){re.escape(vname)}(?![\w.])", query, re.I
+                rf"(?<![\w.`]){re.escape(vname)}(?![\w.])", scannable, re.I
             ):
                 continue
             self._views_in_progress.add(vname)

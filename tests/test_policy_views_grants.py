@@ -271,3 +271,17 @@ def test_view_grant_state_machine(engine, ops):
     # cleanup for the next example (module-scoped engine state)
     owner_sess.sql("DROP VIEW IF EXISTS prop_v")
     engine.policy.revoke(reader, "patients")
+
+
+def test_view_name_in_string_literal_not_materialized(engine):
+    """A view name appearing only inside a quoted literal is data, not
+    a reference — it must not trigger (or deny on) view
+    materialization for a principal without the underlying grant."""
+    engine.session_for(TEAM1).sql(
+        "CREATE VIEW litview AS SELECT patient_id FROM patients"
+    )
+    # team2 has no patients grant; the literal must not make this deny
+    rows = engine.session_for(TEAM2).sql(
+        "SELECT 'litview' AS tag, count(*) AS n FROM claims"
+    ).collect()
+    assert rows[0].tag == "litview" and rows[0].n == 10
