@@ -390,7 +390,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_DET_PLANES = 16
+_LSH_DET_PLANES = 8  # 256 buckets: dense enough for non-trivial candidates at test SFs
 _LSH_DET_DIM = 64
 
 
@@ -454,11 +454,14 @@ def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable pipeline — the oracle-checked sibling of
     `ann_lsh_bucketed` (whose float hyperplanes make sign bits
     engine-fragile). Vectors quantize to fixed-point bigints
-    (floor(x*1000), the same convention as embedding_centroids); the 16
+    (floor(x*1000), the same convention as embedding_centroids); the 8
     hyperplanes are md5-derived ±1 vectors inlined identically into
     both engines, so projections are exact integer sums and the
-    16-bit bucket is bit-for-bit reproducible; candidates share a
-    bucket and rank by the exact integer dot product.
+    8-bit bucket is bit-for-bit reproducible; candidates share a
+    bucket and rank by the exact integer dot product. Plane count
+    trades recall for bucket size (2^planes buckets): 8 keeps buckets
+    populated at the test SFs; a 100 TB corpus would raise it (and/or
+    add multi-probe) to keep buckets task-sized.
 
     Scale shape: one narrow projection pass (zip_with/aggregate inside
     codegen — no Python), one shuffle on the bucket id for the
