@@ -54,6 +54,13 @@ HEADLINE = [
     "curation_pipeline",
     "decontaminate_ngrams",
     "text_vocab_topk",
+    # round-4 operators (collocations, LM-quality proxy, centroid
+    # training agg, PCM decode, deterministic LSH)
+    "bigram_topk_per_lang",
+    "quality_unigram_rarity",
+    "embedding_centroids",
+    "multimodal_audio_rms",
+    "ann_lsh_det",
 ]
 
 
@@ -88,17 +95,26 @@ def main() -> None:
     # best-of-two per query: the first execution of a plan pays JIT /
     # codegen-compile / Python-worker-spawn costs that are one-time in
     # any real deployment; the min is the warm steady-state number and
-    # is markedly more stable run-to-run on a shared 32-thread JVM
+    # is markedly more stable run-to-run on a shared 32-thread JVM.
+    # When the two runs disagree badly (compile blip landed in BOTH —
+    # observed: 5.8s then 0.6s on a query whose steady state is 0.6s),
+    # one extra run resolves which was the blip; bounded extra cost.
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - start)
+        if max(runs) > 1.5 * min(runs):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(
