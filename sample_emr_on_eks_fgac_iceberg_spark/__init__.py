@@ -21,6 +21,28 @@ PySpark library:
 - ``streaming`` — Structured Streaming operators over the events table.
 """
 
+import os as _os
+import sys as _sys
+
+# Spark Python workers unpickle pandas-UDF functions BY MODULE
+# REFERENCE (cloudpickle pickles importable-module functions by name),
+# so the worker processes must be able to import this package. The
+# driver process may have found it via a sys.path insert (the driver
+# contract does exactly that) — which workers do NOT inherit. Export
+# the package root on PYTHONPATH at import time: the worker daemon
+# spawns lazily at the first Python-UDF execution, which is always
+# after this import, so the env propagates even to pre-existing
+# sessions. Without this, applyInPandas/mapInPandas operators raise
+# ModuleNotFoundError whenever the entry script runs from another cwd.
+_pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_root + (_os.pathsep + _pp if _pp else "")
+    )
+if _pkg_root not in _sys.path:
+    _sys.path.insert(0, _pkg_root)
+
 from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
 from sample_emr_on_eks_fgac_iceberg_spark.policy import (
     AccessDeniedException,

@@ -43,3 +43,19 @@ def test_query_analyzes_and_output_schema_is_scalar(name, spark, sf_dir):
         "scalar columns (see approx_percentile_prices / "
         "multimodal_features)"
     )
+
+
+def test_package_exports_pythonpath_for_workers():
+    """Spark Python workers unpickle module-referenced pandas-UDFs by
+    importing this package — which they can only do if PYTHONPATH
+    carries the repo root (the driver's sys.path insert does not
+    propagate to worker processes). The package exports it at import
+    time; without this, applyInPandas/mapInPandas queries error with
+    ModuleNotFoundError whenever the entry script runs from a cwd
+    other than the repo root."""
+    import os
+
+    import sample_emr_on_eks_fgac_iceberg_spark as pkg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
