@@ -349,33 +349,32 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the shingle index feeds both the signature pass and verification
     ex = materialize_once(ex)
-    seeds = F.array([F.lit(i) for i in range(_MH_SEEDS)])
-    seeded = ex.select(
-        "doc_id",
-        F.explode(seeds).alias("seed"),
-        F.col("s"),
-    ).select(
-        "doc_id",
-        "seed",
+    # All 32 signature mins in ONE per-doc aggregation (wide agg state,
+    # map-side partials) — no 32x seed-explode of the shingle stream,
+    # which would multiply the shuffle by the hash count. The md5
+    # values are identical to the oracle's md5(seed || ':' || shingle).
+    sig_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+        ).alias(f"sig{i}")
+        for i in range(_MH_SEEDS)
+    ]
+    sigs = ex.groupBy("doc_id").agg(*sig_cols)
+    # band signature straight from the columns (seed order is literal
+    # column order — no collect_list/array_sort needed)
+    band_cols = [
         F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))
-        ).alias("h"),
-    )
-    sigs = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("sig"))
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / _MH_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                        lambda x: x["sig"],
-                    ),
-                )
-            ).alias("bsig")
-        )
+            F.concat_ws(
+                ",", *[F.col(f"sig{k * _MH_ROWS + i}") for i in range(_MH_ROWS)]
+            )
+        ).alias(f"b{k}")
+        for k in range(_MH_SEEDS // _MH_ROWS)
+    ]
+    bands = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{k}") for k in range(_MH_SEEDS // _MH_ROWS)])
+        ).alias("band", "bsig"),
     )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
