@@ -366,7 +366,13 @@ class SecureSession:
         if token == self._seen_version:
             return
         granted = set()
+        known = set(self._known_tables())
         for name in self._policy.tables_granted(self.principal):
+            if name not in known:
+                # Orphan grant — its table was dropped (LF keeps such
+                # grants around too). It must not break the session's
+                # OTHER tables; the dropped name simply never registers.
+                continue
             if SELECT not in self._policy.grant_for(self.principal, name).permissions:
                 continue
             try:

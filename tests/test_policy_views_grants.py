@@ -285,3 +285,19 @@ def test_view_name_in_string_literal_not_materialized(engine):
         "SELECT 'litview' AS tag, count(*) AS n FROM claims"
     ).collect()
     assert rows[0].tag == "litview" and rows[0].n == 10
+
+
+def test_orphan_grant_does_not_break_session(engine):
+    """A grant whose table was dropped (orphan — Lake Formation keeps
+    these too) must not break the principal's OTHER queries: the
+    session skips it and the live tables keep serving."""
+    engine.sql("CREATE TABLE doomed (k INT)")
+    engine.policy.grant(TEAM1, "doomed")
+    sess = engine.session_for(TEAM1)
+    assert sess.sql("SELECT count(*) AS n FROM claims").collect()[0].n == 10
+    engine.sql("DROP TABLE doomed")
+    # unrelated query still works after the drop
+    assert sess.sql("SELECT count(*) AS n FROM claims").collect()[0].n == 10
+    # and the dropped table itself is NOT_FOUND, not a crash
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM doomed").collect()
