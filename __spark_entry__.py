@@ -54,6 +54,10 @@ _PRIORITY = [
     # round-4: per-language collocation mining + corpus-LM quality proxy
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
+    # round-4 batch 2: winnowing sketch, trigram novelty, TF-IDF terms
+    "winnowing_fingerprint",
+    "doc_ngram_novelty",
+    "tfidf_top_terms",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -64,6 +68,9 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_simhash_det",
     "dedup_embedding_cosine",
+    # round-4 batch 2: transitive closure of the near-dup graph
+    # (iterative hash-to-min CC, oracle = recursive CTE)
+    "dedup_connected_components",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
@@ -73,6 +80,8 @@ _PRIORITY = [
     "ann_ivf_topk",
     # round-4: exact IVF/k-means training aggregation
     "embedding_centroids",
+    # round-4 batch 2: k-NN majority-vote labeling (weak supervision)
+    "knn_label_vote",
     # multimodal
     "multimodal_catalog",
     "multimodal_frame_sample",
@@ -88,6 +97,9 @@ _PRIORITY = [
     # round-4: the one oracle-bearing query that had never been inside
     # a driver window (verdict r3 task 2) — pinned well inside it now
     "pack_sequences_sharded",
+    # round-4 batch 2: corpus profiling + PII scrub
+    "doc_length_histogram",
+    "pii_mask_customers",
     # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",

@@ -61,6 +61,14 @@ HEADLINE = [
     "embedding_centroids",
     "multimodal_audio_rms",
     "ann_lsh_det",
+    # round-4 batch 2 (winnowing sketch, trigram novelty, TF-IDF,
+    # kNN label vote, length profile, PII scrub)
+    "winnowing_fingerprint",
+    "doc_ngram_novelty",
+    "tfidf_top_terms",
+    "knn_label_vote",
+    "doc_length_histogram",
+    "pii_mask_customers",
 ]
 
 

@@ -582,3 +582,95 @@ def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_chars_inner", F.lit(0)).alias("kept_chars"),
         )
     )
+
+
+_HIST_BUCKET_W = 32
+_HIST_N_BUCKETS = 8
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT source,
+           least(n_chars // {_HIST_BUCKET_W}, {_HIST_N_BUCKETS - 1}) AS bucket,
+           least(n_chars // {_HIST_BUCKET_W}, {_HIST_N_BUCKETS - 1})
+               * {_HIST_BUCKET_W} AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (fixed-width buckets with a
+    top catch-all) — the corpus-shape profile a curation run computes
+    before choosing length cutoffs and packing targets.
+
+    Plan shape at 100 TB: integer bucket arithmetic inside codegen and
+    ONE hash aggregation with map-side partials; state is
+    sources × buckets cells, independent of corpus size. The canonical
+    'profile the lake' query — nothing else moves."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / _HIST_BUCKET_W), F.lit(_HIST_N_BUCKETS - 1)
+    ).cast("long")
+    return (
+        d.select("source", "n_chars", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * _HIST_BUCKET_W).alias("bucket_lo"),
+            "n_docs",
+            "sum_chars",
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
+@register(
+    "pii_mask_customers",
+    oracle=r"""
+    SELECT c_custkey,
+           md5(c_name) AS name_token,
+           regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX') AS name_masked,
+           length(regexp_replace(c_name, '[^0-9]', '', 'g'))
+               - length(regexp_replace(
+                     regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX'),
+                     '[^0-9]', '', 'g')) AS n_digits_redacted,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass a training-data pipeline runs
+    before records leave the governed zone: the direct identifier is
+    tokenized (md5 — joinable across tables, not reversible) and the
+    quasi-identifier partially masked (the first 6 digits of the
+    customer number X'd out by a deterministic regex, keeping a 3-digit
+    tail for human spot-checks). The redaction count audits per row
+    that the mask actually fired.
+
+    Plan shape at 100 TB: a narrow per-row projection inside codegen —
+    regex + hash, no shuffle, no UDF. Composes with the FGAC layer: the
+    policy decides who sees raw bytes at all; this operator produces
+    the shareable export."""
+    c = fan_out(load_table(spark, sf_dir, "customer"), spark, "c_custkey")
+    masked = F.regexp_replace(F.col("c_name"), r"#[0-9]{6}", "#XXXXXX")
+    digits = lambda col: F.length(F.regexp_replace(col, "[^0-9]", ""))  # noqa: E731
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_token"),
+        masked.alias("name_masked"),
+        (digits(F.col("c_name")) - digits(masked)).alias("n_digits_redacted"),
+        "c_mktsegment",
+    )

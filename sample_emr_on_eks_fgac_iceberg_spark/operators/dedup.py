@@ -16,6 +16,7 @@ SURVEY.md §2.B "Dedup"): exact (hash-groupBy), n-gram Jaccard
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
@@ -570,3 +571,116 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_HAMMING)
     )
+
+
+_CC_MAX_ROUNDS = 20  # safety bound; hash-to-min converges in O(log d) rounds
+
+
+def _jaccard_pairs_oracle_cte() -> str:
+    """The dedup_ngram_jaccard pipeline as reusable CTE text (shared by
+    the pair query's oracle and the connected-components oracle)."""
+    return rf"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(t) - {SHINGLE_N - 1}),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= {SHINGLE_N}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pair_shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    edges AS (
+        SELECT p.a_id, p.b_id
+        FROM pair_shared p
+          JOIN sizes sa ON sa.doc_id = p.a_id
+          JOIN sizes sb ON sb.doc_id = p.b_id
+        WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared)
+              >= {JACCARD_THRESHOLD})
+    """
+
+
+@register(
+    "dedup_connected_components",
+    oracle=rf"""
+    WITH RECURSIVE {_jaccard_pairs_oracle_cte()},
+    sym AS (
+        SELECT a_id AS s, b_id AS d FROM edges
+        UNION ALL
+        SELECT b_id, a_id FROM edges),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph — the step an
+    actual dedup pipeline runs after pair generation: near-duplication
+    is not transitive, so keeping one doc per *pair* over-deletes;
+    the correct unit is the connected component (pick one canonical doc
+    per component). Nodes are all documents; edges are the
+    `dedup_ngram_jaccard` pairs; component id = min doc_id reachable.
+
+    Algorithm: iterative hash-to-min label propagation with pointer
+    jumping — each round takes the min label over neighbors, then
+    short-circuits label→label-of-label (path halving), giving
+    O(log diameter) rounds instead of O(diameter). Each round is two
+    shuffles (a join keyed on the edge endpoint + a min-aggregation),
+    with a `materialize_once` barrier per round so lineage stays flat
+    and every round runs at full parallelism. Convergence is detected
+    by a scalar changed-row count (metadata-scale driver action).
+
+    100 TB posture: this is the standard MapReduce-CC recipe (Kiveris
+    et al.'s hash-to-min); rounds are data-parallel and the label
+    frame is one row per doc. The driver holds only the loop counter
+    and the convergence scalar — never data."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    # symmetric closure once; both directions feed every round
+    sym = materialize_once(
+        edges.selectExpr("a_id AS src", "b_id AS dst").unionByName(
+            edges.selectExpr("b_id AS src", "a_id AS dst")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    labels = materialize_once(
+        d.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        # neighbor-min: each edge proposes its source's label to its dst
+        proposals = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(proposals)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- comp[comp] (path halving)
+        jump = new_labels.selectExpr("id AS jid", "comp AS jcomp")
+        new_labels = materialize_once(
+            new_labels.join(jump, new_labels.comp == jump.jid, "left").select(
+                "id", F.coalesce("jcomp", "comp").alias("comp")
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    ).withColumn("component_size", F.count(F.lit(1)).over(w))

@@ -513,3 +513,89 @@ def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH {_ORACLE_NORMS},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*c.v[i+1])) AS DOUBLE)
+                   / (q.nrm * c.nrm) AS cosine
+        FROM norms q JOIN norms c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}),
+    nn AS (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs),
+    votes AS (
+        SELECT n.q_id, l.label, COUNT(*) AS votes
+        FROM nn n JOIN lbl l ON l.vec_id = n.neighbor_id
+        WHERE n.rank <= {TOP_K}
+        GROUP BY n.q_id, l.label),
+    best AS (
+        SELECT q_id, label AS predicted_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+        FROM votes)
+    SELECT b.q_id, t.label AS true_label, b.predicted_label, b.votes
+    FROM best b JOIN lbl t ON t.vec_id = b.q_id
+    WHERE b.vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column —
+    the label-propagation / weak-supervision primitive a training-data
+    pipeline runs to tag unlabeled documents from a labeled seed set.
+    Queries are vec_id < N_QUERIES; the electorate is every other
+    vector's label; k = TOP_K, ties broken toward the smaller label so
+    the vote is total and engine-exact (integer dot products, same
+    quantization as the exact ANN path).
+
+    Plan shape at 100 TB: identical to `ann_cosine_topk` — broadcast
+    the bounded query set, ONE streaming pass over the candidates (the
+    label rides the same scan; no second join against the big table),
+    per-query top-k via window over the tiny pair set, then a
+    few-hundred-row vote aggregation. Nothing data-sized shuffles or
+    lands on the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "q")
+    true_lbl = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+        )
+    )
+    cand = fan_out(e.filter(F.col("vec_id") >= N_QUERIES), spark, "vec_id")
+    cv = _quantized(F.col("embedding"))
+    c = cand.select(
+        F.col("vec_id").alias("c_id"), cv.alias("c_v"), "label"
+    ).withColumn("c_norm", F.sqrt(_dot(F.col("c_v"), F.col("c_v")).cast("double")))
+    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            "label",
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(true_lbl, "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )

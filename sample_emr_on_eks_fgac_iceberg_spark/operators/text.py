@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    fan_out,
+    load_table,
+    materialize_once,
+)
 
 TOKEN_SPLIT = r"\s+"
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -342,6 +346,216 @@ def bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _BIGRAM_TOP_K)
         .select("lang", "rank", "bigram", "n")
+    )
+
+
+_WINNOW_W = 4
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(t, ''), x -> x <> ''),
+                                  x -> CAST(unicode(x) AS BIGINT))),
+                   (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})) AS hs
+        FROM toks),
+    winnowed AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) <= {_WINNOW_W} THEN [list_min(hs)]
+                    ELSE list_distinct(list_transform(
+                        range(1, len(hs) - {_WINNOW_W} + 2),
+                        j -> list_min(list_slice(hs, j, j + {_WINNOW_W} - 1))))
+               END AS fps
+        FROM hashed)
+    SELECT doc_id,
+           len(fps) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fingerprint_digest
+    FROM winnowed
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    selector): hash every token (Rabin-Karp, same B/M as
+    `text_rolling_hash`), slide a window of W consecutive hashes, keep
+    each window's minimum — the guarantee is every shared substring of
+    length >= W tokens yields at least one common fingerprint, at ~2/(W+1)
+    the density of the full hash sequence. The digest of the selected
+    set is the doc's plagiarism/near-dup sketch.
+
+    Plan shape at 100 TB: everything is per-row array arithmetic inside
+    codegen (transform over an index sequence; no explode, no shuffle) —
+    a narrow projection over the corpus scan. Integer hashes → bit-equal
+    across engines."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+
+    def rolling(col):
+        chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _RH_BASE + F.ascii(x)) % _RH_MOD,
+        )
+
+    hs = F.transform(toks, rolling)
+    d = d.select("doc_id", hs.alias("hs"))
+    w = _WINNOW_W
+    windowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - w),
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+        )
+    )
+    fps = F.when(F.size("hs") <= w, F.array(F.array_min("hs"))).otherwise(windowed)
+    d = d.select("doc_id", fps.alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fingerprint_digest"),
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+            THEN list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE []::VARCHAR[] END) AS gram
+        FROM toks),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty_ratio
+    FROM grams g JOIN first_seen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's trigrams
+    whose first corpus appearance (by doc_id, a stand-in for ingestion
+    order) is the doc itself — the incremental-information signal
+    crawl-curation pipelines use to drop boilerplate-heavy late
+    duplicates while keeping first occurrences.
+
+    Plan shape at 100 TB: trigrams are built per-row inside codegen
+    (transform over the token array), then TWO hash shuffles on the
+    gram key — the min(doc_id) aggregation and the gram-keyed join back
+    — followed by one doc_id aggregation. Both gram-keyed exchanges
+    share the same partitioning, so AQE plans the join without a third
+    shuffle. Grams are occurrence-bounded, never an all-pairs blowup."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    trigrams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+        "ELSE array() END"
+    )
+    grams = d.select("doc_id", toks.alias("w")).select(
+        "doc_id", F.explode(trigrams).alias("gram")
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+        )
+    )
+
+
+_TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, word, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, word) AS rank
+        FROM scored)
+    SELECT doc_id, rank, word, tf, df, score
+    FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by TF-IDF with a *linear* inverse
+    document frequency (score = tf · N / df). The usual log-idf ranks
+    identically for fixed tf (log is monotone) but ln() is not
+    correctly-rounded IEEE and would differ in final ulps across
+    engines (registry.py determinism rules); tf·N is exact int64 and
+    one division is deterministic, so the hashed score is bit-equal.
+
+    Plan shape at 100 TB: one corpus explode feeding two aggregations —
+    (doc, word) term frequencies and per-word document frequencies (the
+    df agg reuses the tf output: df = count of (doc,word) rows per
+    word, no second corpus pass, no count-distinct shuffle). The
+    doc-count scalar joins in as a broadcast single row; the rank
+    window partitions on doc_id (millions of small partitions, no
+    skew)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    words = d.select("doc_id", F.explode(toks).alias("word"))
+    # barrier: tf feeds both the scored join and the df aggregation —
+    # without it Catalyst duplicates the subplan and the corpus is
+    # exploded twice (sources/tables.py::materialize_once)
+    tf = materialize_once(
+        words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df from tf, not from the corpus: each (doc, word) row appears once
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select("doc_id", "rank", "word", "tf", "df", "score")
     )
 
 

@@ -265,3 +265,49 @@ def test_audio_rms_partition_preserving_no_shuffle(spark, sf_dir):
     # one allowed Exchange from fan_out's explicit repartition; none
     # from the operator itself (no HashAggregate/Sort/Join)
     assert "HashAggregate" not in plan and "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_winnowing_no_shuffle_all_codegen(spark, sf_dir):
+    # winnowing is a pure narrow projection: no Exchange beyond the
+    # fan_out repartition, no Python operator, fingerprints built inside
+    # codegen via array transforms
+    df = QUERIES["winnowing_fingerprint"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Python" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the fan_out only
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_tfidf_df_derived_from_tf_single_explode(spark, sf_dir):
+    # df reuses the (checkpoint-barriered) tf aggregate — the corpus is
+    # exploded at most once in the executed plan (the barrier may hide
+    # the Generate behind an ExistingRDD scan), and the doc-count scalar
+    # joins as a broadcast
+    plan = explain_str(QUERIES["tfidf_top_terms"](spark, sf_dir), "simple")
+    assert plan.count("Generate") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_novelty_gram_join_not_cartesian(spark, sf_dir):
+    plan = explain_str(QUERIES["doc_ngram_novelty"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_vote_broadcasts_queries_streams_candidates(spark, sf_dir):
+    # candidate side must stream once against a broadcast query set —
+    # same scale shape as ann_cosine_topk
+    plan = explain_str(QUERIES["knn_label_vote"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_length_histogram_partial_agg_no_join(spark, sf_dir):
+    plan = explain_str(QUERIES["doc_length_histogram"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
+def test_pii_mask_narrow_no_shuffle_no_python(spark, sf_dir):
+    plan = explain_str(QUERIES["pii_mask_customers"](spark, sf_dir), "simple")
+    assert "Python" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the fan_out only
