@@ -463,29 +463,62 @@ def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     populated at the test SFs; a 100 TB corpus would raise it (and/or
     add multi-probe) to keep buckets task-sized.
 
-    Scale shape: one narrow projection pass (zip_with/aggregate inside
-    codegen — no Python), one shuffle on the bucket id for the
-    candidate join, top-K per query via a rank window over
-    bucket-local candidates. Never all-pairs; the broadcast side is
-    the bounded query set."""
+    Scale shape: projections run in long form — posexplode, a
+    broadcast (dim → coefficients) join, one hash aggregation with 8
+    conditional sums — entirely inside whole-stage codegen (the
+    previous higher-order-function formulation evaluated 8×64
+    interpreted lambda calls per row and was ~2.6× slower); map-side
+    partials collapse the long form back to one row per vector before
+    any exchange. Then one shuffle on the bucket id for the candidate
+    join, top-K per query via a rank window over bucket-local
+    candidates. Never all-pairs; the broadcast side is the bounded
+    query set."""
     e = load_table(spark, sf_dir, "embeddings")
     fv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     fx = e.select("vec_id", fv.alias("fv"))
 
-    def proj(k: int):
-        coefs = F.array(*[F.lit(c).cast("long") for c in _LSH_COEFS[k]])
-        s = F.aggregate(
-            F.zip_with(F.col("fv"), coefs, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.when(s > 0, F.lit(1 << k)).otherwise(F.lit(0))
-
-    bk = fx.withColumn(
-        "bucket", sum((proj(k) for k in range(_LSH_DET_PLANES)), start=F.lit(0))
+    # Projections in LONG form, not higher-order functions: HOF lambdas
+    # (aggregate/zip_with) evaluate interpreted per element — 8 planes
+    # × 64 dims of lambda calls per row dominated this query's runtime
+    # (measured ~2 s for 2k rows at sf0.1). posexplode + a broadcast
+    # (dim → 8 coefficients) join + ONE hash aggregation with 8
+    # conditional sums stays inside whole-stage codegen end-to-end;
+    # map-side partials collapse the long form back to one row per
+    # vector before the (vec_id-keyed) exchange the window needs anyway.
+    # NOTE: a 64×9-literal struct-array explode was tried here to keep
+    # the table's provenance JVM-pure — 576 literal expressions bloat
+    # analysis/codegen and measured ~4× slower than this 64-row
+    # createDataFrame, whose one-time driver cost is nanoscopic.
+    coef_rows = [
+        (j, *[_LSH_COEFS[k][j] for k in range(_LSH_DET_PLANES)])
+        for j in range(_LSH_DET_DIM)
+    ]
+    coefs = spark.createDataFrame(
+        coef_rows,
+        "dim int, " + ", ".join(f"c{k} long" for k in range(_LSH_DET_PLANES)),
     )
+    flat = fx.select("vec_id", "fv", F.posexplode("fv").alias("dim", "v"))
+    projected = (
+        flat.join(F.broadcast(coefs), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.first("fv").alias("fv"),
+            *[
+                F.sum(F.col("v") * F.col(f"c{k}")).alias(f"s{k}")
+                for k in range(_LSH_DET_PLANES)
+            ],
+        )
+    )
+    bucket = sum(
+        (
+            F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(_LSH_DET_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    bk = projected.select("vec_id", "fv", bucket.alias("bucket"))
     q = bk.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("fv").alias("q_fv"),
