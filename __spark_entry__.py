@@ -40,6 +40,10 @@ _PRIORITY = [
     "asof_join_click_purchase",
     "range_join_purchase_followup",
     "window_range_30d_spend",
+    # round-4 batch 3: event analytics (funnel / TWA / retention)
+    "events_funnel_conversion",
+    "events_time_weighted_value",
+    "events_retention_cohorts",
     # UDF / UDAF / applyInPandas
     "udf_scalar_charge",
     "udaf_weighted_discount",

@@ -222,3 +222,191 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_30d"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        FROM events GROUP BY user_id),
+    fc AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'click' AND fv.first_view IS NOT NULL
+              AND e.ts > fv.first_view
+        GROUP BY e.user_id),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN fc ON fc.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        GROUP BY e.user_id),
+    staged AS (
+        SELECT fv.user_id,
+               CASE WHEN fp.first_purchase IS NOT NULL THEN 'purchase'
+                    WHEN fc.first_click IS NOT NULL THEN 'click'
+                    WHEN fv.first_view IS NOT NULL THEN 'view'
+                    ELSE 'none' END AS furthest_stage
+        FROM fv LEFT JOIN fc ON fc.user_id = fv.user_id
+                LEFT JOIN fp ON fp.user_id = fv.user_id)
+    SELECT furthest_stage, COUNT(*) AS n_users
+    FROM staged GROUP BY furthest_stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user advances a
+    stage only with an event strictly AFTER reaching the previous stage
+    — the product-analytics query sequence-window engines special-case.
+    Output is users by furthest stage reached.
+
+    Plan shape at 100 TB: three user-keyed aggregations over the same
+    hash partitioning (first-view, then conditional first-click, then
+    conditional first-purchase) and two left joins that reuse it —
+    AQE plans every exchange on user_id once; per-stage state is one
+    timestamp per user. No row multiplication: each pass is
+    filter + min, never an event×event self-join."""
+    e = load_table(spark, sf_dir, "events")
+    fv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    staged = (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("first_purchase").isNotNull(), "purchase")
+            .when(F.col("first_click").isNotNull(), "click")
+            .when(F.col("first_view").isNotNull(), "view")
+            .otherwise("none")
+            .alias("furthest_stage"),
+        )
+    )
+    return staged.groupBy("furthest_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                   AS t_next
+        FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CAST((t_next - t) AS BIGINT)) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(round(value * 100) AS HUGEINT) * (t_next - t))
+                AS DOUBLE) / 100.0
+               / SUM(CAST((t_next - t) AS DOUBLE)) AS time_weighted_avg
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user — the metric for
+    irregularly-sampled series (a reading 'holds' until the next one),
+    standard in monitoring/IoT rollups where plain AVG over-weights
+    bursts. Each interval weighs its value by its duration in
+    microseconds (exact int64); the only float math is value×duration
+    products and one final division.
+
+    Plan shape at 100 TB: one window (lead) and one aggregation, both
+    keyed on user_id — a single hash exchange reused by both. The
+    microsecond epoch key keeps ordering integer-exact; event_id breaks
+    timestamp ties so lead() is a total order in both engines.
+
+    Determinism: value is an exact 2-decimal quantity, so the
+    value×duration accumulation runs as exact integers — cents×µs in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), order-independent. The
+    exact integer then takes ONE correctly-rounded cast to double and
+    two divisions, identical in both engines. (A DECIMAL(38,2)
+    accumulator was tried first: DuckDB's DECIMAL→DOUBLE cast is not
+    correctly rounded — observed ...812.25 → ...812.23 — while its
+    HUGEINT→DOUBLE cast is; Spark's BigDecimal path rounds correctly
+    either way.)"""
+    e = load_table(spark, sf_dir, "events")
+    # parquet may deliver ts as TIMESTAMP_NTZ; cast through TIMESTAMP
+    # (session tz is UTC) before epoch extraction — the NTZ→BIGINT
+    # direct cast is rejected (verify-recipe invariant)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(t.asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    cents = F.round(F.col("value") * 100).cast("decimal(20,0)")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dur).cast("bigint").alias("total_us"),
+        (
+            F.sum(cents * dur.cast("decimal(20,0)")).cast("double")
+            / F.lit(100.0)
+            / F.sum(dur.cast("double"))
+        ).alias("time_weighted_avg"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days
+        FROM events e JOIN firsts f ON f.user_id = e.user_id)
+    SELECT cohort_day, age_days, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_day, age_days
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they return — the canonical growth-analytics
+    rollup. `n_active_users` at age 0 is the cohort size; the row set
+    is the full retention triangle.
+
+    Plan shape at 100 TB: first-seen is one user-keyed min-aggregation;
+    the join back is user-keyed on the same partitioning; the DISTINCT
+    collapses (user, day) before the final (cohort, age) count, so the
+    last exchange carries at most users×active-days rows. Day
+    arithmetic is integer date math — engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.select("user_id", day.alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("age_days"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "age_days").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

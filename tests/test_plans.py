@@ -316,3 +316,21 @@ def test_pii_mask_narrow_no_shuffle_no_python(spark, sf_dir):
     plan = explain_str(QUERIES["pii_mask_customers"](spark, sf_dir), "simple")
     assert "Python" not in plan and "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan  # the fan_out only
+
+
+def test_funnel_no_self_join_explosion(spark, sf_dir):
+    # stage passes are filter+min aggregations over user_id — the plan
+    # must never contain a cartesian or nested-loop events×events join
+    plan = explain_str(QUERIES["events_funnel_conversion"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_time_weighted_value_single_window_partial_agg(spark, sf_dir):
+    plan = explain_str(QUERIES["events_time_weighted_value"](spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
+def test_retention_cohorts_no_cartesian(spark, sf_dir):
+    plan = explain_str(QUERIES["events_retention_cohorts"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
