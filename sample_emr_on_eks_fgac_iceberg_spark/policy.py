@@ -628,6 +628,32 @@ class SecureSession:
         from pyspark.sql.utils import AnalysisException
 
         self._refresh_views()
+        # EXPLAIN <query>: the policy-transparency surface — returns the
+        # SECURED plan (injected row filter, pruned columns, masks) for
+        # the caller's own authorization, so a consumer can audit what
+        # the engine will actually scan. Authorization runs exactly as
+        # for execution: an ungranted relation denies at plan time, and
+        # nothing executes (plan text only). Write statements are not
+        # explainable on the consumer surface — the recursive sql() call
+        # would execute them via the DML delegate.
+        m = re.match(
+            r"\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|SIMPLE\s+)?(.*)$",
+            query,
+            re.I | re.S,
+        )
+        if m:
+            from sample_emr_on_eks_fgac_iceberg_spark.plans import explain_str
+
+            rest = m.group(2).strip().rstrip(";")
+            if self._parsed_write_class(rest) is not None or any(
+                re.match(shape, rest, re.I) for shape, _ in self._WRITE_SHAPES
+            ):
+                raise ValueError(
+                    "EXPLAIN supports read queries only on the consumer surface"
+                )
+            mode = (m.group(1) or "simple").strip().lower()
+            plan = explain_str(self.sql(rest), mode)
+            return self._spark.createDataFrame([(plan,)], "plan string")
         # Write statements: authorize against LF write permissions, then
         # delegate to the trusted engine frontend. CREATE TABLE is a
         # database-level permission the consumer model doesn't carry —

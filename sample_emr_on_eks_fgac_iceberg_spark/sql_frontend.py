@@ -55,6 +55,10 @@ _DESCRIBE_EXT_RE = re.compile(
     r"\s*DESCRIBE\s+(?:TABLE\s+)?EXTENDED\s+([\w.]+)\s*;?\s*$", re.I
 )
 _SHOW_CREATE_RE = re.compile(r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
+# EXPLAIN [EXTENDED|FORMATTED|SIMPLE] <query> — plan text, no execution
+_EXPLAIN_RE = re.compile(
+    r"\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|SIMPLE\s+)?(.*)$", re.I | re.S
+)
 _ANALYZE_RE = re.compile(
     r"\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
     r"(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$",
@@ -247,6 +251,9 @@ class SqlFrontend:
         self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
 
     def execute(self, query: str) -> DataFrame | None:
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            return self._explain((m.group(1) or "simple").strip().lower(), m.group(2))
         m = _CTAS_RE.match(query)
         if m:
             return self._ctas(m)
@@ -507,6 +514,20 @@ class SqlFrontend:
             kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
             stmt += f"\nTBLPROPERTIES ({kv})"
         return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+    def _explain(self, mode: str, rest: str) -> DataFrame:
+        """EXPLAIN <query> (Athena/Spark parity): plan text without
+        execution. Queries only — DDL/DML shapes route through the
+        regex dispatch, and explaining them would require a dry-run
+        surface the warehouse API doesn't pretend to have."""
+        from sample_emr_on_eks_fgac_iceberg_spark.plans import explain_str
+
+        rest = rest.strip().rstrip(";")
+        if not re.match(r"\s*(SELECT|WITH|VALUES|TABLE)\b", rest, re.I):
+            raise ValueError("EXPLAIN supports queries (SELECT/WITH/VALUES) only")
+        return self.spark.createDataFrame(
+            [(explain_str(self._query(rest), mode),)], "plan string"
+        )
 
     def _call_procedure(self, proc: str, argtext: str) -> DataFrame:
         """Iceberg stored procedures over the warehouse's maintenance

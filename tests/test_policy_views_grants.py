@@ -301,3 +301,36 @@ def test_orphan_grant_does_not_break_session(engine):
     # and the dropped table itself is NOT_FOUND, not a crash
     with pytest.raises(Exception):
         sess.sql("SELECT * FROM doomed").collect()
+
+
+# ------------------------------------------------------ EXPLAIN surface
+def test_consumer_explain_shows_secured_plan(engine):
+    """EXPLAIN returns the POLICY-WRAPPED plan: the row filter is
+    visible, the hidden column is not, and nothing executes."""
+    plan = engine.session_for(TEAM1).sql(
+        "EXPLAIN SELECT * FROM patients"
+    ).collect()[0].plan
+    assert "Texas" in plan and "New York" in plan  # injected row filter
+    assert "ssn" not in plan  # column security prunes before the plan
+
+
+def test_consumer_explain_denies_ungranted(engine):
+    with pytest.raises(AccessDeniedException):
+        engine.session_for(TEAM2).sql("EXPLAIN SELECT * FROM patients").collect()
+
+
+def test_consumer_explain_rejects_writes_without_executing(engine):
+    sess = engine.session_for(TEAM1)
+    before = sess.sql("SELECT count(*) AS n FROM claims").collect()[0].n
+    with pytest.raises(ValueError, match="read queries only"):
+        sess.sql("EXPLAIN DELETE FROM claims WHERE amount > 0")
+    after = sess.sql("SELECT count(*) AS n FROM claims").collect()[0].n
+    assert before == after
+
+
+def test_producer_explain_query(engine):
+    plan = engine.sql("EXPLAIN SELECT state, count(*) FROM patients GROUP BY state")
+    text = plan.collect()[0].plan
+    assert "HashAggregate" in text or "Aggregate" in text
+    with pytest.raises(ValueError, match="queries"):
+        engine.sql("EXPLAIN DROP TABLE patients")
