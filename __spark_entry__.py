@@ -89,7 +89,6 @@ _PRIORITY = [
     # multimodal
     "multimodal_catalog",
     "multimodal_frame_sample",
-    "multimodal_features",
     # round-4: genuine PCM decode (numpy frombuffer), oracle-checked
     "multimodal_audio_rms",
     # round-3 additions: export sharding, language rebalancing,
@@ -104,6 +103,10 @@ _PRIORITY = [
     # round-4 batch 2: corpus profiling + PII scrub
     "doc_length_histogram",
     "pii_mask_customers",
+    # rows-only featurizer stub: recorded in CORRECTNESS_r03; parked
+    # just outside the ~50-query window so every not-yet-driver-checked
+    # oracle query fits inside it
+    "multimodal_features",
     # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",
