@@ -236,11 +236,13 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN fv ON fv.user_id = e.user_id
         WHERE e.event_type = 'click' AND fv.first_view IS NOT NULL
               AND e.ts > fv.first_view
+              AND e.ts <= fv.first_view + INTERVAL 24 HOURS
         GROUP BY e.user_id),
     fp AS (
         SELECT e.user_id, MIN(e.ts) AS first_purchase
         FROM events e JOIN fc ON fc.user_id = e.user_id
         WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+              AND e.ts <= fc.first_click + INTERVAL 1 HOURS
         GROUP BY e.user_id),
     staged AS (
         SELECT fv.user_id,
@@ -255,8 +257,10 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): a user advances a
-    stage only with an event strictly AFTER reaching the previous stage
+    """Ordered funnel (view → click → purchase) with conversion
+    deadlines: a user advances a stage only with an event strictly
+    AFTER reaching the previous stage AND within the stage's window
+    (click ≤ 24 h after first view, purchase ≤ 1 h after first click)
     — the product-analytics query sequence-window engines special-case.
     Output is users by furthest stage reached.
 
@@ -275,14 +279,20 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = (
         e.filter(F.col("event_type") == "click")
         .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
+        .filter(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOURS"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
     fp = (
         e.filter(F.col("event_type") == "purchase")
         .join(fc, "user_id")
-        .filter(F.col("ts") > F.col("first_click"))
+        .filter(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOURS"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
     )
