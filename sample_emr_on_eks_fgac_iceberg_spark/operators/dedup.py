@@ -644,17 +644,32 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is one row per doc. The driver holds only the loop counter
     and the convergence scalar — never data."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(edges, d.select(F.col("doc_id").alias("id")))
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    ).withColumn("component_size", F.count(F.lit(1)).over(w))
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = _CC_MAX_ROUNDS
+) -> DataFrame:
+    """Hash-to-min connected components with pointer jumping (path
+    halving): O(log diameter) rounds, each round two keyed shuffles and
+    a `materialize_once` barrier. `edges` has columns (a_id, b_id);
+    `nodes` has column (id). Returns the label frame (id, comp) where
+    comp = min node id reachable. See `dedup_connected_components` for
+    the full scale discussion; factored out so tests can drive it over
+    adversarial graph shapes (long chains) directly."""
     # symmetric closure once; both directions feed every round
     sym = materialize_once(
         edges.selectExpr("a_id AS src", "b_id AS dst").unionByName(
             edges.selectExpr("b_id AS src", "a_id AS dst")
         )
     )
-    d = load_table(spark, sf_dir, "documents")
-    labels = materialize_once(
-        d.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
-    )
-    for _ in range(_CC_MAX_ROUNDS):
+    labels = materialize_once(nodes.select("id", F.col("id").alias("comp")))
+    for _ in range(max_rounds):
         # neighbor-min: each edge proposes its source's label to its dst
         proposals = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), "comp"
@@ -680,7 +695,4 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    w = Window.partitionBy("component_id")
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
-    ).withColumn("component_size", F.count(F.lit(1)).over(w))
+    return labels

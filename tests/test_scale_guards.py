@@ -44,3 +44,39 @@ def test_collect_sites_are_allowlisted():
         if ".collect()" in line and rel not in ALLOWED_COLLECT_FILES
     ]
     assert not offenders, f"unexpected driver-side collect(): {offenders}"
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """Adversarial graph shape for label propagation: a 200-node path
+    has diameter 199 — plain neighbor-min needs ~200 rounds, far past
+    _CC_MAX_ROUNDS. Pointer jumping (path halving) must close it within
+    the round budget, labeling every node with the chain's minimum."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = connected_components(edges, nodes).collect()
+    assert len(labels) == n
+    assert {r.comp for r in labels} == {0}, "chain must collapse to component 0"
+
+
+def test_connected_components_two_components_and_singleton(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (5, 6)], "a_id long, b_id long"
+    )
+    got = {(r.id, r.comp) for r in connected_components(edges, nodes).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4), (6, 4)}
