@@ -334,3 +334,29 @@ def test_time_weighted_value_single_window_partial_agg(spark, sf_dir):
 def test_retention_cohorts_no_cartesian(spark, sf_dir):
     plan = explain_str(QUERIES["events_retention_cohorts"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_warehouse_join(spark, tmp_path):
+    """Joining a partitioned warehouse fact to a filtered dim must plan
+    a dynamic-pruning subquery on the fact scan — at 100 TB this is
+    what keeps a star join from reading every partition when the
+    selective predicate sits on the dimension."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("dpp_fact", "k int, city string, v double", partition_by=["city"])
+    wh.insert_values(
+        "dpp_fact",
+        [(i, c, float(i)) for i in range(500) for c in ("Austin", "Dallas", "Miami", "Reno")],
+    )
+    wh.create_table("dpp_dim", "city string, region string")
+    wh.insert_values(
+        "dpp_dim",
+        [("Austin", "south"), ("Dallas", "south"), ("Miami", "east"), ("Reno", "west")],
+    )
+    fact = wh.read_table("dpp_fact")
+    # hint("merge") keeps the dim off the broadcast path so the planner
+    # must rely on DPP rather than broadcast-side pruning at this size
+    dim = wh.read_table("dpp_dim").filter("region = 'south'").hint("merge")
+    plan = explain_str(fact.join(dim, "city"), "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:1200]

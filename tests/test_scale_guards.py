@@ -80,3 +80,51 @@ def test_connected_components_two_components_and_singleton(spark):
     )
     got = {(r.id, r.comp) for r in connected_components(edges, nodes).collect()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4), (6, 4)}
+
+
+def _uf_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label normalize
+    comp = {}
+    for i in range(n):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def test_connected_components_matches_union_find_random_graphs(spark):
+    """Property: on random graphs, the distributed hash-to-min labels
+    must equal a reference union-find's min-label components. Seeded
+    (not hypothesis-driven) because each case spins Spark jobs."""
+    import random
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        m = rng.randint(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(n, edges)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "a_id long, b_id long"
+        )
+        if not edges:
+            edf = edf.filter("a_id != a_id")  # empty edge set
+        got = {r.id: r.comp for r in connected_components(edf, nodes).collect()}
+        assert got == expected, f"trial {trial}: n={n} edges={edges}"
