@@ -328,6 +328,12 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, _GRAM_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # NOTE: the shingle explode feeds both the benchmark-slice distinct
+    # and the training-side semi-join; a materialize_once barrier was
+    # measured here and did NOT help (checkpointing the gram stream
+    # costs what the duplicate derivation costs) — the two consumers
+    # scan different bucket ranges, so the duplicated pipeline prunes
+    # disjoint halves rather than doing the work twice.
     g = d.select(
         "doc_id", bucket.alias("bucket"), F.explode(grams).alias("gram")
     ).withColumn("gh", F.md5("gram"))
