@@ -58,6 +58,8 @@ _PRIORITY = [
     # round-4: per-language collocation mining + corpus-LM quality proxy
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
+    # round-4 batch 4: BPE merge-pair statistics (tokenizer training)
+    "bpe_merge_candidates",
     # round-4 batch 2: winnowing sketch, trigram novelty, TF-IDF terms
     "winnowing_fingerprint",
     "doc_ngram_novelty",
@@ -75,13 +77,14 @@ _PRIORITY = [
     # round-4 batch 2: transitive closure of the near-dup graph
     # (iterative hash-to-min CC, oracle = recursive CTE)
     "dedup_connected_components",
+    # round-4 batch 4: per-component dedup savings (canonical survivors)
+    "dedup_savings_report",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
     "ann_lsh_bucketed",
     # round-4: md5-hyperplane fixed-point LSH — full oracle
     "ann_lsh_det",
-    "ann_ivf_topk",
     # round-4: exact IVF/k-means training aggregation
     "embedding_centroids",
     # round-4 batch 2: k-NN majority-vote labeling (weak supervision)
@@ -95,14 +98,19 @@ _PRIORITY = [
     # snapshot-delta incremental read
     "shard_export_manifest",
     "sample_language_temperature",
-    "cdc_incremental_append",
-    "page_orders_offset",
     # round-4: the one oracle-bearing query that had never been inside
     # a driver window (verdict r3 task 2) — pinned well inside it now
     "pack_sequences_sharded",
     # round-4 batch 2: corpus profiling + PII scrub
     "doc_length_histogram",
     "pii_mask_customers",
+    # round-4 batch 4: k-anonymity audit beside the mask
+    "k_anonymity_report",
+    # green/recorded in r3; parked just below the window so every
+    # not-yet-driver-checked oracle query fits inside it
+    "ann_ivf_topk",
+    "cdc_incremental_append",
+    "page_orders_offset",
     # rows-only featurizer stub: recorded in CORRECTNESS_r03; parked
     # just outside the ~50-query window so every not-yet-driver-checked
     # oracle query fits inside it

@@ -680,3 +680,45 @@ def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (digits(F.col("c_name")) - digits(masked)).alias("n_digits_redacted"),
         "c_mktsegment",
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+    WITH groups AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS group_size
+        FROM customer GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_groups,
+           MIN(group_size) AS min_k,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM groups GROUP BY c_mktsegment
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (market
+    segment, nation): group sizes under k are re-identification risks
+    that masking alone (`pii_mask_customers`) does not fix — the release
+    decision needs this report first (suppress or generalize the
+    offending groups). Emits per-segment group count, the worst k, and
+    how many rows sit in sub-k groups.
+
+    Plan shape at 100 TB: two stacked hash aggregations (quasi-ID
+    group sizes, then per-segment rollup), both with map-side partials;
+    state is bounded by quasi-identifier cardinality, not row count."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    below = F.when(F.col("group_size") < _K_ANON, F.col("group_size")).otherwise(0)
+    return groups.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_k"),
+        F.sum(below).cast("bigint").alias("rows_below_k"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+    )

@@ -696,3 +696,59 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+@register(
+    "dedup_savings_report",
+    oracle=rf"""
+    WITH RECURSIVE {_jaccard_pairs_oracle_cte()},
+    sym AS (
+        SELECT a_id AS s, b_id AS d FROM edges
+        UNION ALL
+        SELECT b_id, a_id FROM edges),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id),
+    sized AS (
+        SELECT c.component_id, c.doc_id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT component_id AS canonical_id,
+           COUNT(*) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN doc_id <> component_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_saved
+    FROM sized GROUP BY component_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup dedup actually buys: per multi-member component of
+    the Jaccard pair graph, the canonical survivor (min doc_id), the
+    member count, and the bytes the non-canonical members would free —
+    the report a curation run publishes before committing a delete.
+
+    Plan shape at 100 TB: the CC labels (one row per doc) join the
+    corpus metadata on doc_id (co-partitioned with the label agg) and
+    one component-keyed aggregation follows; singleton components are
+    filtered AFTER aggregation by a HAVING on the count — nothing here
+    touches document text."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(edges, d.select(F.col("doc_id").alias("id")))
+    sized = labels.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    saved = F.when(F.col("id") != F.col("comp"), F.col("n_chars")).otherwise(0)
+    return (
+        sized.groupBy(F.col("comp").alias("canonical_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(saved).cast("bigint").alias("chars_saved"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

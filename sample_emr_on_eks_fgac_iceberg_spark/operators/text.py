@@ -618,3 +618,61 @@ def quality_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").cast("bigint").alias("sum_rank"),
         (F.sum("r").cast("double") / F.count(F.lit(1))).alias("mean_rank"),
     )
+
+
+_BPE_TOP_K = 30
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    chars AS (
+        SELECT w, list_filter(string_split(w, ''), x -> x <> '') AS cs
+        FROM toks),
+    pairs AS (
+        SELECT unnest(CASE WHEN len(cs) >= 2
+            THEN list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])
+            ELSE []::VARCHAR[] END) AS pair
+        FROM chars),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+    ranked AS (
+        SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+        FROM counts)
+    SELECT rank, pair, n FROM ranked WHERE rank <= {_BPE_TOP_K}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge-table iteration: count adjacent symbol pairs
+    inside every word occurrence and rank the top merge candidates —
+    the inner-loop statistic of byte-pair-encoding tokenizer training
+    (each training round merges the top pair and recounts; this
+    operator is one such counting pass over the corpus).
+
+    Plan shape at 100 TB: pairs are built per-word inside codegen
+    (transform over the character array, no explode until the pair
+    stream), then ONE hash-shuffled count with map-side partials —
+    shuffle volume is distinct pairs (≤ alphabet², tiny), and the final
+    top-K is a bounded TakeOrderedAndProject, not a global sort."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    words = d.select(F.explode(toks).alias("w"))
+    pairs = F.expr(
+        "CASE WHEN size(cs) >= 2 THEN "
+        "transform(sequence(0, size(cs) - 2), i -> concat(cs[i], cs[i+1])) "
+        "ELSE array() END"
+    )
+    counts = (
+        words.select(
+            F.filter(F.split("w", ""), lambda x: x != F.lit("")).alias("cs")
+        )
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(_BPE_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "pair", "n")

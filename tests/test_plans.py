@@ -360,3 +360,26 @@ def test_dynamic_partition_pruning_on_warehouse_join(spark, tmp_path):
     dim = wh.read_table("dpp_dim").filter("region = 'south'").hint("merge")
     plan = explain_str(fact.join(dim, "city"), "formatted")
     assert "dynamicpruning" in plan.lower(), plan[:1200]
+
+
+def test_k_anonymity_two_stacked_partial_aggs_no_join(spark, sf_dir):
+    plan = explain_str(QUERIES["k_anonymity_report"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 levels
+
+
+def test_bpe_pairs_bounded_topk_no_global_sort(spark, sf_dir):
+    plan = explain_str(QUERIES["bpe_merge_candidates"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_dedup_savings_no_text_column_read(spark, sf_dir):
+    # the savings report must read document text ONLY in the edge
+    # generator; the metadata join reads (doc_id, n_chars)
+    plan = explain_str(QUERIES["dedup_savings_report"](spark, sf_dir), "formatted")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    meta_scans = [s for s in schemas if "text" not in s]
+    assert meta_scans, schemas  # at least one text-free metadata scan
