@@ -12,6 +12,7 @@ driver.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -109,6 +110,12 @@ def main() -> None:
     # one extra run resolves which was the blip; bounded extra cost.
     timings: dict[str, float] = {}
     for name in names:
+        # release the previous query's localCheckpoint RDDs before
+        # timing: materialize_once barriers pin MEMORY_AND_DISK blocks
+        # until the Python frame objects are collected and the JVM
+        # ContextCleaner reaps them — across 40 queries that residue
+        # inflates later queries' GC time
+        gc.collect()
         runs = []
         for _ in range(2):
             start = time.perf_counter()
