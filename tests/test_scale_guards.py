@@ -128,3 +128,25 @@ def test_connected_components_matches_union_find_random_graphs(spark):
             edf = edf.filter("a_id != a_id")  # empty edge set
         got = {r.id: r.comp for r in connected_components(edf, nodes).collect()}
         assert got == expected, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_hash_sampling_invariant_under_partitioning(spark, sf_dir):
+    """The determinism contract at cluster scale: md5-keyed sampling
+    decisions must be identical whatever the physical partitioning —
+    the same rows are kept on 1 partition or 32 (and hence on any
+    cluster size, any retry layout)."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import curation
+
+    for name in ("sample_hash_fraction", "split_train_holdout", "pack_sequences"):
+        base = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        # patch the OPERATOR module's binding (it imported fan_out by
+        # name) — a module-level patch on sources.tables would be a
+        # no-op and make this test vacuous
+        orig_fan_out = curation.fan_out
+        curation.fan_out = lambda df, spark, *cols: df.coalesce(1)
+        try:
+            skewed = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        finally:
+            curation.fan_out = orig_fan_out
+        assert base == skewed, f"{name}: result depends on partitioning"
