@@ -63,10 +63,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=rf"""
-    WITH toks AS (
+
+# The Jaccard shingle pipeline as shared oracle CTE text: ONE copy used
+# by dedup_ngram_jaccard's oracle and (with the `edges` projection
+# appended) by the connected-components / savings oracles, so the edge
+# definition can never drift between them.
+_JACCARD_COMMON_CTE = rf"""
+    toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         FROM documents),
     sh AS (
@@ -80,6 +83,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH {_JACCARD_COMMON_CTE}
     SELECT p.a_id, p.b_id, p.shared,
            CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
     FROM pair_shared p
@@ -577,23 +587,10 @@ _CC_MAX_ROUNDS = 20  # safety bound; hash-to-min converges in O(log d) rounds
 
 
 def _jaccard_pairs_oracle_cte() -> str:
-    """The dedup_ngram_jaccard pipeline as reusable CTE text (shared by
-    the pair query's oracle and the connected-components oracle)."""
-    return rf"""
-    toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        FROM documents),
-    sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(len(t) - {SHINGLE_N - 1}),
-                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= {SHINGLE_N}),
-    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    pair_shared AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-        FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    """`_JACCARD_COMMON_CTE` (the one shared copy of the shingle
+    pipeline) plus the thresholded `edges` projection — used by the
+    connected-components and savings oracles."""
+    return rf"""{_JACCARD_COMMON_CTE},
     edges AS (
         SELECT p.a_id, p.b_id
         FROM pair_shared p
@@ -669,6 +666,7 @@ def connected_components(
         )
     )
     labels = materialize_once(nodes.select("id", F.col("id").alias("comp")))
+    changed = -1
     for _ in range(max_rounds):
         # neighbor-min: each edge proposes its source's label to its dst
         proposals = sym.join(labels, sym.src == labels.id).select(
@@ -695,6 +693,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would silently publish
+        # wrong canonical survivors — fail loudly instead; the caller
+        # raises max_rounds (log2(diameter) + slack is enough)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
     return labels
 
 

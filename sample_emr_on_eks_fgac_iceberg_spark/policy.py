@@ -645,8 +645,15 @@ class SecureSession:
             from sample_emr_on_eks_fgac_iceberg_spark.plans import explain_str
 
             rest = m.group(2).strip().rstrip(";")
-            if self._parsed_write_class(rest) is not None or any(
-                re.match(shape, rest, re.I) for shape, _ in self._WRITE_SHAPES
+            # Three fences, all required: (a) a query-shape allowlist so
+            # non-query statements the recursive sql() call would
+            # EXECUTE (CREATE/DROP VIEW, SHOW, CALL) never reach it;
+            # (b) the parsed-plan write check (catches CTE-prefixed DML
+            # that starts with WITH); (c) the textual write shapes.
+            if (
+                not re.match(r"\s*(\(|SELECT|WITH|VALUES|TABLE)\b", rest, re.I)
+                or self._parsed_write_class(rest) is not None
+                or any(re.match(shape, rest, re.I) for shape, _ in self._WRITE_SHAPES)
             ):
                 raise ValueError(
                     "EXPLAIN supports read queries only on the consumer surface"

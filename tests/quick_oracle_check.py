@@ -3,9 +3,10 @@ python tests/quick_oracle_check.py name1 name2 [sf_dir]"""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
@@ -14,7 +15,10 @@ from tests.test_oracle_parity import canon  # noqa: E402
 
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("/")]
-    sf_dir = next((a for a in sys.argv[1:] if a.startswith("/")), "/root/testdata/sf0.001")
+    sf_dir = next(
+        (a for a in sys.argv[1:] if a.startswith("/")),
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
     from sample_emr_on_eks_fgac_iceberg_spark.operators import ORACLE, QUERIES
     from sample_emr_on_eks_fgac_iceberg_spark.session import build_session
     from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import TABLE_NAMES

@@ -334,3 +334,38 @@ def test_producer_explain_query(engine):
     assert "HashAggregate" in text or "Aggregate" in text
     with pytest.raises(ValueError, match="queries"):
         engine.sql("EXPLAIN DROP TABLE patients")
+
+
+def test_consumer_explain_ddl_shapes_rejected_without_executing(engine):
+    """EXPLAIN of non-query statements must neither execute them nor
+    crash: CREATE VIEW / DROP VIEW are session mutations the recursive
+    sql() call would have performed as a side effect."""
+    sess = engine.session_for(TEAM1)
+    sess.sql("CREATE VIEW ev AS SELECT patient_id FROM patients")
+    with pytest.raises(ValueError, match="read queries only"):
+        sess.sql("EXPLAIN DROP VIEW ev")
+    # the view must still exist — EXPLAIN executed nothing
+    assert sess.sql("SELECT * FROM ev").count() == 8
+    with pytest.raises(ValueError, match="read queries only"):
+        sess.sql("EXPLAIN CREATE VIEW ev2 AS SELECT * FROM claims")
+    assert "ev2" not in {r.view_name for r in sess.sql("SHOW VIEWS").collect()}
+    # CTE-prefixed DML: starts with WITH, caught by the parsed plan
+    with pytest.raises(ValueError, match="read queries only"):
+        sess.sql("EXPLAIN WITH x AS (SELECT * FROM claims) "
+                 "INSERT INTO claims SELECT * FROM x")
+    # parenthesized query is a legitimate EXPLAIN target
+    plan = sess.sql("EXPLAIN (SELECT COUNT(*) AS n FROM claims)").collect()
+    assert len(plan) == 1
+
+
+def test_producer_explain_cte_dml_rejected_without_executing(engine):
+    before = engine.sql("SELECT COUNT(*) AS n FROM claims").collect()[0].n
+    with pytest.raises(ValueError, match="queries"):
+        engine.sql(
+            "EXPLAIN WITH x AS (SELECT * FROM claims) "
+            "INSERT INTO claims SELECT * FROM x"
+        )
+    after = engine.sql("SELECT COUNT(*) AS n FROM claims").collect()[0].n
+    assert before == after
+    plan = engine.sql("EXPLAIN (SELECT 1 AS one)").collect()
+    assert len(plan) == 1
