@@ -70,6 +70,15 @@ HEADLINE = [
     "knn_label_vote",
     "doc_length_histogram",
     "pii_mask_customers",
+    # round-4 batches 3-4 (event analytics, tokenizer stats, privacy
+    # audit, and the iterative CC - the one multi-round operator, kept
+    # in the headline so its round-count stays perf-tracked)
+    "events_funnel_conversion",
+    "events_time_weighted_value",
+    "events_retention_cohorts",
+    "bpe_merge_candidates",
+    "k_anonymity_report",
+    "dedup_connected_components",
 ]
 
 
