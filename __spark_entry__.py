@@ -79,6 +79,8 @@ _PRIORITY = [
     "dedup_connected_components",
     # round-4 batch 4: per-component dedup savings (canonical survivors)
     "dedup_savings_report",
+    # round-4 batch 5: triangle enumeration (tight duplicate cliques)
+    "graph_triangle_count",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
@@ -94,10 +96,6 @@ _PRIORITY = [
     "multimodal_frame_sample",
     # round-4: genuine PCM decode (numpy frombuffer), oracle-checked
     "multimodal_audio_rms",
-    # round-3 additions: export sharding, language rebalancing,
-    # snapshot-delta incremental read
-    "shard_export_manifest",
-    "sample_language_temperature",
     # round-4: the one oracle-bearing query that had never been inside
     # a driver window (verdict r3 task 2) — pinned well inside it now
     "pack_sequences_sharded",
@@ -106,8 +104,12 @@ _PRIORITY = [
     "pii_mask_customers",
     # round-4 batch 4: k-anonymity audit beside the mask
     "k_anonymity_report",
+    # round-4 batch 5: correlated LATERAL subquery (decorrelated top-K)
+    "lateral_top_nations_per_region",
     # green/recorded in r3; parked just below the window so every
     # not-yet-driver-checked oracle query fits inside it
+    "shard_export_manifest",
+    "sample_language_temperature",
     "ann_ivf_topk",
     "cdc_incremental_append",
     "page_orders_offset",

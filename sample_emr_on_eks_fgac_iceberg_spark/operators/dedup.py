@@ -764,3 +764,43 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=rf"""
+    WITH {_JACCARD_COMMON_CTE},
+    edges AS (
+        SELECT p.a_id, p.b_id
+        FROM pair_shared p
+          JOIN sizes sa ON sa.doc_id = p.a_id
+          JOIN sizes sb ON sb.doc_id = p.b_id
+        WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared)
+              >= {JACCARD_THRESHOLD})
+    SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+    FROM edges e1
+      JOIN edges e2 ON e2.a_id = e1.b_id
+      JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup pair graph — the clique
+    signal: a triangle means three documents that are pairwise near-
+    duplicates (a tight duplicate cluster), vs a path which might chain
+    unrelated docs through a hub. The standard MapReduce triangle
+    recipe: edges are stored a<b only, so each triangle a<b<c appears
+    exactly once as (a,b)+(b,c) closed by (a,c).
+
+    Plan shape at 100 TB: two hash joins on single vertex keys — the
+    first keyed on the shared middle vertex, the closing join on the
+    (a, c) pair; no row ever fans out beyond the true wedge count.
+    Skewed hubs (a vertex with d neighbors contributes d² wedges) are
+    the known hazard; the mitigations (degree-ordered edge direction
+    keeps wedge counts at min(d_in, d_out)) apply unchanged."""
+    edges = materialize_once(
+        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    )
+    e1 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e2 = edges.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    e3 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")

@@ -29,6 +29,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
     fan_out,
     load_table,
     materialize_once,
+    register_views,
 )
 
 # Exact-decimal casts for money/ratio columns (see registry docstring).
@@ -1994,4 +1995,46 @@ def page_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .offset(40)
         .limit(20)
+    )
+
+
+@register(
+    "lateral_top_nations_per_region",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r,
+    LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+    ) t
+    """,
+)
+def lateral_top_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table —
+    Spark 3.2+'s LATERAL join, DuckDB's LATERAL): per region, the top-2
+    nations by customer count, expressed as the per-row subquery a SQL
+    user writes rather than the window rewrite an engine hand-optimizes
+    into. Catalyst DECORRELATES it: the planned shape is the same
+    aggregate + rank-filter join a manual window top-K produces — the
+    point of the query is that the lateral spelling stays declarative
+    and the optimizer does the rewrite. Tie-break on nation name makes
+    the LIMIT deterministic in both engines."""
+    register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region r,
+        LATERAL (
+            SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+            FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name
+            LIMIT 2
+        ) t
+        """
     )

@@ -383,3 +383,15 @@ def test_dedup_savings_no_text_column_read(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     meta_scans = [s for s in schemas if "text" not in s]
     assert meta_scans, schemas  # at least one text-free metadata scan
+
+
+def test_lateral_decorrelates_no_nested_loop_per_row(spark, sf_dir):
+    # the LATERAL subquery must decorrelate into joins/aggregates —
+    # never a per-outer-row cartesian re-execution
+    plan = explain_str(QUERIES["lateral_top_nations_per_region"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_join_keys_are_vertices(spark, sf_dir):
+    plan = explain_str(QUERIES["graph_triangle_count"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
