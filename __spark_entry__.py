@@ -67,9 +67,9 @@ _PRIORITY = [
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # round-4: md5-deterministic MinHash-LSH — full oracle, unlike the
-    # pyspark.ml hash-family variant above
+    # pyspark.ml hash-family variant (rows-only, recorded r3, parked
+    # below the window)
     "dedup_minhash_det",
     "dedup_simhash",
     "dedup_simhash_det",
@@ -106,8 +106,11 @@ _PRIORITY = [
     "k_anonymity_report",
     # round-4 batch 5: correlated LATERAL subquery (decorrelated top-K)
     "lateral_top_nations_per_region",
+    # round-4 batch 5: the remaining join flavor (RIGHT OUTER)
+    "join_right_segment_spend",
     # green/recorded in r3; parked just below the window so every
     # not-yet-driver-checked oracle query fits inside it
+    "dedup_minhash_lsh",
     "shard_export_manifest",
     "sample_language_temperature",
     "ann_ivf_topk",

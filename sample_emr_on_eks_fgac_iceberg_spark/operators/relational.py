@@ -601,6 +601,36 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_segment_spend",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS segment_spend
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_right_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (the remaining §2.B join flavor): per-segment
+    order counts where customers without orders still contribute their
+    segment row. Catalyst plans right joins as the mirrored left join —
+    the small preserved side (customer) still broadcasts and the
+    decimal spend aggregates exactly (null-safe: SUM skips the
+    unmatched rows' nulls, COUNT(col) likewise)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("segment_spend"),
+        )
+    )
+
+
+@register(
     "join_semi_f_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
