@@ -14,10 +14,15 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "sample_emr_on_eks_fgac_iceb
 #                             (match count + collect_set of file paths,
 #                             bounded by the table's data-file count —
 #                             the same metadata Iceberg's commit handles)
+#   operators/dedup.py      — connected-components convergence check:
+#                             one single-row SUM aggregate per round
+#                             (the monotone-label fixpoint proof), never
+#                             row data
 ALLOWED_COLLECT_FILES = {
     "plans/explain.py",
     "operators/similarity.py",
     "sources/warehouse.py",
+    "operators/dedup.py",
 }
 
 
