@@ -60,6 +60,8 @@ _PRIORITY = [
     "quality_unigram_rarity",
     # round-4 batch 4: BPE merge-pair statistics (tokenizer training)
     "bpe_merge_candidates",
+    # round-4 batch 5: count-min heavy hitters (md5 hashes, full oracle)
+    "sketch_cms_heavy_hitters",
     # round-4 batch 2: winnowing sketch, trigram novelty, TF-IDF terms
     "winnowing_fingerprint",
     "doc_ngram_novelty",
@@ -71,7 +73,6 @@ _PRIORITY = [
     # pyspark.ml hash-family variant (rows-only, recorded r3, parked
     # below the window)
     "dedup_minhash_det",
-    "dedup_simhash",
     "dedup_simhash_det",
     "dedup_embedding_cosine",
     # round-4 batch 2: transitive closure of the near-dup graph
@@ -111,6 +112,7 @@ _PRIORITY = [
     # green/recorded in r3; parked just below the window so every
     # not-yet-driver-checked oracle query fits inside it
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "shard_export_manifest",
     "sample_language_temperature",
     "ann_ivf_topk",

@@ -676,3 +676,91 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(_BPE_TOP_K)
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "pair", "n")
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOP = 20
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    buckets AS (
+        SELECT word, i,
+               CAST(('0x' || substr(md5(i || ':' || word), 1, 4))::INTEGER
+                    % {_CMS_W} AS INTEGER) AS bucket
+        FROM words, range({_CMS_D}) r(i)),
+    cms AS (SELECT i, bucket, COUNT(*) AS c FROM buckets GROUP BY i, bucket),
+    exact AS (SELECT word, COUNT(*) AS exact_count FROM words GROUP BY word),
+    top AS (
+        SELECT word, exact_count,
+               ROW_NUMBER() OVER (ORDER BY exact_count DESC, word) AS rank
+        FROM exact QUALIFY rank <= {_CMS_TOP}),
+    probes AS (
+        SELECT t.rank, t.word, t.exact_count, r.i,
+               CAST(('0x' || substr(md5(r.i || ':' || t.word), 1, 4))::INTEGER
+                    % {_CMS_W} AS INTEGER) AS bucket
+        FROM top t, range({_CMS_D}) r(i))
+    SELECT p.rank, p.word, p.exact_count,
+           CAST(MIN(c.c) AS BIGINT) AS est_count
+    FROM probes p JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.rank, p.word, p.exact_count
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the bounded-memory frequency
+    structure (Cormode & Muthukrishnan): d×w counters, est(word) =
+    min_i cms[i][h_i(word)], always >= the true count. Unlike the HLL /
+    quantile sketches (engine-internal hash families → rows-only), the
+    hashes here are md5-derived, so DuckDB rebuilds the identical
+    sketch and the driver value-checks every cell path. Output: the
+    exact top-K words with their exact and sketch-estimated counts
+    (est >= exact by construction — asserted in tests).
+
+    Plan shape at 100 TB: ONE token explode fanned ×d inside codegen,
+    then a hash aggregation with d·w = 1,024 cells of state however big
+    the corpus — map-side partials ARE the per-partition sketch merge
+    (the sketch's linearity is what makes it distributed-friendly).
+    The probe side reuses the exact top-K (bounded TakeOrdered) and
+    joins the 1,024-row sketch broadcast."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    words = d.select(F.explode(toks).alias("word"))
+
+    def bucket(i_col, word_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(i_col, F.lit(":"), word_col)), 1, 4), 16, 10)
+            .cast("int")
+            % _CMS_W
+        )
+
+    pairs = words.select(
+        "word", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    ).select("word", "i", bucket(F.col("i").cast("string"), F.col("word")).alias("bucket"))
+    cms = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("word")).limit(_CMS_TOP)
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("word"))
+    top = top.withColumn("rank", F.row_number().over(w))
+    probes = top.select(
+        "rank",
+        "word",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i"),
+    ).select(
+        "rank",
+        "word",
+        "exact_count",
+        "i",
+        bucket(F.col("i").cast("string"), F.col("word")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("rank", "word", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )

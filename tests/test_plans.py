@@ -395,3 +395,12 @@ def test_lateral_decorrelates_no_nested_loop_per_row(spark, sf_dir):
 def test_triangle_join_keys_are_vertices(spark, sf_dir):
     plan = explain_str(QUERIES["graph_triangle_count"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_estimate_dominates_exact_and_state_is_bounded(spark, sf_dir):
+    # count-min property: est >= exact for every probed word; sketch
+    # state is d*w cells (one aggregation with partial/final phases)
+    rows = QUERIES["sketch_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows and all(r.est_count >= r.exact_count for r in rows)
+    plan = explain_str(QUERIES["sketch_cms_heavy_hitters"](spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2, plan
