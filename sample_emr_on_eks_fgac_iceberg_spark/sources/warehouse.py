@@ -336,6 +336,40 @@ class Warehouse:
         self._write_meta(meta)
         return meta
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME TO new — a pure catalog/metadata
+        operation (Iceberg's rename: no data movement in spirit; here
+        the table directory moves with its name but every snapshot file
+        list is RELATIVE to the data dir, so the whole history —
+        time travel, refs, changelog reads — survives untouched).
+
+        Fail-safe refusals: the target name must be free, and no
+        resource link may point at the old name (Glue does not rewrite
+        links on rename; a dangling link is a confused-deputy hazard,
+        so the rename is refused until the link is dropped). Grants
+        deliberately do NOT follow the rename — Lake Formation
+        permissions key on the resource name, so renaming re-keys the
+        resource and existing grants orphan, exactly as in the
+        reference's stack; re-grant under the new name."""
+        with self._table_lock(old):
+            meta = self._read_meta(old)  # raises if missing
+            if self.table_exists(new):
+                raise ValueError(f"Table '{new}' already exists")
+            for f in os.listdir(self._meta_dir):
+                if not f.endswith(".json"):
+                    continue
+                with open(os.path.join(self._meta_dir, f)) as fh:
+                    other = json.load(fh)
+                if other.get("link_to") == old:
+                    raise ValueError(
+                        f"Cannot rename '{old}': resource link "
+                        f"'{other['name']}' points at it (drop the link first)"
+                    )
+            meta.name = new
+            os.rename(os.path.join(self.root, old), os.path.join(self.root, new))
+            self._write_meta(meta)
+            os.remove(self._meta_path(old))
+
     def drop_table(self, name: str) -> None:
         """M1: DROP TABLE — removes data files and metadata."""
         meta_path = self._meta_path(name)

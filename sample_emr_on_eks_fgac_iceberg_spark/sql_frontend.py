@@ -81,6 +81,9 @@ _ALTER_RENAME_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
     re.I,
 )
+_ALTER_RENAME_TABLE_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$", re.I
+)
 _ALTER_PARTITION_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*"
     r"\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*$",
@@ -350,6 +353,10 @@ class SqlFrontend:
         m = _ALTER_RENAME_RE.match(query)
         if m:
             self.warehouse.rename_column(m.group(1), m.group(2), m.group(3))
+            return None
+        m = _ALTER_RENAME_TABLE_RE.match(query)
+        if m:
+            self.warehouse.rename_table(m.group(1), m.group(2))
             return None
         m = _ALTER_PARTITION_RE.match(query)
         if m:

@@ -180,3 +180,12 @@ def test_audit_log_queryable_as_sql(engine):
     ).collect()
     got = {(r.principal, r.decision) for r in rows}
     assert ("alice", "granted") in got and ("mallet", "denied") in got
+
+
+def test_alter_table_rename_to_sql(engine):
+    engine.sql("CREATE TABLE sqlrn (k INT)")
+    engine.sql("INSERT INTO sqlrn VALUES (1), (2)")
+    engine.sql("ALTER TABLE sqlrn RENAME TO sqlrn2")
+    assert engine.sql("SELECT COUNT(*) AS n FROM sqlrn2").collect()[0].n == 2
+    tables = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
+    assert "sqlrn2" in tables and "sqlrn" not in tables

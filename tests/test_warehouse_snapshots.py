@@ -66,3 +66,50 @@ def test_snapshot_through_resource_link(wh):
     wh.insert_values("base", [(2,)])
     assert sorted(r.k for r in wh.read_table("rl_base").collect()) == [1, 2]
     assert [r.k for r in wh.read_table("rl_base", snapshot_id=1).collect()] == [1]
+
+
+def test_rename_table_preserves_history_and_refs(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("rn_src", "k int, v string")
+    wh.insert_values("rn_src", [(1, "a"), (2, "b")])
+    v1 = wh.current_snapshot_id("rn_src")
+    wh.insert_values("rn_src", [(3, "c")])
+    wh.create_tag("rn_src", "first", v1)
+
+    wh.rename_table("rn_src", "rn_dst")
+    assert not wh.table_exists("rn_src")
+    assert wh.read_table("rn_dst").count() == 3
+    # time travel and refs survive under the new name (relative paths)
+    assert wh.read_table("rn_dst", snapshot_id=v1).count() == 2
+    assert wh.read_table("rn_dst", ref="first").count() == 2
+    # old name fully gone; new name occupied
+    import pytest as _pytest
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        TableNotFoundError,
+    )
+
+    with _pytest.raises(TableNotFoundError):
+        wh.read_table("rn_src")
+    with _pytest.raises(ValueError, match="already exists"):
+        wh.create_table("rn_dst", "k int")
+
+
+def test_rename_table_refuses_link_target_and_collision(spark, tmp_path):
+    import pytest as _pytest
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t_a", "k int")
+    wh.create_table("t_b", "k int")
+    with _pytest.raises(ValueError, match="already exists"):
+        wh.rename_table("t_a", "t_b")
+    wh.create_resource_link("rl_a", "t_a")
+    with _pytest.raises(ValueError, match="resource link"):
+        wh.rename_table("t_a", "t_c")
+    wh.drop_table("rl_a")
+    wh.rename_table("t_a", "t_c")
+    assert wh.table_exists("t_c") and not wh.table_exists("t_a")
