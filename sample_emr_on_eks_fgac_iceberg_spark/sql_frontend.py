@@ -35,6 +35,11 @@ _CTAS_RE = re.compile(
     re.I | re.S,
 )
 _PARTITIONED_RE = re.compile(rf"PARTITIONED\s+BY\s*\({_SPEC_BODY}\)", re.I)
+# CREATE TABLE new LIKE src — copy schema + partition spec, no data
+_CREATE_LIKE_RE = re.compile(
+    r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*;?\s*$",
+    re.I,
+)
 _INSERT_RE = re.compile(
     r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)", re.I | re.S
 )
@@ -257,6 +262,23 @@ class SqlFrontend:
         m = _EXPLAIN_RE.match(query)
         if m:
             return self._explain((m.group(1) or "simple").strip().lower(), m.group(2))
+        m = _CREATE_LIKE_RE.match(query)
+        if m:
+            if_not_exists, new, src = bool(m.group(1)), m.group(2), m.group(3)
+            if self.warehouse.table_exists(new):
+                if if_not_exists:
+                    return None
+                raise ValueError(f"Table '{new}' already exists")
+            src_meta = self.warehouse._read_meta(src)
+            if src_meta.link_to:  # LIKE a resource link clones the TARGET
+                src_meta = self.warehouse._read_meta(src_meta.link_to)
+            self.warehouse.create_table(
+                new,
+                src_meta.schema,
+                partition_by=list(src_meta.partition_by),
+                properties=dict(src_meta.properties),
+            )
+            return None
         m = _CTAS_RE.match(query)
         if m:
             return self._ctas(m)

@@ -189,3 +189,26 @@ def test_alter_table_rename_to_sql(engine):
     assert engine.sql("SELECT COUNT(*) AS n FROM sqlrn2").collect()[0].n == 2
     tables = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
     assert "sqlrn2" in tables and "sqlrn" not in tables
+
+
+def test_create_table_like(engine):
+    engine.sql(
+        "CREATE TABLE like_src (k INT, city STRING) PARTITIONED BY (city)"
+    )
+    engine.sql("INSERT INTO like_src VALUES (1, 'Austin')")
+    engine.sql("CREATE TABLE like_dst LIKE like_src")
+    # schema + partition spec copied, data NOT copied
+    rows = engine.sql("DESCRIBE like_dst").collect()
+    assert [(r.col_name, r.data_type) for r in rows] == [
+        ("k", "int"),
+        ("city", "string"),
+    ]
+    assert engine.sql("SELECT COUNT(*) AS n FROM like_dst").collect()[0].n == 0
+    engine.sql("INSERT INTO like_dst VALUES (9, 'Reno')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM like_dst").collect()[0].n == 1
+    # IF NOT EXISTS tolerates repeats; plain form errors
+    engine.sql("CREATE TABLE IF NOT EXISTS like_dst LIKE like_src")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE like_dst LIKE like_src")
