@@ -483,3 +483,67 @@ def test_read_changes_includes_wap_publish(spark, tmp_path):
     assert sorted(
         r.k for r in wh.read_changes("t", from_snapshot_id=base).collect()
     ) == [2]
+
+
+def test_streaming_cms_merge_equals_batch_sketch(spark, sf_dir, events_dir, tmp_path):
+    """Sketch linearity, operationally: per-micro-batch count-min
+    partial sketches (over event_type tokens) appended by foreachBatch,
+    then summed per (i, bucket), must equal the sketch computed in one
+    batch pass over all events — the property that lets a 100 TB
+    pipeline maintain heavy-hitter counts incrementally (partial
+    aggregation = sketch merge; appending + summing = cross-batch
+    merge). maxFilesPerTrigger=1 forces genuinely separate batches."""
+    from pyspark.sql import functions as F
+
+    D, W = 4, 64
+
+    def cms_counts(df):
+        pairs = df.select(
+            F.col("event_type").alias("word"),
+            F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("i"),
+        ).select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("word"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % W
+            ).alias("bucket"),
+        )
+        return pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    # a fresh multi-file copy: the shared events_dir may be one file,
+    # which maxFilesPerTrigger can't split into several batches
+    src = str(tmp_path / "events_multi")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    out = str(tmp_path / "cms_partials")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        cms_counts(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) > 1, "expected multiple micro-batches"
+
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    batch = cms_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(merged) == _rows(batch)
