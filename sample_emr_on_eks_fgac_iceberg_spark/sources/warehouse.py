@@ -346,13 +346,29 @@ class Warehouse:
         Fail-safe refusals: the target name must be free, and no
         resource link may point at the old name (Glue does not rewrite
         links on rename; a dangling link is a confused-deputy hazard,
-        so the rename is refused until the link is dropped). Grants
-        deliberately do NOT follow the rename — Lake Formation
+        so the rename is refused until the link is dropped). Renaming
+        a resource link itself is also refused: a link owns no data
+        directory (it writes through to its target), so there is
+        nothing to move and Glue models link renames as drop+recreate.
+        Grants deliberately do NOT follow the rename — Lake Formation
         permissions key on the resource name, so renaming re-keys the
         resource and existing grants orphan, exactly as in the
-        reference's stack; re-grant under the new name."""
-        with self._table_lock(old):
+        reference's stack; re-grant under the new name.
+
+        Both names are locked (in sorted order, so two concurrent
+        renames cannot deadlock) before the target-free check — the
+        check-then-act on 'new' is atomic with the meta write, matching
+        the linearizability of the other commit paths."""
+        if old == new:
+            raise ValueError(f"Cannot rename '{old}' to itself")
+        first, second = sorted((old, new))
+        with self._table_lock(first), self._table_lock(second):
             meta = self._read_meta(old)  # raises if missing
+            if meta.link_to is not None:
+                raise ValueError(
+                    f"Cannot rename '{old}': it is a resource link to "
+                    f"'{meta.link_to}' (drop and recreate the link instead)"
+                )
             if self.table_exists(new):
                 raise ValueError(f"Table '{new}' already exists")
             for f in os.listdir(self._meta_dir):

@@ -551,27 +551,16 @@ class SqlFrontend:
         surface the warehouse API doesn't pretend to have. A CTE prefix
         can hide DML (`WITH … INSERT INTO t SELECT …`, which Spark's
         sql() executes EAGERLY), so beyond the textual allowlist the
-        statement's parsed plan class is checked the same way the
-        consumer write guard does (policy.py::_parsed_write_class)."""
+        statement's parsed plan class is checked with the same shared
+        helper the consumer write guard uses
+        (policy.py::parsed_write_class)."""
         from sample_emr_on_eks_fgac_iceberg_spark.plans import explain_str
-        from sample_emr_on_eks_fgac_iceberg_spark.policy import SecureSession
+        from sample_emr_on_eks_fgac_iceberg_spark.policy import parsed_write_class
 
         rest = rest.strip().rstrip(";")
-        if not re.match(r"\s*(\(|SELECT|WITH|VALUES|TABLE)\b", rest, re.I):
+        if not re.match(r"\s*(\(|(SELECT|WITH|VALUES|TABLE)\b)", rest, re.I):
             raise ValueError("EXPLAIN supports queries (SELECT/WITH/VALUES) only")
-        try:
-            node = (
-                self.spark._jsparkSession.sessionState().sqlParser().parsePlan(rest)
-            )
-            cls = node.getClass().getSimpleName()
-            for _ in range(4):  # unwrap WITH … <command> wrappers
-                if cls != "UnresolvedWith":
-                    break
-                node = node.child()
-                cls = node.getClass().getSimpleName()
-        except Exception:
-            cls = None
-        if cls in SecureSession._WRITE_PLAN_CLASSES:
+        if parsed_write_class(self.spark, rest) is not None:
             raise ValueError("EXPLAIN supports queries (SELECT/WITH/VALUES) only")
         return self.spark.createDataFrame(
             [(explain_str(self._query(rest), mode),)], "plan string"

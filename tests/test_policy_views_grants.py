@@ -348,6 +348,22 @@ def test_consumer_explain_ddl_shapes_rejected_without_executing(engine):
     assert sess.sql("SELECT * FROM ev").count() == 8
     with pytest.raises(ValueError, match="read queries only"):
         sess.sql("EXPLAIN CREATE VIEW ev2 AS SELECT * FROM claims")
+
+
+def test_explain_parenthesized_query_with_space(engine):
+    """`EXPLAIN ( SELECT ... )` — whitespace after the paren is a
+    legitimate query spelling and must pass the shape allowlist on both
+    the consumer and producer surfaces (ADVICE r4: `\\b` fails between
+    '(' and a space)."""
+    plan = engine.session_for(TEAM1).sql(
+        "EXPLAIN ( SELECT patient_id FROM patients )"
+    ).collect()[0].plan
+    assert "Texas" in plan
+    text = engine.sql(
+        "EXPLAIN ( SELECT state FROM patients )"
+    ).collect()[0].plan
+    assert "state" in text
+    sess = engine.session_for(TEAM1)
     assert "ev2" not in {r.view_name for r in sess.sql("SHOW VIEWS").collect()}
     # CTE-prefixed DML: starts with WITH, caught by the parsed plan
     with pytest.raises(ValueError, match="read queries only"):

@@ -113,3 +113,23 @@ def test_rename_table_refuses_link_target_and_collision(spark, tmp_path):
     wh.drop_table("rl_a")
     wh.rename_table("t_a", "t_c")
     assert wh.table_exists("t_c") and not wh.table_exists("t_a")
+
+
+def test_rename_table_refuses_link_source_and_self(spark, tmp_path):
+    """Renaming a resource link itself is a clear refusal (a link owns
+    no data directory — there is nothing to move), and a self-rename is
+    refused rather than deadlocking on the double name lock."""
+    import pytest as _pytest
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t_base", "k int")
+    wh.insert_values("t_base", [(1,)])
+    wh.create_resource_link("rl_x", "t_base")
+    with _pytest.raises(ValueError, match="resource link"):
+        wh.rename_table("rl_x", "rl_y")
+    # the link still works after the refusal
+    assert wh.read_table("rl_x").count() == 1
+    with _pytest.raises(ValueError, match="itself"):
+        wh.rename_table("t_base", "t_base")
