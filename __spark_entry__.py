@@ -21,145 +21,206 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators import ORACLE, QUERIES  # no
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# The driver's correctness gate evaluates a bounded prefix of queries()
-# (50 in round 1).  Order the registry so that prefix covers every
-# component family — FGAC flagships, temporal joins, UDF/UDAF surface,
-# text / dedup / similarity / multimodal pipeline operators, streaming
-# mirrors, and the relational queries that have not yet appeared in a
-# CORRECTNESS artifact — before repeating relational queries already
-# verified green in round 1.
-_PRIORITY = [
+# The driver's correctness gate evaluates a bounded prefix of
+# queries() — DRIVER_WINDOW entries (50 in every round observed so
+# far; an external driver constraint, named here per ADVICE r4).  The
+# prefix is built from three tiers:
+#   1. _CORE — flagships and this round's new/changed operators,
+#      always inside the window;
+#   2. any newly-registered query in neither list (debuts in-window);
+#   3. a rotating block drawn from _ROTATION — stable, previously
+#      driver-green oracle-bearing queries that re-verify round-robin
+#      (offset = number of CORRECTNESS_r*.json artifacts on disk, so
+#      the rotation advances automatically each round), so parked
+#      queries keep periodic regression coverage instead of falling
+#      out of the signal permanently.
+# The 7 rows-only-by-design queries (approx sketches, seeded LSH, the
+# featurizer stub) sit at the very bottom: each has an oracle-checked
+# deterministic sibling in _CORE, and a window slot spent on a
+# no_oracle row is a slot without signal (VERDICT r4 task 3).
+DRIVER_WINDOW = 50
+
+_CORE = [
     # FGAC flagships (reference consumer_emr_on_eks_setup.sh:407-418)
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_catalog_qualified_scan",
     "fgac_corpus_stats",
-    # round-4: consumer CREATE VIEW (invoker's rights) through the driver
     "fgac_view_scan",
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",
     "window_range_30d_spend",
-    # round-4 batch 3: event analytics (funnel / TWA / retention)
+    # event analytics (funnel / TWA / retention)
     "events_funnel_conversion",
     "events_time_weighted_value",
     "events_retention_cohorts",
-    # UDF / UDAF / applyInPandas
+    "events_sessionization",
+    # UDF / UDAF
     "udf_scalar_charge",
     "udaf_weighted_discount",
-    "applyinpandas_minmax",
     # text analysis
     "text_token_counts",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
     "text_vocab_topk",
-    # round-4: per-language collocation mining + corpus-LM quality proxy
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
-    # round-4 batch 4: BPE merge-pair statistics (tokenizer training)
     "bpe_merge_candidates",
-    # round-4 batch 5: count-min heavy hitters (md5 hashes, full oracle)
     "sketch_cms_heavy_hitters",
-    # round-4 batch 2: winnowing sketch, trigram novelty, TF-IDF terms
     "winnowing_fingerprint",
     "doc_ngram_novelty",
     "tfidf_top_terms",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # round-4: md5-deterministic MinHash-LSH — full oracle, unlike the
-    # pyspark.ml hash-family variant (rows-only, recorded r3, parked
-    # below the window)
     "dedup_minhash_det",
     "dedup_simhash_det",
     "dedup_embedding_cosine",
-    # round-4 batch 2: transitive closure of the near-dup graph
-    # (iterative hash-to-min CC, oracle = recursive CTE)
     "dedup_connected_components",
-    # round-4 batch 4: per-component dedup savings (canonical survivors)
     "dedup_savings_report",
-    # round-4 batch 5: triangle enumeration (tight duplicate cliques)
     "graph_triangle_count",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
-    "ann_lsh_bucketed",
-    # round-4: md5-hyperplane fixed-point LSH — full oracle
     "ann_lsh_det",
-    # round-4: exact IVF/k-means training aggregation
     "embedding_centroids",
-    # round-4 batch 2: k-NN majority-vote labeling (weak supervision)
     "knn_label_vote",
-    # multimodal
-    "multimodal_catalog",
-    "multimodal_frame_sample",
-    # round-4: genuine PCM decode (numpy frombuffer), oracle-checked
+    # multimodal (round-5: genuine PGM raster decode joins the window)
+    "multimodal_image_stats",
     "multimodal_audio_rms",
-    # round-4: the one oracle-bearing query that had never been inside
-    # a driver window (verdict r3 task 2) — pinned well inside it now
+    # curation / privacy
     "pack_sequences_sharded",
-    # round-4 batch 2: corpus profiling + PII scrub
     "doc_length_histogram",
     "pii_mask_customers",
-    # round-4 batch 4: k-anonymity audit beside the mask
     "k_anonymity_report",
-    # round-4 batch 5: correlated LATERAL subquery (decorrelated top-K)
+    # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
-    # round-4 batch 5: the remaining join flavor (RIGHT OUTER)
     "join_right_segment_spend",
-    # green/recorded in r3; parked just below the window so every
-    # not-yet-driver-checked oracle query fits inside it
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+]
+
+# Stable, previously driver-green oracle-bearing queries; a block of
+# (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
+# window each round, advancing by that block size per round.
+_ROTATION = [
+    "curation_pipeline",
+    "applyinpandas_minmax",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "multimodal_catalog",
+    "multimodal_frame_sample",
+    "decontaminate_ngrams",
     "shard_export_manifest",
     "sample_language_temperature",
-    "ann_ivf_topk",
+    "sample_hash_fraction",
+    "split_train_holdout",
+    "sample_stratified_cap",
+    "quality_repetition_filter",
+    "pack_sequences",
     "cdc_incremental_append",
     "page_orders_offset",
-    # rows-only featurizer stub: recorded in CORRECTNESS_r03; parked
-    # just outside the ~50-query window so every not-yet-driver-checked
-    # oracle query fits inside it
-    "multimodal_features",
-    # streaming (batch mirrors of the structured-streaming queries)
     "events_tumbling_hourly",
     "events_sliding_windows",
-    "events_sessionization",
     "events_dedup_first",
     "events_enriched_segments",
     "events_running_user_totals",
     "events_session_window_native",
-    # relational queries with no prior CORRECTNESS entry
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "agg_stats_by_nation",
+    "distinct_segments",
+    "rollup_returnflag",
+    "cube_order_status",
+    "having_big_nations",
+    "grouping_sets_revenue",
+    "join_left_order_counts",
+    "join_semi_f_orders",
+    "join_anti_no_recent_orders",
+    "join_full_outer_nation_counts",
+    "join_cross_region_status",
+    "in_subquery_building_orders",
+    "scalar_subquery_above_avg",
+    "window_order_ranks",
+    "window_running_total",
+    "window_lag_lead",
+    "window_top3_per_customer",
+    "window_distribution_ranks",
+    "set_union_all_segments",
+    "set_intersect_repeat_buyers",
+    "set_except_churned",
+    "set_bag_ops_returnflag",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "case_when_price_bands",
+    "string_agg_nations_per_region",
+    "topk_orders",
+    "global_sort_nations",
+    "pivot_event_counts",
+    "unpivot_returnflag_metrics",
+    "json_extract_events",
+    "array_explode_word_counts",
     "percentile_order_prices",
     "stats_exact_corr",
     "map_ops_event_profile",
-    "set_bag_ops_returnflag",
-    "q21_waiting_suppliers",
-    "window_distribution_ranks",
+]
+
+# rows-only by honest design (each with an oracle-checked
+# deterministic sibling in _CORE) — kept below the window
+_ROWS_ONLY = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "approx_distinct_users",
     "approx_percentile_prices",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    # training-data curation (deterministic hash sampling / splits)
-    "sample_hash_fraction",
-    "split_train_holdout",
-    "sample_stratified_cap",
-    "curation_pipeline",
-    "quality_repetition_filter",
-    "decontaminate_ngrams",
-    "pack_sequences",
-    # headline relational (green in round 1; keep representatives in-window)
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "grouping_sets_revenue",
 ]
 
 
+
+def _rotation_offset() -> int:
+    """Rounds completed so far = CORRECTNESS artifacts on disk; the
+    rotation block advances automatically when the driver records a
+    new one."""
+    import glob
+
+    return len(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+
+
 def _ordered(reg: dict) -> dict:
-    """Priority names first (those that exist), then the rest in
-    registration order."""
-    out = {n: reg[n] for n in _PRIORITY if n in reg}
+    """Window layout (see DRIVER_WINDOW note above): core, then
+    untriaged debuts, then the round's rotation block, then the rest
+    of the rotation pool, with rows-only queries always last."""
+    core = [n for n in _CORE if n in reg]
+    pool = [n for n in _ROTATION if n in reg]
+    known = set(core) | set(pool) | set(_ROWS_ONLY)
+    debuts = [n for n in reg if n not in known]
+    slots = max(0, DRIVER_WINDOW - len(core) - len(debuts))
+    k = (_rotation_offset() * slots) % len(pool) if pool and slots else 0
+    rotated = pool[k:] + pool[:k]
+    order = core + debuts + rotated + [n for n in _ROWS_ONLY if n in reg]
+    out = {n: reg[n] for n in order if n in reg}
     out.update((n, v) for n, v in reg.items() if n not in out)
     return out
 

@@ -79,6 +79,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "k_anonymity_report",
     "dedup_connected_components",
+    # round-5: genuine raster decode (PGM header parse + tile stats)
+    "multimodal_image_stats",
 ]
 
 
