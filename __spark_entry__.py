@@ -89,6 +89,12 @@ _CORE = [
     # multimodal (round-5: genuine PGM raster decode joins the window)
     "multimodal_image_stats",
     "multimodal_audio_rms",
+    # round-5 additions: passage-level dedup, int8 vector quantization
+    # with exact reconstruction-error audit, integer-exact hourly
+    # anomaly flags
+    "dedup_passages",
+    "embedding_quantize_int8",
+    "events_anomaly_hours",
     # curation / privacy
     "pack_sequences_sharded",
     "doc_length_histogram",

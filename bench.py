@@ -79,8 +79,12 @@ HEADLINE = [
     "bpe_merge_candidates",
     "k_anonymity_report",
     "dedup_connected_components",
-    # round-5: genuine raster decode (PGM header parse + tile stats)
+    # round-5: genuine raster decode (PGM header parse + tile stats),
+    # passage-level dedup, int8 quantization, hourly anomaly flags
     "multimodal_image_stats",
+    "dedup_passages",
+    "embedding_quantize_int8",
+    "events_anomaly_hours",
 ]
 
 

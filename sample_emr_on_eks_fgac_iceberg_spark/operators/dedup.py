@@ -820,3 +820,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
     e3 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+_PASSAGE_W = 16  # words per passage chunk
+
+
+@register(
+    "dedup_passages",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ') AS ws
+        FROM documents),
+    ps AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST((len(ws) - 1) // {_PASSAGE_W} + 1
+                                    AS BIGINT))) AS i
+        FROM w WHERE len(ws) > 0),
+    pas AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   ws[CAST(i * {_PASSAGE_W} + 1 AS BIGINT)
+                      :CAST(i * {_PASSAGE_W} + {_PASSAGE_W} AS BIGINT)],
+                   ' ')) AS h
+        FROM ps),
+    f AS (SELECT h, MIN(doc_id) AS first_doc FROM pas GROUP BY h)
+    SELECT pas.doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN pas.doc_id > f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_passages
+    FROM pas JOIN f ON pas.h = f.h
+    GROUP BY pas.doc_id
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup — the sub-document pass large training
+    pipelines run AFTER document dedup: boilerplate (headers, license
+    blocks, navigation chrome) repeats across otherwise-distinct pages,
+    so each document is chunked into fixed {_PASSAGE_W}-word passages
+    and a passage already seen in an EARLIER document (min doc_id =
+    first occurrence) counts as a duplicate. Downstream consumers drop
+    or down-weight high-dup_ratio documents rather than whole-doc
+    deleting.
+
+    Plan shape at 100 TB: chunking is `sequence`+`explode`+`slice`
+    inside whole-stage codegen (no collect_list — element order is
+    positional, never aggregation-order dependent); first-occurrence
+    is one hash agg on the 16-byte passage hash; the provenance join
+    shuffles both sides on that same hash key (AQE coalesces); the
+    final per-doc rollup is a partial-agg count. Nothing is ever
+    all-pairs and the only wide rows are (doc_id, hash)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    words = F.split(_norm_text(F.col("text")), " ")
+    passages = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("ws") - 1) / _PASSAGE_W).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("ws"),
+                        F.col("i") * _PASSAGE_W + 1,
+                        _PASSAGE_W,
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    passages = materialize_once(passages)
+    firsts = passages.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        passages.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("first_doc"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_passages"),
+        )
+    )

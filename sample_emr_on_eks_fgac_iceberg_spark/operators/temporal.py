@@ -420,3 +420,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "age_days").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "events_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, hr),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(n_events) AS BIGINT) AS s1,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM hourly GROUP BY user_id)
+    SELECT h.user_id, h.hr, h.n_events,
+           (s.n_hours >= 3 AND
+            (s.n_hours * h.n_events - s.s1)
+              * (s.n_hours * h.n_events - s.s1) * (s.n_hours - 1)
+              > 4 * s.n_hours * (s.n_hours * s.s2 - s.s1 * s.s1))
+             AS is_anomaly
+    FROM hourly h JOIN stats s ON h.user_id = s.user_id
+    """,
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly activity anomalies — the burst/bot screen an
+    event pipeline runs before sessionized data feeds training: an
+    (user, hour) bucket is anomalous when its event count sits more
+    than 2 sample standard deviations from that user's own hourly mean.
+    The z-test is evaluated as a PURE INTEGER inequality —
+    (n·c − Σ)²·(n−1) > 4·n·(n·Σx² − Σ²) is |z| > 2 with every division
+    cleared — so the flag is bit-identical across engines and
+    partitionings (no double accumulation anywhere). Users with fewer
+    than 3 active hours never flag (sample variance undefined/trivial).
+
+    Plan shape at 100 TB: two partial-agg passes over the same
+    user-keyed partitioning (hour rollup, then per-user moments) and a
+    co-keyed join back — AQE reuses the exchange; no window over raw
+    events, no data-sized driver state."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n_hours") * F.col("n_events") - F.col("s1")
+    var_num = F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    return hourly.join(stats, "user_id").select(
+        "user_id",
+        "hr",
+        "n_events",
+        (
+            (F.col("n_hours") >= 3)
+            & (dev * dev * (F.col("n_hours") - 1) > 4 * F.col("n_hours") * var_num)
+        ).alias("is_anomaly"),
+    )

@@ -48,7 +48,18 @@ _FILE_RELATION_TOKEN_RE = re.compile(
     r"|delta|iceberg)\s*\.\s*`",
     re.I,
 )
-_PATHLIKE_IDENT_RE = re.compile(r"`[^`]*[/*?\[][^`]*`")
+# Checked per quoted identifier (not one regex over the whole
+# statement: `a` … * … `b` would otherwise match ACROSS two legitimate
+# identifiers — found by the round-5 authorizer property test).
+_QUOTED_IDENT_RE = re.compile(r"`([^`]*)`")
+_PATH_CHARS_RE = re.compile(r"[/*?\[]")
+
+
+def _has_pathlike_ident(query: str) -> bool:
+    return any(
+        _PATH_CHARS_RE.search(m.group(1))
+        for m in _QUOTED_IDENT_RE.finditer(query)
+    )
 
 # Top-level parsed-plan classes that are writes (shared by the
 # consumer write guard and the frontend's EXPLAIN fence so the two
@@ -85,6 +96,29 @@ def parsed_write_class(spark: SparkSession, query: str) -> str | None:
     except Exception:
         return None
     return cls if cls in WRITE_PLAN_CLASSES else None
+
+
+def parsed_insert_target(spark: SparkSession, query: str) -> str | None:
+    """Target table of a (possibly CTE-wrapped) ``INSERT INTO``
+    statement, resolved from Spark's parsed plan: unwrap
+    ``UnresolvedWith`` wrappers, then read the
+    ``InsertIntoStatement``'s table identifier. None when the statement
+    is not an INSERT or the identifier cannot be read (callers treat
+    None as a denial — fail closed)."""
+    try:
+        node = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+        cls = node.getClass().getSimpleName()
+        for _ in range(4):
+            if cls != "UnresolvedWith":
+                break
+            node = node.child()
+            cls = node.getClass().getSimpleName()
+        if cls != "InsertIntoStatement":
+            return None
+        seq = node.table().multipartIdentifier()
+        return ".".join(str(seq.apply(i)) for i in range(seq.size()))
+    except Exception:
+        return None
 
 
 SELECT = "SELECT"
@@ -476,10 +510,15 @@ class SecureSession:
             if cls == "UnresolvedWith":
                 # CTE definitions introduce local names that are not
                 # warehouse tables; references to them are legitimate.
+                # The definition BODIES are not in children() (Catalyst
+                # keeps cteRelations as innerChildren), so push them
+                # explicitly — a relation read inside a CTE body is a
+                # source like any other.
                 try:
                     rels = node.cteRelations()
                     for i in range(rels.size()):
                         cte_names.add(str(rels.apply(i)._1()).lower())
+                        stack.append(rels.apply(i)._2())
                 except Exception:
                     pass
             # children() on every TreeNode; expressions() on plan nodes
@@ -509,7 +548,7 @@ class SecureSession:
         Spark cannot parse fall back to a conservative word-boundary
         scan over known table names (those shapes — OPTIMIZE, ALTER …
         WRITE ORDERED BY — carry no source clause)."""
-        if _FILE_RELATION_TOKEN_RE.search(query) or _PATHLIKE_IDENT_RE.search(query):
+        if _FILE_RELATION_TOKEN_RE.search(query) or _has_pathlike_ident(query):
             raise AccessDeniedException(self.principal, "<file-relation>", SELECT)
         known = {t.lower(): t for t in self._known_tables()}
         tgt = target.lower()
@@ -520,7 +559,15 @@ class SecureSession:
                 name = ".".join(str(p) for p in parts).lower()
                 if name == tgt:
                     continue
-                if len(parts) == 1 and name in cte_names:
+                # A CTE-local name is exempt ONLY if it does not shadow
+                # a real table: Spark resolves a CTE body's reference
+                # to its own name against the OUTER scope (the base
+                # table), so `WITH t AS (SELECT … FROM t) …` reads the
+                # real t. Scoping the exemption per-branch isn't worth
+                # the complexity — when a CTE name collides with a
+                # known table, the statement needs the grant (fail
+                # closed; rename the CTE to avoid it).
+                if len(parts) == 1 and name in cte_names and name not in known:
                     continue
                 resolved = known.get(name)
                 if resolved is None:
@@ -765,8 +812,22 @@ class SecureSession:
                 return self._dml_executor(query)
         # A write statement whose spelling matched no shape above (CTE
         # prefix, Hive FROM…INSERT, future syntax) must never reach the
-        # read path — deny on the parsed plan class, fail closed.
+        # read path. The one CTE-wrapped write the engine supports —
+        # `WITH … INSERT INTO t SELECT …` — is authorized exactly like
+        # a plain INSERT (INSERT on the parsed target + unfiltered
+        # SELECT on every parsed source relation, CTE names excluded)
+        # and delegated; every other parsed write class denies, fail
+        # closed.
         wcls = self._parsed_write_class(query)
+        if wcls == "InsertIntoStatement" and re.match(r"\s*WITH\b", query, re.I):
+            target = parsed_insert_target(self._spark, query)
+            if target is None:
+                raise AccessDeniedException(self.principal, f"<{wcls}>", "WRITE")
+            self._policy.authorize(self.principal, target, INSERT)
+            self._authorize_write_sources(query, target)
+            if self._dml_executor is None:
+                raise AccessDeniedException(self.principal, target, INSERT)
+            return self._dml_executor(query)
         if wcls is not None:
             raise AccessDeniedException(self.principal, f"<{wcls}>", "WRITE")
         m = re.match(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", query, re.I)

@@ -1,0 +1,270 @@
+"""Spec-shaped Iceberg v2 ``metadata.json`` mirror (SURVEY.md §2 E2).
+
+The engine's commit path keeps its own manifest log (warehouse.py
+``TableMeta`` — the semantic source of truth this sandbox can test).
+This module narrows the on-disk interop waiver (COVERAGE.md): every
+metadata write also emits a table-metadata file chain shaped per the
+Apache Iceberg table-spec v2 — ``<table>/metadata/vN.metadata.json``
+plus the ``version-hint.text`` a HadoopCatalog reader uses to find the
+current version — so a future jar-equipped deployment can adopt the
+warehouse layout. Snapshot ids, sequence numbers and timestamps match
+the engine's history one-for-one; only the avro manifest lists remain
+placeholders (no avro writer in this container — the chain records the
+path an Iceberg writer would populate).
+
+Reference parity: the file tree mirrors what the reference's cleanup
+logs show for its Athena-created Iceberg tables
+(producer_account_setup/logs/producer_cleanup_logs.txt:33-51 —
+``metadata/00000-….metadata.json`` + ``snap-*.avro`` under the table
+location).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+
+# Spark simpleString / StructType-JSON primitive → Iceberg type name
+_PRIMITIVES = {
+    "long": "long",
+    "bigint": "long",
+    "integer": "int",
+    "int": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",  # Spark TIMESTAMP has session-tz semantics
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+class _IdAlloc:
+    def __init__(self) -> None:
+        self.last = 0
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(t, ids: _IdAlloc):
+    """Spark StructType-JSON type node → Iceberg schema type node with
+    freshly-allocated field ids (DFS order, top-level first)."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal"):
+            return t  # decimal(p,s) spells identically
+        if t.startswith("varchar") or t.startswith("char"):
+            return "string"
+        return "string"  # conservative fallback keeps the chain valid
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [_schema_field(f, ids) for f in t.get("fields", [])],
+        }
+    if kind == "array":
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(t["elementType"], ids),
+            "element-required": not t.get("containsNull", True),
+        }
+    if kind == "map":
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(t["keyType"], ids),
+            "value-id": vid,
+            "value": _iceberg_type(t["valueType"], ids),
+            "value-required": not t.get("valueContainsNull", True),
+        }
+    if kind == "udt":
+        return "binary"
+    raise ValueError(f"unmappable Spark type node: {t!r}")
+
+
+def _schema_field(f: dict, ids: _IdAlloc) -> dict:
+    fid = ids.next()
+    return {
+        "id": fid,
+        "name": f["name"],
+        "required": not f.get("nullable", True),
+        "type": _iceberg_type(f["type"], ids),
+    }
+
+
+_TRANSFORM_NAMES = {
+    "identity": "identity",
+    "year": "year",
+    "month": "month",
+    "day": "day",
+    "hour": "hour",
+}
+
+# engine snapshot operation → the spec's summary-operation enum
+_OPERATIONS = {
+    "append": "append",
+    "publish": "append",
+    "overwrite": "overwrite",
+    "delete": "delete",
+    "replace": "replace",
+    "rewrite": "replace",
+    "compact": "replace",
+    "expire": "replace",
+}
+
+
+def build_table_metadata(meta, table_root: str) -> dict:
+    """The Iceberg v2 table-metadata document for one engine
+    ``TableMeta`` state. Pure function of (meta, location) so tests can
+    validate the field set without touching disk."""
+    schema_fields = json.loads(meta.schema_json).get("fields", [])
+    ids = _IdAlloc()
+    fields = [_schema_field(f, ids) for f in schema_fields]
+    by_name = {f["name"]: f["id"] for f in fields}
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        parse_partition_spec,
+    )
+
+    pfid = 999
+    spec_fields = []
+    for pf in parse_partition_spec(meta.partition_by):
+        pfid += 1
+        if pf.kind in _TRANSFORM_NAMES:
+            transform = _TRANSFORM_NAMES[pf.kind]
+        elif pf.kind == "bucket":
+            transform = f"bucket[{pf.param}]"
+        elif pf.kind == "truncate":
+            transform = f"truncate[{pf.param}]"
+        else:  # pragma: no cover — parse_partition_spec rejects others
+            transform = "void"
+        spec_fields.append(
+            {
+                "source-id": by_name.get(pf.source, -1),
+                "field-id": pfid,
+                "name": pf.name,
+                "transform": transform,
+            }
+        )
+
+    snapshots = []
+    snapshot_log = []
+    for s in meta.snapshots:
+        sid = s["snapshot_id"]
+        entry = {
+            "snapshot-id": sid,
+            "sequence-number": s["sequence_number"],
+            "timestamp-ms": s["timestamp_ms"],
+            "schema-id": 0,
+            # avro manifest lists are the one waived artifact: the path
+            # records where an Iceberg writer would put the list for
+            # this snapshot (reference layout: snap-<id>-….avro)
+            "manifest-list": os.path.join(
+                table_root, "metadata", f"snap-{sid}.avro"
+            ),
+            "summary": {
+                "operation": _OPERATIONS.get(s.get("operation"), "overwrite"),
+                "engine-operation": str(s.get("operation")),
+                "added-data-files": str(len(s.get("added_files", []))),
+                "removed-data-files": str(len(s.get("removed_files", []))),
+                "added-records": str(s.get("added_records", 0)),
+            },
+        }
+        snapshots.append(entry)
+        if not s.get("staged"):
+            snapshot_log.append(
+                {"timestamp-ms": s["timestamp_ms"], "snapshot-id": sid}
+            )
+
+    current = snapshot_log[-1]["snapshot-id"] if snapshot_log else -1
+    last_ms = (
+        meta.snapshots[-1]["timestamp_ms"]
+        if meta.snapshots
+        else int(time.time() * 1000)
+    )
+    refs = {
+        name: {
+            "snapshot-id": r["snapshot_id"],
+            "type": str(r.get("type", "tag")).lower(),
+        }
+        for name, r in (meta.refs or {}).items()
+    }
+    if current != -1:
+        refs.setdefault("main", {"snapshot-id": current, "type": "branch"})
+
+    return {
+        "format-version": 2,
+        "table-uuid": meta.uuid or str(_uuid.uuid4()),
+        "location": table_root,
+        "last-sequence-number": (
+            meta.snapshots[-1]["sequence_number"] if meta.snapshots else 0
+        ),
+        "last-updated-ms": last_ms,
+        "last-column-id": ids.last,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": pfid,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(meta.properties),
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],  # filled by emit_metadata from the chain
+        "refs": refs,
+    }
+
+
+def emit_metadata(meta, table_root: str) -> str | None:
+    """Write the next ``vN.metadata.json`` for this table state and
+    update ``version-hint.text``. Returns the file path (None for
+    resource links — they are catalog entries with no location).
+    Failures never propagate: the mirror is an interop artifact, not
+    the engine's commit path."""
+    if meta.link_to is not None:
+        return None
+    try:
+        mdir = os.path.join(table_root, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        hint = os.path.join(mdir, "version-hint.text")
+        prev_version = 0
+        metadata_log: list[dict] = []
+        if os.path.exists(hint):
+            with open(hint) as f:
+                prev_version = int(f.read().strip() or 0)
+            prev_file = os.path.join(mdir, f"v{prev_version}.metadata.json")
+            if os.path.exists(prev_file):
+                with open(prev_file) as f:
+                    prev_doc = json.load(f)
+                metadata_log = list(prev_doc.get("metadata-log", []))
+                metadata_log.append(
+                    {
+                        "timestamp-ms": prev_doc.get("last-updated-ms"),
+                        "metadata-file": prev_file,
+                    }
+                )
+        version = prev_version + 1
+        doc = build_table_metadata(meta, table_root)
+        doc["metadata-log"] = metadata_log
+        path = os.path.join(mdir, f"v{version}.metadata.json")
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        with open(hint, "w") as f:
+            f.write(str(version))
+        return path
+    except Exception:  # pragma: no cover — best-effort mirror
+        return None

@@ -141,6 +141,10 @@ class TableMeta:
     link_to: str | None = None  # M2: resource link → target table name
     renames: list = field(default_factory=list)  # [[old, new], …] oldest first
     refs: dict = field(default_factory=dict)  # name → {snapshot_id, type}
+    # Iceberg table-uuid: assigned once at the first metadata write and
+    # stable across renames/commits, as the spec requires (the mirror
+    # chain in iceberg_metadata.py keys on it)
+    uuid: str | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -169,6 +173,10 @@ class Warehouse:
 
     # ---------------------------------------------------------- metadata
     def _write_meta(self, meta: TableMeta) -> None:
+        if meta.uuid is None and meta.link_to is None:
+            import uuid as _uuid
+
+            meta.uuid = str(_uuid.uuid4())
         with open(self._meta_path(meta.name), "w") as f:
             json.dump(
                 {
@@ -180,10 +188,18 @@ class Warehouse:
                     "link_to": meta.link_to,
                     "renames": meta.renames,
                     "refs": meta.refs,
+                    "uuid": meta.uuid,
                 },
                 f,
                 indent=2,
             )
+        # spec-shaped Iceberg v2 metadata chain (interop artifact; the
+        # engine's own manifest log above stays the commit authority)
+        from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
+            emit_metadata,
+        )
+
+        emit_metadata(meta, os.path.join(self.root, meta.name))
 
     def _read_meta(self, name: str) -> TableMeta:
         path = self._meta_path(name)

@@ -53,6 +53,10 @@ _INSERT_OVERWRITE_RE = re.compile(
     r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\s+.*|SELECT\b.*)$",
     re.I | re.S,
 )
+_CTE_START_RE = re.compile(r"\s*WITH\b", re.I)
+# a subquery anywhere in a DML predicate/assignment — the cue to make
+# warehouse tables resolvable in the executing session's catalog
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.I)
 _TRUNCATE_RE = re.compile(r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 _DROP_RE = re.compile(r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.I)
@@ -163,6 +167,39 @@ _ALL_GRANTABLE = {"SELECT", "DESCRIBE", "INSERT", "DELETE", "ALTER", "DROP"}
 _META_TABLE_RE = re.compile(
     r"([\w.]+)\.(snapshots|files|history|partitions|refs|manifests)(?![\w.])", re.I
 )
+
+
+def _split_cte_insert(query: str) -> tuple[str, str | None, str] | None:
+    """For ``WITH … INSERT INTO t [(cols)] SELECT …`` find the
+    top-level (paren-depth-0, outside strings) INSERT INTO clause and
+    lift it out. Returns (target, col_list_inner, read_query) where
+    read_query is the statement with the INSERT clause removed — a
+    plain ``WITH … SELECT …`` the read path can evaluate — or None if
+    no top-level INSERT clause exists."""
+    depth, in_str, i, n = 0, None, 0, len(query)
+    while i < n:
+        ch = query[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and query[i : i + 6].upper() == "INSERT":
+            m = re.match(
+                r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?", query[i:], re.I
+            )
+            if m:
+                return (
+                    m.group(1),
+                    m.group(2),
+                    query[:i] + query[i + m.end():],
+                )
+        i += 1
+    return None
 
 
 def _split_top_level(text: str, keyword: str) -> tuple[str, str | None]:
@@ -309,6 +346,32 @@ class SqlFrontend:
                 src = self._align_to_column_list(m.group(1), m.group(2), src)
             self.warehouse.insert_into(m.group(1), src)
             return None
+        # CTE-prefixed DML: `WITH … INSERT INTO t SELECT …` parses to a
+        # write wrapped in UnresolvedWith. The INSERT form is supported
+        # (lift the clause out, evaluate the remaining WITH…SELECT on
+        # the read path, append); other CTE-wrapped writes refuse with
+        # a clear error instead of reaching the eagerly-executing read
+        # fallthrough.
+        if _CTE_START_RE.match(query):
+            from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+                parsed_write_class,
+            )
+
+            wcls = parsed_write_class(self.spark, query)
+            if wcls == "InsertIntoStatement":
+                split = _split_cte_insert(query)
+                if split is not None:
+                    target, cols, read_part = split
+                    src = self._query(read_part)
+                    if cols:
+                        src = self._align_to_column_list(target, cols, src)
+                    self.warehouse.insert_into(target, src)
+                    return None
+            if wcls is not None:
+                raise ValueError(
+                    f"CTE-prefixed {wcls} is not supported; only "
+                    "WITH … INSERT INTO t SELECT … is"
+                )
         m = _DROP_RE.match(query)
         if m:
             if not (m.group(1) and not self.warehouse.table_exists(m.group(2))):
@@ -344,7 +407,10 @@ class SqlFrontend:
             return None
         m = _DELETE_RE.match(query)
         if m:
-            self.warehouse.delete_from(m.group(1), m.group(2))
+            cond = m.group(2)
+            if cond and _SUBQUERY_RE.search(cond):
+                cond = self._resolve_dml_subqueries(cond)
+            self.warehouse.delete_from(m.group(1), cond)
             return None
         m = _MERGE_RE.match(query)  # before UPDATE: MERGE bodies contain UPDATE SET
         if m:
@@ -352,6 +418,12 @@ class SqlFrontend:
         m = _UPDATE_RE.match(query)
         if m:
             set_part, where = _split_top_level(m.group(2), "WHERE")
+            if _SUBQUERY_RE.search(set_part) or (
+                where and _SUBQUERY_RE.search(where)
+            ):
+                set_part = self._resolve_dml_subqueries(set_part)
+                if where:
+                    where = self._resolve_dml_subqueries(where)
             assignments = {}
             for part in _split_top_commas(set_part):
                 am = re.match(r"`?([\w]+)`?\s*=\s*(.+)$", part, re.S)
@@ -810,7 +882,11 @@ class SqlFrontend:
             am = re.match(r"\s*(?:AS\s+)?(\w+)\s*$", text[close + 1 :], re.I)
             alias = am.group(1) if am else "s"
             for name in sorted(self.warehouse.list_tables(), key=len, reverse=True):
-                pat = rf"(?<![\w.`]){re.escape(name)}(?![\w.])"
+                # both spellings: bare and backtick-quoted (`name`)
+                pat = (
+                    rf"`{re.escape(name)}`"
+                    rf"|(?<![\w.`]){re.escape(name)}(?![\w.])"
+                )
                 if re.search(pat, inner):
                     view = f"__wh_{name.replace('.', '__')}"
                     self.warehouse.read_table(name).createOrReplaceTempView(view)
@@ -820,6 +896,33 @@ class SqlFrontend:
         if not m:
             raise ValueError(f"Cannot parse MERGE source: {text[:60]}…")
         return self.warehouse.read_table(m.group(1)), m.group(2) or m.group(1)
+
+    def _resolve_dml_subqueries(self, text: str) -> str:
+        """Make warehouse tables resolvable for a subquery inside a DML
+        predicate/assignment (``DELETE … WHERE k IN (SELECT …)``,
+        ``UPDATE … SET v = (SELECT max(…) …)``): the condition is later
+        handed to ``F.expr`` against a scan in THIS session, where the
+        analyzer resolves subquery relations through the session
+        catalog. Register every table as a fresh temp view (current
+        snapshot at statement start — the correct read-committed source
+        for a self-referencing DML under copy-on-write) and rewrite
+        dotted names to the view spelling. Views are re-registered per
+        statement so they can never serve a stale snapshot."""
+        tables = set(self.warehouse.list_tables())
+        for name in tables:
+            # registered on the warehouse's own session — the one whose
+            # analyzer will resolve the subquery relations
+            self.warehouse.read_table(name).createOrReplaceTempView(
+                name.replace(".", "__")
+            )
+        for name in sorted(tables, key=len, reverse=True):
+            if "." in name:
+                text = re.sub(
+                    rf"(?<![\w.`]){re.escape(name)}(?![\w.])",
+                    f"`{name.replace('.', '__')}`",
+                    text,
+                )
+        return text
 
     def _query(self, query: str) -> DataFrame:
         """Trusted read path: every warehouse table as an unmediated view

@@ -404,3 +404,42 @@ def test_cms_estimate_dominates_exact_and_state_is_bounded(spark, sf_dir):
     assert rows and all(r.est_count >= r.exact_count for r in rows)
     plan = explain_str(QUERIES["sketch_cms_heavy_hitters"](spark, sf_dir), "simple")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dedup_passages_codegen_chunking_no_cartesian(spark, sf_dir):
+    # passage chunking is sequence+explode+slice in codegen (no Python
+    # worker, element order positional); the provenance join keys on
+    # the passage hash — never a cross product
+    # (the chunking itself sits behind the materialize_once barrier —
+    # the visible plan starts at Scan ExistingRDD, so assert the
+    # post-barrier shape: hash joins + partial aggs, no Python)
+    plan = explain_str(QUERIES["dedup_passages"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_quantize_int8_long_form_no_python_partial_aggs(spark, sf_dir):
+    # posexplode long-form stays JVM-side; scale agg + final rollup
+    # both have partial/final phases; the join back is keyed on vec_id
+    plan = explain_str(QUERIES["embedding_quantize_int8"](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial/final
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_anomaly_hours_two_stacked_aggs_cokeyed_join(spark, sf_dir):
+    # hourly rollup then per-user moments: stacked partial aggs; the
+    # join back is user-keyed — no window over raw events, no cartesian
+    plan = explain_str(QUERIES["events_anomaly_hours"](spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_image_stats_partition_preserving_decode(spark, sf_dir):
+    # the PGM decode is one Arrow-batched mapInPandas over the fanned-
+    # out scan; no shuffle after the decode (tiles ride out reduced)
+    plan = explain_str(QUERIES["multimodal_image_stats"](spark, sf_dir), "formatted")
+    decode_pos = plan.find("MapInPandas")
+    assert decode_pos != -1, plan
+    assert "Exchange" not in plan[:decode_pos], plan[:decode_pos]

@@ -185,16 +185,39 @@ def test_no_file_relation_in_delegated_plan(engine):
 @pytest.mark.parametrize(
     "stmt",
     [
-        "WITH c AS (SELECT 1 AS id, 'x' AS ssn) INSERT INTO scratch SELECT * FROM c",
         "FROM secrets INSERT INTO scratch SELECT *",
+        "WITH c AS (SELECT id, ssn FROM secrets) INSERT INTO scratch SELECT * FROM c",
+        # CTE body reads secrets through a nested subquery
+        "WITH c AS (SELECT 1 AS id, (SELECT first(ssn) FROM secrets) AS ssn) "
+        "INSERT INTO scratch SELECT * FROM c",
+        # CTE named after the victim table: Spark resolves the body's
+        # self-reference against the OUTER scope (the real table), so
+        # the shadowing name requires the grant — fail closed
+        "WITH secrets AS (SELECT id, ssn FROM secrets) "
+        "INSERT INTO scratch SELECT * FROM secrets",
     ],
 )
 def test_write_spellings_that_dodge_shape_regexes_denied(engine, stmt):
-    """Round-4 hardening: a CTE-prefixed INSERT or Hive-style
-    FROM…INSERT matches none of the textual write shapes, but Spark's
-    parser still classifies it as a write — the read path must deny it
-    on the plan class, not rely on temp views being unwritable."""
+    """Round-4 hardening, narrowed in round 5: `WITH … INSERT` is now a
+    SUPPORTED write for a write-granted principal, so the denial must
+    come from source authorization (every relation in the parsed plan,
+    including CTE bodies and their subqueries, needs unfiltered
+    SELECT), not from a blanket plan-class refusal. Hive-style
+    FROM…INSERT remains denied on the plan class."""
     sess = engine.session_for("mallory")
     with pytest.raises(AccessDeniedException):
         sess.sql(stmt)
     assert _scratch_rows(engine) == []
+
+
+def test_cte_insert_without_table_reads_is_a_legitimate_write(engine):
+    """The flip side of the denial cases above: a CTE-prefixed INSERT
+    whose plan references no ungranted relation executes for a
+    principal holding INSERT on the target — the round-4 blanket
+    refusal is gone, the round-3 exfiltration guarantees stay."""
+    sess = engine.session_for("mallory")
+    sess.sql(
+        "WITH c AS (SELECT 7 AS id, 'mine' AS ssn) "
+        "INSERT INTO scratch SELECT * FROM c"
+    )
+    assert _scratch_rows(engine) == [(7, "mine")]

@@ -170,3 +170,122 @@ def test_masked_scan_equals_manual_mask(engine, states, masked):
     assert sorted(got.collect(), key=key) == sorted(expected.collect(), key=key)
     for c in masked:
         assert all(r[c].startswith("masked:") for r in got.collect())
+
+
+# ------------------------------------------------ write-source authorizer
+# The plan-based write authorizer (policy.py::_authorize_write_sources,
+# the py4j walk in _parsed_relation_idents) is the security keystone of
+# the delegated-DML path. Property: for ARBITRARY generated statements
+# mixing CTEs, IN/scalar subqueries in WHERE/SET/ON, nested CTE chains
+# and quoted identifiers, a statement referencing any ungranted base
+# relation raises AccessDeniedException and writes nothing, while a
+# statement whose relations are all granted executes.
+
+GRANTED_SRCS = ["w_src_a", "w_src_b"]
+UNGRANTED = "w_secret"
+_ALL_SRCS = GRANTED_SRCS + [UNGRANTED]
+
+
+@pytest.fixture(scope="module")
+def write_engine(spark, tmp_path_factory):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        DELETE,
+        DESCRIBE,
+        INSERT,
+        SELECT,
+    )
+
+    eng = FgacEngine(spark, str(tmp_path_factory.mktemp("wprop_warehouse")))
+    for t in ["w_mine", *_ALL_SRCS]:
+        eng.sql(f"CREATE TABLE {t} (k INT, v INT)")
+        eng.sql(f"INSERT INTO {t} VALUES (1, 10), (2, 20)")
+    eng.policy.grant("wprop", "w_mine", {SELECT, DESCRIBE, INSERT, DELETE})
+    for t in GRANTED_SRCS:
+        eng.policy.grant("wprop", t, {SELECT, DESCRIBE})
+    return eng
+
+
+def _rel(name: str, quoted: bool) -> str:
+    return f"`{name}`" if quoted else name
+
+
+@st.composite
+def write_statements(draw):
+    """(statement, references_ungranted) pairs over the fixed tables."""
+    r = lambda: draw(st.sampled_from(_ALL_SRCS))  # noqa: E731
+    q = lambda: draw(st.booleans())  # noqa: E731
+    shape = draw(st.integers(min_value=0, max_value=6))
+    r1, r2 = r(), r()
+    used = {r1, r2}
+    if shape == 0:
+        stmt = (
+            f"INSERT INTO w_mine SELECT k, v FROM {_rel(r1, q())} "
+            f"WHERE k IN (SELECT k FROM {_rel(r2, q())})"
+        )
+    elif shape == 1:
+        stmt = (
+            f"WITH c AS (SELECT k, v FROM {_rel(r1, q())}) "
+            f"INSERT INTO w_mine SELECT * FROM c "
+            f"WHERE v >= (SELECT min(v) FROM {_rel(r2, q())})"
+        )
+    elif shape == 2:
+        stmt = (
+            f"UPDATE w_mine SET v = (SELECT max(v) FROM {_rel(r1, q())}) "
+            f"WHERE k IN (SELECT k FROM {_rel(r2, q())})"
+        )
+    elif shape == 3:
+        stmt = (
+            f"MERGE INTO w_mine t USING (SELECT k, v FROM {_rel(r1, q())}) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+        used = {r1}
+    elif shape == 4:
+        stmt = f"DELETE FROM w_mine WHERE k IN (SELECT k FROM {_rel(r1, q())})"
+        used = {r1}
+    elif shape == 5:
+        # nested CTE chain; second CTE joins a base relation
+        stmt = (
+            f"WITH a AS (SELECT * FROM {_rel(r1, q())}), "
+            f"b AS (SELECT a.k, a.v FROM a JOIN {_rel(r2, q())} x ON a.k = x.k) "
+            "INSERT INTO w_mine SELECT k, v FROM b"
+        )
+    else:
+        # CTE body hides the read inside a scalar subquery
+        stmt = (
+            f"WITH c AS (SELECT 1 AS k, "
+            f"(SELECT max(v) FROM {_rel(r1, q())}) AS v) "
+            "INSERT INTO w_mine SELECT k, v FROM c"
+        )
+        used = {r1}
+    return stmt, UNGRANTED in used
+
+
+@given(case=write_statements())
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_write_sources_authorized_iff_all_granted(write_engine, case):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        AccessDeniedException as ADE,
+    )
+
+    stmt, touches_secret = case
+    sess = write_engine.session_for("wprop")
+    secret_before = [
+        tuple(r) for r in write_engine.warehouse.read_table(UNGRANTED).collect()
+    ]
+    if touches_secret:
+        before = write_engine.warehouse.read_table("w_mine").count()
+        with pytest.raises(ADE):
+            sess.sql(stmt)
+        # plan-time denial: the write never ran
+        assert write_engine.warehouse.read_table("w_mine").count() == before
+    else:
+        sess.sql(stmt)  # must execute — all sources granted
+    # the ungranted table itself is never modified either way
+    assert [
+        tuple(r) for r in write_engine.warehouse.read_table(UNGRANTED).collect()
+    ] == secret_before
