@@ -60,7 +60,6 @@ _CORE = [
     "udf_scalar_charge",
     "udaf_weighted_discount",
     # text analysis
-    "text_token_counts",
     "text_quality_scores",
     "text_lang_id",
     "text_vocab_topk",
@@ -91,13 +90,14 @@ _CORE = [
     "multimodal_audio_rms",
     # round-5 additions: passage-level dedup, int8 vector quantization
     # with exact reconstruction-error audit, integer-exact hourly
-    # anomaly flags
+    # anomaly flags, the k-means E-step, and the per-source dataset card
     "dedup_passages",
     "embedding_quantize_int8",
     "events_anomaly_hours",
+    "embedding_cluster_assign",
+    "corpus_dataset_card",
     # curation / privacy
     "pack_sequences_sharded",
-    "doc_length_histogram",
     "pii_mask_customers",
     "k_anonymity_report",
     # remaining join flavors / subquery shapes
@@ -109,6 +109,10 @@ _CORE = [
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 5 (stable multi-round greens) to make
+    # room for the round-5 debuts; they re-verify via the rotation
+    "text_token_counts",
+    "doc_length_histogram",
     "curation_pipeline",
     "applyinpandas_minmax",
     "text_fingerprint",

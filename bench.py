@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_passages",
     "embedding_quantize_int8",
     "events_anomaly_hours",
+    "embedding_cluster_assign",
+    "corpus_dataset_card",
 ]
 
 

@@ -722,3 +722,54 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(below).cast("bigint").alias("rows_below_k"),
         F.sum("group_size").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle=r"""
+    WITH n AS (
+        SELECT source, lang,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(len(norm)) AS BIGINT) AS min_chars,
+           CAST(MAX(len(norm)) AS BIGINT) AS max_chars
+    FROM n GROUP BY source
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card a training-data release ships: doc
+    and token counts, exact-duplicate counts (docs minus distinct
+    normalized-text hashes), language spread, and length extremes —
+    the one-page summary reviewers and mixture planners read before
+    any sampling weights are chosen. All counts are exact integers.
+
+    Plan shape at 100 TB: a single groupBy(source) with two
+    count-distincts — Catalyst plans those as expand + two-phase
+    partial aggs, state bounded by sources × distinct hashes (the
+    hash is 32 bytes, and distinct-per-source is the quantity being
+    measured); everything else is map-side partial-aggregable. One
+    pass over the corpus, no joins."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    n = d.select(
+        "source",
+        "lang",
+        norm.alias("norm"),
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("norm"), " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5("norm")).cast("bigint").alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("norm")))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min(F.length("norm")).cast("bigint").alias("min_chars"),
+        F.max(F.length("norm")).cast("bigint").alias("max_chars"),
+    )

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    fan_out,
+    load_table,
+    materialize_once,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -703,5 +707,91 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("maxabs").alias("scale_milli"),
             F.sum(F.abs("qi")).cast("bigint").alias("sum_abs_q"),
             F.sum(r * r).cast("bigint").alias("err_sq_milli"),
+        )
+    )
+
+
+@register(
+    "embedding_cluster_assign",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xi
+        FROM embeddings),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, dim),
+    d AS (
+        SELECT x.vec_id, x.label, cent.c_label,
+               CAST(SUM((xi - c) * (xi - c)) AS BIGINT) AS dist_sq
+        FROM x JOIN cent ON x.dim = cent.dim
+        GROUP BY x.vec_id, x.label, cent.c_label),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_sq, c_label) AS rk
+        FROM d)
+    SELECT vec_id, label AS prev_label, c_label AS assigned_label, dist_sq,
+           (c_label <> label) AS changed
+    FROM r WHERE rk = 1
+    """,
+)
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means E-step — reassign every vector to its nearest
+    centroid — completing the training pair with `embedding_centroids`
+    (the M-step): centroids derive from the current labels as
+    round(mean) in the engine's milli-unit fixed point, so the whole
+    assignment (distances, argmin, changed flags) is integer-exact and
+    bit-identical across engines; ties break on the lower label.
+
+    Plan shape at 100 TB: the codebook is K×D rows (tiny — broadcast),
+    so the distance pass is a broadcast join against the long-form
+    vector table followed by one (vec_id, label) partial agg and a
+    per-vec argmin window over K rows. The N×K×D intermediate never
+    shuffles (it is born and reduced inside the same stage); this is
+    the textbook dense E-step, with `ann_ivf_topk`'s cell probing as
+    the documented sub-linear escape when K grows past broadcast
+    range."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+    )
+    x = materialize_once(x)
+    cent = (
+        x.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            F.round(
+                F.sum("xi").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("c")
+        )
+    )
+    d = (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum((F.col("xi") - F.col("c")) * (F.col("xi") - F.col("c")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "c_label")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("prev_label"),
+            F.col("c_label").alias("assigned_label"),
+            "dist_sq",
+            (F.col("c_label") != F.col("label")).alias("changed"),
         )
     )

@@ -443,3 +443,20 @@ def test_image_stats_partition_preserving_decode(spark, sf_dir):
     decode_pos = plan.find("MapInPandas")
     assert decode_pos != -1, plan
     assert "Exchange" not in plan[:decode_pos], plan[:decode_pos]
+
+
+def test_cluster_assign_broadcast_codebook_no_python(spark, sf_dir):
+    # the K x D codebook must broadcast; the N x K x D distance pass is
+    # born and reduced inside one stage — no Python, no cartesian
+    plan = explain_str(QUERIES["embedding_cluster_assign"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_card_single_pass_no_join(spark, sf_dir):
+    # one groupBy(source) over the corpus: expand + partial aggs, no
+    # joins, no window
+    plan = explain_str(QUERIES["corpus_dataset_card"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
