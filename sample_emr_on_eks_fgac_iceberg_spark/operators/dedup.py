@@ -665,17 +665,24 @@ def connected_components(
             edges.selectExpr("b_id AS src", "a_id AS dst")
         )
     )
+    # Iterate ONLY over the edge-connected subgraph: a node with no
+    # edges keeps comp = id forever, so singletons are unioned back
+    # after convergence instead of riding every round's two shuffles.
+    # In a near-dup graph the edge-touched set is a small fraction of
+    # the corpus (most documents have no near-duplicate), so this cuts
+    # per-round shuffle volume by that same fraction — the property
+    # that keeps round latency flat as the corpus grows to 100 TB
+    # while the duplicate population grows much slower.
+    #
     # Round-0 seed: comp = min(id, min neighbor id). A plain identity
     # seed spends the entire first step() discovering exactly this, at
     # the cost of a union+groupBy AND a jump join; computing it directly
-    # is one aggregation + one join and starts every chain at half
-    # height — measured one fewer round on every test graph (VERDICT r4
-    # task 2).
+    # is one aggregation and starts every chain at half height —
+    # measured one fewer round on every test graph (VERDICT r4 task 2).
     nbr_min = sym.groupBy(F.col("dst").alias("id")).agg(F.min("src").alias("nmin"))
     labels = materialize_once(
-        nodes.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(F.col("id"), F.coalesce("nmin", F.col("id"))).alias("comp"),
+        nbr_min.select(
+            "id", F.least(F.col("id"), F.col("nmin")).alias("comp")
         )
     )
 
@@ -723,7 +730,12 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds; "
             "raise max_rounds"
         )
-    return labels
+    # singletons (no incident edge) re-join as their own component;
+    # anti-join keeps the result exactly one row per input node
+    singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return labels.unionByName(singletons)
 
 
 @register(
