@@ -547,3 +547,70 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, sf_dir, events_dir, tmp_
     )
     batch = cms_counts(load_table(spark, sf_dir, "events"))
     assert _rows(merged) == _rows(batch)
+
+
+def test_streaming_moment_merge_equals_batch_anomaly_flags(
+    spark, sf_dir, tmp_path
+):
+    """Moment-sketch linearity for the anomaly screen
+    (operators/temporal.py::events_anomaly_hours): per-micro-batch
+    partial moments — (user, hour) counts, then per-user (n, Σ, Σx²)
+    require only the per-hour counts — are appended by foreachBatch and
+    merged by summation; the flags recomputed from the MERGED hourly
+    counts must equal the single-pass batch flags. This is what lets a
+    100 TB pipeline keep burst detection incremental: hour counts are
+    additive across batches, and every downstream statistic derives
+    from them."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
+        events_anomaly_hours,
+    )
+
+    src = str(tmp_path / "events_multi")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    out = str(tmp_path / "hour_partials")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events")).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) > 1, "expected multiple micro-batches"
+
+    hourly = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "hr")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+    stats = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n_hours") * F.col("n_events") - F.col("s1")
+    var_num = F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    merged = hourly.join(stats, "user_id").select(
+        "user_id",
+        "hr",
+        "n_events",
+        (
+            (F.col("n_hours") >= 3)
+            & (dev * dev * (F.col("n_hours") - 1) > 4 * F.col("n_hours") * var_num)
+        ).alias("is_anomaly"),
+    )
+    batch = events_anomaly_hours(spark, sf_dir)
+    assert _rows(merged) == _rows(batch)
