@@ -659,7 +659,12 @@ def connected_components(
     comp = min node id reachable. See `dedup_connected_components` for
     the full scale discussion; factored out so tests can drive it over
     adversarial graph shapes (long chains) directly."""
-    # symmetric closure once; both directions feed every round
+    # Barrier the edge list FIRST: the symmetric-closure union reads
+    # `edges` twice (once per branch), and without the barrier each
+    # branch re-executes the full upstream candidate-generation DAG —
+    # at sf0.1 that was the entire Jaccard pipeline running twice
+    # (~0.8 s wasted; at 100 TB, twice the most expensive stage).
+    edges = materialize_once(edges.select("a_id", "b_id"))
     sym = materialize_once(
         edges.selectExpr("a_id AS src", "b_id AS dst").unionByName(
             edges.selectExpr("b_id AS src", "a_id AS dst")
