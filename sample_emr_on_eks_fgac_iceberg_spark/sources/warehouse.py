@@ -410,6 +410,35 @@ class Warehouse:
         os.remove(meta_path)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
+    def show_partitions(self, name: str) -> list[str]:
+        """Partition values currently on disk, as Spark's SHOW
+        PARTITIONS spells them (``col=value[/col2=value2]``, sorted).
+        Pure directory-listing metadata — no data I/O; hidden
+        transforms list their derived directory columns (ts_day=…,
+        k_bucket=…), matching Iceberg's `.partitions` metadata view.
+        Raises on an unpartitioned table, as Spark does."""
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.show_partitions(meta.link_to)
+        spec = parse_partition_spec(meta.partition_by)
+        if not spec:
+            raise ValueError(
+                f"SHOW PARTITIONS is not allowed on a table that is not "
+                f"partitioned: {name}"
+            )
+        data = self.data_dir(name)
+        depth = len(spec)
+        found: set[str] = set()
+        for dirpath, _dirs, fns in os.walk(data):
+            if not any(fn.endswith(".parquet") for fn in fns):
+                continue
+            rel = os.path.relpath(dirpath, data)
+            parts = [] if rel == "." else rel.split(os.sep)
+            kv = [p for p in parts if "=" in p]
+            if len(kv) >= depth:
+                found.add("/".join(kv[:depth]))
+        return sorted(found)
+
     # ---------------------------------------------------------- snapshots
     def _data_files(self, name: str) -> set[str]:
         """Relative paths of every parquet data file currently on disk."""

@@ -25,12 +25,15 @@ from pyspark.sql import functions as F
 
 from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
 
-_CREATE_RE = re.compile(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", re.I | re.S)
+_CREATE_RE = re.compile(
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(",
+    re.I | re.S,
+)
 # partition specs may hold transform calls — allow one paren nesting
 # level: day(ts), bucket(8, k), truncate(4, name)
 _SPEC_BODY = r"((?:[^()]|\([^()]*\))*)"
 _CTAS_RE = re.compile(
-    r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
     rf"(?:PARTITIONED\s+BY\s*\({_SPEC_BODY}\)\s*)?AS\s+(SELECT\b.*)$",
     re.I | re.S,
 )
@@ -114,6 +117,10 @@ _TIME_TRAVEL_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_SHOW_PARTITIONS_RE = re.compile(r"\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.I)
+_SHOW_TBLPROPS_RE = re.compile(
+    r"\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)(?:\s*\(\s*'([^']+)'\s*\))?\s*;?\s*$", re.I
+)
 # Glue-style database lifecycle (the reference: `aws glue
 # create-database` / `delete-database`, producer setup + cleanup)
 _CREATE_DB_RE = re.compile(
@@ -531,6 +538,23 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 [(t,) for t in self.warehouse.list_tables()], "table_name string"
             )
+        m = _SHOW_PARTITIONS_RE.match(query)
+        if m:
+            return self.spark.createDataFrame(
+                [(p,) for p in self.warehouse.show_partitions(m.group(1))],
+                "partition string",
+            )
+        m = _SHOW_TBLPROPS_RE.match(query)
+        if m:
+            meta = self.warehouse._read_meta(m.group(1))
+            props = sorted(meta.properties.items())
+            if m.group(2) is not None:
+                props = [(k, v) for k, v in props if k == m.group(2)]
+                if not props:
+                    raise ValueError(
+                        f"Table {m.group(1)} does not have property: {m.group(2)}"
+                    )
+            return self.spark.createDataFrame(props, "key string, value string")
         m = _CREATE_DB_RE.match(query)
         if m:
             self.warehouse.create_database(m.group(2), if_not_exists=bool(m.group(1)))
@@ -740,25 +764,38 @@ class SqlFrontend:
         raise ValueError(f"Unknown procedure system.{proc}")
 
     def _ctas(self, m: re.Match) -> None:
-        """CREATE TABLE … [PARTITIONED BY (…)] AS SELECT — schema comes
-        from the query, data lands as the table's first snapshot."""
-        if_not_exists, name = bool(m.group(1)), m.group(2)
+        """CREATE [OR REPLACE] TABLE … [PARTITIONED BY (…)] AS SELECT —
+        schema comes from the query, data lands as the table's first
+        snapshot; OR REPLACE drops an existing table first (atomic
+        within the statement's table lock scope)."""
+        or_replace, if_not_exists, name = bool(m.group(1)), bool(m.group(2)), m.group(3)
+        if or_replace and if_not_exists:
+            raise ValueError("CREATE OR REPLACE cannot take IF NOT EXISTS")
         if if_not_exists and self.warehouse.table_exists(name):
             return None
         partition_by = (
-            [c.strip().strip("`") for c in _split_top_commas(m.group(3)) if c.strip()]
-            if m.group(3)
+            [c.strip().strip("`") for c in _split_top_commas(m.group(4)) if c.strip()]
+            if m.group(4)
             else None
         )
-        df = self._query(m.group(4).rstrip().rstrip(";"))
+        df = self._query(m.group(5).rstrip().rstrip(";"))
+        if or_replace and self.warehouse.table_exists(name):
+            # a replace may SELECT from the table it replaces — pin the
+            # source rows in executor storage BEFORE the old files go
+            df = df.localCheckpoint(eager=True)
+            self.warehouse.drop_table(name)
         self.warehouse.create_table(name, df.schema, partition_by=partition_by)
         self.warehouse.insert_into(name, df)
         return None
 
     def _create(self, query: str, m: re.Match) -> None:
-        if_not_exists, name = bool(m.group(1)), m.group(2)
+        or_replace, if_not_exists, name = bool(m.group(1)), bool(m.group(2)), m.group(3)
+        if or_replace and if_not_exists:
+            raise ValueError("CREATE OR REPLACE cannot take IF NOT EXISTS")
         if if_not_exists and self.warehouse.table_exists(name):
             return None
+        if or_replace and self.warehouse.table_exists(name):
+            self.warehouse.drop_table(name)
         open_idx = m.end() - 1
         close_idx = _matching_paren(query, open_idx)
         col_ddl = query[open_idx + 1 : close_idx]
@@ -769,10 +806,21 @@ class SqlFrontend:
             if pm
             else None
         )
-        # USING iceberg / LOCATION / TBLPROPERTIES tails are accepted
-        # and recorded as properties, not interpreted (storage is the
-        # engine's own layout).
-        self.warehouse.create_table(name, col_ddl, partition_by=partition_by)
+        # USING iceberg / LOCATION tails are accepted, not interpreted
+        # (storage is the engine's own layout); a TBLPROPERTIES clause
+        # is parsed and recorded on the table.
+        properties = None
+        tp = re.search(r"TBLPROPERTIES\s*\(([^)]*)\)", tail, re.I | re.S)
+        if tp:
+            properties = {"table_type": "PARQUET"}
+            for kv in _split_top_commas(tp.group(1)):
+                pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", kv)
+                if not pm:
+                    raise ValueError(f"Cannot parse TBLPROPERTIES entry: {kv!r}")
+                properties[pm.group(1)] = pm.group(2)
+        self.warehouse.create_table(
+            name, col_ddl, partition_by=partition_by, properties=properties
+        )
         return None
 
     def _insert(self, name: str, col_list: str | None, values_tail: str) -> None:

@@ -212,3 +212,42 @@ def test_create_table_like(engine):
 
     with _pytest.raises(ValueError, match="already exists"):
         engine.sql("CREATE TABLE like_dst LIKE like_src")
+
+
+def test_show_partitions_and_tblproperties(engine):
+    engine.sql(
+        "CREATE TABLE spt (k INT, city STRING) PARTITIONED BY (city) "
+        "TBLPROPERTIES ('write.delete.mode'='copy-on-write')"
+    )
+    engine.sql("INSERT INTO spt VALUES (1, 'Austin'), (2, 'Dallas'), (3, 'Austin')")
+    parts = [r.partition for r in engine.sql("SHOW PARTITIONS spt").collect()]
+    assert parts == ["city=Austin", "city=Dallas"]
+    props = {r.key: r.value for r in engine.sql("SHOW TBLPROPERTIES spt").collect()}
+    assert props.get("write.delete.mode") == "copy-on-write"
+    one = engine.sql("SHOW TBLPROPERTIES spt ('write.delete.mode')").collect()
+    assert len(one) == 1 and one[0].value == "copy-on-write"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not have property"):
+        engine.sql("SHOW TBLPROPERTIES spt ('nope')")
+    engine.sql("CREATE TABLE spt_flat (k INT)")
+    with _pytest.raises(ValueError, match="not partitioned"):
+        engine.sql("SHOW PARTITIONS spt_flat")
+
+
+def test_create_or_replace_table(engine):
+    engine.sql("CREATE TABLE corr (k INT)")
+    engine.sql("INSERT INTO corr VALUES (1)")
+    engine.sql("CREATE OR REPLACE TABLE corr (k INT, v STRING)")
+    assert engine.sql("SELECT count(*) AS n FROM corr").collect()[0].n == 0
+    cols = [f.name for f in engine.warehouse.schema_of("corr").fields]
+    assert cols == ["k", "v"]
+    # CTAS variant
+    engine.sql("INSERT INTO corr VALUES (1, 'a'), (2, 'b')")
+    engine.sql("CREATE OR REPLACE TABLE corr AS SELECT k FROM corr WHERE k = 2")
+    rows = engine.sql("SELECT * FROM corr").collect()
+    assert [r.k for r in rows] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="IF NOT EXISTS"):
+        engine.sql("CREATE OR REPLACE TABLE IF NOT EXISTS corr (k INT)")
