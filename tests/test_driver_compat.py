@@ -59,3 +59,46 @@ def test_package_exports_pythonpath_for_workers():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
     assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def _entry_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("spark_entry_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_driver_window_layout():
+    """The correctness window contract (round 5): exactly DRIVER_WINDOW
+    entries lead queries(); every one carries a DuckDB oracle (a window
+    slot spent on a rows-only query is a slot without signal); the
+    rows-only set sits at the very bottom; and every registered query
+    is triaged into exactly one of _CORE / _ROTATION / _ROWS_ONLY so a
+    new registration cannot silently skip the window (untriaged debuts
+    are placed inside it)."""
+    m = _entry_module()
+    q = list(m.queries())
+    o = m.oracle_sql()
+    win = q[: m.DRIVER_WINDOW]
+    assert len(win) == m.DRIVER_WINDOW
+    assert all(n in o for n in win), [n for n in win if n not in o]
+    assert set(m._ROWS_ONLY).isdisjoint(win)
+    assert q[-len(m._ROWS_ONLY):] == [n for n in m._ROWS_ONLY if n in set(q)]
+    # triage is total and disjoint
+    core, rot, ro = set(m._CORE), set(m._ROTATION), set(m._ROWS_ONLY)
+    assert not (core & rot) and not (core & ro) and not (rot & ro)
+    assert set(q) <= core | rot | ro
+    # every triaged name is a real registered query (no dead entries)
+    assert (core | rot | ro) <= set(q)
+    # rows-only names are exactly the oracle-less ones
+    assert ro == set(q) - set(o)
+    # queries() and oracle_sql() agree on ordering of shared keys
+    oo = [n for n in q if n in o]
+    assert oo == [n for n in m.oracle_sql() if n in set(q)]
