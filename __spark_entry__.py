@@ -60,8 +60,6 @@ _CORE = [
     "udf_scalar_charge",
     "udaf_weighted_discount",
     # text analysis
-    "text_quality_scores",
-    "text_lang_id",
     "text_vocab_topk",
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
@@ -71,7 +69,6 @@ _CORE = [
     "doc_ngram_novelty",
     "tfidf_top_terms",
     # dedup
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_det",
     "dedup_simhash_det",
@@ -96,6 +93,8 @@ _CORE = [
     "events_anomaly_hours",
     "embedding_cluster_assign",
     "corpus_dataset_card",
+    # round-5: interval-overlap join (session concurrency)
+    "sessions_overlap_concurrency",
     # curation / privacy
     "pack_sequences_sharded",
     "pii_mask_customers",
@@ -112,6 +111,9 @@ _ROTATION = [
     # demoted from _CORE in round 5 (stable multi-round greens) to make
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "dedup_exact",
     "doc_length_histogram",
     "curation_pipeline",
     "applyinpandas_minmax",

@@ -87,6 +87,7 @@ HEADLINE = [
     "events_anomaly_hours",
     "embedding_cluster_assign",
     "corpus_dataset_card",
+    "sessions_overlap_concurrency",
 ]
 
 

@@ -479,3 +479,137 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dev * dev * (F.col("n_hours") - 1) > 4 * F.col("n_hours") * var_num)
         ).alias("is_anomaly"),
     )
+
+
+_SESSION_GAP_S = 1800  # matches streaming/events.py SESSION_GAP_SECONDS
+_OVERLAP_BIN_S = 3600  # interval-join bucketing granularity
+
+
+@register(
+    "sessions_overlap_concurrency",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_S}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM seq),
+    numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged),
+    s AS (SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+          FROM numbered GROUP BY user_id, session_seq)
+    SELECT a.user_id, a.session_seq,
+           a.st AS session_start, a.en AS session_end,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+    FROM s a LEFT JOIN s b
+      ON NOT (a.user_id = b.user_id AND a.session_seq = b.session_seq)
+     AND a.st <= b.en AND b.st <= a.en
+    GROUP BY a.user_id, a.session_seq, a.st, a.en
+    """,
+)
+def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the join flavor Spark has no native
+    operator for (DuckDB/Trino spell it as a θ-join): for every user
+    session, how many OTHER sessions (any user) were active at the same
+    time. Concurrency is capacity planning's load signal and an abuse
+    screen (many synchronized sessions = coordinated traffic).
+
+    The naive θ-join is all-pairs. Here each session explodes into the
+    {_OVERLAP_BIN_S}-second time bins it spans; candidate pairs share a
+    bin (equi-join on the bin key — a real hash shuffle, never a
+    nested-loop), the exact overlap predicate filters bin-edge false
+    positives, and countDistinct collapses pairs that share several
+    bins. At 100 TB the bin width trades replication (long sessions
+    span more bins) against bucket fan-in, exactly like the range-join
+    binning in `range_join_purchase_followup`; gap-bounded sessions
+    keep spans short. The oracle runs the direct θ-join — same result,
+    quadratic path — which is the point: the binned plan IS the scale
+    rewrite."""
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
+        SESSION_GAP_SECONDS,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    gap_s = epoch("ts") - F.lag(epoch("ts")).over(w)
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+        materialize_once,
+    )
+
+    sessions = materialize_once(
+        e.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .withColumn("st_s", epoch("st"))
+        .withColumn("en_s", epoch("en"))
+    )
+    # bins derive from SECOND-truncated epochs (conservative: truncation
+    # only widens an interval, so the candidate set is a superset); the
+    # exact predicate below compares full-precision timestamps — a
+    # seconds-truncated compare admitted bin-edge false positives
+    binned = sessions.select(
+        "user_id",
+        "session_seq",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st_s") / _OVERLAP_BIN_S),
+                F.floor(F.col("en_s") / _OVERLAP_BIN_S),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_seq").alias("a_seq"),
+        F.col("st").alias("a_st"),
+        F.col("en").alias("a_en"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_seq").alias("b_seq"),
+        F.col("st").alias("b_st"),
+        F.col("en").alias("b_en"),
+        "bin",
+    )
+    pairs = a.join(b, "bin").filter(
+        (
+            (F.col("a_user") != F.col("b_user"))
+            | (F.col("a_seq") != F.col("b_seq"))
+        )
+        & (F.col("a_st") <= F.col("b_en"))
+        & (F.col("b_st") <= F.col("a_en"))
+    )
+    counts = pairs.groupBy("a_user", "a_seq").agg(
+        F.countDistinct("b_user", "b_seq").alias("n_concurrent")
+    )
+    return (
+        sessions.join(
+            counts,
+            (sessions.user_id == counts.a_user)
+            & (sessions.session_seq == counts.a_seq),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("st").alias("session_start"),
+            F.col("en").alias("session_end"),
+            F.coalesce("n_concurrent", F.lit(0)).cast("bigint").alias(
+                "n_concurrent"
+            ),
+        )
+    )

@@ -460,3 +460,12 @@ def test_dataset_card_single_pass_no_join(spark, sf_dir):
     plan = explain_str(QUERIES["corpus_dataset_card"](spark, sf_dir), "simple")
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_interval_overlap_join_is_binned_not_nested_loop(spark, sf_dir):
+    # the θ-join must execute as an equi-join on the time bin — never a
+    # BroadcastNestedLoopJoin/CartesianProduct over session pairs
+    plan = explain_str(QUERIES["sessions_overlap_concurrency"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
