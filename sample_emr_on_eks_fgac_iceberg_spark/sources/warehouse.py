@@ -1453,8 +1453,16 @@ class Warehouse:
                 # only after an ALTER: pre-evolution files have a
                 # different physical schema, so the union of footers is
                 # needed; the extra footer pass is the manifest-planning
-                # cost Iceberg pays in metadata instead
-                reader = reader.option("mergeSchema", "true")
+                # cost Iceberg pays in metadata instead. The union is
+                # computed HERE with numeric type-widening (int→long,
+                # float→double, decimal precision growth) because
+                # Spark's own mergeSchema refuses those merges, while
+                # its parquet readers accept an explicitly-widened
+                # schema over narrow files (Spark 4 widening promotion)
+                # — the property ALTER COLUMN TYPE relies on.
+                reader = reader.schema(
+                    self._merged_group_schema(data, group_files, meta, key[0])
+                )
             raw = reader.parquet(*(os.path.join(data, f) for f in group_files))
             if with_file:
                 raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
@@ -1465,6 +1473,74 @@ class Warehouse:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # type-promotion lattice (Iceberg's legal widenings): each key may
+    # silently read as any type to its right
+    _WIDEN_ORDER = ("tinyint", "smallint", "int", "bigint")  # simpleString names
+    _FLOAT_ORDER = ("float", "double")
+
+    @classmethod
+    def _widen_pair(cls, a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """The narrower-to-wider merge of two field types, or None when
+        they are incompatible (caller raises)."""
+        if a == b:
+            return a
+        sa, sb = a.simpleString(), b.simpleString()
+        for order in (cls._WIDEN_ORDER, cls._FLOAT_ORDER):
+            if sa in order and sb in order:
+                return a if order.index(sa) >= order.index(sb) else b
+        if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+            if a.scale == b.scale:
+                return a if a.precision >= b.precision else b
+        return None
+
+    def _merged_group_schema(
+        self, data: str, files: list[str], meta: TableMeta, spec: tuple
+    ) -> T.StructType:
+        """Union of the group's file footers with numeric widening —
+        one footer read per file, the manifest-planning cost an evolved
+        table pays (Iceberg keeps the same information in metadata).
+        Partition-directory columns (excluded from footers by
+        partitionBy) are appended explicitly: an explicit reader schema
+        suppresses partition-type inference, so each dir column gets
+        its declared type (identity) or the type its transform
+        produces — Spark casts the directory strings to it."""
+        merged: dict[str, T.StructField] = {}
+        order: list[str] = []
+        for f in files:
+            sch = self.spark.read.parquet(os.path.join(data, f)).schema
+            for fld in sch.fields:
+                if fld.name not in merged:
+                    merged[fld.name] = fld
+                    order.append(fld.name)
+                    continue
+                cur = merged[fld.name]
+                wide = self._widen_pair(cur.dataType, fld.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"Cannot merge column '{fld.name}' types "
+                        f"{cur.dataType.simpleString()} and "
+                        f"{fld.dataType.simpleString()}"
+                    )
+                merged[fld.name] = T.StructField(
+                    fld.name, wide, cur.nullable or fld.nullable
+                )
+        declared = {f.name: f.dataType for f in meta.schema.fields}
+        for pf in parse_partition_spec(list(spec)):
+            if pf.name in merged:
+                continue
+            if pf.kind == "identity":
+                dtype = declared.get(pf.source, T.StringType())
+            elif pf.kind == "year" or pf.kind == "bucket":
+                dtype = T.IntegerType()
+            elif pf.kind == "truncate":
+                src = declared.get(pf.source, T.StringType())
+                dtype = src if src.simpleString() in _INT_TYPES else T.StringType()
+            else:  # month/day/hour → date_format strings
+                dtype = T.StringType()
+            merged[pf.name] = T.StructField(pf.name, dtype, True)
+            order.append(pf.name)
+        return T.StructType([merged[n] for n in order])
 
     def _scan_live(
         self,
@@ -1567,6 +1643,40 @@ class Warehouse:
             if len(fields) == len(meta.schema.fields):
                 raise ValueError(f"Column '{col}' does not exist in '{name}'")
             self._write_schema(meta, fields)
+
+    def alter_column_type(self, name: str, col: str, new_type: str) -> None:
+        """ALTER TABLE name ALTER COLUMN col TYPE t — Iceberg's legal
+        type promotions only (int→long, float→double, decimal precision
+        growth at fixed scale). Metadata-only: old files keep the
+        narrow physical type and widen at read time (the reader schema
+        in _merged_group_schema; Spark 4's parquet widening promotion
+        does the per-file upcast)."""
+        name = self._resolve_dml_target(name).name
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            fields = {f.name: f for f in meta.schema.fields}
+            if col not in fields:
+                raise ValueError(f"Column '{col}' does not exist in '{name}'")
+            if col in {pf.source for pf in parse_partition_spec(meta.partition_by)}:
+                raise ValueError(
+                    f"Cannot change the type of partition column '{col}'"
+                )
+            target = T._parse_datatype_string(new_type)
+            cur = fields[col].dataType
+            if target == cur:
+                return
+            if self._widen_pair(cur, target) != target:
+                raise ValueError(
+                    f"Cannot change column '{col}' from "
+                    f"{cur.simpleString()} to {target.simpleString()}: only "
+                    "widening promotions (int->long, float->double, "
+                    "decimal precision growth) are allowed"
+                )
+            new_fields = [
+                T.StructField(col, target, f.nullable) if f.name == col else f
+                for f in meta.schema.fields
+            ]
+            self._write_schema(meta, new_fields)
 
     def rename_column(self, name: str, old: str, new: str) -> None:
         """ALTER TABLE name RENAME COLUMN old TO new — recorded in the

@@ -96,6 +96,11 @@ _ALTER_RENAME_RE = re.compile(
 _ALTER_RENAME_TABLE_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$", re.I
 )
+_ALTER_COL_TYPE_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+TYPE\s+"
+    r"([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+    re.I,
+)
 _ALTER_PARTITION_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:WRITE\s+)?PARTITIONED\s+BY\s*"
     r"\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*$",
@@ -458,6 +463,10 @@ class SqlFrontend:
         m = _ALTER_RENAME_TABLE_RE.match(query)
         if m:
             self.warehouse.rename_table(m.group(1), m.group(2))
+            return None
+        m = _ALTER_COL_TYPE_RE.match(query)
+        if m:
+            self.warehouse.alter_column_type(m.group(1), m.group(2), m.group(3))
             return None
         m = _ALTER_PARTITION_RE.match(query)
         if m:

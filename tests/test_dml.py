@@ -450,3 +450,56 @@ def test_concurrent_overwrite_and_insert_linearizable(spark, tmp_path):
             f"trial {trial}: invalid serialization {rows} — "
             "a concurrent batch leaked through the overwrite"
         )
+
+
+# ------------------------------------------- ALTER COLUMN TYPE (round 5)
+def test_alter_column_type_widens_across_old_files(spark, tmp_path):
+    """Iceberg's legal type promotions, metadata-only: files written
+    under the narrow type stay on disk and widen at read time (the
+    merged reader schema + Spark 4 parquet widening promotion)."""
+    from decimal import Decimal
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("wt", "k int, r float, amt decimal(6,2), tag string")
+    wh.insert_values("wt", [(1, 1.5, Decimal("12.34"), "old")])
+    wh.alter_column_type("wt", "k", "bigint")
+    wh.alter_column_type("wt", "r", "double")
+    wh.alter_column_type("wt", "amt", "decimal(12,2)")
+    # post-widening insert carries the wide types; both generations read
+    wh.insert_values("wt", [(2**40, 2.5, Decimal("9999999999.99"), "new")])
+    rows = sorted(wh.read_table("wt").collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [1, 2**40]
+    assert rows[0].r == 1.5 and rows[0].amt == Decimal("12.34")
+    assert rows[1].amt == Decimal("9999999999.99")
+    sch = {f.name: f.dataType.simpleString() for f in wh.schema_of("wt").fields}
+    assert sch == {
+        "k": "bigint", "r": "double", "amt": "decimal(12,2)", "tag": "string",
+    }
+    # narrowing and cross-family changes refuse
+    with pytest.raises(ValueError, match="widening"):
+        wh.alter_column_type("wt", "k", "int")
+    with pytest.raises(ValueError, match="widening"):
+        wh.alter_column_type("wt", "tag", "int")
+    with pytest.raises(ValueError, match="widening"):
+        wh.alter_column_type("wt", "amt", "decimal(12,4)")  # scale change
+
+
+def test_alter_column_type_sql_and_dml_still_work(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE awt (k INT, v INT) PARTITIONED BY (v)")
+    e.sql("INSERT INTO awt VALUES (1, 10), (2, 20)")
+    e.sql("ALTER TABLE awt ALTER COLUMN k TYPE BIGINT")
+    e.sql("INSERT INTO awt VALUES (4294967296, 10)")
+    # partitioned read across generations: partition values survive the
+    # explicit reader schema; DML over the widened column works
+    e.sql("DELETE FROM awt WHERE k = 2")
+    rows = sorted(
+        (r.k, r.v) for r in e.sql("SELECT k, v FROM awt").collect()
+    )
+    assert rows == [(1, 10), (4294967296, 10)]
+    with pytest.raises(ValueError, match="partition column"):
+        e.sql("ALTER TABLE awt ALTER COLUMN v TYPE BIGINT")
