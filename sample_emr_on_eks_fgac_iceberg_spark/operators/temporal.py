@@ -564,6 +564,7 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         "st",
         "en",
+        "st_s",
         F.explode(
             F.sequence(
                 F.floor(F.col("st_s") / _OVERLAP_BIN_S),
@@ -576,6 +577,7 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_seq").alias("a_seq"),
         F.col("st").alias("a_st"),
         F.col("en").alias("a_en"),
+        F.col("st_s").alias("a_st_s"),
         "bin",
     )
     b = binned.select(
@@ -583,8 +585,14 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_seq").alias("b_seq"),
         F.col("st").alias("b_st"),
         F.col("en").alias("b_en"),
+        F.col("st_s").alias("b_st_s"),
         "bin",
     )
+    # A pair sharing several bins is counted ONCE: only in the first
+    # bin of its overlap region (bin of max(start)) — the standard
+    # binned-interval-join dedup that replaces a countDistinct expand
+    # with a codegen filter (truncation-consistent: bins and the
+    # overlap-start bin derive from the same second-truncated epochs).
     pairs = a.join(b, "bin").filter(
         (
             (F.col("a_user") != F.col("b_user"))
@@ -592,9 +600,15 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("a_st") <= F.col("b_en"))
         & (F.col("b_st") <= F.col("a_en"))
+        & (
+            F.col("bin")
+            == F.floor(
+                F.greatest(F.col("a_st_s"), F.col("b_st_s")) / _OVERLAP_BIN_S
+            )
+        )
     )
     counts = pairs.groupBy("a_user", "a_seq").agg(
-        F.countDistinct("b_user", "b_seq").alias("n_concurrent")
+        F.count(F.lit(1)).alias("n_concurrent")
     )
     return (
         sessions.join(
