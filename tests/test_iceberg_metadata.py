@@ -156,3 +156,13 @@ def test_resource_links_emit_no_chain(wh):
     wh.insert_values("lnk", [(1,)])
     _, _, v_after = _read_current(wh, "base")
     assert v_after == v_before + 1
+
+
+def test_chain_reflects_type_widening(wh):
+    wh.create_table("tw", "k int, v string")
+    wh.insert_values("tw", [(1, "a")])
+    wh.alter_column_type("tw", "k", "bigint")
+    doc, _, _ = _read_current(wh, "tw")
+    schema = doc["schemas"][doc["current-schema-id"]]
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    assert types["k"] == "long"  # Iceberg spelling of the widened type
