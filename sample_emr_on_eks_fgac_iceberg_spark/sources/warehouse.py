@@ -1866,6 +1866,40 @@ class Warehouse:
             rows, "name string, type string, snapshot_id bigint"
         )
 
+    def metadata_log_entries_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.metadata_log_entries``: one row per emitted
+        table-metadata file in the v2 mirror chain
+        (sources/iceberg_metadata.py), oldest first — the queryable
+        audit trail of metadata versions the reference's tables carry
+        on disk (producer_cleanup_logs.txt:33-51)."""
+        meta = self._resolve_dml_target(name)
+        mdir = os.path.join(self.root, meta.name, "metadata")
+        rows = []
+        if os.path.isdir(mdir):
+            versions = sorted(
+                int(f[1:].split(".")[0])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            )
+            for v in versions:
+                path = os.path.join(mdir, f"v{v}.metadata.json")
+                with open(path) as fh:
+                    doc = json.load(fh)
+                rows.append(
+                    (
+                        doc.get("last-updated-ms"),
+                        path,
+                        doc.get("current-snapshot-id"),
+                        doc.get("current-schema-id"),
+                        doc.get("last-sequence-number"),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "timestamp_ms bigint, file string, latest_snapshot_id bigint, "
+            "latest_schema_id int, latest_sequence_number bigint",
+        )
+
     def manifests_df(self, name: str) -> DataFrame:
         """Iceberg's ``t.manifests`` analog: one row per commit's file
         diff (the engine's manifest = the snapshot entry). Counts only

@@ -177,7 +177,9 @@ _ALL_GRANTABLE = {"SELECT", "DESCRIBE", "INSERT", "DELETE", "ALTER", "DROP"}
 # Iceberg metadata tables: SELECT * FROM t.snapshots / t.files /
 # t.history / t.partitions
 _META_TABLE_RE = re.compile(
-    r"([\w.]+)\.(snapshots|files|history|partitions|refs|manifests)(?![\w.])", re.I
+    r"([\w.]+)\.(snapshots|files|history|partitions|refs|manifests"
+    r"|metadata_log_entries)(?![\w.])",
+    re.I,
 )
 
 

@@ -166,3 +166,20 @@ def test_chain_reflects_type_widening(wh):
     schema = doc["schemas"][doc["current-schema-id"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
     assert types["k"] == "long"  # Iceberg spelling of the widened type
+
+
+def test_metadata_log_entries_table(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE mle (k INT)")
+    e.sql("INSERT INTO mle VALUES (1)")
+    e.sql("INSERT INTO mle VALUES (2)")
+    rows = e.sql(
+        "SELECT file, latest_snapshot_id FROM mle.metadata_log_entries "
+        "ORDER BY timestamp_ms, file"
+    ).collect()
+    assert len(rows) == 3  # create + 2 inserts
+    assert rows[0].file.endswith("v1.metadata.json")
+    assert rows[0].latest_snapshot_id == -1  # pre-first-insert
+    assert rows[-1].latest_snapshot_id == e.warehouse.current_snapshot_id("mle")
