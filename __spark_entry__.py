@@ -95,6 +95,8 @@ _CORE = [
     "corpus_dataset_card",
     # round-5: interval-overlap join (session concurrency)
     "sessions_overlap_concurrency",
+    # round-5: market-basket co-occurrence (support + lift)
+    "basket_part_pairs",
     # curation / privacy
     "pack_sequences_sharded",
     "pii_mask_customers",

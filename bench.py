@@ -88,6 +88,7 @@ HEADLINE = [
     "embedding_cluster_assign",
     "corpus_dataset_card",
     "sessions_overlap_concurrency",
+    "basket_part_pairs",
 ]
 
 

@@ -2068,3 +2068,92 @@ def lateral_top_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFram
         ) t
         """
     )
+
+
+_BASKET_MIN_CO = 3  # minimum co-occurrence support
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    part_cnt AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS co_count
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {_BASKET_MIN_CO})
+    SELECT p.part_a, p.part_b, p.co_count,
+           ca.cnt AS count_a, cb.cnt AS count_b,
+           CAST(p.co_count AS DOUBLE) * (SELECT n_orders FROM n)
+               / (ca.cnt * cb.cnt) AS lift
+    FROM pairs p
+      JOIN part_cnt ca ON ca.l_partkey = p.part_a
+      JOIN part_cnt cb ON cb.l_partkey = p.part_b
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining — the association signal
+    (which parts ship together more often than chance) behind
+    recommendations and assortment analysis: per unordered part pair,
+    co-occurrence support and lift = P(a,b)/(P(a)·P(b)) with every
+    probability an exact integer count over distinct (order, part)
+    pairs; lift's one double division is deterministic.
+
+    Plan shape at 100 TB: the pair generator is an equi-self-join keyed
+    on the order — fan-out is Σ c_o·(c_o−1)/2 over per-order item
+    counts c_o (bounded by basket size, never |parts|²); the a<b
+    orientation emits each pair once; support pruning (HAVING) runs in
+    the pair aggregate before the two small count-table joins. The
+    order-keyed shuffle is shared by the distinct and the self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = materialize_once(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
+    # the denominator rides as a broadcast 1-row frame so the builder
+    # stays fully lazy (no driver action at plan-construction time)
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= _BASKET_MIN_CO)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("count_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("count_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "co_count",
+            "count_a",
+            "count_b",
+            (
+                F.col("co_count").cast("double")
+                * F.col("n_orders")
+                / (F.col("count_a") * F.col("count_b"))
+            ).alias("lift"),
+        )
+    )

@@ -469,3 +469,11 @@ def test_interval_overlap_join_is_binned_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_basket_pairs_order_keyed_no_cartesian(spark, sf_dir):
+    # the pair generator must be the order-keyed equi-self-join; the
+    # only nested-loop allowed is the broadcast 1-row denominator
+    plan = explain_str(QUERIES["basket_part_pairs"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
