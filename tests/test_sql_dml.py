@@ -271,3 +271,19 @@ def test_insert_column_list_unknown_column_rejected(engine):
 def test_insert_column_list_arity_mismatch_rejected(engine):
     with pytest.raises(ValueError, match="source columns"):
         engine.sql("INSERT INTO inv (k, qty, city) SELECT k, qty FROM inv")
+
+
+def test_dml_subqueries_with_database_qualified_tables(engine):
+    """Round-5 DML subquery resolution must also cover db-qualified
+    names (rewritten to the registered view spelling inside the
+    predicate text)."""
+    engine.sql("CREATE DATABASE qdb")
+    engine.sql("CREATE TABLE qdb.t (k INT, v INT)")
+    engine.sql("CREATE TABLE qdb.s (k INT)")
+    engine.sql("INSERT INTO qdb.t VALUES (1, 10), (2, 20), (3, 30)")
+    engine.sql("INSERT INTO qdb.s VALUES (1), (3)")
+    engine.sql("DELETE FROM qdb.t WHERE k IN (SELECT k FROM qdb.s)")
+    rows = [(r.k, r.v) for r in engine.sql("SELECT * FROM qdb.t").collect()]
+    assert rows == [(2, 20)]
+    engine.sql("UPDATE qdb.t SET v = (SELECT max(k) FROM qdb.s) WHERE k = 2")
+    assert engine.sql("SELECT v FROM qdb.t").collect()[0].v == 3

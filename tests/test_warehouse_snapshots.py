@@ -133,3 +133,47 @@ def test_rename_table_refuses_link_source_and_self(spark, tmp_path):
     assert wh.read_table("rl_x").count() == 1
     with _pytest.raises(ValueError, match="itself"):
         wh.rename_table("t_base", "t_base")
+
+
+def test_rename_race_to_same_target_is_linearizable(spark, tmp_path):
+    """ADVICE r4: the target-free check must be atomic with the meta
+    write. Two threads renaming different tables to the SAME target:
+    exactly one wins, the loser gets the 'already exists' refusal, and
+    both source tables' data survives (winner under the new name, loser
+    under its old name)."""
+    import threading
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("race_a", "k int")
+    wh.create_table("race_b", "k int")
+    wh.insert_values("race_a", [(1,)])
+    wh.insert_values("race_b", [(2,)])
+
+    results: dict[str, Exception | None] = {}
+    barrier = threading.Barrier(2)
+
+    def attempt(src: str) -> None:
+        barrier.wait()
+        try:
+            wh.rename_table(src, "race_tgt")
+            results[src] = None
+        except Exception as e:  # noqa: BLE001
+            results[src] = e
+
+    ts = [threading.Thread(target=attempt, args=(s,)) for s in ("race_a", "race_b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    winners = [s for s, e in results.items() if e is None]
+    losers = [s for s, e in results.items() if e is not None]
+    assert len(winners) == 1 and len(losers) == 1, results
+    assert "already exists" in str(results[losers[0]])
+    assert wh.table_exists("race_tgt") and wh.table_exists(losers[0])
+    assert not wh.table_exists(winners[0])
+    val = {"race_a": 1, "race_b": 2}
+    assert [r.k for r in wh.read_table("race_tgt").collect()] == [val[winners[0]]]
+    assert [r.k for r in wh.read_table(losers[0]).collect()] == [val[losers[0]]]
