@@ -80,6 +80,7 @@ _CORE = [
     "ann_cosine_topk",
     "similarity_pairs_threshold",
     "ann_lsh_det",
+    "ann_ivf_det",
     "embedding_centroids",
     "knn_label_vote",
     # multimodal (round-5: genuine PGM raster decode joins the window)

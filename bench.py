@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_dataset_card",
     "sessions_overlap_concurrency",
     "basket_part_pairs",
+    "ann_ivf_det",
 ]
 
 

@@ -795,3 +795,153 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_label") != F.col("label")).alias("changed"),
         )
     )
+
+
+_IVF_PROBES = 3  # cells probed per query (multi-probe IVF)
+
+
+@register(
+    "ann_ivf_det",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xi
+        FROM embeddings),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, dim),
+    d AS (
+        SELECT x.vec_id, cent.c_label,
+               CAST(SUM((xi - c) * (xi - c)) AS BIGINT) AS dist_sq
+        FROM x JOIN cent ON x.dim = cent.dim
+        GROUP BY x.vec_id, cent.c_label),
+    ranked_cells AS (
+        SELECT vec_id, c_label AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist_sq, c_label) AS rk
+        FROM d),
+    assign AS (SELECT vec_id, cell FROM ranked_cells WHERE rk = 1),
+    probes AS (SELECT vec_id, cell FROM ranked_cells
+               WHERE rk <= {_IVF_PROBES} AND vec_id < {N_QUERIES}),
+    norms AS (
+        SELECT vec_id, sqrt(CAST(SUM(xi * xi) AS DOUBLE)) AS nrm
+        FROM x GROUP BY vec_id),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        FROM probes q JOIN assign c
+          ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+    dots AS (
+        SELECT p.q_id, p.neighbor_id,
+               CAST(SUM(xq.xi * xc.xi) AS DOUBLE) AS dot
+        FROM pairs p
+          JOIN x xq ON xq.vec_id = p.q_id
+          JOIN x xc ON xc.vec_id = p.neighbor_id AND xc.dim = xq.dim
+        GROUP BY p.q_id, p.neighbor_id),
+    scored AS (
+        SELECT d.q_id, d.neighbor_id,
+               d.dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dots d
+          JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms nc ON nc.vec_id = d.neighbor_id),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF ANN — the oracle-checked sibling of
+    `ann_ivf_topk` (whose seeded-KMeans quantizer is engine-private):
+    the coarse quantizer is the label codebook `embedding_cluster_assign`
+    derives (round(mean) fixed-point centroids — no RNG, no iteration),
+    every vector lands in its nearest cell by integer distance, and a
+    query ranks only its own cell's members by exact integer dot
+    product. Every stage — codebook, assignment, candidate set, scores,
+    ranks — reproduces bit-for-bit in DuckDB, closing the last ANN
+    family without full-oracle coverage.
+
+    Scale shape: codebook broadcast (K×D rows); assignment is the
+    E-step's one-stage distance pass; the candidate join is keyed on
+    the cell id (inverted list), so a query scans its list, never the
+    corpus; dots run long-form in codegen with map-side partials. The
+    recall/probe tradeoff is IVF's standard one — `ann_ivf_topk` keeps
+    the multi-probe variant."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+    )
+    x = materialize_once(x)
+    cent = x.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    d = (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum((F.col("xi") - F.col("c")) * (F.col("xi") - F.col("c")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dist_sq", "c_label")
+    ranked_cells = materialize_once(
+        d.withColumn("rk", F.row_number().over(wa)).select(
+            "vec_id", F.col("c_label").alias("cell"), "rk"
+        )
+    )
+    assign = ranked_cells.filter(F.col("rk") == 1).select("vec_id", "cell")
+    norms = x.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("xi") * F.col("xi")).cast("double")).alias("nrm")
+    )
+    # multi-probe: each query searches its _IVF_PROBES nearest cells —
+    # the standard recall knob, still fully deterministic
+    q = ranked_cells.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= _IVF_PROBES)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    pairs = (
+        assign.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    xq = x.select(F.col("vec_id").alias("q_id"), "dim", F.col("xi").alias("xq"))
+    xc = x.select(
+        F.col("vec_id").alias("neighbor_id"), "dim", F.col("xi").alias("xc")
+    )
+    dots = (
+        pairs.join(F.broadcast(xq.filter(F.col("q_id") < N_QUERIES)), "q_id")
+        .join(xc, ["neighbor_id", "dim"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum(F.col("xq") * F.col("xc")).cast("double").alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("nq"))
+    nc = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nc")
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (F.col("dot") / (F.col("nq") * F.col("nc"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+    )

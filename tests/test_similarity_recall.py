@@ -33,3 +33,24 @@ def test_ivf_scans_fraction_of_candidates(spark, sf_dir):
     # every returned neighbor must rank within TOP_K and carry a
     # cosine — structural sanity that ranking happened per-query
     assert approx.filter(F.col("rank") > 5).count() == 0
+
+
+def test_ann_ivf_det_recall_floor(spark, sf_dir):
+    """The deterministic IVF's single-probe recall against the exact
+    brute-force top-K: with the label codebook as coarse quantizer the
+    cells are semantic, so a query's true neighbors mostly share its
+    cell. Floor kept conservative — the point is the oracle-checked
+    pipeline, with ann_ivf_topk as the tunable multi-probe variant."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_det,
+    )
+
+    exact = {
+        (r.q_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id) for r in ann_ivf_det(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ivf_det recall {recall:.2f}"
