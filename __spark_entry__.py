@@ -56,6 +56,8 @@ _CORE = [
     "events_time_weighted_value",
     "events_retention_cohorts",
     "events_sessionization",
+    # round-5: IGNORE NULLS window (LOCF gap fill)
+    "events_locf_fill",
     # UDF / UDAF
     "udf_scalar_charge",
     "udaf_weighted_discount",
@@ -65,7 +67,6 @@ _CORE = [
     "quality_unigram_rarity",
     "bpe_merge_candidates",
     "sketch_cms_heavy_hitters",
-    "winnowing_fingerprint",
     "doc_ngram_novelty",
     "tfidf_top_terms",
     # dedup
@@ -114,6 +115,7 @@ _ROTATION = [
     # demoted from _CORE in round 5 (stable multi-round greens) to make
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",
+    "winnowing_fingerprint",
     "text_quality_scores",
     "text_lang_id",
     "dedup_exact",

@@ -627,3 +627,44 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_locf_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward — the gap-fill every
+    irregularly-sampled feature pipeline needs (sensor readings,
+    prices, session attributes): each event carries the value of the
+    user's most recent 'purchase', NULL until the first one. IGNORE
+    NULLS windows are the one window-frame feature the relational pack
+    didn't exercise; the carried value is copied, never recomputed, so
+    the doubles compare bit-exactly across engines.
+
+    Plan shape: one user-keyed window over a running frame — a single
+    exchange shared with every other per-user pass; no join, no
+    self-scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
