@@ -257,6 +257,16 @@ def emit_metadata(meta, table_root: str) -> str | None:
                         "metadata-file": prev_file,
                     }
                 )
+                # the spec's write.metadata.previous-versions-max
+                # (default 100): without the cap a long-lived table's
+                # every commit rewrites an ever-growing log — quadratic
+                # metadata bytes over the table's life
+                max_prev = int(
+                    meta.properties.get(
+                        "write.metadata.previous-versions-max", "100"
+                    )
+                )
+                metadata_log = metadata_log[-max_prev:]
         version = prev_version + 1
         doc = build_table_metadata(meta, table_root)
         doc["metadata-log"] = metadata_log

@@ -183,3 +183,17 @@ def test_metadata_log_entries_table(spark, tmp_path):
     assert rows[0].file.endswith("v1.metadata.json")
     assert rows[0].latest_snapshot_id == -1  # pre-first-insert
     assert rows[-1].latest_snapshot_id == e.warehouse.current_snapshot_id("mle")
+
+
+def test_metadata_log_capped_at_previous_versions_max(wh):
+    wh.create_table(
+        "cap", "k int",
+        properties={"write.metadata.previous-versions-max": "5"},
+    )
+    for i in range(12):
+        wh.insert_values("cap", [(i,)])
+    doc, _, v = _read_current(wh, "cap")
+    assert v == 13  # create + 12 inserts
+    mlog = doc["metadata-log"]
+    assert len(mlog) == 5  # capped, newest previous versions kept
+    assert mlog[-1]["metadata-file"].endswith(f"v{v - 1}.metadata.json")
