@@ -56,8 +56,11 @@ _CORE = [
     "events_time_weighted_value",
     "events_retention_cohorts",
     "events_sessionization",
-    # round-5: IGNORE NULLS window (LOCF gap fill)
+    # round-5: IGNORE NULLS window (LOCF gap fill), Markov transitions,
+    # RFM quartile segmentation
     "events_locf_fill",
+    "events_markov_transitions",
+    "customer_rfm_segments",
     # UDF / UDAF
     "udf_scalar_charge",
     "udaf_weighted_discount",
@@ -67,10 +70,8 @@ _CORE = [
     "quality_unigram_rarity",
     "bpe_merge_candidates",
     "sketch_cms_heavy_hitters",
-    "doc_ngram_novelty",
     "tfidf_top_terms",
     # dedup
-    "dedup_ngram_jaccard",
     "dedup_minhash_det",
     "dedup_simhash_det",
     "dedup_embedding_cosine",
@@ -116,6 +117,8 @@ _ROTATION = [
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",
     "winnowing_fingerprint",
+    "doc_ngram_novelty",
+    "dedup_ngram_jaccard",
     "text_quality_scores",
     "text_lang_id",
     "dedup_exact",

@@ -90,6 +90,8 @@ HEADLINE = [
     "sessions_overlap_concurrency",
     "basket_part_pairs",
     "ann_ivf_det",
+    "events_markov_transitions",
+    "customer_rfm_segments",
 ]
 
 

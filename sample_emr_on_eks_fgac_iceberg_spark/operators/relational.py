@@ -2157,3 +2157,71 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS DECIMAL(18,0)))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        FROM rfm)
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    customer quartiles, rolled up to segment sizes and value. Monetary
+    accumulates in integer cents (decimal→bigint, partitioning-
+    invariant); every NTILE ordering carries the customer key as a
+    tie-break so quartile boundaries are total-order deterministic and
+    engine-identical.
+
+    Plan shape at 100 TB: one orders aggregation to a per-customer
+    frame, then three global NTILEs — each a range-partitioned sort
+    over customers (not orders); the final rollup has at most 64
+    cells. The per-customer frame is the shared input to all three
+    windows (one exchange, three sorts)."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                "decimal(18,0)"
+            )
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(Window.orderBy("last_order", "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(Window.orderBy("frequency", "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+    )

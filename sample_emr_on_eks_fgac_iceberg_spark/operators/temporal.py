@@ -668,3 +668,53 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(tot.row_total AS BIGINT) AS row_total,
+           CAST(t.n AS DOUBLE) / tot.row_total AS p
+    FROM trans t JOIN tot ON tot.prev_type = t.prev_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model a pipeline fits to detect
+    scripted traffic (improbable transition chains) and to validate
+    synthetic event data against production. Transition probabilities
+    are exact integer counts with one deterministic double division.
+
+    Plan shape at 100 TB: one user-keyed window (shared exchange with
+    every other per-user pass) feeding a types×types-bounded hash agg —
+    the matrix is |event_type|² cells no matter the corpus; the
+    row-total join is over that same bounded matrix."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return trans.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+    )
