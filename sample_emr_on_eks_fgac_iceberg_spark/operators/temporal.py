@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
-from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
 
 
 @register(
@@ -705,8 +708,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count(F.lit(1)).alias("n")
+    # barrier the matrix: without it the row-total join's two sides
+    # each recompute the events scan + window (caught by the plan test)
+    trans = materialize_once(
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     tot = trans.groupBy("prev_type").agg(
         F.sum("n").cast("bigint").alias("row_total")

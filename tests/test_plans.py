@@ -477,3 +477,35 @@ def test_basket_pairs_order_keyed_no_cartesian(spark, sf_dir):
     plan = explain_str(QUERIES["basket_part_pairs"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_markov_bounded_matrix_single_window(spark, sf_dir):
+    # the matrix is barriered (one events scan + window, behind the
+    # checkpoint), so the visible plan operates purely on the
+    # types^2-bounded cached frame: no Window re-execution, no raw
+    # events rescan, no cartesian
+    plan = explain_str(QUERIES["events_markov_transitions"](spark, sf_dir), "simple")
+    assert "Window" not in plan and "ExistingRDD" in plan, plan
+    assert "events.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_windows_over_customer_frame_not_orders(spark, sf_dir):
+    # the three NTILEs must sort the per-customer aggregate, not raw
+    # orders: exactly one scan of orders feeding one aggregation
+    plan = explain_str(QUERIES["customer_rfm_segments"](spark, sf_dir), "simple")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_locf_single_window_no_join(spark, sf_dir):
+    plan = explain_str(QUERIES["events_locf_fill"](spark, sf_dir), "simple")
+    assert "Join" not in plan and plan.count("Window") == 1, plan
+
+
+def test_ivf_det_broadcast_codebook_and_cell_join(spark, sf_dir):
+    # codebook + query probes broadcast; candidate join keyed on the
+    # cell id; no cartesian anywhere
+    plan = explain_str(QUERIES["ann_ivf_det"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
