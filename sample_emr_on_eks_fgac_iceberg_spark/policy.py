@@ -725,7 +725,7 @@ class SecureSession:
         # delegate to the trusted engine frontend. CREATE TABLE is a
         # database-level permission the consumer model doesn't carry —
         # always denied (the reference's consumers are read-only jobs).
-        if re.match(r"\s*CREATE\s+TABLE\b", query, re.I):
+        if re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", query, re.I):
             raise AccessDeniedException(self.principal, "<database>", "CREATE_TABLE")
         # User-defined views over granted tables (SURVEY §1.6: the
         # consumer-side equivalent of a resource link / secured view).

@@ -244,3 +244,11 @@ def test_filtered_principal_cannot_analyze_or_optimize(engine):
         sess.sql("ANALYZE TABLE inv COMPUTE STATISTICS")
     with pytest.raises(AccessDeniedException, match="unfiltered"):
         sess.sql("OPTIMIZE inv REWRITE DATA USING BIN_PACK")
+
+
+def test_create_or_replace_table_denied_for_consumers(engine):
+    """Round 5 added CREATE OR REPLACE on the producer surface; the
+    consumer-side CREATE_TABLE denial must cover the new spelling (the
+    plain `CREATE TABLE` regex silently missed it)."""
+    with pytest.raises(AccessDeniedException, match="CREATE_TABLE"):
+        engine.session_for("writer").sql("CREATE OR REPLACE TABLE mine (k INT)")
