@@ -205,7 +205,9 @@ _TILE = 32  # pixels per tile edge for the raster stats grid
     WITH d AS (SELECT doc_id, text,
                       CAST(64 + (doc_id % 16) * 8 AS INT) AS w,
                       CAST(64 + (doc_id % 9) * 8 AS INT) AS h
-               FROM documents WHERE length(text) > 0),
+               FROM documents
+               WHERE length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
     px AS (SELECT doc_id, w, h, rpad(text, w * h, text) AS buf,
                   unnest(range(0, CAST(w * h AS BIGINT))) AS s
            FROM d),
@@ -248,7 +250,15 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
     h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
-    pgm = d.filter(F.length("text") > 0).select(
+    # ASCII-only guard: the pixel plane is BYTES (numpy frombuffer)
+    # while the oracle's rpad/ascii work in CODE POINTS — identical
+    # only when every character is one byte. Multi-byte docs are
+    # excluded on BOTH sides rather than silently diverging; a real
+    # deployment feeds actual binary payloads and drops the guard.
+    pgm = d.filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         "doc_id",
         F.encode(
             F.concat(
@@ -314,7 +324,9 @@ _PCM_WINDOW = 128  # samples per analysis window
 @register(
     "multimodal_audio_rms",
     oracle=f"""
-    WITH d AS (SELECT doc_id, text, length(text) // 2 AS n_samp FROM documents),
+    WITH d AS (SELECT doc_id, text, length(text) // 2 AS n_samp
+               FROM documents
+               WHERE octet_length(CAST(text AS BLOB)) = length(text)),
     i AS (SELECT doc_id, text, unnest(range(0, n_samp)) AS s
           FROM d WHERE n_samp > 0),
     samp AS (
@@ -378,8 +390,17 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["peak"].append(int(np.abs(win).max()))
             yield pd.DataFrame(out)
 
+    # ASCII-only guard, same reason as multimodal_image_stats: the
+    # decoder reads BYTES, the oracle indexes CODE POINTS
     return (
         media_frame(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") == F.length("text"))
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
         .select("doc_id", "payload")
         .mapInPandas(decode, out_schema)
     )

@@ -37,6 +37,9 @@ from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
     load_table,
     materialize_once,
 )
+from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
+    SESSION_GAP_SECONDS,
+)
 
 
 @register(
@@ -484,7 +487,6 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_GAP_S = 1800  # matches streaming/events.py SESSION_GAP_SECONDS
 _OVERLAP_BIN_S = 3600  # interval-join bucketing granularity
 
 
@@ -497,7 +499,7 @@ _OVERLAP_BIN_S = 3600  # interval-join bucketing granularity
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     flagged AS (
         SELECT *, CASE WHEN prev_ts IS NULL
-                         OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_S}
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
                        THEN 1 ELSE 0 END AS new_session
         FROM seq),
     numbered AS (
@@ -534,10 +536,6 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep spans short. The oracle runs the direct θ-join — same result,
     quadratic path — which is the point: the binned plan IS the scale
     rewrite."""
-    from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
-        SESSION_GAP_SECONDS,
-    )
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -250,7 +250,19 @@ def emit_metadata(meta, table_root: str) -> str | None:
             if os.path.exists(prev_file):
                 with open(prev_file) as f:
                     prev_doc = json.load(f)
-                metadata_log = list(prev_doc.get("metadata-log", []))
+                # normalize carried entries to the CURRENT metadata dir:
+                # rename_table moves the whole table directory, so
+                # as-written absolute paths go stale the moment the
+                # location changes (round-5 review finding)
+                metadata_log = [
+                    {
+                        "timestamp-ms": e.get("timestamp-ms"),
+                        "metadata-file": os.path.join(
+                            mdir, os.path.basename(e.get("metadata-file", ""))
+                        ),
+                    }
+                    for e in prev_doc.get("metadata-log", [])
+                ]
                 metadata_log.append(
                     {
                         "timestamp-ms": prev_doc.get("last-updated-ms"),

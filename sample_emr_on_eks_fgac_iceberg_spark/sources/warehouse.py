@@ -301,16 +301,14 @@ class Warehouse:
         os.remove(marker)
 
     # --------------------------------------------------------------- DDL
-    def create_table(
-        self,
-        name: str,
-        schema: T.StructType | str,
-        partition_by: list[str] | None = None,
-        properties: dict[str, str] | None = None,
-    ) -> TableMeta:
-        """D1: CREATE TABLE … PARTITIONED BY (col)."""
-        if self.table_exists(name):
-            raise ValueError(f"Table '{name}' already exists")
+    @staticmethod
+    def validate_table_definition(
+        schema: T.StructType | str, partition_by: list[str] | None
+    ) -> tuple[T.StructType, list[str]]:
+        """Everything CREATE TABLE checks, callable WITHOUT side
+        effects — CREATE OR REPLACE validates the replacement
+        definition with this BEFORE dropping the table it replaces, so
+        a bad definition can never destroy the old table."""
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         partition_by = list(partition_by or [])
@@ -322,6 +320,19 @@ class Warehouse:
                 raise ValueError(
                     f"Derived partition name '{pf.name}' collides with a schema column"
                 )
+        return schema, partition_by
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType | str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> TableMeta:
+        """D1: CREATE TABLE … PARTITIONED BY (col)."""
+        if self.table_exists(name):
+            raise ValueError(f"Table '{name}' already exists")
+        schema, partition_by = self.validate_table_definition(schema, partition_by)
         meta = TableMeta(
             name=name,
             schema_json=json.dumps(schema.jsonValue()),
@@ -426,15 +437,14 @@ class Warehouse:
                 f"SHOW PARTITIONS is not allowed on a table that is not "
                 f"partitioned: {name}"
             )
-        data = self.data_dir(name)
+        # CURRENT SNAPSHOT's files only — copy-on-write keeps dead
+        # files on disk for time travel, and a partition whose rows
+        # were all deleted must not be listed (Iceberg/Spark parity;
+        # caught by the round-5 review)
         depth = len(spec)
         found: set[str] = set()
-        for dirpath, _dirs, fns in os.walk(data):
-            if not any(fn.endswith(".parquet") for fn in fns):
-                continue
-            rel = os.path.relpath(dirpath, data)
-            parts = [] if rel == "." else rel.split(os.sep)
-            kv = [p for p in parts if "=" in p]
+        for f in self._live_files(meta):
+            kv = [p for p in f.split("/") if "=" in p]
             if len(kv) >= depth:
                 found.add("/".join(kv[:depth]))
         return sorted(found)
@@ -1505,10 +1515,19 @@ class Warehouse:
         suppresses partition-type inference, so each dir column gets
         its declared type (identity) or the type its transform
         produces — Spark casts the directory strings to it."""
+        # Parquet part files are immutable once committed (uuid part
+        # names; rewrites add new files), so footers cache per path —
+        # without this every scan of an evolved table re-reads every
+        # footer serially on the driver (round-5 review finding).
+        cache = self.__dict__.setdefault("_footer_schema_cache", {})
         merged: dict[str, T.StructField] = {}
         order: list[str] = []
         for f in files:
-            sch = self.spark.read.parquet(os.path.join(data, f)).schema
+            path = os.path.join(data, f)
+            sch = cache.get(path)
+            if sch is None:
+                sch = self.spark.read.parquet(path).schema
+                cache[path] = sch
             for fld in sch.fields:
                 if fld.name not in merged:
                     merged[fld.name] = fld

@@ -183,6 +183,33 @@ _META_TABLE_RE = re.compile(
 )
 
 
+def _sub_outside_strings(pattern: str, repl: str, text: str, flags: int = 0) -> str:
+    """``re.sub`` applied only OUTSIDE single-quoted SQL string
+    literals (with '' escaping) — table-name rewrites must never
+    corrupt a comparison value that happens to contain a table name
+    (`WHERE v = 'db.t'`)."""
+    out: list[str] = []
+    i, seg_start, n = 0, 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            out.append(re.sub(pattern, repl, text[seg_start:i], flags=flags))
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            seg_start = i
+        else:
+            i += 1
+    out.append(re.sub(pattern, repl, text[seg_start:], flags=flags))
+    return "".join(out)
+
+
 def _split_cte_insert(query: str) -> tuple[str, str | None, str] | None:
     """For ``WITH … INSERT INTO t [(cols)] SELECT …`` find the
     top-level (paren-depth-0, outside strings) INSERT INTO clause and
@@ -196,6 +223,14 @@ def _split_cte_insert(query: str) -> tuple[str, str | None, str] | None:
         if in_str:
             if ch == in_str:
                 in_str = None
+        elif ch == "-" and query[i : i + 2] == "--":
+            nl = query.find("\n", i)
+            i = n if nl == -1 else nl
+            continue
+        elif ch == "/" and query[i : i + 2] == "/*":
+            end = query.find("*/", i + 2)
+            i = n if end == -1 else end + 2
+            continue
         elif ch in ("'", '"', "`"):
             in_str = ch
         elif ch == "(":
@@ -790,6 +825,9 @@ class SqlFrontend:
             else None
         )
         df = self._query(m.group(5).rstrip().rstrip(";"))
+        # validate the full replacement definition BEFORE any drop — a
+        # bad partition spec must never destroy the table it replaces
+        self.warehouse.validate_table_definition(df.schema, partition_by)
         if or_replace and self.warehouse.table_exists(name):
             # a replace may SELECT from the table it replaces — pin the
             # source rows in executor storage BEFORE the old files go
@@ -805,8 +843,6 @@ class SqlFrontend:
             raise ValueError("CREATE OR REPLACE cannot take IF NOT EXISTS")
         if if_not_exists and self.warehouse.table_exists(name):
             return None
-        if or_replace and self.warehouse.table_exists(name):
-            self.warehouse.drop_table(name)
         open_idx = m.end() - 1
         close_idx = _matching_paren(query, open_idx)
         col_ddl = query[open_idx + 1 : close_idx]
@@ -829,8 +865,15 @@ class SqlFrontend:
                 if not pm:
                     raise ValueError(f"Cannot parse TBLPROPERTIES entry: {kv!r}")
                 properties[pm.group(1)] = pm.group(2)
+        # full validation BEFORE any drop — OR REPLACE must never lose
+        # the old table to a definition that then fails to create
+        schema, partition_by = self.warehouse.validate_table_definition(
+            col_ddl, partition_by
+        )
+        if or_replace and self.warehouse.table_exists(name):
+            self.warehouse.drop_table(name)
         self.warehouse.create_table(
-            name, col_ddl, partition_by=partition_by, properties=properties
+            name, schema, partition_by=partition_by, properties=properties
         )
         return None
 
@@ -949,7 +992,7 @@ class SqlFrontend:
                 if re.search(pat, inner):
                     view = f"__wh_{name.replace('.', '__')}"
                     self.warehouse.read_table(name).createOrReplaceTempView(view)
-                    inner = re.sub(pat, f"`{view}`", inner)
+                    inner = _sub_outside_strings(pat, f"`{view}`", inner)
             return self.spark.sql(inner), alias
         m = re.match(r"([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$", text, re.I)
         if not m:
@@ -968,6 +1011,14 @@ class SqlFrontend:
         dotted names to the view spelling. Views are re-registered per
         statement so they can never serve a stale snapshot."""
         tables = set(self.warehouse.list_tables())
+        # drop views registered for since-dropped tables: a stale view
+        # would silently serve the dropped table's last snapshot to a
+        # later subquery instead of failing with table-not-found
+        registered = getattr(self, "_dml_views", set())
+        current = {n.replace(".", "__") for n in tables}
+        for stale in registered - current:
+            self.spark.catalog.dropTempView(stale)
+        self._dml_views = current
         for name in tables:
             # registered on the warehouse's own session — the one whose
             # analyzer will resolve the subquery relations
@@ -976,7 +1027,7 @@ class SqlFrontend:
             )
         for name in sorted(tables, key=len, reverse=True):
             if "." in name:
-                text = re.sub(
+                text = _sub_outside_strings(
                     rf"(?<![\w.`]){re.escape(name)}(?![\w.])",
                     f"`{name.replace('.', '__')}`",
                     text,
@@ -1050,7 +1101,7 @@ class SqlFrontend:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
         for name in sorted(tables, key=len, reverse=True):
             if "." in name:
-                query = re.sub(
+                query = _sub_outside_strings(
                     rf"(?<![\w.`]){re.escape(name)}(?![\w.])",
                     f"`{name.replace('.', '__')}`",
                     query,

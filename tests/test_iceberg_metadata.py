@@ -141,6 +141,11 @@ def test_uuid_stable_across_commits_and_rename(wh):
     doc3, _, v3 = _read_current(wh, "u2")
     assert doc3["table-uuid"] == doc1["table-uuid"]
     assert v3 == 3  # the chain moved with the table and kept growing
+    # carried metadata-log entries are normalized to the NEW location
+    # (absolute paths written pre-rename would 404 for a chain reader)
+    for e in doc3["metadata-log"]:
+        assert os.path.exists(e["metadata-file"]), e
+        assert os.path.join("u2", "metadata") in e["metadata-file"]
     # tags/branches surface as refs
     wh.create_tag("u2", "first", wh.current_snapshot_id("u2"))
     doc4, _, _ = _read_current(wh, "u2")

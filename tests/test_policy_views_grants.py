@@ -348,14 +348,22 @@ def test_consumer_explain_ddl_shapes_rejected_without_executing(engine):
     assert sess.sql("SELECT * FROM ev").count() == 8
     with pytest.raises(ValueError, match="read queries only"):
         sess.sql("EXPLAIN CREATE VIEW ev2 AS SELECT * FROM claims")
+    # the refused CREATE VIEW executed nothing — ev2 must not exist
+    assert "ev2" not in {r.view_name for r in sess.sql("SHOW VIEWS").collect()}
+    # CTE-prefixed DML: starts with WITH, caught by the parsed plan
+    with pytest.raises(ValueError, match="read queries only"):
+        sess.sql("EXPLAIN WITH x AS (SELECT * FROM claims) "
+                 "INSERT INTO claims SELECT * FROM x")
 
 
 def test_explain_parenthesized_query_with_space(engine):
     """`EXPLAIN ( SELECT ... )` — whitespace after the paren is a
     legitimate query spelling and must pass the shape allowlist on both
     the consumer and producer surfaces (ADVICE r4: `\\b` fails between
-    '(' and a space)."""
-    plan = engine.session_for(TEAM1).sql(
+    '(' and a space). Self-contained: no dependency on other tests'
+    session state."""
+    sess = engine.session_for(TEAM1)
+    plan = sess.sql(
         "EXPLAIN ( SELECT patient_id FROM patients )"
     ).collect()[0].plan
     assert "Texas" in plan
@@ -363,13 +371,7 @@ def test_explain_parenthesized_query_with_space(engine):
         "EXPLAIN ( SELECT state FROM patients )"
     ).collect()[0].plan
     assert "state" in text
-    sess = engine.session_for(TEAM1)
-    assert "ev2" not in {r.view_name for r in sess.sql("SHOW VIEWS").collect()}
-    # CTE-prefixed DML: starts with WITH, caught by the parsed plan
-    with pytest.raises(ValueError, match="read queries only"):
-        sess.sql("EXPLAIN WITH x AS (SELECT * FROM claims) "
-                 "INSERT INTO claims SELECT * FROM x")
-    # parenthesized query is a legitimate EXPLAIN target
+    # no-space parenthesized spelling also accepted
     plan = sess.sql("EXPLAIN (SELECT COUNT(*) AS n FROM claims)").collect()
     assert len(plan) == 1
 

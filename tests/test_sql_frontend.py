@@ -251,3 +251,78 @@ def test_create_or_replace_table(engine):
 
     with _pytest.raises(ValueError, match="IF NOT EXISTS"):
         engine.sql("CREATE OR REPLACE TABLE IF NOT EXISTS corr (k INT)")
+
+
+# ---------------------------------------------- round-5 review fixes
+def test_create_or_replace_never_drops_on_invalid_definition(engine):
+    """A failed replacement must leave the old table untouched — the
+    original ordering dropped first and validated after (review
+    finding, verified live)."""
+    engine.sql("CREATE TABLE keepme (k INT)")
+    engine.sql("INSERT INTO keepme VALUES (1)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.sql(
+            "CREATE OR REPLACE TABLE keepme (k INT) PARTITIONED BY (nosuch)"
+        )
+    with _pytest.raises(ValueError):
+        engine.sql(
+            "CREATE OR REPLACE TABLE keepme PARTITIONED BY (nosuch) "
+            "AS SELECT k FROM keepme"
+        )
+    assert engine.sql("SELECT count(*) AS n FROM keepme").collect()[0].n == 1
+
+
+def test_dml_subquery_rewrite_spares_string_literals(engine):
+    """Dotted table names inside string LITERALS must survive the
+    subquery view rewrite (review finding: 'qdb.s' in a comparison
+    value was rewritten into a view name and matched nothing)."""
+    engine.sql("CREATE DATABASE litdb")
+    engine.sql("CREATE TABLE litdb.s (k INT)")
+    engine.sql("INSERT INTO litdb.s VALUES (1)")
+    engine.sql("CREATE TABLE lit_t (k INT, v STRING)")
+    engine.sql("INSERT INTO lit_t VALUES (1, 'litdb.s'), (2, 'other')")
+    engine.sql(
+        "DELETE FROM lit_t WHERE v = 'litdb.s' "
+        "AND k IN (SELECT k FROM litdb.s)"
+    )
+    rows = [(r.k, r.v) for r in engine.sql("SELECT * FROM lit_t").collect()]
+    assert rows == [(2, "other")]
+
+
+def test_show_partitions_reflects_current_snapshot(engine):
+    """Copy-on-write keeps dead files for time travel; SHOW PARTITIONS
+    must list only partitions with live rows (review finding)."""
+    engine.sql("CREATE TABLE spp (k INT, city STRING) PARTITIONED BY (city)")
+    engine.sql("INSERT INTO spp VALUES (1, 'Austin'), (2, 'Dallas')")
+    engine.sql("DELETE FROM spp WHERE city = 'Dallas'")
+    parts = [r.partition for r in engine.sql("SHOW PARTITIONS spp").collect()]
+    assert parts == ["city=Austin"]
+
+
+def test_cte_insert_ignores_insert_inside_comments(engine):
+    """The top-level INSERT scanner must skip SQL comments (review
+    finding: a comment mentioning INSERT INTO was lifted as the
+    clause)."""
+    engine.sql("CREATE TABLE cmt (k INT)")
+    engine.sql(
+        "WITH c AS (SELECT 5 AS k) /* note: INSERT INTO decoy */ "
+        "INSERT INTO cmt SELECT * FROM c"
+    )
+    assert [r.k for r in engine.sql("SELECT * FROM cmt").collect()] == [5]
+
+
+def test_dml_subquery_views_do_not_outlive_dropped_tables(engine):
+    """A dropped table's leftover DML temp view must not serve stale
+    data to a later subquery (review finding)."""
+    engine.sql("CREATE TABLE dv_t (k INT)")
+    engine.sql("INSERT INTO dv_t VALUES (1), (2)")
+    engine.sql("CREATE TABLE dv_s (k INT)")
+    engine.sql("INSERT INTO dv_s VALUES (1)")
+    engine.sql("DELETE FROM dv_t WHERE k IN (SELECT k FROM dv_s)")  # registers views
+    engine.sql("DROP TABLE dv_s")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dv_s|not.*exist|NOT_FOUND"):
+        engine.sql("DELETE FROM dv_t WHERE k IN (SELECT k FROM dv_s)")
