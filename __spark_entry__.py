@@ -63,7 +63,6 @@ _CORE = [
     "customer_rfm_segments",
     # UDF / UDAF
     "udf_scalar_charge",
-    "udaf_weighted_discount",
     # text analysis
     "text_vocab_topk",
     "bigram_topk_per_lang",
@@ -102,11 +101,13 @@ _CORE = [
     "basket_part_pairs",
     # curation / privacy
     "pack_sequences_sharded",
-    "pii_mask_customers",
     "k_anonymity_report",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
     "join_right_segment_spend",
+    # round-5 batch 3: FILTER-clause aggregation, bitwise family
+    "agg_filter_clause",
+    "scalar_bitwise_funcs",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -117,6 +118,8 @@ _ROTATION = [
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",
     "winnowing_fingerprint",
+    "udaf_weighted_discount",
+    "pii_mask_customers",
     "doc_ngram_novelty",
     "dedup_ngram_jaccard",
     "text_quality_scores",

@@ -2225,3 +2225,65 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+               AS finished_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation — several differently-filtered
+    aggregates out of ONE scan and one hash agg (the idiom that
+    replaces N self-joined subqueries with conditional aggregation;
+    Catalyst plans each FILTER as an `if` inside the aggregate
+    expression, all map-side-combinable)."""
+    o = load_table(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(fin, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.sum(F.when(fin, F.col("o_totalprice").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("finished_value"),
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor,
+           CAST(SUM(CAST(l_quantity AS BIGINT) << 1) AS BIGINT) AS qty_shl_sum,
+           CAST(SUM(xor(CAST(l_quantity AS BIGINT),
+                        CAST(l_linenumber AS BIGINT))) AS BIGINT) AS xor_mix_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family — the aggregate forms (bit_and / bit_or
+    / bit_xor, used for set-membership compression and checksum-style
+    integrity probes) plus scalar shifts and xor, all exact integer
+    ops inside codegen with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_and"),
+        F.bit_or(q).alias("qty_or"),
+        F.bit_xor(q).alias("qty_xor"),
+        F.sum(F.shiftleft(q, 1)).cast("bigint").alias("qty_shl_sum"),
+        F.sum(q.bitwiseXOR(F.col("l_linenumber").cast("bigint")))
+        .cast("bigint")
+        .alias("xor_mix_sum"),
+    )
