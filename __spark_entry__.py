@@ -44,7 +44,6 @@ _CORE = [
     # FGAC flagships (reference consumer_emr_on_eks_setup.sh:407-418)
     "fgac_patients_scan",
     "fgac_claims_join",
-    "fgac_catalog_qualified_scan",
     "fgac_corpus_stats",
     "fgac_view_scan",
     # temporal joins
@@ -76,7 +75,6 @@ _CORE = [
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "dedup_savings_report",
-    "graph_triangle_count",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
@@ -105,9 +103,12 @@ _CORE = [
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
     "join_right_segment_spend",
-    # round-5 batch 3: FILTER-clause aggregation, bitwise family
+    # round-5 batch 3: FILTER-clause aggregation, bitwise family,
+    # lang-ID QC confusion matrix, inter-arrival cadence stats
     "agg_filter_clause",
     "scalar_bitwise_funcs",
+    "lang_id_confusion_matrix",
+    "orders_interarrival_stats",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -118,6 +119,8 @@ _ROTATION = [
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",
     "winnowing_fingerprint",
+    "fgac_catalog_qualified_scan",
+    "graph_triangle_count",
     "udaf_weighted_discount",
     "pii_mask_customers",
     "doc_ngram_novelty",

@@ -723,3 +723,45 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         (F.col("n").cast("double") / F.col("row_total")).alias("p"),
     )
+
+
+@register(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders),
+    gaps AS (SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY o_custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (re-order gap) statistics per customer — the
+    churn-risk / purchase-cadence signal: integer day gaps between a
+    customer's consecutive orders via one lag window, reduced to
+    count/sum/min/max (mean = sum/count left to the consumer for
+    exactness). One customer-keyed exchange shared by the window and
+    the rollup; all values exact integer date math."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )

@@ -764,3 +764,46 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rank", "word", "exact_count")
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=rf"""
+    WITH {_lexicon_values_sql()},
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents),
+    cnts AS (
+        SELECT t.doc_id, l.pred_lang, COUNT(*) AS c
+        FROM toks t JOIN lex l ON t.word = l.word
+        GROUP BY t.doc_id, l.pred_lang),
+    best AS (
+        SELECT doc_id, pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, pred_lang) AS rn
+        FROM cnts),
+    labeled AS (
+        SELECT d.lang AS actual_lang,
+               COALESCE(b.pred_lang, 'und') AS predicted_lang
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1)
+    SELECT actual_lang, predicted_lang,
+           COUNT(*) AS n_docs,
+           (actual_lang = predicted_lang) AS is_correct
+    FROM labeled GROUP BY actual_lang, predicted_lang
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QC for the language-ID heuristic: the confusion
+    matrix of declared vs predicted language — the acceptance report a
+    pipeline reviews before trusting lang-ID for routing or filtering
+    (which languages leak into which, and how much lands in 'und').
+
+    Plan shape: text_lang_id's per-doc argmax (broadcast lexicon join +
+    doc-keyed aggregate) feeding one langs²-bounded rollup — the matrix
+    state is tiny no matter the corpus size."""
+    labeled = text_lang_id(spark, sf_dir)
+    return labeled.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(
+            F.col("actual_lang") == F.col("predicted_lang")
+        ).alias("is_correct"),
+    )
