@@ -45,7 +45,6 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    "fgac_view_scan",
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",
@@ -74,7 +73,6 @@ _CORE = [
     "dedup_simhash_det",
     "dedup_embedding_cosine",
     "dedup_connected_components",
-    "dedup_savings_report",
     # similarity search
     "ann_cosine_topk",
     "similarity_pairs_threshold",
@@ -109,6 +107,8 @@ _CORE = [
     "scalar_bitwise_funcs",
     "lang_id_confusion_matrix",
     "orders_interarrival_stats",
+    "grouping_id_rollup",
+    "monthly_mix_shift",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -121,6 +121,8 @@ _ROTATION = [
     "winnowing_fingerprint",
     "fgac_catalog_qualified_scan",
     "graph_triangle_count",
+    "fgac_view_scan",
+    "dedup_savings_report",
     "udaf_weighted_discount",
     "pii_mask_customers",
     "doc_ngram_novelty",

@@ -2287,3 +2287,88 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("xor_mix_sum"),
     )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the GROUPING() discriminator — the surface that
+    distinguishes a genuine NULL group key from a rollup subtotal row
+    (gid bit per column). One Expand + hash agg; subtotal rows are
+    computed in the same pass as the leaves."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "monthly_mix_shift",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY month, l_returnflag),
+    tot AS (SELECT month, CAST(SUM(n) AS BIGINT) AS m_total
+            FROM monthly GROUP BY month),
+    shares AS (
+        SELECT m.month, m.l_returnflag, m.n, t.m_total,
+               CAST(m.n AS DOUBLE) / t.m_total AS share
+        FROM monthly m JOIN tot t ON t.month = m.month)
+    SELECT month, l_returnflag, n, m_total, share,
+           share - LAG(share) OVER (PARTITION BY l_returnflag
+                                    ORDER BY month) AS mom_delta
+    FROM shares
+    """,
+)
+def monthly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month mix-shift — the drift monitor a data pipeline
+    runs on category shares (is one class of rows quietly growing?):
+    per-month per-flag share (exact integer counts, one deterministic
+    division) and its delta vs the previous month via a lag window
+    over the tiny months×flags frame. Two stacked partial aggs; the
+    window sorts dozens of rows, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = materialize_once(
+        li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            "l_returnflag",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = monthly.groupBy("month").agg(
+        F.sum("n").cast("bigint").alias("m_total")
+    )
+    shares = monthly.join(tot, "month").withColumn(
+        "share", F.col("n").cast("double") / F.col("m_total")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month")
+    return shares.select(
+        "month",
+        "l_returnflag",
+        "n",
+        "m_total",
+        "share",
+        (F.col("share") - F.lag("share").over(w)).alias("mom_delta"),
+    )
