@@ -53,7 +53,6 @@ _CORE = [
     "events_funnel_conversion",
     "events_time_weighted_value",
     "events_retention_cohorts",
-    "events_sessionization",
     # round-5: IGNORE NULLS window (LOCF gap fill), Markov transitions,
     # RFM quartile segmentation
     "events_locf_fill",
@@ -109,6 +108,7 @@ _CORE = [
     "orders_interarrival_stats",
     "grouping_id_rollup",
     "monthly_mix_shift",
+    "events_burst_runs",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -123,6 +123,7 @@ _ROTATION = [
     "graph_triangle_count",
     "fgac_view_scan",
     "dedup_savings_report",
+    "events_sessionization",
     "udaf_weighted_discount",
     "pii_mask_customers",
     "doc_ngram_novelty",

@@ -765,3 +765,70 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("bigint").alias("min_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+_BURST_GAP_S = 60  # events closer than this chain into one burst run
+
+
+@register(
+    "events_burst_runs",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) >= {_BURST_GAP_S}
+                       THEN 1 ELSE 0 END AS new_run
+        FROM seq),
+    runs AS (
+        SELECT user_id,
+               CAST(SUM(new_run) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS run_id
+        FROM flagged),
+    run_sizes AS (
+        SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY user_id, run_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           MAX(run_len) AS longest_run,
+           CAST(SUM(CASE WHEN run_len >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bursts
+    FROM run_sizes GROUP BY user_id
+    """,
+)
+def events_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length burst detection — the rapid-fire fingerprint a bot
+    screen uses: consecutive events closer than {_BURST_GAP_S}s chain
+    into a run (gap-based run-length encoding, the same lag+cumsum
+    recipe as sessionization at a tighter threshold); per user the
+    report gives run count, longest run, and how many runs reach
+    burst length (≥5). All integer date math.
+
+    Plan shape: two windows and two rollups, all on the same
+    user-keyed exchange — one shuffle end to end."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    gap = epoch("ts") - F.lag(epoch("ts")).over(w)
+    new_run = F.when(
+        F.lag("ts").over(w).isNull() | (gap >= _BURST_GAP_S), 1
+    ).otherwise(0)
+    run_sizes = (
+        e.withColumn("new_run", new_run)
+        .withColumn("run_id", F.sum("new_run").over(wrun).cast("bigint"))
+        .groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    return run_sizes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum(F.when(F.col("run_len") >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursts"),
+    )
