@@ -115,7 +115,12 @@ def _release_blocks(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = build_session(app_name="fgac-engine-bench")
+    # keep console progress bars out of the driver's 2,000-char stdout
+    # tail — the final compact JSON line must survive there verbatim
+    spark = build_session(
+        app_name="fgac-engine-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -180,22 +185,46 @@ def main() -> None:
         all_runs[name] = [round(r, 4) for r in runs]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # every raw run per query (not just the min) so drift
-                # can be separated from noise without re-running
-                # (VERDICT r4 task 6)
-                "runs": all_runs,
-                "sf": float(sf),
-            }
+    # Full-precision detail (every raw run per query, not just the min,
+    # so drift can be separated from noise without re-running — VERDICT
+    # r4 task 6) goes to a SIDE FILE: the driver captures only the last
+    # 2,000 chars of stdout, and the runs dict grew the r5 output line
+    # to ~4.4 KB, truncating the headline scalars away (BENCH_r05.json
+    # parsed: null — VERDICT r5 task 1).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
+        "w",
+    ) as f:
+        json.dump(
+            {"total": total, "queries": timings, "runs": all_runs, "sf": float(sf)},
+            f,
+            indent=1,
         )
-    )
     spark.stop()
+    # The FINAL stdout line is the compact headline dict only: 2-decimal
+    # values + no-whitespace separators keep 57 queries at ~1.74 KB.  If
+    # the headline set ever grows the line past 1,900 chars, trim the
+    # FASTEST queries from the dict (their detail is in BENCH_RUNS.json;
+    # `value` stays the full total) rather than ship an unparseable line.
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    omitted = 0
+    while True:
+        payload = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": compact,
+            "sf": float(sf),
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1900 or not compact:
+            break
+        fastest = min(compact, key=compact.get)
+        del compact[fastest]
+        omitted += 1
+    print(line)
 
 
 if __name__ == "__main__":
