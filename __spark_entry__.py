@@ -53,10 +53,9 @@ _CORE = [
     "events_funnel_conversion",
     "events_time_weighted_value",
     "events_retention_cohorts",
-    # round-5: IGNORE NULLS window (LOCF gap fill), Markov transitions,
-    # RFM quartile segmentation
-    "events_locf_fill",
-    "events_markov_transitions",
+    # round-7: RFM rewritten on skew.ntile_cutpoints (no single-
+    # partition window) — changed code re-verifies in-window; q15's
+    # parallel rewrite (broadcast scalar max) rides the rotation
     "customer_rfm_segments",
     # UDF / UDAF
     "udf_scalar_charge",
@@ -76,45 +75,43 @@ _CORE = [
     "ann_cosine_topk",
     "similarity_pairs_threshold",
     "ann_lsh_det",
-    "ann_ivf_det",
     "embedding_centroids",
     "knn_label_vote",
-    # multimodal (round-5: genuine PGM raster decode joins the window)
-    "multimodal_image_stats",
+    # multimodal (PCM decode; the PGM sibling rides the rotation)
     "multimodal_audio_rms",
-    # round-5 additions: passage-level dedup, int8 vector quantization
-    # with exact reconstruction-error audit, integer-exact hourly
-    # anomaly flags, the k-means E-step, and the per-source dataset card
-    "dedup_passages",
-    "embedding_quantize_int8",
-    "events_anomaly_hours",
-    "embedding_cluster_assign",
-    "corpus_dataset_card",
-    # round-5: interval-overlap join (session concurrency)
-    "sessions_overlap_concurrency",
-    # round-5: market-basket co-occurrence (support + lift)
-    "basket_part_pairs",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
     "join_right_segment_spend",
-    # round-5 batch 3: FILTER-clause aggregation, bitwise family,
-    # lang-ID QC confusion matrix, inter-arrival cadence stats
-    "agg_filter_clause",
-    "scalar_bitwise_funcs",
-    "lang_id_confusion_matrix",
-    "orders_interarrival_stats",
-    "grouping_id_rollup",
-    "monthly_mix_shift",
-    "events_burst_runs",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 7 (VERDICT r6 task 2: stable multi-
+    # round greens whose permanent core slots starved the rotation —
+    # core 49 → 31, rotating block back to ~19 slots/round)
+    "events_locf_fill",
+    "events_markov_transitions",
+    "events_burst_runs",
+    "events_anomaly_hours",
+    "orders_interarrival_stats",
+    "sessions_overlap_concurrency",
+    "basket_part_pairs",
+    "agg_filter_clause",
+    "scalar_bitwise_funcs",
+    "grouping_id_rollup",
+    "monthly_mix_shift",
+    "lang_id_confusion_matrix",
+    "corpus_dataset_card",
+    "embedding_quantize_int8",
+    "embedding_cluster_assign",
+    "ann_ivf_det",
+    "multimodal_image_stats",
+    "dedup_passages",
     # demoted from _CORE in round 5 (stable multi-round greens) to make
     # room for the round-5 debuts; they re-verify via the rotation
     "text_token_counts",

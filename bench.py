@@ -191,15 +191,23 @@ def main() -> None:
     # 2,000 chars of stdout, and the runs dict grew the r5 output line
     # to ~4.4 KB, truncating the headline scalars away (BENCH_r05.json
     # parsed: null — VERDICT r5 task 1).
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
-        "w",
-    ) as f:
-        json.dump(
-            {"total": total, "queries": timings, "runs": all_runs, "sf": float(sf)},
-            f,
-            indent=1,
-        )
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(
+                {"total": total, "queries": timings, "runs": all_runs, "sf": float(sf)},
+                f,
+                indent=1,
+            )
+    except OSError as exc:
+        # the side file is best-effort detail; never let a read-only or
+        # full disk abort main() after all queries already ran — the
+        # compact stdout headline below must always print (ADVICE r6)
+        print(f"bench: BENCH_RUNS.json not written: {exc}", file=sys.stderr)
     spark.stop()
     # The FINAL stdout line is the compact headline dict only: 2-decimal
     # values + no-whitespace separators keep 57 queries at ~1.74 KB.  If

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+    ntile_assign,
+    ntile_cutpoints,
+)
 from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
     fan_out,
     load_table,
@@ -1350,10 +1354,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 — top supplier by quarterly revenue. The max is a
-    window over the aggregated (small) revenue table, not a re-scan;
+    """TPC-H Q15 — top supplier by quarterly revenue. The per-supplier
+    revenue frame is materialized once; the max is a scalar aggregate
+    over it (map-side partials, one row per partition to the final
+    reducer) broadcast back as a 1-row equality join — NOT a global
+    window, which would funnel the whole frame through one partition.
     DECIMAL revenue makes the equality comparison exact."""
-    rev = (
+    rev = materialize_once(
         _t(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -1366,9 +1373,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue == mx.max_rev, "inner"
     )
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     return top.join(s, top.supplier_no == s.s_suppkey).select(
@@ -2186,41 +2193,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic recency/frequency/monetary
     customer quartiles, rolled up to segment sizes and value. Monetary
     accumulates in integer cents (decimal→bigint, partitioning-
-    invariant); every NTILE ordering carries the customer key as a
-    tie-break so quartile boundaries are total-order deterministic and
-    engine-identical.
+    invariant); every quartile ordering carries the customer key as a
+    tie-break so bucket boundaries are total-order deterministic and
+    engine-identical to the oracle's NTILE(4).
 
     Plan shape at 100 TB: one orders aggregation to a per-customer
-    frame, then three global NTILEs — each a range-partitioned sort
-    over customers (not orders); the final rollup has at most 64
-    cells. The per-customer frame is the shared input to all three
-    windows (one exchange, three sorts)."""
+    frame (materialized once), then — instead of three
+    `Window.orderBy` NTILEs, which Spark plans as three exchanges to
+    ONE partition each with a full sort there — three
+    `ntile_cutpoints` passes: each a narrow 2-column range exchange
+    whose per-partition counts (scalars) locate the three exact
+    quartile boundary tuples. Scores are then literal CASE
+    comparisons fused into the final rollup scan; no single-partition
+    window, no join, and the driver only ever holds 3×(n_parts + 3)
+    scalars. The final rollup has at most 64 cells."""
     o = load_table(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
-                "decimal(18,0)"
+    rfm = materialize_once(
+        o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "decimal(18,0)"
+                )
             )
-        )
-        .cast("bigint")
-        .alias("monetary_cents"),
-    )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(4).over(Window.orderBy("last_order", "o_custkey")),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(4).over(Window.orderBy("frequency", "o_custkey")),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")),
+            .cast("bigint")
+            .alias("monetary_cents"),
         )
     )
+    scored = rfm
+    for name, value_col in (
+        ("r_score", "last_order"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary_cents"),
+    ):
+        order = [value_col, "o_custkey"]
+        cuts = ntile_cutpoints(rfm, order, buckets=4)
+        scored = scored.withColumn(name, ntile_assign(cuts, order))
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),

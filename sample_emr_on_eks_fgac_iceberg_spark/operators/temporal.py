@@ -544,10 +544,6 @@ def sessions_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         F.lag("ts").over(w).isNull() | (gap_s > SESSION_GAP_SECONDS), 1
     ).otherwise(0)
-    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
-        materialize_once,
-    )
-
     sessions = materialize_once(
         e.withColumn("new_session", new_session)
         .withColumn("session_seq", F.sum("new_session").over(wrun))

@@ -1,6 +1,7 @@
 from sample_emr_on_eks_fgac_iceberg_spark.plans.explain import (
     executed_plan_str,
     explain_str,
+    global_windows,
     pushed_filters,
     uses_broadcast_join,
     wholestage_codegen_spans,
@@ -9,6 +10,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.plans.explain import (
 __all__ = [
     "executed_plan_str",
     "explain_str",
+    "global_windows",
     "pushed_filters",
     "uses_broadcast_join",
     "wholestage_codegen_spans",

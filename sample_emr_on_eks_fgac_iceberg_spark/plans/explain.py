@@ -41,3 +41,43 @@ def executed_plan_str(df: DataFrame) -> str:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(re.findall(r"\*\(\d+\)", executed_plan_str(df)))
+
+
+def _subtree_has_limit(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
+def global_windows(df: DataFrame) -> list[tuple[str, bool]]:
+    """Every Window node in the optimized logical plan whose
+    partitionSpec is EMPTY — the shape Spark executes as an exchange
+    to ONE partition plus a full sort there — as (node description,
+    input_is_limit_bounded).
+
+    A global window is only scale-safe when its input subtree contains
+    a Limit (a rank-the-top-K over a TakeOrderedAndProject result);
+    anything else is a data-sized single-partition sort that never
+    finishes at 100 TB. Lineage cut by localCheckpoint is invisible
+    here (LogicalRDD leaf) — frames built eagerly inside an operator
+    must keep their own plan audits."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    found = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() in ("Window", "WindowGroupLimit")
+            and node.partitionSpec().isEmpty()
+        ):
+            found.append((node.simpleString(120), _subtree_has_limit(node)))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return found

@@ -9,6 +9,7 @@ import pytest
 from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
 from sample_emr_on_eks_fgac_iceberg_spark.plans import (
     explain_str,
+    global_windows,
     pushed_filters,
     uses_broadcast_join,
     wholestage_codegen_spans,
@@ -490,17 +491,59 @@ def test_markov_bounded_matrix_single_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_rfm_windows_over_customer_frame_not_orders(spark, sf_dir):
-    # the three NTILEs must sort the per-customer aggregate, not raw
-    # orders: exactly one scan of orders feeding one aggregation
+def test_rfm_no_window_no_orders_rescan(spark, sf_dir):
+    # quartile scores are literal cut-point CASE comparisons over the
+    # materialized per-customer frame (skew.ntile_cutpoints): the final
+    # plan must contain NO window at all — in particular no exchange to
+    # a single partition — no join, and no rescan of raw orders
     plan = explain_str(QUERIES["customer_rfm_segments"](spark, sf_dir), "simple")
-    assert plan.count("orders.parquet") == 1, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "orders.parquet" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_locf_single_window_no_join(spark, sf_dir):
     plan = explain_str(QUERIES["events_locf_fill"](spark, sf_dir), "simple")
     assert "Join" not in plan and plan.count("Window") == 1, plan
+
+
+# The only legitimate shape for a Window with an empty partitionSpec
+# (Spark plans it as an exchange to ONE partition + a full sort there)
+# is ranking the survivors of a bounded Limit. These four rank a
+# TakeOrderedAndProject result of fixed size — each justified by its
+# literal bound:
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    "text_vocab_topk",  # ranks top-50 vocabulary rows (text.py _VOCAB_TOP_K)
+    "quality_unigram_rarity",  # ranks top-100 vocab rows (text.py _RARITY_VOCAB)
+    "bpe_merge_candidates",  # ranks top-30 char pairs (text.py _BPE_TOP_K)
+    "sketch_cms_heavy_hitters",  # ranks top-20 heavy hitters (text.py _CMS_TOP)
+}
+
+
+def test_no_data_sized_global_window_anywhere(spark, sf_dir):
+    """Global regression gate (VERDICT r6 task 3): no registered
+    query's plan may contain a data-sized single-partition window.
+    Bounded (limit-fed) global windows are allowed but must be on the
+    explicit allowlist above so additions get reviewed."""
+    unbounded = {}
+    bounded = set()
+    for name, fn in QUERIES.items():
+        wins = global_windows(fn(spark, sf_dir))
+        bad = [desc for desc, is_bounded in wins if not is_bounded]
+        if bad:
+            unbounded[name] = bad
+        if any(is_bounded for _, is_bounded in wins):
+            bounded.add(name)
+    assert not unbounded, (
+        "data-sized single-partition window(s) — rewrite with "
+        f"skew.ntile_cutpoints or a partitioned window: {unbounded}"
+    )
+    assert bounded <= _BOUNDED_GLOBAL_WINDOW_OK, (
+        "new bounded global window(s) — add to the allowlist WITH a "
+        f"one-line bound justification: {bounded - _BOUNDED_GLOBAL_WINDOW_OK}"
+    )
 
 
 def test_ivf_det_broadcast_codebook_and_cell_join(spark, sf_dir):

@@ -18,11 +18,15 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "sample_emr_on_eks_fgac_iceb
 #                             one single-row SUM aggregate per round
 #                             (the monotone-label fixpoint proof), never
 #                             row data
+#   operators/skew.py       — ntile_cutpoints: per-partition counts
+#                             (one scalar per partition) + exactly
+#                             buckets-1 boundary rows, never the frame
 ALLOWED_COLLECT_FILES = {
     "plans/explain.py",
     "operators/similarity.py",
     "sources/warehouse.py",
     "operators/dedup.py",
+    "operators/skew.py",
 }
 
 

@@ -1,10 +1,17 @@
-"""Salted two-phase aggregation: correctness vs the direct groupBy on
-a deliberately skewed key distribution, and the structural property
-that phase 1 spreads the hot key over many salt buckets."""
+"""Hotspot-avoidance utilities: salted two-phase aggregation
+(correctness vs the direct groupBy on a deliberately skewed key, and
+the structural property that phase 1 spreads the hot key over many
+salt buckets) and distributed NTILE cut-points (bucket-for-bucket
+equivalence with Spark's own single-partition NTILE window across
+sizes, including n < buckets and n not divisible by buckets)."""
 
+import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+    ntile_assign,
+    ntile_cutpoints,
     two_phase_salted_agg,
 )
 
@@ -52,3 +59,42 @@ def test_salt_spreads_hot_key(spark):
     )
     # the hot key's ~90k rows must occupy (nearly) all 16 salt buckets
     assert buckets >= 15
+
+
+def _tiled(spark, n):
+    # values deliberately heavy with ties (id % 7) so the unique-key
+    # tie-break column carries the total order, exactly the RFM shape
+    return spark.range(0, n).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("k")
+    )
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 100, 1001])
+@pytest.mark.parametrize("buckets", [2, 4])
+def test_ntile_cutpoints_match_window_ntile(spark, n, buckets):
+    df = _tiled(spark, n)
+    cuts = ntile_cutpoints(df, ["v", "k"], buckets, n_parts=8)
+    got = {
+        (r["k"], r["b"])
+        for r in df.withColumn("b", ntile_assign(cuts, ["v", "k"])).collect()
+    }
+    want = {
+        (r["k"], r["b"])
+        for r in df.withColumn(
+            "b", F.ntile(buckets).over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_cutpoints_empty_input(spark):
+    df = _tiled(spark, 10).filter(F.lit(False))
+    assert ntile_cutpoints(df, ["v", "k"], 4) == []
+
+
+def test_ntile_cutpoints_driver_holds_only_scalars(spark):
+    # the helper's two actions return n_parts counts + (buckets-1)
+    # boundary rows — never the frame; assert the output size contract
+    cuts = ntile_cutpoints(_tiled(spark, 10_000), ["v", "k"], 4, n_parts=16)
+    assert len(cuts) == 3
+    assert set(cuts[0].asDict()) >= {"v", "k"}
