@@ -77,8 +77,10 @@ _CORE = [
     "ann_lsh_det",
     "embedding_centroids",
     "knn_label_vote",
-    # multimodal (PCM decode; the PGM sibling rides the rotation)
+    # multimodal (PCM decode; the PGM sibling rides the rotation;
+    # round-7 debut: genuine 24-bit BMP decode)
     "multimodal_audio_rms",
+    "multimodal_bmp_stats",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",

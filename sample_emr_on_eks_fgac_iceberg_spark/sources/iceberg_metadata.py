@@ -163,6 +163,32 @@ def build_table_metadata(meta, table_root: str) -> dict:
     snapshot_log = []
     for s in meta.snapshots:
         sid = s["snapshot_id"]
+        summary = {
+            "operation": _OPERATIONS.get(s.get("operation"), "overwrite"),
+            "engine-operation": str(s.get("operation")),
+            "added-data-files": str(len(s.get("added_files", []))),
+            "removed-data-files": str(len(s.get("removed_files", []))),
+            "added-records": str(s.get("added_records", 0)),
+        }
+        # partition summaries (spec: changed-partition-count plus
+        # `partitions.<dir>` record counts, the fields a planner uses
+        # to size a partition without opening manifests). The changed
+        # set derives from the directory-encoded file paths every
+        # snapshot already stores; per-partition added-record counts
+        # come from the commit-time footer pass (snapshots written
+        # before that key was recorded just omit them).
+        changed = {
+            os.path.dirname(f)
+            for f in list(s.get("added_files", []))
+            + list(s.get("removed_files", []))
+        }
+        if changed:
+            summary["changed-partition-count"] = str(len(changed))
+        for part, n in sorted(
+            (s.get("partition_added_records") or {}).items()
+        ):
+            if part:
+                summary[f"partitions.{part}"] = f"added-records={n}"
         entry = {
             "snapshot-id": sid,
             "sequence-number": s["sequence_number"],
@@ -174,13 +200,7 @@ def build_table_metadata(meta, table_root: str) -> dict:
             "manifest-list": os.path.join(
                 table_root, "metadata", f"snap-{sid}.avro"
             ),
-            "summary": {
-                "operation": _OPERATIONS.get(s.get("operation"), "overwrite"),
-                "engine-operation": str(s.get("operation")),
-                "added-data-files": str(len(s.get("added_files", []))),
-                "removed-data-files": str(len(s.get("removed_files", []))),
-                "added-records": str(s.get("added_records", 0)),
-            },
+            "summary": summary,
         }
         snapshots.append(entry)
         if not s.get("staged"):

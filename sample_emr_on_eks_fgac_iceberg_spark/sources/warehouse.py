@@ -656,6 +656,19 @@ class Warehouse:
         import pyarrow.parquet as pq
 
         data = self.data_dir(meta.name)
+        # commit summary (Iceberg's snapshot summary): row counts of
+        # the added files from their footers — bounded by file count,
+        # no data I/O — kept per partition directory so the metadata
+        # mirror can emit the spec's partition summaries
+        added_records = 0
+        partition_added_records: dict[str, int] = {}
+        for f in sorted(added):
+            n = pq.ParquetFile(os.path.join(data, f)).metadata.num_rows
+            added_records += n
+            part = os.path.dirname(f)
+            partition_added_records[part] = (
+                partition_added_records.get(part, 0) + n
+            )
         entry = {
             "snapshot_id": seq,
             "sequence_number": seq,
@@ -663,13 +676,8 @@ class Warehouse:
             "operation": operation,
             "added_files": sorted(added),
             "removed_files": sorted(removed or ()),
-            # commit summary (Iceberg's snapshot summary): row count of
-            # the added files from their footers — bounded by file
-            # count, no data I/O
-            "added_records": sum(
-                pq.ParquetFile(os.path.join(data, f)).metadata.num_rows
-                for f in added
-            ),
+            "added_records": added_records,
+            "partition_added_records": partition_added_records,
         }
         if txn is not None:
             entry["source_id"], entry["batch_id"] = txn[0], int(txn[1])

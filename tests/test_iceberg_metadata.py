@@ -202,3 +202,47 @@ def test_metadata_log_capped_at_previous_versions_max(wh):
     mlog = doc["metadata-log"]
     assert len(mlog) == 5  # capped, newest previous versions kept
     assert mlog[-1]["metadata-file"].endswith(f"v{v - 1}.metadata.json")
+
+
+def test_partition_summaries_match_partitions_df(wh):
+    """VERDICT r6 task 4: each snapshot summary carries the spec's
+    changed-partition-count plus `partitions.<dir>` added-record
+    counts, and their per-partition totals agree with the engine's own
+    partitions_df (footer-derived truth)."""
+    wh.create_table("ps", "k int, state string", partition_by=["state"])
+    wh.insert_values("ps", [(1, "TX"), (2, "TX"), (3, "NY")])
+    wh.insert_values("ps", [(4, "TX"), (5, "CA")])
+    doc, _, _ = _read_current(wh, "ps")
+
+    s1, s2 = doc["snapshots"]
+    assert s1["summary"]["changed-partition-count"] == "2"  # TX, NY
+    assert s2["summary"]["changed-partition-count"] == "2"  # TX, CA
+
+    totals: dict[str, int] = {}
+    for s in doc["snapshots"]:
+        for key, val in s["summary"].items():
+            if key.startswith("partitions."):
+                part = key[len("partitions."):]
+                assert val.startswith("added-records=")
+                totals[part] = totals.get(part, 0) + int(
+                    val.split("=", 1)[1]
+                )
+    engine = {
+        r["partition"]: r["record_count"]
+        for r in wh.partitions_df("ps").collect()
+    }
+    assert totals == engine == {
+        "state=TX": 3,
+        "state=NY": 1,
+        "state=CA": 1,
+    }
+
+
+def test_unpartitioned_changed_partition_count_is_one(wh):
+    wh.create_table("up", "k int")
+    wh.insert_values("up", [(1,), (2,)])
+    doc, _, _ = _read_current(wh, "up")
+    s = doc["snapshots"][-1]
+    # unpartitioned files live in the data-dir root: one "" partition
+    assert s["summary"]["changed-partition-count"] == "1"
+    assert not any(k.startswith("partitions.") for k in s["summary"])
