@@ -81,6 +81,13 @@ _CORE = [
     # round-7 debut: genuine 24-bit BMP decode)
     "multimodal_audio_rms",
     "multimodal_bmp_stats",
+    # round-7 debuts: directional shingle containment, Kneser-Ney
+    # bigram count tables, fixed-point Gram matrix (whitening/PCA
+    # input), feature-store trailing-window snapshot
+    "dedup_containment",
+    "kneser_ney_counts",
+    "embedding_gram_matrix",
+    "user_feature_snapshot",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",

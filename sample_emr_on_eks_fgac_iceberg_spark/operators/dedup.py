@@ -150,6 +150,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=rf"""
+    WITH {_JACCARD_COMMON_CTE}
+    SELECT p.a_id, p.b_id, p.shared,
+           CAST(p.shared AS DOUBLE) / sa.n AS containment_a,
+           CAST(p.shared AS DOUBLE) / sb.n AS containment_b
+    FROM pair_shared p
+      JOIN sizes sa ON sa.doc_id = p.a_id
+      JOIN sizes sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.shared AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+       OR CAST(p.shared AS DOUBLE) / sb.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by shingle containment |A∩B| / |A| —
+    the subset-duplication screen Jaccard misses: a short document
+    quoted wholesale inside a long one has containment ≈ 1.0 while its
+    Jaccard stays below any dedup threshold (the union is dominated by
+    the long side). Standard corpus-dedup companion to
+    `dedup_ngram_jaccard`; a pair survives when EITHER direction
+    crosses {CONTAINMENT_THRESHOLD}.
+
+    Plan is the Jaccard pipeline verbatim (same shingle index, same
+    xxhash64 8-byte candidate join, per-side set sizes riding through
+    the explode so no sizes-table join) — only the final scoring
+    expression differs, so the 100 TB posture argument carries over
+    unchanged: candidates only ever come from the shingle equi-join,
+    never an all-pairs product."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    exploded = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", _shingles("t").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+    )
+    exploded = materialize_once(exploded)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.n").alias("n_a"),
+            F.min("b.n").alias("n_b"),
+        )
+    )
+    c_a = F.col("shared").cast("double") / F.col("n_a")
+    c_b = F.col("shared").cast("double") / F.col("n_b")
+    return pair_shared.select(
+        "a_id",
+        "b_id",
+        "shared",
+        c_a.alias("containment_a"),
+        c_b.alias("containment_b"),
+    ).filter(
+        (F.col("containment_a") >= CONTAINMENT_THRESHOLD)
+        | (F.col("containment_b") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 @register("dedup_minhash_lsh")  # engine-specific hash family → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (pyspark.ml): shingle → HashingTF

@@ -953,3 +953,65 @@ def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+                   AS xi
+        FROM embeddings)
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a.xi * b.xi) AS BIGINT) AS gram_sum,
+           CAST(SUM(a.xi) AS BIGINT) AS sum_i,
+           CAST(SUM(b.xi) AS BIGINT) AS sum_j
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed D×D Gram / second-moment matrix over the embedding
+    corpus — the one aggregate a whitening or PCA step needs (covariance
+    = gram_sum/n − mean_i·mean_j, derivable from the emitted integer
+    sums; the D×D eigensolve itself is a driver-side BLAS call on the
+    2080-cell result, not a cluster job). Upper triangle only
+    (dim_i ≤ dim_j); fixed-point bigint accumulation keeps every cell
+    partitioning-invariant and engine-exact.
+
+    Plan shape at 100 TB: posexplode to the narrow (vec_id, dim, xi)
+    long form behind a plan barrier, then a SELF-JOIN keyed on vec_id —
+    each vector meets only itself, so the join fans out D(D+1)/2 cell
+    contributions per vector (N·D² work, the irreducible cost of a Gram
+    matrix) straight into a hash aggregate with map-side partials whose
+    state is the D(D+1)/2 output cells, independent of N. No all-pairs
+    product, no driver-side vectors; shuffle volume after the partials
+    is cells × partitions, trivially small."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = materialize_once(
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+        )
+    )
+    a, b = x.alias("a"), x.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("a.xi") * F.col("b.xi")).cast("bigint").alias("gram_sum"),
+            F.sum("a.xi").cast("bigint").alias("sum_i"),
+            F.sum("b.xi").cast("bigint").alias("sum_j"),
+        )
+    )

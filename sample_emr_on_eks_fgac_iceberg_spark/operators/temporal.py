@@ -828,3 +828,60 @@ def events_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bursts"),
     )
+
+
+@register(
+    "user_feature_snapshot",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(ts) AS c FROM events),
+    feat AS (
+        SELECT e.user_id,
+               COUNT(*) FILTER (WHERE e.ts > c.c - INTERVAL 7 DAY)
+                   AS n_7d,
+               COUNT(*) AS n_30d,
+               CAST(SUM(CAST(round(e.value * 1000000) AS BIGINT))
+                        FILTER (WHERE e.ts > c.c - INTERVAL 7 DAY)
+                    AS BIGINT) AS value_sum_7d_fixed,
+               CAST(SUM(CAST(round(e.value * 1000000) AS BIGINT))
+                    AS BIGINT) AS value_sum_30d_fixed,
+               CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types_30d,
+               MAX(e.ts) AS last_ts
+        FROM events e CROSS JOIN cutoff c
+        WHERE e.ts > c.c - INTERVAL 30 DAY
+        GROUP BY e.user_id)
+    SELECT * FROM feat
+    """,
+)
+def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store snapshot — the trailing-window per-user feature
+    vector an ML serving/training pipeline materializes as-of a cutoff
+    (here MAX(ts), so the query is deterministic with no wall-clock
+    dependency): 7-day and 30-day event counts, fixed-point value sums
+    (micro-units, so the accumulation is exact integer arithmetic in
+    both engines), distinct event types, and the last-seen timestamp.
+
+    Plan shape at 100 TB: the cutoff is a 1-row scalar aggregate
+    broadcast to every task (a broadcast nested-loop join of one row —
+    never a shuffle of events); the 30-day filter then prunes the scan
+    before ONE user-keyed hash aggregation computes every feature in a
+    single pass via conditional aggregation (the FILTER-clause idiom —
+    no per-window self-joins). countDistinct plans as the standard
+    two-phase expand+agg, still keyed on user_id. On a date-partitioned
+    event lake the trailing-window filter is partition pruning."""
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(F.max("ts").alias("c"))
+    fixed = F.round(F.col("value") * 1000000).cast("long")
+    in7 = F.col("ts") > F.col("c") - F.expr("INTERVAL 7 DAYS")
+    return (
+        e.join(F.broadcast(cut))
+        .filter(F.col("ts") > F.col("c") - F.expr("INTERVAL 30 DAYS"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(in7, 1)).alias("n_7d"),
+            F.count(F.lit(1)).alias("n_30d"),
+            F.sum(F.when(in7, fixed)).cast("bigint").alias("value_sum_7d_fixed"),
+            F.sum(fixed).cast("bigint").alias("value_sum_30d_fixed"),
+            F.countDistinct("event_type").alias("n_types_30d"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

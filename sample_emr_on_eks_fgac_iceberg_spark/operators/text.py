@@ -807,3 +807,82 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("actual_lang") == F.col("predicted_lang")
         ).alias("is_correct"),
     )
+
+
+_KN_MIN_COUNT = 5  # bigram support floor bounding the output table
+
+
+@register(
+    "kneser_ney_counts",
+    oracle=rf"""
+    WITH words AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    bg AS (
+        SELECT unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            ELSE []::VARCHAR[] END) AS bigram
+        FROM words),
+    pairs AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                     split_part(bigram, ' ', 2) AS w2
+              FROM bg),
+    counts AS (SELECT w1, w2, COUNT(*) AS pair_count
+               FROM pairs GROUP BY w1, w2),
+    fan AS (SELECT w1, COUNT(*) AS n_right_types FROM counts GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n_left_contexts FROM counts GROUP BY w2)
+    SELECT c.w1, c.w2, c.pair_count, f.n_right_types, t.n_left_contexts
+    FROM counts c
+      JOIN fan f ON f.w1 = c.w1
+      JOIN cont t ON t.w2 = c.w2
+    WHERE c.pair_count >= {_KN_MIN_COUNT}
+    """,
+)
+def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothing ingredients — the count tables an n-gram
+    LM build needs from a pretraining corpus: per surviving bigram its
+    raw count, the left word's continuation fan-out N₁₊(w₁,•) (distinct
+    right types) and the right word's continuation count N₁₊(•,w₂)
+    (distinct left contexts — KN's replacement for raw unigram
+    frequency). All integer-exact, so the DuckDB oracle reproduces the
+    table bit-for-bit.
+
+    Plan shape at 100 TB: bigrams are built per-document inside
+    codegen (transform over the token array — no corpus self-join);
+    ONE hash-shuffled (w₁,w₂) count with map-side partials is the only
+    corpus-sized shuffle (volume = distinct bigrams, vocabulary²-
+    bounded in theory, Zipf-bounded in practice). The fan-out and
+    continuation aggregates then run over the DISTINCT-bigram frame —
+    already orders of magnitude below corpus size — behind a plan
+    barrier so the bigram count is computed once for all three roles.
+    The support floor bounds the output without any global sort or
+    window."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])) "
+        "ELSE array() END"
+    )
+    counts = materialize_once(
+        d.select(toks.alias("w"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    fan = counts.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n_right_types")
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_left_contexts")
+    )
+    return (
+        counts.filter(F.col("pair_count") >= _KN_MIN_COUNT)
+        .join(fan, "w1")
+        .join(cont, "w2")
+        .select("w1", "w2", "pair_count", "n_right_types", "n_left_contexts")
+    )

@@ -522,23 +522,39 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
+# Queries allowed a CartesianProduct in the initial physical plan —
+# each must be a deliberately-unconditioned join of BOUNDED inputs:
+_CARTESIAN_OK = {
+    "join_cross_region_status",  # 5 regions × |distinct status| (3)
+}
+
+
 def test_no_data_sized_global_window_anywhere(spark, sf_dir):
     """Global regression gate (VERDICT r6 task 3): no registered
-    query's plan may contain a data-sized single-partition window.
-    Bounded (limit-fed) global windows are allowed but must be on the
-    explicit allowlist above so additions get reviewed."""
+    query's plan may contain a data-sized single-partition window —
+    and, same sweep, no surprise CartesianProduct. Bounded (limit-fed)
+    global windows are allowed but must be on the explicit allowlist
+    above so additions get reviewed."""
     unbounded = {}
     bounded = set()
+    cartesian = set()
     for name, fn in QUERIES.items():
-        wins = global_windows(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        wins = global_windows(df)
         bad = [desc for desc, is_bounded in wins if not is_bounded]
         if bad:
             unbounded[name] = bad
         if any(is_bounded for _, is_bounded in wins):
             bounded.add(name)
+        if "CartesianProduct" in explain_str(df, "simple"):
+            cartesian.add(name)
     assert not unbounded, (
         "data-sized single-partition window(s) — rewrite with "
         f"skew.ntile_cutpoints or a partitioned window: {unbounded}"
+    )
+    assert cartesian <= _CARTESIAN_OK, (
+        "unplanned CartesianProduct — broadcast the small side or add "
+        f"a join key: {cartesian - _CARTESIAN_OK}"
     )
     assert bounded <= _BOUNDED_GLOBAL_WINDOW_OK, (
         "new bounded global window(s) — add to the allowlist WITH a "
