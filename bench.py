@@ -92,6 +92,13 @@ HEADLINE = [
     "ann_ivf_det",
     "events_markov_transitions",
     "customer_rfm_segments",
+    # round-7: second raster decode (BMP), directional containment,
+    # KN bigram tables, Gram matrix, feature-store snapshot
+    "multimodal_bmp_stats",
+    "dedup_containment",
+    "kneser_ney_counts",
+    "embedding_gram_matrix",
+    "user_feature_snapshot",
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
 from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
     ntile_assign,
-    ntile_cutpoints,
+    ntile_cutpoints_multi,
 )
 from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
     fan_out,
@@ -2200,13 +2200,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: one orders aggregation to a per-customer
     frame (materialized once), then — instead of three
     `Window.orderBy` NTILEs, which Spark plans as three exchanges to
-    ONE partition each with a full sort there — three
-    `ntile_cutpoints` passes: each a narrow 2-column range exchange
-    whose per-partition counts (scalars) locate the three exact
+    ONE partition each with a full sort there — a single stacked
+    `ntile_cutpoints_multi` pass: the three orderings union long-form
+    (dim tag, long value, custkey) through ONE narrow range exchange
+    whose per-(dim, partition) counts (scalars) locate all nine exact
     quartile boundary tuples. Scores are then literal CASE
     comparisons fused into the final rollup scan; no single-partition
-    window, no join, and the driver only ever holds 3×(n_parts + 3)
-    scalars. The final rollup has at most 64 cells."""
+    window, no join, and the driver only ever holds 3·n_parts + 9
+    scalars. The final rollup has at most 64 cells.
+
+    Cost note (bench): at toy SFs this reads ~1 s slower than the old
+    single-partition-window form — fixed driver overhead (two
+    checkpoint barriers compile plans to RDDs, plus two tiny actions),
+    NOT data-scaled work; the window form's cost grows with the
+    customer frame on one task, this form's does not."""
     o = load_table(spark, sf_dir, "orders")
     rfm = materialize_once(
         o.groupBy("o_custkey").agg(
@@ -2221,15 +2228,46 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    scored = rfm
-    for name, value_col in (
-        ("r_score", "last_order"),
+    # All three dimensions' cut-points come from ONE stacked pipeline
+    # (ntile_cutpoints_multi): recency is converted to epoch-micros so
+    # the three orderings share a long-typed value column — the
+    # conversion is order-isomorphic, so NTILE positions are unchanged.
+    # One materialization job, one range-sample + exchange, one counts
+    # action, one boundary fetch — instead of 3× each dimension-wise.
+    # The exchange's partition count adapts to the MEASURED frame size
+    # (≤1M narrow rows per partition): thousands of partitions at 100 TB
+    # customer counts, a handful at test scale where 32 near-empty
+    # tasks per job would be pure scheduling overhead.
+    n_customers = rfm.count()
+    # size-derived, not core-derived: the formula itself bounds task
+    # input (tasks beyond core count just queue)
+    n_parts = (3 * n_customers) // 1_000_000 + 1
+    rfm = rfm.withColumn(
+        "last_order_us", F.unix_micros(F.col("last_order").cast("timestamp"))
+    )
+    dims = (
+        ("r_score", "last_order_us"),
         ("f_score", "frequency"),
         ("m_score", "monetary_cents"),
-    ):
-        order = [value_col, "o_custkey"]
-        cuts = ntile_cutpoints(rfm, order, buckets=4)
-        scored = scored.withColumn(name, ntile_assign(cuts, order))
+    )
+    parts = [
+        rfm.select(
+            F.lit(name).alias("dim"),
+            F.col(c).cast("long").alias("v"),
+            "o_custkey",
+        )
+        for name, c in dims
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    cuts = ntile_cutpoints_multi(
+        stacked, "dim", ["v", "o_custkey"], buckets=4, n_parts=n_parts
+    )
+    scored = rfm
+    for name, c in dims:
+        scored = scored.withColumn(
+            name,
+            ntile_assign(cuts[name], [c, "o_custkey"], ["v", "o_custkey"]),
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),

@@ -82,30 +82,53 @@ def ntile_cutpoints(
     and r = n mod b, bucket k ends at global position k·q + min(k, r)).
     A row's bucket is then ``1 + Σₖ [row > cutpoint_k]`` with plain
     tuple comparisons — broadcastable literals, no join, no window.
+    Single-ordering convenience wrapper over `ntile_cutpoints_multi`
+    (see there for the plan shape and the total-order requirement)."""
+    out = ntile_cutpoints_multi(
+        df.withColumn("__dim", F.lit("d")), "__dim", order_cols, buckets, n_parts
+    )
+    return out.get("d", [])
 
-    Plan: one ``repartitionByRange`` of (only) the order columns + a
-    per-partition sort, then ``monotonically_increasing_id`` yields
-    (partition id, local index) per row. Per-partition counts — one
-    scalar per partition, the only thing the driver ever holds —
-    locate each boundary position's (partition, local index), and one
-    filter fetches exactly ``buckets - 1`` rows. Range partition ids
-    ascend with the range boundaries, so offset arithmetic over the
-    counts is the global rank. At 1000 executors this is a narrow
-    2-column range exchange plus two tiny actions — the shape that
-    replaces the one-task global sort.
 
-    ``order_cols`` must be a total order (include a unique tie-break
-    column) with no nulls; ties straddling a range boundary would
-    otherwise make ranks nondeterministic.
+def ntile_cutpoints_multi(
+    df: DataFrame,
+    dim_col: str,
+    order_cols: Sequence[str],
+    buckets: int,
+    n_parts: int | None = None,
+) -> dict[str, list[Row]]:
+    """NTILE cut-points for SEVERAL independent orderings stacked in
+    one frame: ``df`` holds (dim_col, *order_cols) rows where each
+    distinct ``dim_col`` value is its own ranking universe (e.g. RFM's
+    recency/frequency/monetary dimensions unioned long-form). Returns
+    {dim: [buckets-1 boundary rows]}.
+
+    Plan: ONE ``repartitionByRange`` keyed (dim, *order) + per-
+    partition sort — a single sample job + exchange no matter how many
+    dimensions — then ``monotonically_increasing_id`` gives (partition
+    id, local index). One grouped count per (dim, partition) — the
+    only driver-held state, n_parts × n_dims scalars — locates every
+    dimension's boundary positions; dims can share a partition, so a
+    dim's rows inside partition p start at the sum of that partition's
+    earlier-sorting dims' counts. One filter fetches all boundaries.
+    Compare: three separate single-dim passes cost 3× (sample job +
+    exchange + 2 actions); stacked, the same answer is 3 narrow rows
+    per input row through ONE pipeline — at 1000 executors that is the
+    difference between 9 barriers and 3.
+
+    Per-dim ``order_cols`` must be a total order (unique tie-break,
+    no nulls); ties straddling a range boundary would otherwise make
+    ranks nondeterministic.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
+    keys = [dim_col, *order_cols]
     ranked = (
-        df.select(*order_cols)
-        .repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
+        df.select(*keys)
+        .repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
         .withColumn("__mid", F.monotonically_increasing_id())
         # freeze the nondeterministic ids so the counts action and the
         # boundary fetch below see the same assignment
@@ -113,49 +136,71 @@ def ntile_cutpoints(
     )
     pid = F.shiftrightunsigned("__mid", _MID_LOCAL_BITS)
     local = F.col("__mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
-    sizes = {
-        r["__pid"]: r["count"]
-        for r in ranked.groupBy(pid.alias("__pid")).count().collect()
-    }
-    total = sum(sizes.values())
-    if total == 0:
-        return []
-    offsets, acc = {}, 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
-    q, r = divmod(total, buckets)
-    ends = [k * q + min(k, r) for k in range(1, buckets)]
-    targets = set()
-    for pos in ends:  # always >= 1 once total >= 1 (ends[k] = min(k, n) when n < b)
-        for p in sorted(sizes):
-            if pos <= offsets[p] + sizes[p]:
-                targets.add((p, pos - offsets[p] - 1))
-                break
+    # sizes[dim][pid] — n_parts × n_dims scalars, nothing more
+    sizes: dict[str, dict[int, int]] = {}
+    for row in (
+        ranked.groupBy(F.col(dim_col).alias("__d"), pid.alias("__pid"))
+        .count()
+        .collect()
+    ):
+        sizes.setdefault(row["__d"], {})[row["__pid"]] = row["count"]
+    targets: dict[tuple[int, int], tuple[str, int]] = {}
+    ends_by_dim: dict[str, list[int]] = {}
+    for d, by_pid in sizes.items():
+        total = sum(by_pid.values())
+        q, r = divmod(total, buckets)
+        ends = [k * q + min(k, r) for k in range(1, buckets)]
+        ends_by_dim[d] = ends
+        # global offset of dim d at partition p, plus d's local base
+        # inside p (rows of earlier-sorting dims sharing the partition)
+        offsets, acc = {}, 0
+        for p in sorted(by_pid):
+            offsets[p] = acc
+            acc += by_pid[p]
+        for pos in set(ends):  # >= 1 whenever total >= 1
+            for p in sorted(by_pid):
+                if pos <= offsets[p] + by_pid[p]:
+                    base = sum(
+                        sizes[d2].get(p, 0) for d2 in sizes if d2 < d
+                    )
+                    j = base + (pos - offsets[p] - 1)
+                    targets[(p, j)] = (d, pos)
+                    break
+    if not targets:
+        return {d: [] for d in sizes}
     cond = F.lit(False)
     for p, j in targets:
         cond = cond | ((pid == F.lit(p)) & (local == F.lit(j)))
-    picked = {row["__mid"]: row for row in ranked.where(cond).collect()}
-    by_pos = {
-        offsets[p] + j + 1: picked[(p << _MID_LOCAL_BITS) + j]
-        for p, j in targets
+    by_dim_pos: dict[str, dict[int, Row]] = {}
+    for row in ranked.where(cond).collect():
+        p = row["__mid"] >> _MID_LOCAL_BITS
+        j = row["__mid"] & _MID_LOCAL_MASK
+        d, pos = targets[(p, j)]
+        by_dim_pos.setdefault(d, {})[pos] = row
+    return {
+        d: [by_dim_pos[d][pos] for pos in ends_by_dim[d]] for d in sizes
     }
-    return [by_pos[pos] for pos in ends]
 
 
 def ntile_assign(
-    cutpoints: Sequence[Row], order_cols: Sequence[str]
+    cutpoints: Sequence[Row],
+    order_cols: Sequence[str],
+    boundary_cols: Sequence[str] | None = None,
 ) -> Column:
     """Bucket-assignment column for `ntile_cutpoints` output: score =
     1 + number of cut-point tuples strictly below this row, evaluated
     as literal lexicographic comparisons (pure codegen arithmetic —
-    no exchange of any kind in the consuming plan)."""
+    no exchange of any kind in the consuming plan). ``boundary_cols``
+    maps each order column to its name in the cut-point rows when the
+    ranking ran over a renamed/stacked projection (see
+    `ntile_cutpoints_multi`)."""
+    bcols = list(boundary_cols or order_cols)
     score = F.lit(1)
     for b in cutpoints:
         gt = F.lit(False)
         eq = F.lit(True)
-        for c in order_cols:
-            gt = gt | (eq & (F.col(c) > F.lit(b[c])))
-            eq = eq & (F.col(c) == F.lit(b[c]))
+        for c, bc in zip(order_cols, bcols):
+            gt = gt | (eq & (F.col(c) > F.lit(b[bc])))
+            eq = eq & (F.col(c) == F.lit(b[bc]))
         score = score + gt.cast("int")
     return score
