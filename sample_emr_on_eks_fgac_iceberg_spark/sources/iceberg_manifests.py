@@ -1,0 +1,461 @@
+"""Iceberg v2 manifest-list / manifest emission (closes the last E2
+waiver: reference tables ship ``snap-*.avro`` and ``*-m0.avro`` beside
+``metadata.json`` — producer_account_setup/logs/
+producer_cleanup_logs.txt:33-51).
+
+Every metadata write now also emits, for the CURRENT snapshot:
+
+- ``<table>/metadata/<sid>-m0.avro`` — a data manifest holding the
+  complete live data-file set as of that snapshot (entries for files
+  added by the snapshot carry status ADDED, carried files EXISTING),
+  each with its adding snapshot id / data sequence number and typed
+  partition tuple;
+- ``<table>/metadata/<sid>-m1.avro`` — an equality-deletes manifest,
+  when live delete files exist;
+- ``<table>/metadata/snap-<sid>.avro`` — the manifest list referencing
+  them, which is exactly the path ``metadata.json``'s snapshot entry
+  already records.
+
+Schemas follow the Iceberg table-spec v2 field set with the spec's
+field ids attached (``field-id``); files are written by the pure-
+Python Avro writer in sources/avro_io.py and are readable by the
+official Apache Avro Java reader (cross-validated in
+tests/test_iceberg_manifests.py via the avro-1.12.x jar on Spark's
+classpath). Writing the full live set per commit is the "rewrite
+manifests every commit" strategy — spec-valid and simplest; a
+production writer carries unchanged manifest files forward instead
+(noted here so the tradeoff is explicit).
+
+Partition values in manifests use the SPEC's transform result types
+(day → days since epoch, month → months since 1970-01, hour → hours
+since epoch, year → years since 1970), converted from this engine's
+human-readable directory encoding.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from urllib.parse import unquote
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.avro_io import (
+    write_container,
+)
+
+_EPOCH_D = dt.date(1970, 1, 1)
+_EPOCH_TS = dt.datetime(1970, 1, 1)
+
+_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _f(fid: int, name: str, ftype, optional: bool = False) -> dict:
+    out = {"name": name, "type": ftype, "field-id": fid}
+    if optional:
+        out["type"] = ["null", ftype]
+        out["default"] = None
+    return out
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        _f(509, "contains_null", "boolean"),
+        _f(518, "contains_nan", "boolean", optional=True),
+        _f(510, "lower_bound", "bytes", optional=True),
+        _f(511, "upper_bound", "bytes", optional=True),
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _f(500, "manifest_path", "string"),
+        _f(501, "manifest_length", "long"),
+        _f(502, "partition_spec_id", "int"),
+        _f(517, "content", "int"),
+        _f(515, "sequence_number", "long"),
+        _f(516, "min_sequence_number", "long"),
+        _f(503, "added_snapshot_id", "long"),
+        _f(504, "added_files_count", "int"),
+        _f(505, "existing_files_count", "int"),
+        _f(506, "deleted_files_count", "int"),
+        _f(512, "added_rows_count", "long"),
+        _f(513, "existing_rows_count", "long"),
+        _f(514, "deleted_rows_count", "long"),
+        _f(507, "partitions", {"type": "array", "items": _FIELD_SUMMARY}, optional=True),
+        _f(519, "key_metadata", "bytes", optional=True),
+    ],
+}
+
+
+def _partition_avro_field(pf, src_type: str, fid: int) -> tuple[dict, object]:
+    """(avro field, converter) for one partition field: the avro type
+    is the SPEC's transform result type; the converter maps this
+    engine's directory string to the typed value."""
+
+    def days(v):
+        return (dt.date.fromisoformat(v) - _EPOCH_D).days
+
+    def micros(v):
+        return int(
+            (dt.datetime.fromisoformat(v.replace("T", " ")) - _EPOCH_TS)
+            / dt.timedelta(microseconds=1)
+        )
+
+    if pf.kind == "identity":
+        base = src_type.split("(")[0]
+        if base in ("int", "integer", "smallint", "tinyint"):
+            return _f(fid, pf.name, "int", optional=True), int
+        if base == "bigint":
+            return _f(fid, pf.name, "long", optional=True), int
+        if base == "date":
+            return (
+                _f(fid, pf.name, {"type": "int", "logicalType": "date"}, optional=True),
+                days,
+            )
+        if base in ("timestamp", "timestamp_ntz"):
+            return (
+                _f(
+                    fid,
+                    pf.name,
+                    {"type": "long", "logicalType": "timestamp-micros"},
+                    optional=True,
+                ),
+                micros,
+            )
+        if base == "boolean":
+            return _f(fid, pf.name, "boolean", optional=True), lambda v: v == "true"
+        if base == "decimal":
+            p, s = src_type.split("(")[1].rstrip(")").split(",")
+
+            def dec(v, _s=int(s)):
+                unscaled = int(round(float(v) * 10**_s))
+                length = max(1, (unscaled.bit_length() + 8) // 8)
+                return unscaled.to_bytes(length, "big", signed=True)
+
+            return (
+                _f(
+                    fid,
+                    pf.name,
+                    {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": int(p),
+                        "scale": int(s),
+                    },
+                    optional=True,
+                ),
+                dec,
+            )
+        return _f(fid, pf.name, "string", optional=True), str
+    if pf.kind == "year":
+        return _f(fid, pf.name, "int", optional=True), lambda v: int(v) - 1970
+    if pf.kind == "month":
+        def months(v):
+            y, m = v.split("-")
+            return (int(y) - 1970) * 12 + int(m) - 1
+
+        return _f(fid, pf.name, "int", optional=True), months
+    if pf.kind == "day":
+        return (
+            _f(fid, pf.name, {"type": "int", "logicalType": "date"}, optional=True),
+            days,
+        )
+    if pf.kind == "hour":
+        def hours(v):
+            d, h = v.rsplit("-", 1)
+            return ((dt.date.fromisoformat(d) - _EPOCH_D).days * 24) + int(h)
+
+        return _f(fid, pf.name, "int", optional=True), hours
+    if pf.kind == "bucket":
+        return _f(fid, pf.name, "int", optional=True), int
+    # truncate: result type = source type
+    base = src_type.split("(")[0]
+    if base in ("int", "integer", "bigint", "smallint", "tinyint"):
+        conv = int
+        ftype = "long" if base == "bigint" else "int"
+    else:
+        conv, ftype = str, "string"
+    return _f(fid, pf.name, ftype, optional=True), conv
+
+
+def _entry_schema(partition_fields: list[dict], deletes: bool) -> dict:
+    data_file_fields = [
+        _f(134, "content", "int"),
+        _f(100, "file_path", "string"),
+        _f(101, "file_format", "string"),
+        _f(
+            102,
+            "partition",
+            {"type": "record", "name": "r102", "fields": partition_fields},
+        ),
+        _f(103, "record_count", "long"),
+        _f(104, "file_size_in_bytes", "long"),
+    ]
+    if deletes:
+        data_file_fields.append(
+            _f(
+                135,
+                "equality_ids",
+                {"type": "array", "items": "int", "element-id": 136},
+                optional=True,
+            )
+        )
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f(0, "status", "int"),
+            _f(1, "snapshot_id", "long", optional=True),
+            _f(3, "sequence_number", "long", optional=True),
+            _f(4, "file_sequence_number", "long", optional=True),
+            _f(
+                2,
+                "data_file",
+                {"type": "record", "name": "r2", "fields": data_file_fields},
+            ),
+        ],
+    }
+
+
+def _partition_values(rel_path: str) -> dict[str, str | None]:
+    out: dict[str, str | None] = {}
+    for seg in os.path.dirname(rel_path).split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = None if v == _NULL_DIR else unquote(v)
+    return out
+
+
+def _file_stats(path: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+def emit_manifests(meta, table_root: str) -> str | None:
+    """Write the current snapshot's manifest(s) + manifest list; return
+    the manifest-list path (None when there is no snapshot yet).
+    Idempotent and deterministic for a given table state."""
+    if not meta.snapshots:
+        return None
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        parse_partition_spec,
+    )
+
+    current = meta.snapshots[-1]
+    sid = int(current["snapshot_id"])
+    seq = int(current["sequence_number"])
+    mdir = os.path.join(table_root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    # schema-derived partition avro fields + converters (field ids
+    # continue after the data columns, matching iceberg_metadata's
+    # 1000-based partition-field ids)
+    schema_fields = json.loads(meta.schema_json).get("fields", [])
+    src_types = {
+        f["name"]: (f["type"] if isinstance(f["type"], str) else "complex")
+        for f in schema_fields
+    }
+    pfields, convs = [], {}
+    for i, pf in enumerate(parse_partition_spec(meta.partition_by)):
+        fld, conv = _partition_avro_field(pf, src_types.get(pf.source, "string"), 1000 + i)
+        pfields.append(fld)
+        convs[pf.name] = conv
+
+    # replay the snapshot log: live file -> (adding snapshot, data seq)
+    added_by: dict[str, tuple[int, int]] = {}
+    for s in meta.snapshots:
+        if s.get("staged") and s["snapshot_id"] != sid:
+            continue
+        if s["snapshot_id"] > sid:
+            break
+        for f in s.get("removed_files", ()):  # CoW rewrite drops the old file
+            added_by.pop(f, None)
+        for f in s.get("added_files", ()):
+            added_by[f] = (int(s["snapshot_id"]), int(s["sequence_number"]))
+
+    def typed_partition(rel: str) -> dict:
+        vals = _partition_values(rel)
+        out = {}
+        for fld in pfields:
+            name = fld["name"]
+            raw = vals.get(name)
+            out[name] = None if raw is None else convs[name](raw)
+        return out
+
+    data_dir = os.path.join(table_root, "data")
+    entries = []
+    min_seq = seq
+    counts = {1: [0, 0], 0: [0, 0]}  # status -> [files, rows]
+    for rel in sorted(added_by):
+        add_sid, add_seq = added_by[rel]
+        full = os.path.join(data_dir, rel)
+        if not os.path.exists(full):  # expired/vacuumed under old snapshot
+            continue
+        nrows, nbytes = _file_stats(full)
+        status = 1 if add_sid == sid else 0  # ADDED vs EXISTING
+        counts[status][0] += 1
+        counts[status][1] += nrows
+        min_seq = min(min_seq, add_seq)
+        entries.append(
+            {
+                "status": status,
+                "snapshot_id": add_sid,
+                "sequence_number": add_seq,
+                "file_sequence_number": add_seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "partition": typed_partition(rel),
+                    "record_count": nrows,
+                    "file_size_in_bytes": nbytes,
+                },
+            }
+        )
+
+    common_meta = {
+        "schema": json.dumps(
+            {"type": "struct", "schema-id": 0, "fields": []},
+            separators=(",", ":"),
+        ).encode(),
+        "partition-spec": json.dumps(
+            [
+                {"name": f["name"], "field-id": f["field-id"]}
+                for f in pfields
+            ],
+            separators=(",", ":"),
+        ).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+    }
+    m0 = os.path.join(mdir, f"{sid}-m0.avro")
+    write_container(
+        m0,
+        _entry_schema(pfields, deletes=False),
+        entries,
+        metadata={**common_meta, "content": b"data"},
+    )
+    manifests = [
+        {
+            "manifest_path": m0,
+            "manifest_length": os.path.getsize(m0),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": sid,
+            "added_files_count": counts[1][0],
+            "existing_files_count": counts[0][0],
+            "deleted_files_count": 0,
+            "added_rows_count": counts[1][1],
+            "existing_rows_count": counts[0][1],
+            "deleted_rows_count": 0,
+            "partitions": None,
+            "key_metadata": None,
+        }
+    ]
+
+    # live equality-delete files -> a deletes manifest (content = 1)
+    del_by: dict[str, tuple[int, int, list[str]]] = {}
+    for s in meta.snapshots:
+        if s.get("staged") and s["snapshot_id"] != sid:
+            continue
+        if s["snapshot_id"] > sid:
+            break
+        for f in s.get("removed_delete_files", ()):
+            del_by.pop(f, None)
+        for f in s.get("added_delete_files", ()):
+            del_by[f] = (
+                int(s["snapshot_id"]),
+                int(s["sequence_number"]),
+                list(s.get("equality_ids") or ()),
+            )
+    if del_by:
+        ddir = os.path.join(table_root, "deletes")
+        dentries = []
+        dmin = seq
+        dcounts = {1: [0, 0], 0: [0, 0]}
+        field_ids = {
+            f["name"]: i + 1 for i, f in enumerate(schema_fields)
+        }  # matches iceberg_metadata's DFS allocation for flat schemas
+        for rel in sorted(del_by):
+            add_sid, add_seq, eq_cols = del_by[rel]
+            full = os.path.join(ddir, rel)
+            if not os.path.exists(full):
+                continue
+            nrows, nbytes = _file_stats(full)
+            status = 1 if add_sid == sid else 0
+            dcounts[status][0] += 1
+            dcounts[status][1] += nrows
+            dmin = min(dmin, add_seq)
+            dentries.append(
+                {
+                    "status": status,
+                    "snapshot_id": add_sid,
+                    "sequence_number": add_seq,
+                    "file_sequence_number": add_seq,
+                    "data_file": {
+                        "content": 2,  # equality deletes
+                        "file_path": full,
+                        "file_format": "PARQUET",
+                        "partition": {f["name"]: None for f in pfields},
+                        "record_count": nrows,
+                        "file_size_in_bytes": nbytes,
+                        "equality_ids": [
+                            field_ids[c] for c in eq_cols if c in field_ids
+                        ]
+                        or None,
+                    },
+                }
+            )
+        if dentries:
+            m1 = os.path.join(mdir, f"{sid}-m1.avro")
+            write_container(
+                m1,
+                _entry_schema(pfields, deletes=True),
+                dentries,
+                metadata={**common_meta, "content": b"deletes"},
+            )
+            manifests.append(
+                {
+                    "manifest_path": m1,
+                    "manifest_length": os.path.getsize(m1),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": dmin,
+                    "added_snapshot_id": sid,
+                    "added_files_count": dcounts[1][0],
+                    "existing_files_count": dcounts[0][0],
+                    "deleted_files_count": 0,
+                    "added_rows_count": dcounts[1][1],
+                    "existing_rows_count": dcounts[0][1],
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                    "key_metadata": None,
+                }
+            )
+
+    snap_path = os.path.join(mdir, f"snap-{sid}.avro")
+    parent = (
+        str(meta.snapshots[-2]["snapshot_id"]).encode()
+        if len(meta.snapshots) > 1
+        else b"null"
+    )
+    write_container(
+        snap_path,
+        MANIFEST_FILE_SCHEMA,
+        manifests,
+        metadata={
+            "format-version": b"2",
+            "snapshot-id": str(sid).encode(),
+            "parent-snapshot-id": parent,
+            "sequence-number": str(seq).encode(),
+        },
+    )
+    return snap_path

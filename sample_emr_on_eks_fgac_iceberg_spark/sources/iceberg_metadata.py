@@ -2,15 +2,17 @@
 
 The engine's commit path keeps its own manifest log (warehouse.py
 ``TableMeta`` — the semantic source of truth this sandbox can test).
-This module narrows the on-disk interop waiver (COVERAGE.md): every
-metadata write also emits a table-metadata file chain shaped per the
+This module closes the on-disk interop waiver (COVERAGE.md): every
+metadata write emits a table-metadata file chain shaped per the
 Apache Iceberg table-spec v2 — ``<table>/metadata/vN.metadata.json``
 plus the ``version-hint.text`` a HadoopCatalog reader uses to find the
 current version — so a future jar-equipped deployment can adopt the
 warehouse layout. Snapshot ids, sequence numbers and timestamps match
-the engine's history one-for-one; only the avro manifest lists remain
-placeholders (no avro writer in this container — the chain records the
-path an Iceberg writer would populate).
+the engine's history one-for-one, and since round 7 each commit also
+writes REAL avro manifest lists / manifests at the recorded paths
+(sources/iceberg_manifests.py, via the pure-Python spec-conformant
+writer in sources/avro_io.py — cross-validated against the official
+Apache Avro Java reader on Spark's classpath).
 
 Reference parity: the file tree mirrors what the reference's cleanup
 logs show for its Athena-created Iceberg tables
@@ -194,9 +196,9 @@ def build_table_metadata(meta, table_root: str) -> dict:
             "sequence-number": s["sequence_number"],
             "timestamp-ms": s["timestamp_ms"],
             "schema-id": 0,
-            # avro manifest lists are the one waived artifact: the path
-            # records where an Iceberg writer would put the list for
-            # this snapshot (reference layout: snap-<id>-….avro)
+            # written for the current snapshot on every commit by
+            # sources/iceberg_manifests.py (reference layout:
+            # snap-<id>-….avro, producer_cleanup_logs.txt:36)
             "manifest-list": os.path.join(
                 table_root, "metadata", f"snap-{sid}.avro"
             ),
@@ -258,6 +260,14 @@ def emit_metadata(meta, table_root: str) -> str | None:
     if meta.link_to is not None:
         return None
     try:
+        # real avro manifest list + manifest(s) for the current
+        # snapshot — the path build_table_metadata records in each
+        # snapshot's manifest-list field (sources/iceberg_manifests.py)
+        from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
+            emit_manifests,
+        )
+
+        emit_manifests(meta, table_root)
         mdir = os.path.join(table_root, "metadata")
         os.makedirs(mdir, exist_ok=True)
         hint = os.path.join(mdir, "version-hint.text")

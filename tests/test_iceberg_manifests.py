@@ -1,0 +1,180 @@
+"""Avro manifest emission (sources/avro_io.py + iceberg_manifests.py):
+the files that close the E2 waiver. Validated two ways — round-trip
+through the engine's own reader, and decode by the OFFICIAL Apache
+Avro Java reader (avro-1.12.x on Spark's classpath), which proves the
+container format and binary encoding are spec-conformant rather than
+merely self-consistent. Reference layout parity:
+producer_account_setup/logs/producer_cleanup_logs.txt:33-51
+(snap-*.avro + *-m0.avro under <table>/metadata)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.avro_io import (
+    read_container,
+    write_container,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _java_read(spark, path: str) -> list[dict]:
+    """Decode an avro container with the official Java reader."""
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    out = []
+    while reader.hasNext():
+        out.append(json.loads(str(reader.next())))
+    reader.close()
+    return out
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "b", "type": "bytes"},
+            {"name": "bo", "type": "boolean"},
+            {
+                "name": "sub",
+                "type": {
+                    "type": "record",
+                    "name": "sub",
+                    "fields": [{"name": "x", "type": "float"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "l": -(2**62),
+            "s": "héllo",
+            "arr": [0, -1, 2**31 - 1],
+            "m": {"k": 2.5},
+            "b": b"\x00\xff",
+            "bo": True,
+            "sub": {"x": 1.5},
+        },
+        {"l": 0, "s": None, "arr": [], "m": {}, "b": b"", "bo": False, "sub": {"x": -0.5}},
+    ]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, recs)
+    got_schema, meta, got = read_container(p)
+    assert got == recs
+    assert meta["avro.codec"] == b"null"
+    assert got_schema["name"] == "t"
+
+
+def test_avro_readable_by_official_java_reader(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    recs = [{"a": -42, "b": "x", "c": [1, 2, 3]}, {"a": 7, "b": None, "c": []}]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, recs)
+    assert _java_read(spark, p) == recs
+
+
+def test_manifest_chain_for_partitioned_table(wh, spark):
+    wh.create_table("mt", "k int, state string", partition_by=["state"])
+    wh.insert_values("mt", [(1, "TX"), (2, "NY")])
+    wh.insert_values("mt", [(3, "TX")])
+    sid = wh.current_snapshot_id("mt")
+    mdir = os.path.join(wh.root, "mt", "metadata")
+
+    # the metadata.json snapshot entry's manifest-list path exists
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        v = int(f.read())
+    doc = json.load(open(os.path.join(mdir, f"v{v}.metadata.json")))
+    mlist_path = doc["snapshots"][-1]["manifest-list"]
+    assert os.path.exists(mlist_path), mlist_path
+
+    # manifest list: spec field set, counts match, path resolves
+    _, mmeta, manifests = read_container(mlist_path)
+    assert mmeta["format-version"] == b"2"
+    assert len(manifests) == 1
+    mf = manifests[0]
+    assert mf["added_snapshot_id"] == sid
+    assert mf["content"] == 0
+    assert mf["added_files_count"] >= 1
+    assert mf["existing_files_count"] >= 1  # snapshot-1 files carried
+    assert os.path.exists(mf["manifest_path"])
+    assert mf["manifest_length"] == os.path.getsize(mf["manifest_path"])
+
+    # manifest entries: full live set, typed partitions, real footers
+    _, emeta, entries = read_container(mf["manifest_path"])
+    assert emeta["content"] == b"data"
+    live = {os.path.join(wh.root, "mt", "data", f) for f in wh._live_files(wh._read_meta("mt"))}
+    assert {e["data_file"]["file_path"] for e in entries} == live
+    assert {e["data_file"]["partition"]["state"] for e in entries} == {"TX", "NY"}
+    assert sum(e["data_file"]["record_count"] for e in entries) == 3
+    added = [e for e in entries if e["status"] == 1]
+    assert all(e["snapshot_id"] == sid for e in added)
+    assert sum(mf[k] for k in ("added_rows_count", "existing_rows_count")) == 3
+
+    # the official Java avro reader agrees on both files
+    assert len(_java_read(spark, mlist_path)) == 1
+    jentries = _java_read(spark, mf["manifest_path"])
+    assert {e["data_file"]["file_path"] for e in jentries} == live
+
+
+def test_manifest_partition_value_typing(wh):
+    wh.create_table(
+        "tt",
+        "k int, d date, ts timestamp",
+        partition_by=["days(ts)", "bucket(4, k)"],
+    )
+    wh.sql(
+        "INSERT INTO tt VALUES (1, DATE '2021-03-05', TIMESTAMP '2021-03-05 10:00:00')"
+    ) if hasattr(wh, "sql") else wh.insert_values(
+        "tt", [(1, __import__("datetime").date(2021, 3, 5), __import__("datetime").datetime(2021, 3, 5, 10, 0, 0))]
+    )
+    sid = wh.current_snapshot_id("tt")
+    mdir = os.path.join(wh.root, "tt", "metadata")
+    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    part = entries[0]["data_file"]["partition"]
+    # day transform: days since epoch (spec typing, not the dir string)
+    assert part["ts_day"] == (
+        __import__("datetime").date(2021, 3, 5)
+        - __import__("datetime").date(1970, 1, 1)
+    ).days
+    assert isinstance(part["k_bucket"], int) and 0 <= part["k_bucket"] < 4
+
+
+def test_delete_manifest_emitted_for_equality_deletes(wh):
+    wh.create_table("dm", "k int, v string")
+    wh.set_identifier_fields("dm", ["k"])
+    wh.set_delete_mode("dm", "merge-on-read")
+    wh.insert_values("dm", [(1, "a"), (2, "b")])
+    wh.delete_from("dm", "k = 1")
+    sid = wh.current_snapshot_id("dm")
+    mdir = os.path.join(wh.root, "dm", "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    contents = {m["content"] for m in manifests}
+    assert contents == {0, 1}
+    dmf = next(m for m in manifests if m["content"] == 1)
+    _, dmeta, dentries = read_container(dmf["manifest_path"])
+    assert dmeta["content"] == b"deletes"
+    assert all(e["data_file"]["content"] == 2 for e in dentries)
+    assert all(e["data_file"]["equality_ids"] for e in dentries)
