@@ -318,17 +318,18 @@ def emit_manifests(meta, table_root: str) -> str | None:
             }
         )
 
+    # real Iceberg schema + partition-spec JSON in the manifest header
+    # (same builder the metadata.json chain uses, so field ids agree)
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
+        build_table_metadata,
+    )
+
+    doc = build_table_metadata(meta, table_root)
     common_meta = {
-        "schema": json.dumps(
-            {"type": "struct", "schema-id": 0, "fields": []},
-            separators=(",", ":"),
-        ).encode(),
+        "schema": json.dumps(doc["schemas"][0], separators=(",", ":")).encode(),
+        "schema-id": b"0",
         "partition-spec": json.dumps(
-            [
-                {"name": f["name"], "field-id": f["field-id"]}
-                for f in pfields
-            ],
-            separators=(",", ":"),
+            doc["partition-specs"][0]["fields"], separators=(",", ":")
         ).encode(),
         "partition-spec-id": b"0",
         "format-version": b"2",

@@ -125,6 +125,12 @@ def test_manifest_chain_for_partitioned_table(wh, spark):
     # manifest entries: full live set, typed partitions, real footers
     _, emeta, entries = read_container(mf["manifest_path"])
     assert emeta["content"] == b"data"
+    # header carries the REAL Iceberg schema + spec (ids match the
+    # metadata.json chain)
+    hschema = json.loads(emeta["schema"])
+    assert [f["name"] for f in hschema["fields"]] == ["k", "state"]
+    hspec = json.loads(emeta["partition-spec"])
+    assert hspec[0]["transform"] == "identity" and hspec[0]["field-id"] == 1000
     live = {os.path.join(wh.root, "mt", "data", f) for f in wh._live_files(wh._read_meta("mt"))}
     assert {e["data_file"]["file_path"] for e in entries} == live
     assert {e["data_file"]["partition"]["state"] for e in entries} == {"TX", "NY"}
