@@ -236,6 +236,51 @@ def _file_stats(path: str) -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+def _bound_bytes(ftype, v) -> bytes | None:
+    """Iceberg single-value binary serialization for partition bounds:
+    int/date 4-byte LE, long/timestamp 8-byte LE, string UTF-8,
+    boolean one byte. Decimal (variable-length big-endian) bounds are
+    omitted — null bounds are spec-legal and never wrong, while
+    lexicographic min/max over mixed-length two's-complement bytes is."""
+    import struct as _struct
+
+    t = ftype if isinstance(ftype, str) else ftype.get("type")
+    if t == "int":
+        return _struct.pack("<i", v)
+    if t == "long":
+        return _struct.pack("<q", v)
+    if t == "string":
+        return v.encode("utf-8")
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None
+
+
+def _field_summaries(pfields: list[dict], entries: list[dict]) -> list[dict] | None:
+    """Per-partition-field lower/upper bounds + null flags over a
+    manifest's entries (the spec's field_summary list, what lets a
+    planner prune whole manifests without opening them)."""
+    if not entries:
+        return None
+    out = []
+    for fld in pfields:
+        name = fld["name"]
+        ftype = fld["type"][1]  # unwrap the ["null", X] union
+        vals = [e["data_file"]["partition"][name] for e in entries]
+        nonnull = [v for v in vals if v is not None]
+        lo = min(nonnull) if nonnull else None
+        hi = max(nonnull) if nonnull else None
+        out.append(
+            {
+                "contains_null": len(nonnull) < len(vals),
+                "contains_nan": None,
+                "lower_bound": None if lo is None else _bound_bytes(ftype, lo),
+                "upper_bound": None if hi is None else _bound_bytes(ftype, hi),
+            }
+        )
+    return out
+
+
 def emit_manifests(meta, table_root: str) -> str | None:
     """Write the current snapshot's manifest(s) + manifest list; return
     the manifest-list path (None when there is no snapshot yet).
@@ -356,7 +401,7 @@ def emit_manifests(meta, table_root: str) -> str | None:
             "added_rows_count": counts[1][1],
             "existing_rows_count": counts[0][1],
             "deleted_rows_count": 0,
-            "partitions": None,
+            "partitions": _field_summaries(pfields, entries),
             "key_metadata": None,
         }
     ]

@@ -168,6 +168,61 @@ def test_manifest_partition_value_typing(wh):
     assert isinstance(part["k_bucket"], int) and 0 <= part["k_bucket"] < 4
 
 
+def test_manifest_partition_field_summaries(wh):
+    import struct
+
+    wh.create_table("fs", "k int, state string", partition_by=["state"])
+    wh.insert_values("fs", [(1, "TX"), (2, "NY"), (3, "CA")])
+    sid = wh.current_snapshot_id("fs")
+    mdir = os.path.join(wh.root, "fs", "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    summ = manifests[0]["partitions"]
+    assert summ is not None and len(summ) == 1
+    s = summ[0]
+    assert s["contains_null"] is False
+    # string bounds: UTF-8 single-value serialization, min/max by value
+    assert s["lower_bound"] == b"CA" and s["upper_bound"] == b"TX"
+
+    wh.create_table("fi", "k int, v string", partition_by=["bucket(8, k)"])
+    wh.insert_values("fi", [(i, "x") for i in range(20)])
+    sid = wh.current_snapshot_id("fi")
+    mdir = os.path.join(wh.root, "fi", "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    s = manifests[0]["partitions"][0]
+    lo = struct.unpack("<i", s["lower_bound"])[0]
+    hi = struct.unpack("<i", s["upper_bound"])[0]
+    assert 0 <= lo <= hi < 8  # int bounds: 4-byte little-endian
+
+
+def test_scan_plannable_from_manifests_alone(wh):
+    """The avro chain must be self-sufficient: reconstructing the live
+    file set for ANY snapshot purely from its manifest-list/manifest
+    files (no engine JSON) matches the engine's own _live_files — the
+    property an external Iceberg reader depends on."""
+    wh.create_table("sp", "k int, state string", partition_by=["state"])
+    wh.insert_values("sp", [(1, "TX"), (2, "NY")])
+    wh.insert_values("sp", [(3, "TX")])
+    wh.delete_from("sp", "k = 2")  # CoW: rewrites/drops the NY file
+    meta = wh._read_meta("sp")
+    mdir = os.path.join(wh.root, "sp", "metadata")
+    for s in meta.snapshots:
+        sid = s["snapshot_id"]
+        snap = os.path.join(mdir, f"snap-{sid}.avro")
+        assert os.path.exists(snap), f"snapshot {sid} has no manifest list"
+        _, _, manifests = read_container(snap)
+        from_avro = set()
+        for mf in manifests:
+            if mf["content"] != 0:
+                continue
+            _, _, entries = read_container(mf["manifest_path"])
+            from_avro |= {e["data_file"]["file_path"] for e in entries}
+        engine_live = {
+            os.path.join(wh.root, "sp", "data", f)
+            for f in wh._live_files(meta, sid)
+        }
+        assert from_avro == engine_live, f"snapshot {sid} diverges"
+
+
 def test_delete_manifest_emitted_for_equality_deletes(wh):
     wh.create_table("dm", "k int, v string")
     wh.set_identifier_fields("dm", ["k"])
