@@ -239,3 +239,59 @@ def test_delete_manifest_emitted_for_equality_deletes(wh):
     assert dmeta["content"] == b"deletes"
     assert all(e["data_file"]["content"] == 2 for e in dentries)
     assert all(e["data_file"]["equality_ids"] for e in dentries)
+
+
+# ---------------------------------------------------------------------------
+# Spec-route reader: scans planned ONLY from the avro chain must equal
+# the engine's own scans (sources/iceberg_reader.py)
+# ---------------------------------------------------------------------------
+from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (  # noqa: E402
+    read_iceberg_table,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_spec_reader_matches_engine_scan(wh, spark):
+    from decimal import Decimal
+
+    wh.create_table("sr", "k int, state string, amt decimal(10,2)", partition_by=["state"])
+    wh.insert_values("sr", [(1, "TX", Decimal("10.50")), (2, "NY", Decimal("20.25"))])
+    wh.insert_values("sr", [(3, "TX", Decimal("30.00"))])
+    root = os.path.join(wh.root, "sr")
+    got = read_iceberg_table(spark, root)
+    cols = ["k", "state", "amt"]
+    assert _rows(got.select(*cols), cols) == _rows(wh.read_table("sr").select(*cols), cols)
+    assert dict(got.dtypes)["amt"] == "decimal(10,2)"
+
+
+def test_spec_reader_time_travel(wh, spark):
+    wh.create_table("st", "k int, v string")
+    wh.insert_values("st", [(1, "a")])
+    first = wh.current_snapshot_id("st")
+    wh.insert_values("st", [(2, "b")])
+    wh.delete_from("st", "k = 1")
+    root = os.path.join(wh.root, "st")
+    cols = ["k", "v"]
+    for sid in (first, wh.current_snapshot_id("st")):
+        got = read_iceberg_table(spark, root, snapshot_id=sid)
+        want = wh.read_table("st", snapshot_id=sid)
+        assert _rows(got, cols) == _rows(want, cols), f"snapshot {sid}"
+
+
+def test_spec_reader_applies_equality_deletes(wh, spark):
+    wh.create_table("se", "k int, v string")
+    wh.set_identifier_fields("se", ["k"])
+    wh.set_delete_mode("se", "merge-on-read")
+    wh.insert_values("se", [(1, "a"), (2, "b"), (3, "c")])
+    wh.delete_from("se", "k = 2")
+    # re-insert the deleted key AFTER the delete: the sequence rule
+    # must keep the new row (delete applies only to older data)
+    wh.insert_values("se", [(2, "b2")])
+    root = os.path.join(wh.root, "se")
+    cols = ["k", "v"]
+    got = _rows(read_iceberg_table(spark, root), cols)
+    assert got == _rows(wh.read_table("se"), cols)
+    assert (2, "b2") in got and (2, "b") not in got
