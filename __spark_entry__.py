@@ -88,6 +88,10 @@ _CORE = [
     "kneser_ney_counts",
     "embedding_gram_matrix",
     "user_feature_snapshot",
+    # round-7 batch 2: integer z-test outlier screen, global length
+    # quartiles via the stacked cut-point helper (2nd consumer)
+    "embedding_outliers",
+    "doc_length_quartiles",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",

@@ -99,6 +99,8 @@ HEADLINE = [
     "kneser_ney_counts",
     "embedding_gram_matrix",
     "user_feature_snapshot",
+    "embedding_outliers",
+    "doc_length_quartiles",
 ]
 
 

@@ -1015,3 +1015,90 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b.xi").cast("bigint").alias("sum_j"),
         )
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xi
+        FROM embeddings),
+    cent AS (
+        SELECT label, dim,
+               CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, dim),
+    d AS (
+        SELECT x.vec_id, x.label,
+               CAST(SUM((xi - c) * (xi - c)) AS BIGINT) AS dist_sq
+        FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+        GROUP BY x.vec_id, x.label),
+    stats AS (
+        SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(dist_sq) AS HUGEINT) AS s1,
+               CAST(SUM(dist_sq * dist_sq) AS HUGEINT) AS s2
+        FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, d.dist_sq,
+           (n * d.dist_sq > s1
+            AND (n * d.dist_sq - s1) * (n * d.dist_sq - s1)
+                > 4 * (n * s2 - s1 * s1)) AS is_outlier
+    FROM d JOIN stats ON stats.label = d.label
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier flags — the mislabeled/corrupt-
+    vector screen an embedding pipeline runs before indexing: distance
+    to the OWN label's fixed-point centroid, flagged when it sits more
+    than two standard deviations above the label mean. The z-test is
+    evaluated WITHOUT floats: |x − μ| > 2σ over per-label counts is
+    the integer inequality (n·x − S₁)² > 4·(n·S₂ − S₁²) with
+    S₁ = Σ dist², S₂ = Σ dist⁴ — exact in both engines (S₂ exceeds
+    int64, so it accumulates in DECIMAL(38,0) / HUGEINT per the
+    engine's exact-sum rule).
+
+    Plan shape at 100 TB: the long-form fixed-point frame feeds one
+    (label, dim) centroid aggregate (broadcast back), one per-vector
+    distance aggregate keyed on vec_id, one label-keyed stats
+    aggregate (|labels| rows, broadcast), and a final broadcast join —
+    no window, no self-join, every aggregate map-side-partial."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = materialize_once(
+        e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "val")).select(
+            "vec_id",
+            "label",
+            "dim",
+            F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+        )
+    )
+    cent = x.groupBy("label", "dim").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    d = materialize_once(
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xi") - F.col("c")) * (F.col("xi") - F.col("c")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    dec = "decimal(38,0)"
+    stats = d.groupBy(F.col("label").alias("s_label")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("dist_sq").cast(dec).alias("s1"),
+        F.sum((F.col("dist_sq") * F.col("dist_sq")).cast(dec)).alias("s2"),
+    )
+    j = d.join(F.broadcast(stats), d.label == stats.s_label)
+    nx = F.col("n") * F.col("dist_sq")
+    lhs = nx - F.col("s1")
+    rhs = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return j.select(
+        "vec_id",
+        "label",
+        "dist_sq",
+        ((nx > F.col("s1")) & (lhs * lhs > rhs)).alias("is_outlier"),
+    )

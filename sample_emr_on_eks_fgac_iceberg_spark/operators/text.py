@@ -886,3 +886,59 @@ def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cont, "w2")
         .select("w1", "w2", "pair_count", "n_right_types", "n_left_contexts")
     )
+
+
+@register(
+    "doc_length_quartiles",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        FROM documents),
+    scored AS (
+        SELECT lang, n_tok,
+               NTILE(4) OVER (ORDER BY n_tok, doc_id) AS quartile
+        FROM base)
+    SELECT lang, quartile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM scored GROUP BY lang, quartile
+    """,
+)
+def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide length quartiles crossed with language — the
+    length-stratification report a data-mixing step uses to set
+    per-stratum sampling quotas (short-doc floods and long-doc tails
+    show up as skewed (lang, quartile) cells). Quartile boundaries are
+    GLOBAL (one ordering over the whole corpus by token count with
+    doc_id tie-break), which is exactly the shape that must NOT be a
+    single-partition NTILE window: this is the second consumer of
+    `skew.ntile_cutpoints` — a range-exchange cut-point pass whose
+    driver state is n_parts + 3 scalars, then literal CASE assignment
+    fused into the aggregation scan. Oracle runs the window form;
+    results match bucket-for-bucket by NTILE's positional law."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        ntile_assign,
+        ntile_cutpoints,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    base = materialize_once(
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+    )
+    cuts = ntile_cutpoints(base, ["n_tok", "doc_id"], buckets=4)
+    return (
+        base.withColumn("quartile", ntile_assign(cuts, ["n_tok", "doc_id"]))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
