@@ -182,6 +182,24 @@ def _partition_avro_field(pf, src_type: str, fid: int) -> tuple[dict, object]:
     return _f(fid, pf.name, ftype, optional=True), conv
 
 
+def _kv_map(name: str, key_id: int, val_id: int, val_type) -> dict:
+    """Iceberg's avro encoding for int-keyed maps: an array of
+    key/value records with ``logicalType: map`` (avro's native map
+    type only allows string keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": val_type, "field-id": val_id},
+            ],
+        },
+    }
+
+
 def _entry_schema(partition_fields: list[dict], deletes: bool) -> dict:
     data_file_fields = [
         _f(134, "content", "int"),
@@ -194,6 +212,13 @@ def _entry_schema(partition_fields: list[dict], deletes: bool) -> dict:
         ),
         _f(103, "record_count", "long"),
         _f(104, "file_size_in_bytes", "long"),
+        # per-column stats (footer-derived): counts + single-value-
+        # serialized bounds keyed by schema field id — what lets a
+        # planner prune data files without opening them
+        _f(109, "value_counts", _kv_map("k119_v120", 119, 120, "long"), optional=True),
+        _f(110, "null_value_counts", _kv_map("k121_v122", 121, 122, "long"), optional=True),
+        _f(125, "lower_bounds", _kv_map("k126_v127", 126, 127, "bytes"), optional=True),
+        _f(128, "upper_bounds", _kv_map("k129_v130", 129, 130, "bytes"), optional=True),
     ]
     if deletes:
         data_file_fields.append(
@@ -234,6 +259,128 @@ def _file_stats(path: str) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+# spark simpleString base type -> single-value serialization kind
+_STAT_KINDS = {
+    "int": "int",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "boolean": "bool",
+}
+
+
+def single_value(kind: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization for column bounds."""
+    import struct as _s
+
+    if v is None:
+        return None
+    if kind == "int":
+        return _s.pack("<i", int(v))
+    if kind == "long":
+        return _s.pack("<q", int(v))
+    if kind == "float":
+        return _s.pack("<f", float(v))
+    if kind == "double":
+        return _s.pack("<d", float(v))
+    if kind == "string":
+        return v if isinstance(v, bytes) else str(v).encode("utf-8")
+    if kind == "date":
+        return _s.pack("<i", (v - _EPOCH_D).days)
+    if kind == "ts":
+        if v.tzinfo is not None:
+            return _s.pack("<q", int(v.timestamp() * 1_000_000))
+        return _s.pack(
+            "<q", int((v - _EPOCH_TS) / dt.timedelta(microseconds=1))
+        )
+    if kind == "bool":
+        return b"\x01" if v else b"\x00"
+    return None
+
+
+def single_value_parse(kind: str, raw: bytes):
+    """Inverse of `single_value` (the spec-route reader's side)."""
+    import struct as _s
+
+    if raw is None:
+        return None
+    if kind == "int":
+        return _s.unpack("<i", raw)[0]
+    if kind == "long":
+        return _s.unpack("<q", raw)[0]
+    if kind == "float":
+        return _s.unpack("<f", raw)[0]
+    if kind == "double":
+        return _s.unpack("<d", raw)[0]
+    if kind == "string":
+        return raw.decode("utf-8")
+    if kind == "date":
+        return _EPOCH_D + dt.timedelta(days=_s.unpack("<i", raw)[0])
+    if kind == "ts":
+        return _EPOCH_TS + dt.timedelta(microseconds=_s.unpack("<q", raw)[0])
+    if kind == "bool":
+        return raw == b"\x01"
+    return None
+
+
+def _column_stats(path: str, stat_fields: list[tuple[int, str, str]]):
+    """Footer-derived per-column stats for one data file:
+    (value_counts, null_value_counts, lower_bounds, upper_bounds) as
+    Iceberg key/value lists keyed by schema field id. Bounds aggregate
+    min/max across row groups; columns whose type has no single-value
+    kind (or whose footers carry no stats) simply omit entries —
+    spec-legal, a planner treats missing bounds as unprunable."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    per_col: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            acc = per_col.setdefault(
+                name, {"values": 0, "nulls": 0, "min": None, "max": None, "ok": True}
+            )
+            acc["values"] += col.num_values  # parquet counts nulls here too
+            if st is None:
+                acc["ok"] = False
+                continue
+            acc["nulls"] += st.null_count or 0
+            try:  # pyarrow can't extract stats for every type (decimal)
+                if not st.has_min_max:
+                    raise ValueError("no min/max")
+                mn, mx = st.min, st.max
+            except Exception:
+                acc["ok"] = False
+                continue
+            acc["min"] = mn if acc["min"] is None else min(acc["min"], mn)
+            acc["max"] = mx if acc["max"] is None else max(acc["max"], mx)
+    vc, nc, lo, hi = [], [], [], []
+    for fid, name, base in stat_fields:
+        acc = per_col.get(name)
+        if acc is None:
+            continue
+        vc.append({"key": fid, "value": int(acc["values"])})
+        nc.append({"key": fid, "value": int(acc["nulls"])})
+        kind = _STAT_KINDS.get(base)
+        if kind and acc["ok"] and acc["min"] is not None:
+            lo_b = single_value(kind, acc["min"])
+            hi_b = single_value(kind, acc["max"])
+            if lo_b is not None and hi_b is not None:
+                lo.append({"key": fid, "value": lo_b})
+                hi.append({"key": fid, "value": hi_b})
+    return vc, nc, lo, hi
 
 
 def _bound_bytes(ftype, v) -> bytes | None:
@@ -333,6 +480,11 @@ def emit_manifests(meta, table_root: str) -> str | None:
         return out
 
     data_dir = os.path.join(table_root, "data")
+    stat_fields = [
+        (i + 1, f["name"], str(f["type"]).split("(")[0])
+        for i, f in enumerate(schema_fields)
+        if isinstance(f["type"], str)
+    ]
     entries = []
     min_seq = seq
     counts = {1: [0, 0], 0: [0, 0]}  # status -> [files, rows]
@@ -342,6 +494,7 @@ def emit_manifests(meta, table_root: str) -> str | None:
         if not os.path.exists(full):  # expired/vacuumed under old snapshot
             continue
         nrows, nbytes = _file_stats(full)
+        vc, nc, lo, hi = _column_stats(full, stat_fields)
         status = 1 if add_sid == sid else 0  # ADDED vs EXISTING
         counts[status][0] += 1
         counts[status][1] += nrows
@@ -359,6 +512,10 @@ def emit_manifests(meta, table_root: str) -> str | None:
                     "partition": typed_partition(rel),
                     "record_count": nrows,
                     "file_size_in_bytes": nbytes,
+                    "value_counts": vc or None,
+                    "null_value_counts": nc or None,
+                    "lower_bounds": lo or None,
+                    "upper_bounds": hi or None,
                 },
             }
         )
@@ -452,6 +609,10 @@ def emit_manifests(meta, table_root: str) -> str | None:
                         "partition": {f["name"]: None for f in pfields},
                         "record_count": nrows,
                         "file_size_in_bytes": nbytes,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
                         "equality_ids": [
                             field_ids[c] for c in eq_cols if c in field_ids
                         ]

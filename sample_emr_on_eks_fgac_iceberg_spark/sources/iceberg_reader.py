@@ -59,11 +59,67 @@ def current_metadata(table_root: str) -> dict:
         return json.load(f)
 
 
+# iceberg type -> single-value serialization kind (bounds decode)
+_KINDS = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamptz": "ts",
+    "boolean": "bool",
+}
+
+
+def _excluded(op: str, lit, lo, hi) -> bool:
+    """Can a file with column range [lo, hi] be skipped for (op, lit)?"""
+    if op == "=":
+        return lit < lo or lit > hi
+    if op == ">":
+        return hi <= lit
+    if op == ">=":
+        return hi < lit
+    if op == "<":
+        return lo >= lit
+    if op == "<=":
+        return lo > lit
+    return False
+
+
+def _prune(entry_data_file: dict, filters, name2id, id2kind) -> bool:
+    """True when the manifest's column bounds prove no row can match."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
+        single_value_parse,
+    )
+
+    lowers = {kv["key"]: kv["value"] for kv in entry_data_file.get("lower_bounds") or ()}
+    uppers = {kv["key"]: kv["value"] for kv in entry_data_file.get("upper_bounds") or ()}
+    for col, op, lit in filters:
+        fid = name2id.get(col)
+        kind = id2kind.get(fid)
+        if fid is None or kind is None or fid not in lowers or fid not in uppers:
+            continue  # no bounds -> unprunable on this predicate
+        lo = single_value_parse(kind, lowers[fid])
+        hi = single_value_parse(kind, uppers[fid])
+        if _excluded(op, lit, lo, hi):
+            return True
+    return False
+
+
 def read_iceberg_table(
-    spark: SparkSession, table_root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``snapshot_id`` (default: current), planned
-    purely from the spec chain."""
+    purely from the spec chain. ``filters`` — [(col, op, literal)]
+    with op in {=, <, <=, >, >=} — prunes data files at the MANIFEST
+    level via the recorded column bounds before any parquet footer is
+    touched, then re-applies the predicates row-level (the bounds are
+    a superset guarantee, not row truth)."""
     doc = current_metadata(table_root)
     sid = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     if sid == -1:
@@ -73,6 +129,12 @@ def read_iceberg_table(
 
     fields = doc["schemas"][doc["current-schema-id"]]["fields"]
     id2name = {f["id"]: f["name"] for f in fields}
+    name2id = {f["name"]: f["id"] for f in fields}
+    id2kind = {
+        f["id"]: _KINDS.get(f["type"])
+        for f in fields
+        if isinstance(f["type"], str)
+    }
     cols = [(f["name"], _spark_type(f["type"])) for f in fields if isinstance(f["type"], str)]
 
     data_by_seq: dict[int, list[str]] = {}
@@ -83,6 +145,8 @@ def read_iceberg_table(
             dfile = e["data_file"]
             seq = int(e["sequence_number"] or 0)
             if mf["content"] == 0:
+                if filters and _prune(dfile, filters, name2id, id2kind):
+                    continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
             else:
                 keys = tuple(
@@ -133,4 +197,18 @@ def read_iceberg_table(
         for k in keys:
             cond = cond & F.col(f"__tgt.{k}").eqNullSafe(F.col(f"__dels.{k}"))
         out = t.join(F.broadcast(d), cond, "left_anti")
-    return out.drop("__seq")
+    out = out.drop("__seq")
+    for col, op, lit in filters or ():
+        out = out.filter(_predicate(col, op, lit))
+    return out
+
+
+def _predicate(col: str, op: str, lit):
+    c = F.col(col)
+    return {
+        "=": c == F.lit(lit),
+        "<": c < F.lit(lit),
+        "<=": c <= F.lit(lit),
+        ">": c > F.lit(lit),
+        ">=": c >= F.lit(lit),
+    }[op]

@@ -295,3 +295,55 @@ def test_spec_reader_applies_equality_deletes(wh, spark):
     got = _rows(read_iceberg_table(spark, root), cols)
     assert got == _rows(wh.read_table("se"), cols)
     assert (2, "b2") in got and (2, "b") not in got
+
+
+def test_manifest_column_stats_recorded(wh):
+    import struct
+
+    wh.create_table("cs", "k int, v string")
+    wh.insert_values("cs", [(1, "aa"), (5, "zz"), (None, "mm")])
+    sid = wh.current_snapshot_id("cs")
+    mdir = os.path.join(wh.root, "cs", "metadata")
+    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    # the insert fans rows over several files; aggregate the per-file
+    # stats (field ids: k=1, v=2, flat-schema DFS order)
+    vc = nulls = 0
+    k_lo, k_hi, v_lo, v_hi = [], [], [], []
+    for e in entries:
+        df = e["data_file"]
+        for kv in df["value_counts"] or ():
+            if kv["key"] == 1:
+                vc += kv["value"]
+        for kv in df["null_value_counts"] or ():
+            if kv["key"] == 1:
+                nulls += kv["value"]
+        for kv in df["lower_bounds"] or ():
+            (k_lo if kv["key"] == 1 else v_lo).append(kv["value"])
+        for kv in df["upper_bounds"] or ():
+            (k_hi if kv["key"] == 1 else v_hi).append(kv["value"])
+    assert vc == 3 and nulls == 1
+    assert min(struct.unpack("<i", b)[0] for b in k_lo) == 1
+    assert max(struct.unpack("<i", b)[0] for b in k_hi) == 5
+    assert min(v_lo) == b"aa" and max(v_hi) == b"zz"
+
+
+def test_spec_reader_prunes_files_by_bounds(wh, spark):
+    wh.create_table("pr", "k int, v string")
+    wh.insert_values("pr", [(i, f"a{i}") for i in range(1, 11)])
+    wh.insert_values("pr", [(i, f"b{i}") for i in range(11, 21)])
+    wh.insert_values("pr", [(i, f"c{i}") for i in range(21, 31)])
+    root = os.path.join(wh.root, "pr")
+
+    full = read_iceberg_table(spark, root)
+    n_all = len(full.inputFiles())
+    pruned = read_iceberg_table(spark, root, filters=[("k", ">", 25)])
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_all, (n_pruned, n_all)
+    # and the result is still row-exact vs the engine
+    cols = ["k", "v"]
+    want = _rows(wh.read_table("pr").filter("k > 25"), cols)
+    assert _rows(pruned, cols) == want
+    # equality predicate on the string column prunes to one file's worth
+    one = read_iceberg_table(spark, root, filters=[("v", "=", "b15")])
+    assert len(one.inputFiles()) < n_all
+    assert _rows(one, cols) == [(15, "b15")]
