@@ -89,9 +89,12 @@ _CORE = [
     "embedding_gram_matrix",
     "user_feature_snapshot",
     # round-7 batch 2: integer z-test outlier screen, global length
-    # quartiles via the stacked cut-point helper (2nd consumer)
+    # quartiles via the stacked cut-point helper (2nd consumer), and
+    # the byte-histogram featurizer converted from rows-only to
+    # oracle-checked (integer counts, numpy bincount, ASCII guard)
     "embedding_outliers",
     "doc_length_quartiles",
+    "multimodal_features",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",
@@ -225,13 +228,14 @@ _ROTATION = [
 ]
 
 # rows-only by honest design (each with an oracle-checked
-# deterministic sibling in _CORE) — kept below the window
+# deterministic sibling in _CORE) — kept below the window.
+# multimodal_features left this list in round 7: its byte-histogram
+# output became integer-exact and gained a DuckDB oracle.
 _ROWS_ONLY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
-    "multimodal_features",
     "approx_distinct_users",
     "approx_percentile_prices",
 ]

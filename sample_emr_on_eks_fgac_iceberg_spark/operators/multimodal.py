@@ -141,58 +141,81 @@ def _decode_media(payload: bytes, fake: bool = True) -> bytes:
     return payload
 
 
+_CHUNK = 64
+_N_FEATURES = 8
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_chunks", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
+    + [T.StructField(f"h{i}", T.LongType()) for i in range(_N_FEATURES)]
 )
 
-_CHUNK = 64
-_N_FEATURES = 8
 
-
-@register("multimodal_features")  # binary feature extraction → rows-only check
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+               WHERE length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
+    i AS (SELECT doc_id, text, len, unnest(range(0, len)) AS s FROM d),
+    v AS (SELECT doc_id, len,
+                 ascii(substring(text, CAST(s + 1 AS BIGINT), 1))
+                     % {_N_FEATURES} AS b
+          FROM i)
+    SELECT doc_id,
+           CAST((len + {_CHUNK - 1}) // {_CHUNK} AS INT) AS n_chunks,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE b = {i}) AS BIGINT) AS h{i}"
+               for i in range(_N_FEATURES)
+           )}
+    FROM v GROUP BY doc_id, len
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas: per doc, 'decode' (stub) then compute an 8-bin byte
-    histogram density — the real plumbing (batch iteration, binary in,
-    typed array out) that an image/audio featurizer plugs into."""
+    mapInPandas: per doc, decode (the stub passthrough for raw bytes —
+    `_decode_media` still raises for compressed formats) then an
+    8-bin byte histogram — integer-exact counts plus the chunk count a
+    downstream embedder would batch on, so the whole featurizer is
+    DuckDB-oracle-checked (previously rows-only). Histogram via
+    vectorized numpy bincount per payload — no per-byte Python.
+    ASCII-only guard as in the raster/PCM decoders: the featurizer
+    reads BYTES, the oracle indexes CODE POINTS."""
+    import numpy as np
     import pandas as pd
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_chunks"] + [f"h{i}" for i in range(_N_FEATURES)]
         for pdf in batches:
-            rows = []
+            out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = _decode_media(bytes(payload), fake=True)
-                n_chunks = (len(buf) + _CHUNK - 1) // _CHUNK
-                hist = [0] * _N_FEATURES
-                for byte in buf:
-                    hist[byte % _N_FEATURES] += 1
-                total = max(len(buf), 1)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_chunks": n_chunks,
-                        "features": [h / total for h in hist],
-                    }
+                buf = np.frombuffer(
+                    _decode_media(bytes(payload), fake=True), dtype=np.uint8
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "n_chunks", "features"])
+                if buf.size == 0:
+                    continue
+                hist = np.bincount(buf % _N_FEATURES, minlength=_N_FEATURES)
+                out["doc_id"].append(doc_id)
+                out["n_chunks"].append((buf.size + _CHUNK - 1) // _CHUNK)
+                for i in range(_N_FEATURES):
+                    out[f"h{i}"].append(int(hist[i]))
+            yield pd.DataFrame(out, columns=cols)
 
-    feats = media_frame(spark, sf_dir).select("doc_id", "payload").mapInPandas(
-        extract, FEATURE_SCHEMA
+    ascii_only = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.length("text") > 0)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select("doc_id")
     )
-    # Flatten the feature vector to scalar columns for the driver's
-    # row-hash compare (array cells are unhashable in its canonicalizer);
-    # the typed-array column remains the mapInPandas contract above.
-    return feats.select(
-        "doc_id",
-        "n_chunks",
-        *[
-            F.round(F.element_at("features", i + 1), 9).alias(f"f{i}")
-            for i in range(_N_FEATURES)
-        ],
+    return (
+        media_frame(spark, sf_dir)
+        .join(ascii_only, "doc_id", "left_semi")
+        .select("doc_id", "payload")
+        .mapInPandas(extract, FEATURE_SCHEMA)
     )
 
 
