@@ -255,10 +255,14 @@ def _partition_values(rel_path: str) -> dict[str, str | None]:
     return out
 
 
-def _file_stats(path: str) -> tuple[int, int]:
+def _pq():
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+    return pq
+
+
+def _file_stats(path: str) -> tuple[int, int]:
+    return _pq().ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
 # spark simpleString base type -> single-value serialization kind
@@ -332,16 +336,15 @@ def single_value_parse(kind: str, raw: bytes):
     return None
 
 
-def _column_stats(path: str, stat_fields: list[tuple[int, str, str]]):
-    """Footer-derived per-column stats for one data file:
+def _column_stats(md, stat_fields: list[tuple[int, str, str]]):
+    """Footer-derived per-column stats for one data file (``md`` is
+    the already-open parquet FileMetaData — one footer read serves
+    both the row count and the stats):
     (value_counts, null_value_counts, lower_bounds, upper_bounds) as
     Iceberg key/value lists keyed by schema field id. Bounds aggregate
     min/max across row groups; columns whose type has no single-value
     kind (or whose footers carry no stats) simply omit entries —
     spec-legal, a planner treats missing bounds as unprunable."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
     per_col: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -493,8 +496,9 @@ def emit_manifests(meta, table_root: str) -> str | None:
         full = os.path.join(data_dir, rel)
         if not os.path.exists(full):  # expired/vacuumed under old snapshot
             continue
-        nrows, nbytes = _file_stats(full)
-        vc, nc, lo, hi = _column_stats(full, stat_fields)
+        md = _pq().ParquetFile(full).metadata
+        nrows, nbytes = md.num_rows, os.path.getsize(full)
+        vc, nc, lo, hi = _column_stats(md, stat_fields)
         status = 1 if add_sid == sid else 0  # ADDED vs EXISTING
         counts[status][0] += 1
         counts[status][1] += nrows
