@@ -2264,9 +2264,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = rfm
     for name, c in dims:
+        # empty input -> no cut-points -> constant bucket 1 (degenerate
+        # but well-defined, matching NTILE over an empty frame)
         scored = scored.withColumn(
             name,
-            ntile_assign(cuts[name], [c, "o_custkey"], ["v", "o_custkey"]),
+            ntile_assign(cuts.get(name, []), [c, "o_custkey"], ["v", "o_custkey"]),
         )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
