@@ -48,11 +48,8 @@ _CORE = [
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",
-    "window_range_30d_spend",
-    # event analytics (funnel / TWA / retention)
+    # event analytics (funnel)
     "events_funnel_conversion",
-    "events_time_weighted_value",
-    "events_retention_cohorts",
     # round-7: RFM rewritten on skew.ntile_cutpoints (no single-
     # partition window) — changed code re-verifies in-window; q15's
     # parallel rewrite (broadcast scalar max) rides the rotation
@@ -63,9 +60,7 @@ _CORE = [
     "text_vocab_topk",
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
-    "bpe_merge_candidates",
     "sketch_cms_heavy_hitters",
-    "tfidf_top_terms",
     # dedup
     "dedup_minhash_det",
     "dedup_simhash_det",
@@ -109,7 +104,13 @@ _CORE = [
 _ROTATION = [
     # demoted from _CORE in round 7 (VERDICT r6 task 2: stable multi-
     # round greens whose permanent core slots starved the rotation —
-    # core 49 → 31, rotating block back to ~19 slots/round)
+    # core 49 → ≤35, rotating block back to ≥15 slots/round; a second
+    # demotion wave made room for the 8 round-7 debuts)
+    "window_range_30d_spend",
+    "events_time_weighted_value",
+    "events_retention_cohorts",
+    "bpe_merge_candidates",
+    "tfidf_top_terms",
     "events_locf_fill",
     "events_markov_transitions",
     "events_burst_runs",
