@@ -113,14 +113,23 @@ def read_iceberg_table(
     table_root: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """The table as of ``snapshot_id`` (default: current), planned
+    """The table as of ``snapshot_id`` / named ``ref`` (branch or tag
+    from metadata.json's refs map; default: current snapshot), planned
     purely from the spec chain. ``filters`` — [(col, op, literal)]
     with op in {=, <, <=, >, >=} — prunes data files at the MANIFEST
     level via the recorded column bounds before any parquet footer is
     touched, then re-applies the predicates row-level (the bounds are
     a superset guarantee, not row truth)."""
     doc = current_metadata(table_root)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        entry = doc.get("refs", {}).get(ref)
+        if entry is None:
+            raise ValueError(f"unknown ref '{ref}'")
+        snapshot_id = entry["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     if sid == -1:
         raise ValueError("table has no snapshots")

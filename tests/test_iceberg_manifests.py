@@ -427,3 +427,16 @@ def test_avro_property_java_parity(spark, tmp_path):
     assert [g["arr"] for g in got] == [r["arr"] for r in recs]
     assert [g["m"] for g in got] == [r["m"] for r in recs]
     assert got[0]["s"] is None and got[1]["s"] == "π∂é"
+
+
+def test_spec_reader_reads_named_refs(wh, spark):
+    wh.create_table("rf", "k int, v string")
+    wh.insert_values("rf", [(1, "a")])
+    wh.create_tag("rf", "v1")
+    wh.insert_values("rf", [(2, "b")])
+    root = os.path.join(wh.root, "rf")
+    cols = ["k", "v"]
+    assert _rows(read_iceberg_table(spark, root, ref="v1"), cols) == [(1, "a")]
+    assert _rows(read_iceberg_table(spark, root), cols) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg_table(spark, root, ref="nope")
