@@ -262,12 +262,18 @@ def emit_metadata(meta, table_root: str) -> str | None:
     try:
         # real avro manifest list + manifest(s) for the current
         # snapshot — the path build_table_metadata records in each
-        # snapshot's manifest-list field (sources/iceberg_manifests.py)
-        from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
-            emit_manifests,
-        )
+        # snapshot's manifest-list field (sources/iceberg_manifests.py).
+        # Isolated failure domain: a manifest conversion problem must
+        # degrade to "chain without manifests", never take down the
+        # metadata.json write with it.
+        try:
+            from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
+                emit_manifests,
+            )
 
-        emit_manifests(meta, table_root)
+            emit_manifests(meta, table_root)
+        except Exception:
+            pass
         mdir = os.path.join(table_root, "metadata")
         os.makedirs(mdir, exist_ok=True)
         hint = os.path.join(mdir, "version-hint.text")
