@@ -13,7 +13,10 @@ only to data files whose data sequence is < D).
 Limitations, stated: only flat schemas (the warehouse's surface),
 data manifests grouped by entry sequence number (one parquet read per
 distinct data sequence), and equality-delete keys resolved through
-the metadata.json schema's field ids.
+the metadata.json schema's field ids; delete files are read with
+their as-written column names (no rename-log resolution — a real
+Iceberg reader resolves those through field ids in the files, which
+parquet files written by column name cannot provide).
 """
 
 from __future__ import annotations
