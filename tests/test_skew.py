@@ -98,3 +98,42 @@ def test_ntile_cutpoints_driver_holds_only_scalars(spark):
     cuts = ntile_cutpoints(_tiled(spark, 10_000), ["v", "k"], 4, n_parts=16)
     assert len(cuts) == 3
     assert set(cuts[0].asDict()) >= {"v", "k"}
+
+
+@pytest.mark.parametrize("sizes", [(1, 8, 100), (5, 5, 5), (97, 3, 1001)])
+def test_ntile_cutpoints_multi_matches_window_per_dim(spark, sizes):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        ntile_cutpoints_multi,
+    )
+
+    # three dimensions of DIFFERENT sizes stacked long-form — including
+    # dims small enough to share a range partition, the case where a
+    # dim's local base offset inside the partition matters
+    frames = []
+    for d, n in zip("abc", sizes):
+        frames.append(
+            spark.range(0, n).select(
+                F.lit(d).alias("dim"),
+                (F.col("id") % 5).alias("v"),
+                F.col("id").alias("k"),
+            )
+        )
+    stacked = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    cuts = ntile_cutpoints_multi(stacked, "dim", ["v", "k"], 4, n_parts=4)
+    for d, n in zip("abc", sizes):
+        df = spark.range(0, n).select(
+            (F.col("id") % 5).alias("v"), F.col("id").alias("k")
+        )
+        got = {
+            (r["k"], r["b"])
+            for r in df.withColumn(
+                "b", ntile_assign(cuts[d], ["v", "k"])
+            ).collect()
+        }
+        want = {
+            (r["k"], r["b"])
+            for r in df.withColumn(
+                "b", F.ntile(4).over(Window.orderBy("v", "k"))
+            ).collect()
+        }
+        assert got == want, f"dim {d} (n={n})"
