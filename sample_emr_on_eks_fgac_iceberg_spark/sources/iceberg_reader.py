@@ -91,15 +91,27 @@ def _excluded(op: str, lit, lo, hi) -> bool:
     return False
 
 
-def _prune(entry_data_file: dict, filters, name2id, id2kind) -> bool:
-    """True when the manifest's column bounds prove no row can match."""
+def _prune(entry_data_file: dict, filters, name2id, id2kind, ident_parts) -> bool:
+    """True when the manifest's column bounds OR the file's identity
+    partition value prove no row can match. Partition columns never
+    appear inside the data files (hive layout), so their pruning can
+    only come from the partition tuple — the point of hidden
+    partitioning."""
     from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
         single_value_parse,
     )
 
+    part = entry_data_file.get("partition") or {}
     lowers = {kv["key"]: kv["value"] for kv in entry_data_file.get("lower_bounds") or ()}
     uppers = {kv["key"]: kv["value"] for kv in entry_data_file.get("upper_bounds") or ()}
     for col, op, lit in filters:
+        pname = ident_parts.get(col)
+        if pname is not None and part.get(pname) is not None:
+            v = part[pname]
+            # only directly-comparable identity values (string/int/
+            # long/bool); logical-typed ints (date/ts) stay unpruned
+            if isinstance(v, type(lit)) and _excluded(op, lit, v, v):
+                return True
         fid = name2id.get(col)
         kind = id2kind.get(fid)
         if fid is None or kind is None or fid not in lowers or fid not in uppers:
@@ -148,6 +160,13 @@ def read_iceberg_table(
         if isinstance(f["type"], str)
     }
     cols = [(f["name"], _spark_type(f["type"])) for f in fields if isinstance(f["type"], str)]
+    # identity partition fields: source column name -> partition name
+    pspec = doc["partition-specs"][doc["default-spec-id"]]["fields"]
+    ident_parts = {
+        id2name[f["source-id"]]: f["name"]
+        for f in pspec
+        if f["transform"] == "identity" and f["source-id"] in id2name
+    }
 
     data_by_seq: dict[int, list[str]] = {}
     deletes: list[tuple[int, str, tuple[str, ...]]] = []
@@ -157,7 +176,7 @@ def read_iceberg_table(
             dfile = e["data_file"]
             seq = int(e["sequence_number"] or 0)
             if mf["content"] == 0:
-                if filters and _prune(dfile, filters, name2id, id2kind):
+                if filters and _prune(dfile, filters, name2id, id2kind, ident_parts):
                     continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
             else:

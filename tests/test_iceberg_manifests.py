@@ -440,3 +440,16 @@ def test_spec_reader_reads_named_refs(wh, spark):
     assert _rows(read_iceberg_table(spark, root), cols) == [(1, "a"), (2, "b")]
     with pytest.raises(ValueError, match="unknown ref"):
         read_iceberg_table(spark, root, ref="nope")
+
+
+def test_spec_reader_prunes_by_identity_partition(wh, spark):
+    wh.create_table("pp", "k int, state string", partition_by=["state"])
+    wh.insert_values("pp", [(1, "TX"), (2, "NY"), (3, "CA"), (4, "TX")])
+    root = os.path.join(wh.root, "pp")
+    full = read_iceberg_table(spark, root)
+    pruned = read_iceberg_table(spark, root, filters=[("state", "=", "TX")])
+    # partition columns live only in the directory layout (no column
+    # stats) — pruning here can come only from the partition tuple
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    cols = ["k", "state"]
+    assert _rows(pruned, cols) == [(1, "TX"), (4, "TX")]
