@@ -21,6 +21,7 @@ parquet files written by column name cannot provide).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 from functools import reduce
@@ -91,12 +92,48 @@ def _excluded(op: str, lit, lo, hi) -> bool:
     return False
 
 
-def _prune(entry_data_file: dict, filters, name2id, id2kind, ident_parts) -> bool:
-    """True when the manifest's column bounds OR the file's identity
-    partition value prove no row can match. Partition columns never
-    appear inside the data files (hive layout), so their pruning can
-    only come from the partition tuple — the point of hidden
-    partitioning."""
+_EPOCH_D = _dt.date(1970, 1, 1)
+
+
+def _transformed_literal(transform: str, lit):
+    """The spec transform applied to a query literal (date/datetime),
+    in the same units the manifest partition tuple stores."""
+    d = lit.date() if isinstance(lit, _dt.datetime) else lit
+    if not isinstance(d, _dt.date):
+        return None
+    if transform == "day":
+        return (d - _EPOCH_D).days
+    if transform == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if transform == "year":
+        return d.year - 1970
+    if transform == "hour" and isinstance(lit, _dt.datetime):
+        return (d - _EPOCH_D).days * 24 + lit.hour
+    return None
+
+
+def _excluded_transformed(op: str, tlit: int, pv: int) -> bool:
+    """Conservative exclusion under an order-preserving but LOSSY
+    transform: equality on the transformed value can't separate rows
+    inside the same bucket, so strict ops only exclude strictly-other
+    buckets (t(x) > t(lit) ⟹ x > lit by monotonicity, but t(x) =
+    t(lit) decides nothing)."""
+    if op == "=":
+        return pv != tlit
+    if op in (">", ">="):
+        return pv < tlit
+    if op in ("<", "<="):
+        return pv > tlit
+    return False
+
+
+def _prune(entry_data_file: dict, filters, name2id, id2kind, part_specs) -> bool:
+    """True when the manifest's column bounds OR the file's partition
+    tuple prove no row can match. Partition columns never appear
+    inside the data files (hive layout), so their pruning can only
+    come from the partition tuple — the point of hidden partitioning;
+    time transforms (day/month/year/hour) prune conservatively via
+    the transformed literal."""
     from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_manifests import (
         single_value_parse,
     )
@@ -105,13 +142,19 @@ def _prune(entry_data_file: dict, filters, name2id, id2kind, ident_parts) -> boo
     lowers = {kv["key"]: kv["value"] for kv in entry_data_file.get("lower_bounds") or ()}
     uppers = {kv["key"]: kv["value"] for kv in entry_data_file.get("upper_bounds") or ()}
     for col, op, lit in filters:
-        pname = ident_parts.get(col)
-        if pname is not None and part.get(pname) is not None:
-            v = part[pname]
-            # only directly-comparable identity values (string/int/
-            # long/bool); logical-typed ints (date/ts) stay unpruned
-            if isinstance(v, type(lit)) and _excluded(op, lit, v, v):
-                return True
+        for pname, transform in part_specs.get(col, ()):
+            pv = part.get(pname)
+            if pv is None:
+                continue
+            if transform == "identity":
+                # only directly-comparable identity values (string/
+                # int/long/bool); logical-typed ints stay unpruned
+                if isinstance(pv, type(lit)) and _excluded(op, lit, pv, pv):
+                    return True
+            elif transform in ("day", "month", "year", "hour"):
+                tlit = _transformed_literal(transform, lit)
+                if tlit is not None and _excluded_transformed(op, tlit, pv):
+                    return True
         fid = name2id.get(col)
         kind = id2kind.get(fid)
         if fid is None or kind is None or fid not in lowers or fid not in uppers:
@@ -160,13 +203,13 @@ def read_iceberg_table(
         if isinstance(f["type"], str)
     }
     cols = [(f["name"], _spark_type(f["type"])) for f in fields if isinstance(f["type"], str)]
-    # identity partition fields: source column name -> partition name
+    # partition fields by source column: [(partition name, transform)]
     pspec = doc["partition-specs"][doc["default-spec-id"]]["fields"]
-    ident_parts = {
-        id2name[f["source-id"]]: f["name"]
-        for f in pspec
-        if f["transform"] == "identity" and f["source-id"] in id2name
-    }
+    part_specs: dict[str, list[tuple[str, str]]] = {}
+    for f in pspec:
+        src = id2name.get(f["source-id"])
+        if src is not None:
+            part_specs.setdefault(src, []).append((f["name"], f["transform"]))
 
     data_by_seq: dict[int, list[str]] = {}
     deletes: list[tuple[int, str, tuple[str, ...]]] = []
@@ -176,7 +219,7 @@ def read_iceberg_table(
             dfile = e["data_file"]
             seq = int(e["sequence_number"] or 0)
             if mf["content"] == 0:
-                if filters and _prune(dfile, filters, name2id, id2kind, ident_parts):
+                if filters and _prune(dfile, filters, name2id, id2kind, part_specs):
                     continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
             else:

@@ -453,3 +453,30 @@ def test_spec_reader_prunes_by_identity_partition(wh, spark):
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     cols = ["k", "state"]
     assert _rows(pruned, cols) == [(1, "TX"), (4, "TX")]
+
+
+def test_spec_reader_prunes_by_day_transform(wh, spark):
+    import datetime as dt
+
+    wh.create_table("pd", "k int, ts timestamp", partition_by=["days(ts)"])
+    wh.insert_values(
+        "pd",
+        [
+            (1, dt.datetime(2021, 3, 1, 8, 0)),
+            (2, dt.datetime(2021, 3, 2, 9, 0)),
+            (3, dt.datetime(2021, 3, 3, 10, 0)),
+        ],
+    )
+    root = os.path.join(wh.root, "pd")
+    full = read_iceberg_table(spark, root)
+    lit = dt.datetime(2021, 3, 2, 12, 0)
+    pruned = read_iceberg_table(spark, root, filters=[("ts", ">", lit)])
+    # day(2021-03-01) < day(lit): that file must be gone; day == day(lit)
+    # must be KEPT (rows later the same day could match, none do here)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r["k"] for r in pruned.collect()) == [3]
+    eq = read_iceberg_table(
+        spark, root, filters=[("ts", "=", dt.datetime(2021, 3, 2, 9, 0))]
+    )
+    assert len(eq.inputFiles()) == 1
+    assert [r["k"] for r in eq.collect()] == [2]
