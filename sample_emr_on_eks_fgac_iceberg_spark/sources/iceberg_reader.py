@@ -127,7 +127,9 @@ def _excluded_transformed(op: str, tlit: int, pv: int) -> bool:
     return False
 
 
-def _prune(entry_data_file: dict, filters, name2id, id2kind, part_specs) -> bool:
+def _prune(
+    entry_data_file: dict, filters, name2id, id2kind, part_specs, bucket_lits
+) -> bool:
     """True when the manifest's column bounds OR the file's partition
     tuple prove no row can match. Partition columns never appear
     inside the data files (hive layout), so their pruning can only
@@ -154,6 +156,13 @@ def _prune(entry_data_file: dict, filters, name2id, id2kind, part_specs) -> bool
             elif transform in ("day", "month", "year", "hour"):
                 tlit = _transformed_literal(transform, lit)
                 if tlit is not None and _excluded_transformed(op, tlit, pv):
+                    return True
+            elif transform.startswith("bucket[") and op == "=":
+                # bucket is not order-preserving: only equality prunes,
+                # via the precomputed literal bucket (same murmur hash
+                # the write path used)
+                blit = bucket_lits.get((col, lit))
+                if blit is not None and pv != blit:
                     return True
         fid = name2id.get(col)
         kind = id2kind.get(fid)
@@ -210,6 +219,21 @@ def read_iceberg_table(
         src = id2name.get(f["source-id"])
         if src is not None:
             part_specs.setdefault(src, []).append((f["name"], f["transform"]))
+    # precompute literal buckets for equality filters on bucket-
+    # partitioned columns — one metadata-scale spark job per literal,
+    # the same murmur hash (F.hash) the write path used
+    bucket_lits: dict[tuple, int] = {}
+    for col, op, lit in filters or ():
+        if op != "=":
+            continue
+        for pname, transform in part_specs.get(col, ()):
+            if transform.startswith("bucket["):
+                n = int(transform[len("bucket[") : -1])
+                bucket_lits[(col, lit)] = (
+                    spark.range(1)
+                    .select(F.pmod(F.hash(F.lit(lit)), F.lit(n)).alias("b"))
+                    .collect()[0]["b"]
+                )
 
     data_by_seq: dict[int, list[str]] = {}
     deletes: list[tuple[int, str, tuple[str, ...]]] = []
@@ -219,7 +243,9 @@ def read_iceberg_table(
             dfile = e["data_file"]
             seq = int(e["sequence_number"] or 0)
             if mf["content"] == 0:
-                if filters and _prune(dfile, filters, name2id, id2kind, part_specs):
+                if filters and _prune(
+                    dfile, filters, name2id, id2kind, part_specs, bucket_lits
+                ):
                     continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
             else:

@@ -480,3 +480,16 @@ def test_spec_reader_prunes_by_day_transform(wh, spark):
     )
     assert len(eq.inputFiles()) == 1
     assert [r["k"] for r in eq.collect()] == [2]
+
+
+def test_spec_reader_prunes_by_bucket_transform(wh, spark):
+    wh.create_table("pb", "k int, v string", partition_by=["bucket(8, k)"])
+    wh.insert_values("pb", [(i, f"x{i}") for i in range(40)])
+    root = os.path.join(wh.root, "pb")
+    full = read_iceberg_table(spark, root)
+    pruned = read_iceberg_table(spark, root, filters=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned, ["k", "v"]) == [(17, "x17")]
+    # non-equality ops must NOT prune on a bucket transform
+    ge = read_iceberg_table(spark, root, filters=[("k", ">=", 0)])
+    assert _rows(ge, ["k", "v"]) == _rows(full, ["k", "v"])
