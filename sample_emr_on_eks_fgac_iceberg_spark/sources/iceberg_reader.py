@@ -164,6 +164,18 @@ def _prune(
                 blit = bucket_lits.get((col, lit))
                 if blit is not None and pv != blit:
                     return True
+            elif transform.startswith("truncate["):
+                # order-preserving like the time transforms: ints floor
+                # to a multiple of W, strings to a W-char prefix
+                w = int(transform[len("truncate[") : -1])
+                if isinstance(lit, int) and isinstance(pv, int):
+                    tlit = lit - lit % w
+                elif isinstance(lit, str) and isinstance(pv, str):
+                    tlit = lit[:w]
+                else:
+                    continue
+                if _excluded_transformed(op, tlit, pv):
+                    return True
         fid = name2id.get(col)
         kind = id2kind.get(fid)
         if fid is None or kind is None or fid not in lowers or fid not in uppers:

@@ -493,3 +493,14 @@ def test_spec_reader_prunes_by_bucket_transform(wh, spark):
     # non-equality ops must NOT prune on a bucket transform
     ge = read_iceberg_table(spark, root, filters=[("k", ">=", 0)])
     assert _rows(ge, ["k", "v"]) == _rows(full, ["k", "v"])
+
+
+def test_spec_reader_prunes_by_truncate_transform(wh, spark):
+    wh.create_table("pt", "k int, v string", partition_by=["truncate(10, k)"])
+    wh.insert_values("pt", [(i, f"x{i}") for i in range(0, 35)])
+    root = os.path.join(wh.root, "pt")
+    full = read_iceberg_table(spark, root)
+    pruned = read_iceberg_table(spark, root, filters=[("k", ">", 24)])
+    # buckets 0-9 and 10-19 excluded; 20-29 kept (contains 25-29)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(25, 35))
