@@ -461,17 +461,27 @@ def emit_manifests(meta, table_root: str) -> str | None:
         pfields.append(fld)
         convs[pf.name] = conv
 
-    # replay the snapshot log: live file -> (adding snapshot, data seq)
+    # replay the snapshot log: live file -> (adding snapshot, data seq).
+    # A re-add (rollback) keeps the file's ORIGINAL data sequence —
+    # Iceberg's per-entry data_sequence_number rule, and the property
+    # that makes older equality deletes still apply to the file; the
+    # engine's _file_seqs implements the same rule, including the
+    # pre-collapse sequences an expire_snapshots base manifest records
+    # in ``file_seqs``.
     added_by: dict[str, tuple[int, int]] = {}
+    first_seq: dict[str, int] = {}
     for s in meta.snapshots:
         if s.get("staged") and s["snapshot_id"] != sid:
             continue
         if s["snapshot_id"] > sid:
             break
+        for f, fseq in s.get("file_seqs", {}).items():
+            first_seq.setdefault(f, int(fseq))
         for f in s.get("removed_files", ()):  # CoW rewrite drops the old file
             added_by.pop(f, None)
         for f in s.get("added_files", ()):
-            added_by[f] = (int(s["snapshot_id"]), int(s["sequence_number"]))
+            fseq = first_seq.setdefault(f, int(s["sequence_number"]))
+            added_by[f] = (int(s["snapshot_id"]), fseq)
 
     def typed_partition(rel: str) -> dict:
         vals = _partition_values(rel)
@@ -567,21 +577,27 @@ def emit_manifests(meta, table_root: str) -> str | None:
         }
     ]
 
-    # live equality-delete files -> a deletes manifest (content = 1)
+    # live equality-delete files -> a deletes manifest (content = 1);
+    # same first-commit-sequence rule as data files (the engine's
+    # _live_delete_files, incl. collapsed ``delete_file_seqs``)
     del_by: dict[str, tuple[int, int, list[str]]] = {}
+    dfirst: dict[str, int] = {}
     for s in meta.snapshots:
         if s.get("staged") and s["snapshot_id"] != sid:
             continue
         if s["snapshot_id"] > sid:
             break
-        for f in s.get("removed_delete_files", ()):
-            del_by.pop(f, None)
+        for f, fseq in s.get("delete_file_seqs", {}).items():
+            dfirst.setdefault(f, int(fseq))
         for f in s.get("added_delete_files", ()):
+            fseq = dfirst.setdefault(f, int(s["sequence_number"]))
             del_by[f] = (
                 int(s["snapshot_id"]),
-                int(s["sequence_number"]),
+                fseq,
                 list(s.get("equality_ids") or ()),
             )
+        for f in s.get("removed_delete_files", ()):
+            del_by.pop(f, None)
     if del_by:
         ddir = os.path.join(table_root, "deletes")
         dentries = []

@@ -504,3 +504,26 @@ def test_spec_reader_prunes_by_truncate_transform(wh, spark):
     # buckets 0-9 and 10-19 excluded; 20-29 kept (contains 25-29)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert sorted(r["k"] for r in pruned.collect()) == list(range(25, 35))
+
+
+def test_manifest_sequences_survive_rollback(wh):
+    """Re-added files (rollback after truncate) must keep their
+    ORIGINAL data sequence in manifest entries — Iceberg's per-entry
+    data_sequence_number rule, and what keeps older equality deletes
+    applicable; mirrors the engine's _file_seqs."""
+    wh.create_table("rs", "k int")
+    wh.insert_values("rs", [(1,)])  # seq 1: file A
+    s1 = wh.current_snapshot_id("rs")
+    wh.truncate_table("rs")  # seq 2: removes A
+    wh.rollback_to_snapshot("rs", s1)  # seq 3: re-adds A
+    sid = wh.current_snapshot_id("rs")
+    mdir = os.path.join(wh.root, "rs", "metadata")
+    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    assert entries
+    engine_seqs = wh._file_seqs(wh._read_meta("rs"))
+    for e in entries:
+        assert e["sequence_number"] == 1  # original, not the rollback's 3
+        rel = os.path.relpath(
+            e["data_file"]["file_path"], os.path.join(wh.root, "rs", "data")
+        )
+        assert engine_seqs[rel] == e["sequence_number"]
