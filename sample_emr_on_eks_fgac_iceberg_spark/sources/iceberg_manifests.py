@@ -467,7 +467,10 @@ def emit_manifests(meta, table_root: str) -> str | None:
     # that makes older equality deletes still apply to the file; the
     # engine's _file_seqs implements the same rule, including the
     # pre-collapse sequences an expire_snapshots base manifest records
-    # in ``file_seqs``.
+    # in ``file_seqs``. Adds are applied BEFORE removes within a
+    # snapshot, matching Warehouse._live_files by construction, so a
+    # snapshot listing the same file in both sets is dead in both
+    # replays.
     added_by: dict[str, tuple[int, int]] = {}
     first_seq: dict[str, int] = {}
     for s in meta.snapshots:
@@ -477,11 +480,11 @@ def emit_manifests(meta, table_root: str) -> str | None:
             break
         for f, fseq in s.get("file_seqs", {}).items():
             first_seq.setdefault(f, int(fseq))
-        for f in s.get("removed_files", ()):  # CoW rewrite drops the old file
-            added_by.pop(f, None)
         for f in s.get("added_files", ()):
             fseq = first_seq.setdefault(f, int(s["sequence_number"]))
             added_by[f] = (int(s["snapshot_id"]), fseq)
+        for f in s.get("removed_files", ()):  # CoW rewrite drops the old file
+            added_by.pop(f, None)
 
     def typed_partition(rel: str) -> dict:
         vals = _partition_values(rel)
@@ -492,11 +495,25 @@ def emit_manifests(meta, table_root: str) -> str | None:
             out[name] = None if raw is None else convs[name](raw)
         return out
 
+    # real Iceberg schema + partition-spec JSON for the manifest
+    # headers (same builder the metadata.json chain uses, so field ids
+    # agree). Stats and equality_ids are keyed by the DFS-allocated
+    # field ids from THIS document — nested types (array element ids,
+    # map key/value ids, struct children) interleave with top-level
+    # ids, so enumerate() position is wrong the moment a complex
+    # column precedes a primitive one.
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
+        build_table_metadata,
+    )
+
+    doc = build_table_metadata(meta, table_root)
+    fid_by_name = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
+
     data_dir = os.path.join(table_root, "data")
     stat_fields = [
-        (i + 1, f["name"], str(f["type"]).split("(")[0])
-        for i, f in enumerate(schema_fields)
-        if isinstance(f["type"], str)
+        (fid_by_name[f["name"]], f["name"], str(f["type"]).split("(")[0])
+        for f in schema_fields
+        if isinstance(f["type"], str) and f["name"] in fid_by_name
     ]
     entries = []
     min_seq = seq
@@ -534,13 +551,6 @@ def emit_manifests(meta, table_root: str) -> str | None:
             }
         )
 
-    # real Iceberg schema + partition-spec JSON in the manifest header
-    # (same builder the metadata.json chain uses, so field ids agree)
-    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
-        build_table_metadata,
-    )
-
-    doc = build_table_metadata(meta, table_root)
     common_meta = {
         "schema": json.dumps(doc["schemas"][0], separators=(",", ":")).encode(),
         "schema-id": b"0",
@@ -603,9 +613,7 @@ def emit_manifests(meta, table_root: str) -> str | None:
         dentries = []
         dmin = seq
         dcounts = {1: [0, 0], 0: [0, 0]}
-        field_ids = {
-            f["name"]: i + 1 for i, f in enumerate(schema_fields)
-        }  # matches iceberg_metadata's DFS allocation for flat schemas
+        field_ids = fid_by_name  # the metadata.json DFS allocation
         for rel in sorted(del_by):
             add_sid, add_seq, eq_cols = del_by[rel]
             full = os.path.join(ddir, rel)

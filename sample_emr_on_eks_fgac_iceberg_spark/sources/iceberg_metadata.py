@@ -272,8 +272,20 @@ def emit_metadata(meta, table_root: str) -> str | None:
             )
 
             emit_manifests(meta, table_root)
-        except Exception:
-            pass
+        except Exception as exc:
+            # degrade to "chain without manifests", but never silently:
+            # a persistent emission bug would otherwise surface only as
+            # a bare FileNotFoundError in the spec-route reader
+            import warnings
+
+            warnings.warn(
+                f"iceberg manifest emission failed for table "
+                f"'{getattr(meta, 'name', '?')}' at {table_root}: {exc!r}; "
+                f"metadata.json snapshot entries will reference missing "
+                f"snap-*.avro files",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         mdir = os.path.join(table_root, "metadata")
         os.makedirs(mdir, exist_ok=True)
         hint = os.path.join(mdir, "version-hint.text")

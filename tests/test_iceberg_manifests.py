@@ -527,3 +527,43 @@ def test_manifest_sequences_survive_rollback(wh):
             e["data_file"]["file_path"], os.path.join(wh.root, "rs", "data")
         )
         assert engine_seqs[rel] == e["sequence_number"]
+
+
+def test_stats_field_ids_respect_nested_id_allocation(wh):
+    """Field ids in metadata.json are allocated in DFS order, so a
+    complex column's NESTED ids (array element, map key/value) sit
+    between top-level ids. Manifest stats and equality_ids must key by
+    those real ids, not by top-level position — with 'a array<int>,
+    b int, c int' the ids are a=1 (element=2), b=3, c=4, and a stats
+    entry recorded under key 2 for b would make an external planner
+    prune the wrong files."""
+    wh.create_table("nst", "a array<int>, b int, c int")
+    wh.insert_values("nst", [([1, 2], 10, 100), ([3], 20, 200)])
+    sid = wh.current_snapshot_id("nst")
+    root = os.path.join(wh.root, "nst")
+    with open(os.path.join(root, "metadata", "version-hint.text")) as f:
+        v = f.read().strip()
+    with open(os.path.join(root, "metadata", f"v{v}.metadata.json")) as f:
+        doc = json.load(f)
+    ids = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
+    assert ids == {"a": 1, "b": 3, "c": 4}  # element-id 2 consumed by a
+    _, _, entries = read_container(
+        os.path.join(root, "metadata", f"{sid}-m0.avro")
+    )
+    keys = set()
+    for e in entries:
+        for kv in e["data_file"]["value_counts"] or ():
+            keys.add(kv["key"])
+    assert keys == {3, 4}, keys  # b and c only, under their DFS ids
+
+    # equality_ids on a MoR delete resolve through the same map
+    wh.set_identifier_fields("nst", ["b"])
+    wh.set_delete_mode("nst", "merge-on-read")
+    wh.delete_from("nst", "b = 10")
+    sid2 = wh.current_snapshot_id("nst")
+    _, _, manifests = read_container(
+        os.path.join(root, "metadata", f"snap-{sid2}.avro")
+    )
+    dmf = next(m for m in manifests if m["content"] == 1)
+    _, _, dentries = read_container(dmf["manifest_path"])
+    assert all(e["data_file"]["equality_ids"] == [3] for e in dentries)
