@@ -232,8 +232,13 @@ def read_iceberg_table(
         if src is not None:
             part_specs.setdefault(src, []).append((f["name"], f["transform"]))
     # precompute literal buckets for equality filters on bucket-
-    # partitioned columns — one metadata-scale spark job per literal,
-    # the same murmur hash (F.hash) the write path used
+    # partitioned columns — pure Python, the SPEC's bucket function
+    # (murmur3_x86_32 seed 0), which is exactly what any external
+    # Iceberg reader would compute over this layout
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_bucket import (
+        bucket_literal,
+    )
+
     bucket_lits: dict[tuple, int] = {}
     for col, op, lit in filters or ():
         if op != "=":
@@ -241,11 +246,7 @@ def read_iceberg_table(
         for pname, transform in part_specs.get(col, ()):
             if transform.startswith("bucket["):
                 n = int(transform[len("bucket[") : -1])
-                bucket_lits[(col, lit)] = (
-                    spark.range(1)
-                    .select(F.pmod(F.hash(F.lit(lit)), F.lit(n)).alias("b"))
-                    .collect()[0]["b"]
-                )
+                bucket_lits[(col, lit)] = bucket_literal(lit, n)
 
     data_by_seq: dict[int, list[str]] = {}
     deletes: list[tuple[int, str, tuple[str, ...]]] = []

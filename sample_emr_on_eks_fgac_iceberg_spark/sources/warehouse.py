@@ -104,7 +104,15 @@ def _transform_column(f: PartitionField, dtype: str) -> F.Column:
     if f.kind == "hour":
         return F.date_format(c, "yyyy-MM-dd-HH")
     if f.kind == "bucket":
-        return F.pmod(F.hash(c), F.lit(f.param))
+        # spec-conformant bucket[N] (murmur3_x86_32 seed 0 over the
+        # spec byte layouts) so external Iceberg readers compute the
+        # same bucket for a literal and prune the RIGHT files — NOT
+        # Spark's F.hash (seed 42, Spark-internal layouts)
+        from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_bucket import (
+            bucket_expr,
+        )
+
+        return bucket_expr(f.source, f.param, dtype)
     if f.kind == "truncate":
         # order-preserving: ints floor to a multiple of W, strings to
         # a W-char prefix (Iceberg's truncate semantics)
@@ -1289,15 +1297,16 @@ class Warehouse:
         return out
 
     def _bucket_of(self, val, n: int, cache: dict) -> int:
-        """murmur3 bucket of a literal — one metadata-scale Spark job,
-        memoized per planning pass (matches F.hash on the write path)."""
+        """Spec bucket of a literal — pure Python (no Spark job),
+        the same murmur3_x86_32 the write path applies, so pruning and
+        placement always agree."""
         key = (val, n)
         if key not in cache:
-            cache[key] = (
-                self.spark.range(1)
-                .select(F.pmod(F.hash(F.lit(val)), F.lit(n)).alias("b"))
-                .collect()[0]["b"]
+            from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_bucket import (
+                bucket_literal,
             )
+
+            cache[key] = bucket_literal(val, n)
         return cache[key]
 
     @staticmethod

@@ -21,17 +21,14 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "sample_emr_on_eks_fgac_iceb
 #   operators/skew.py       — ntile_cutpoints: per-partition counts
 #                             (one scalar per partition) + exactly
 #                             buckets-1 boundary rows, never the frame
-#   sources/iceberg_reader.py — bucket-literal precompute: a 1-row
-#                             murmur-hash job per equality filter
-#                             literal (same metadata-scale pattern as
-#                             warehouse._bucket_of)
+# (the spec-route reader's former 1-row bucket-literal collect is gone:
+# literal buckets are now pure Python via iceberg_bucket.bucket_literal)
 ALLOWED_COLLECT_FILES = {
     "plans/explain.py",
     "operators/similarity.py",
     "sources/warehouse.py",
     "operators/dedup.py",
     "operators/skew.py",
-    "sources/iceberg_reader.py",
 }
 
 
