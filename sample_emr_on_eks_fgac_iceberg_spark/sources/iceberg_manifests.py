@@ -504,10 +504,19 @@ def emit_manifests(meta, table_root: str) -> str | None:
     # column precedes a primitive one.
     from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
         build_table_metadata,
+        field_name_history,
     )
 
     doc = build_table_metadata(meta, table_root)
     fid_by_name = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
+    # historical names (pre-rename) also resolve — equality-delete key
+    # columns are recorded in snapshots with their names AT DELETE TIME
+    alias_fid = dict(fid_by_name)
+    for fid, names in field_name_history(
+        getattr(meta, "renames", None), doc["schemas"][0]["fields"]
+    ):
+        for nm in names:
+            alias_fid.setdefault(nm, fid)
 
     data_dir = os.path.join(table_root, "data")
     stat_fields = [
@@ -613,7 +622,7 @@ def emit_manifests(meta, table_root: str) -> str | None:
         dentries = []
         dmin = seq
         dcounts = {1: [0, 0], 0: [0, 0]}
-        field_ids = fid_by_name  # the metadata.json DFS allocation
+        field_ids = alias_fid  # DFS allocation + historical aliases
         for rel in sorted(del_by):
             add_sid, add_seq, eq_cols = del_by[rel]
             full = os.path.join(ddir, rel)

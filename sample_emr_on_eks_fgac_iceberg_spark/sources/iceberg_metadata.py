@@ -127,6 +127,19 @@ _OPERATIONS = {
 }
 
 
+def field_name_history(renames, fields) -> list[tuple[int, list[str]]]:
+    """[(field id, [oldest name, …, current name])] for top-level
+    fields, reconstructed from the engine's rename log — the input to
+    the spec's name mapping, and to any path that must resolve a name
+    recorded BEFORE later renames (e.g. equality-delete key columns)."""
+    hist = {f["name"]: [f["name"]] for f in fields}
+    for old, new in reversed(renames or []):
+        for names in hist.values():
+            if names[0] == new:
+                names.insert(0, old)
+    return [(f["id"], hist[f["name"]]) for f in fields]
+
+
 def build_table_metadata(meta, table_root: str) -> dict:
     """The Iceberg v2 table-metadata document for one engine
     ``TableMeta`` state. Pure function of (meta, location) so tests can
@@ -210,6 +223,19 @@ def build_table_metadata(meta, table_root: str) -> dict:
                 {"timestamp-ms": s["timestamp_ms"], "snapshot-id": sid}
             )
 
+    # schema.name-mapping.default (spec: "Name Mapping Serialization")
+    # — the PUBLIC mechanism for resolving files that carry no parquet
+    # field ids: every historical name of a field maps to its field id,
+    # so files written before a RENAME COLUMN still resolve. The engine
+    # writes parquet by column name, which is exactly the case name
+    # mapping exists for.
+    name_mapping = None
+    if getattr(meta, "renames", None):
+        name_mapping = [
+            {"field-id": fid, "names": names}
+            for fid, names in field_name_history(meta.renames, fields)
+        ]
+
     current = snapshot_log[-1]["snapshot-id"] if snapshot_log else -1
     last_ms = (
         meta.snapshots[-1]["timestamp_ms"]
@@ -242,7 +268,18 @@ def build_table_metadata(meta, table_root: str) -> dict:
         "last-partition-id": pfid,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": dict(meta.properties),
+        "properties": {
+            **meta.properties,
+            **(
+                {
+                    "schema.name-mapping.default": json.dumps(
+                        name_mapping, separators=(",", ":")
+                    )
+                }
+                if name_mapping
+                else {}
+            ),
+        },
         "current-snapshot-id": current,
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,

@@ -10,13 +10,18 @@ own scan, including time travel and merge-on-read equality deletes
 with the spec's sequence-number rule (a delete at sequence D applies
 only to data files whose data sequence is < D).
 
-Limitations, stated: only flat schemas (the warehouse's surface),
+Limitations, stated: only flat schemas (the warehouse's surface) and
 data manifests grouped by entry sequence number (one parquet read per
-distinct data sequence), and equality-delete keys resolved through
-the metadata.json schema's field ids; delete files are read with
-their as-written column names (no rename-log resolution — a real
-Iceberg reader resolves those through field ids in the files, which
-parquet files written by column name cannot provide).
+distinct data sequence). Column RENAMES are resolved through the
+spec's ``schema.name-mapping.default`` table property (emitted in
+metadata.json by sources/iceberg_metadata.py) — the PUBLIC mechanism
+for files written without parquet field ids, applied to data files
+AND equality-delete files; if a delete file's columns still don't
+match (no mapping entry), they resolve positionally via
+``equality_ids`` order (the engine writes delete files as
+``select(*keys)`` in that order). Positional delete files (content=1)
+are rejected with a clear error — this engine never writes them, and
+misreading one as equality keys would silently drop wrong rows.
 """
 
 from __future__ import annotations
@@ -218,6 +223,25 @@ def read_iceberg_table(
     fields = doc["schemas"][doc["current-schema-id"]]["fields"]
     id2name = {f["id"]: f["name"] for f in fields}
     name2id = {f["name"]: f["id"] for f in fields}
+    # schema.name-mapping.default: historical name -> field id, the
+    # spec's resolution path for files written without parquet field
+    # ids (this engine writes parquet by name). A name that is also a
+    # CURRENT schema name never remaps — current names win.
+    alias2id: dict[str, int] = {}
+    for entry in json.loads(
+        doc.get("properties", {}).get("schema.name-mapping.default", "[]")
+    ):
+        for alias in entry.get("names", ()):
+            if alias not in name2id:
+                alias2id[alias] = entry["field-id"]
+
+    def _apply_name_mapping(df: DataFrame) -> DataFrame:
+        for c in df.columns:
+            fid = alias2id.get(c)
+            cur = id2name.get(fid) if fid is not None else None
+            if cur and cur != c and cur not in df.columns:
+                df = df.withColumnRenamed(c, cur)
+        return df
     id2kind = {
         f["id"]: _KINDS.get(f["type"])
         for f in fields
@@ -262,6 +286,13 @@ def read_iceberg_table(
                     continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
             else:
+                if dfile.get("content") == 1:
+                    raise ValueError(
+                        f"positional delete file (content=1) at "
+                        f"{dfile['file_path']}: not supported by the "
+                        f"spec-route reader (this engine writes only "
+                        f"equality deletes, content=2)"
+                    )
                 keys = tuple(
                     id2name[i] for i in (dfile.get("equality_ids") or ())
                 )
@@ -270,11 +301,9 @@ def read_iceberg_table(
     base = os.path.join(table_root, "data")
     parts = []
     for seq, paths in sorted(data_by_seq.items()):
-        df = (
-            spark.read.option("basePath", base)
-            .parquet(*sorted(paths))
-            .withColumn("__seq", F.lit(seq))
-        )
+        df = _apply_name_mapping(
+            spark.read.option("basePath", base).parquet(*sorted(paths))
+        ).withColumn("__seq", F.lit(seq))
         parts.append(df)
     if not parts:
         # declared-typed empty frame
@@ -297,12 +326,23 @@ def read_iceberg_table(
         if keys:
             by_keys.setdefault(keys, []).append((seq, path))
     for keys, files in by_keys.items():
-        kparts = [
-            spark.read.parquet(path)
-            .select(*keys)
-            .withColumn("__del_seq", F.lit(int(seq)))
-            for seq, path in sorted(files)
-        ]
+        kparts = []
+        for seq, path in sorted(files):
+            raw = _apply_name_mapping(spark.read.parquet(path))
+            if list(raw.columns) != list(keys):
+                # rename committed after the delete was written: the
+                # writer emits key columns in equality_ids order, so
+                # position i carries the column whose CURRENT name is
+                # keys[i] (see module docstring)
+                if len(raw.columns) != len(keys):
+                    raise ValueError(
+                        f"equality delete file {path}: {len(raw.columns)} "
+                        f"columns vs {len(keys)} equality_ids"
+                    )
+                raw = raw.toDF(*keys)
+            kparts.append(
+                raw.select(*keys).withColumn("__del_seq", F.lit(int(seq)))
+            )
         dels = reduce(lambda a, b: a.unionByName(b), kparts)
         t = out.alias("__tgt")
         d = dels.alias("__dels")

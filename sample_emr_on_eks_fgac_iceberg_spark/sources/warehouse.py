@@ -1733,6 +1733,15 @@ class Warehouse:
                 for f in meta.schema.fields
             ]
             meta.renames.append([old, new])
+            # identifier fields follow the rename (Iceberg keys them by
+            # field ID, so a rename follows automatically; this name-
+            # based mirror must rewrite) — otherwise a MoR table whose
+            # key column is renamed breaks its own delete-apply scan
+            id_cols = json.loads(meta.properties.get("identifier_fields", "[]"))
+            if old in id_cols:
+                meta.properties["identifier_fields"] = json.dumps(
+                    [new if c == old else c for c in id_cols]
+                )
             self._write_schema(meta, fields)
 
     # ------------------------------------------------------------- refs

@@ -567,3 +567,51 @@ def test_stats_field_ids_respect_nested_id_allocation(wh):
     dmf = next(m for m in manifests if m["content"] == 1)
     _, _, dentries = read_container(dmf["manifest_path"])
     assert all(e["data_file"]["equality_ids"] == [3] for e in dentries)
+
+
+def test_spec_reader_resolves_rename_after_mor_delete(wh, spark):
+    """RENAME COLUMN committed after an equality delete: the delete
+    parquet keeps the OLD physical name, but the spec-route reader
+    resolves it positionally through equality_ids (the writer emits
+    key columns in equality_ids order), so the interop scan equals the
+    engine scan — no engine-private rename log needed."""
+    wh.create_table("rn", "k int, v string")
+    wh.set_identifier_fields("rn", ["k"])
+    wh.set_delete_mode("rn", "merge-on-read")
+    wh.insert_values("rn", [(1, "a"), (2, "b"), (3, "c")])
+    wh.delete_from("rn", "k = 2")
+    wh.rename_column("rn", "k", "key_id")
+    root = os.path.join(wh.root, "rn")
+    cols = ["key_id", "v"]
+    got = _rows(read_iceberg_table(spark, root), cols)
+    assert got == _rows(wh.read_table("rn"), cols)
+    assert got == [(1, "a"), (3, "c")]
+    # and a delete issued AFTER the rename (new physical name) still
+    # composes with the pre-rename delete file
+    wh.delete_from("rn", "key_id = 3")
+    got2 = _rows(read_iceberg_table(spark, root), cols)
+    assert got2 == _rows(wh.read_table("rn"), cols) == [(1, "a")]
+
+
+def test_spec_reader_rejects_positional_deletes(wh, spark):
+    """A manifest entry with data_file.content=1 (positional deletes)
+    must raise a clear error, never be misread as equality keys."""
+    wh.create_table("pd", "k int, v string")
+    wh.set_identifier_fields("pd", ["k"])
+    wh.set_delete_mode("pd", "merge-on-read")
+    wh.insert_values("pd", [(1, "a"), (2, "b")])
+    wh.delete_from("pd", "k = 1")
+    sid = wh.current_snapshot_id("pd")
+    mdir = os.path.join(wh.root, "pd", "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    dmf = next(m for m in manifests if m["content"] == 1)
+    schema, meta, dentries = read_container(dmf["manifest_path"])
+    for e in dentries:
+        e["data_file"]["content"] = 1  # forge a positional-delete entry
+    write_container(dmf["manifest_path"], schema, dentries, metadata=meta)
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table as rit,
+    )
+
+    with pytest.raises(ValueError, match="positional delete"):
+        rit(spark, os.path.join(wh.root, "pd")).collect()
