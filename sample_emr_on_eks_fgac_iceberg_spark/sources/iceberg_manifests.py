@@ -3,28 +3,37 @@ waiver: reference tables ship ``snap-*.avro`` and ``*-m0.avro`` beside
 ``metadata.json`` — producer_account_setup/logs/
 producer_cleanup_logs.txt:33-51).
 
-Every metadata write now also emits, for the CURRENT snapshot:
+Every metadata write emits, for the CURRENT snapshot (and for any
+historical snapshot whose list is missing):
 
-- ``<table>/metadata/<sid>-m0.avro`` — a data manifest holding the
-  complete live data-file set as of that snapshot (entries for files
-  added by the snapshot carry status ADDED, carried files EXISTING),
-  each with its adding snapshot id / data sequence number and typed
-  partition tuple;
-- ``<table>/metadata/<sid>-m1.avro`` — an equality-deletes manifest,
-  when live delete files exist;
-- ``<table>/metadata/snap-<sid>.avro`` — the manifest list referencing
-  them, which is exactly the path ``metadata.json``'s snapshot entry
-  already records.
+- ``<table>/metadata/<sid>-m0-<digest>.avro`` — a data manifest with
+  ONLY the files the snapshot adds (status ADDED); prior manifests are
+  carried forward UNCHANGED in the manifest list — Iceberg's
+  carry-forward commit strategy, O(delta) metadata work per commit;
+- ``<table>/metadata/<sid>-rwK-<digest>.avro`` — a rewrite of a prior
+  manifest whose live set the snapshot shrinks (surviving entries keep
+  their original snapshot id / data sequence, status EXISTING);
+- ``<table>/metadata/<sid>-m1/-rwdK-<digest>.avro`` — the same for
+  equality-delete manifests;
+- ``<table>/metadata/<sid>-c0/-cd0-<digest>.avro`` — a compaction of
+  the whole chain once it exceeds ``commit.manifest.min-count-to-
+  merge`` (default 8), bounding reader fan-out;
+- ``<table>/metadata/snap-<sid>.avro`` — the manifest list, which is
+  exactly the path ``metadata.json``'s snapshot entry records.
+
+Manifest names digest their logical content (entry set + schema +
+partition spec + table root), making the files immutable: re-emission
+skips anything already on disk byte-for-byte, and schema evolution or
+a table move changes the digest, regenerating the chain. Carried
+entries are recovered by decoding the small source manifests — a
+commit never re-reads data-file footers for files it didn't write.
 
 Schemas follow the Iceberg table-spec v2 field set with the spec's
 field ids attached (``field-id``); files are written by the pure-
 Python Avro writer in sources/avro_io.py and are readable by the
 official Apache Avro Java reader (cross-validated in
 tests/test_iceberg_manifests.py via the avro-1.12.x jar on Spark's
-classpath). Writing the full live set per commit is the "rewrite
-manifests every commit" strategy — spec-valid and simplest; a
-production writer carries unchanged manifest files forward instead
-(noted here so the tradeoff is explicit).
+classpath).
 
 Partition values in manifests use the SPEC's transform result types
 (day → days since epoch, month → months since 1970-01, hour → hours
@@ -431,25 +440,124 @@ def _field_summaries(pfields: list[dict], entries: list[dict]) -> list[dict] | N
     return out
 
 
+# ---------------------------------------------------------------------------
+# Carry-forward emission (round 8)
+#
+# Manifests are IMMUTABLE once written: each file's name carries a
+# digest of its logical content (entry set + schema + partition spec +
+# table root), so a commit writes only
+#   - one NEW delta manifest for the files it adds,
+#   - a REWRITE of any prior manifest whose live set it shrinks
+#     (entries carried with status EXISTING and their original
+#     snapshot/sequence), and
+#   - the snapshot's manifest list (snap-<sid>.avro) referencing the
+#     carried manifests unchanged
+# — O(delta) metadata work per commit instead of O(live files). When
+# the chain exceeds commit.manifest.min-count-to-merge (default 8) it
+# compacts into one manifest, bounding reader fan-out (amortized
+# O(live/N) like production Iceberg writers). Schema evolution or a
+# table move changes the digest inputs, regenerating the chain from
+# parquet footers; everything else carries entries forward by decoding
+# the (small) source manifests, never re-reading data-file footers.
+# ---------------------------------------------------------------------------
+
+from hashlib import md5 as _md5
+
+
+def _digest(table_root: str, sig: str, content: int, entries) -> str:
+    payload = repr((table_root, sig, content, sorted(entries)))
+    return _md5(payload.encode()).hexdigest()[:10]
+
+
+def _advance(chain, adds, removed, sid, seq, delta_tag, rw_tag, content):
+    """One snapshot's effect on a manifest chain: drop removed entries
+    (rewriting touched manifests), append a delta manifest for adds.
+    Entries are (rel, status, snapshot_id, sequence, eq_cols|None)."""
+    out = []
+    rw = 0
+    for m in chain:
+        if removed:
+            live = [e for e in m["entries"] if e[0] not in removed]
+        else:
+            live = m["entries"]
+        if len(live) == len(m["entries"]):
+            out.append(m)
+        elif live:
+            rw += 1
+            out.append(
+                {
+                    "tag": f"{sid}-{rw_tag}{rw}",
+                    "content": content,
+                    "entries": [(e[0], 0, e[2], e[3], e[4]) for e in live],
+                    "writer_sid": sid,
+                    "writer_seq": seq,
+                }
+            )
+        # fully-emptied manifests drop out of the list entirely
+    if adds:
+        out.append(
+            {
+                "tag": f"{sid}-{delta_tag}",
+                "content": content,
+                "entries": list(adds),
+                "writer_sid": sid,
+                "writer_seq": seq,
+            }
+        )
+    return out
+
+
+def _compact(chain, sid, seq, tag, content):
+    """Merge a long chain into one manifest; entries added by the
+    compacting snapshot keep ADDED status, carried ones EXISTING."""
+    entries = []
+    for m in chain:
+        for rel, _status, esid, eseq, eq in m["entries"]:
+            entries.append((rel, 1 if esid == sid else 0, esid, eseq, eq))
+    return [
+        {
+            "tag": f"{sid}-{tag}",
+            "content": content,
+            "entries": entries,
+            "writer_sid": sid,
+            "writer_seq": seq,
+        }
+    ]
+
+
 def emit_manifests(meta, table_root: str) -> str | None:
-    """Write the current snapshot's manifest(s) + manifest list; return
-    the manifest-list path (None when there is no snapshot yet).
-    Idempotent and deterministic for a given table state."""
+    """Write the current snapshot's manifest list plus any manifest
+    files it references that are not already on disk (and any MISSING
+    historical manifest lists, so time travel over the spec route
+    heals after e.g. a table move). Returns the current manifest-list
+    path (None when there is no snapshot yet). Deterministic: manifest
+    names digest their logical content, so re-emission never rewrites
+    an existing file."""
     if not meta.snapshots:
         return None
     from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
         parse_partition_spec,
     )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
+        build_table_metadata,
+        field_name_history,
+    )
 
     current = meta.snapshots[-1]
-    sid = int(current["snapshot_id"])
-    seq = int(current["sequence_number"])
+    cur_sid = int(current["snapshot_id"])
     mdir = os.path.join(table_root, "metadata")
     os.makedirs(mdir, exist_ok=True)
+    data_dir = os.path.join(table_root, "data")
+    ddir = os.path.join(table_root, "deletes")
 
-    # schema-derived partition avro fields + converters (field ids
-    # continue after the data columns, matching iceberg_metadata's
-    # 1000-based partition-field ids)
+    doc = build_table_metadata(meta, table_root)
+    top_fields = doc["schemas"][0]["fields"]
+    fid_by_name = {f["name"]: f["id"] for f in top_fields}
+    alias_fid = dict(fid_by_name)
+    for fid, names in field_name_history(getattr(meta, "renames", None), top_fields):
+        for nm in names:
+            alias_fid.setdefault(nm, fid)
+
     schema_fields = json.loads(meta.schema_json).get("fields", [])
     src_types = {
         f["name"]: (f["type"] if isinstance(f["type"], str) else "complex")
@@ -460,31 +568,24 @@ def emit_manifests(meta, table_root: str) -> str | None:
         fld, conv = _partition_avro_field(pf, src_types.get(pf.source, "string"), 1000 + i)
         pfields.append(fld)
         convs[pf.name] = conv
+    stat_fields = [
+        (fid_by_name[f["name"]], f["name"], str(f["type"]).split("(")[0])
+        for f in schema_fields
+        if isinstance(f["type"], str) and f["name"] in fid_by_name
+    ]
 
-    # replay the snapshot log: live file -> (adding snapshot, data seq).
-    # A re-add (rollback) keeps the file's ORIGINAL data sequence —
-    # Iceberg's per-entry data_sequence_number rule, and the property
-    # that makes older equality deletes still apply to the file; the
-    # engine's _file_seqs implements the same rule, including the
-    # pre-collapse sequences an expire_snapshots base manifest records
-    # in ``file_seqs``. Adds are applied BEFORE removes within a
-    # snapshot, matching Warehouse._live_files by construction, so a
-    # snapshot listing the same file in both sets is dead in both
-    # replays.
-    added_by: dict[str, tuple[int, int]] = {}
-    first_seq: dict[str, int] = {}
-    for s in meta.snapshots:
-        if s.get("staged") and s["snapshot_id"] != sid:
-            continue
-        if s["snapshot_id"] > sid:
-            break
-        for f, fseq in s.get("file_seqs", {}).items():
-            first_seq.setdefault(f, int(fseq))
-        for f in s.get("added_files", ()):
-            fseq = first_seq.setdefault(f, int(s["sequence_number"]))
-            added_by[f] = (int(s["snapshot_id"]), fseq)
-        for f in s.get("removed_files", ()):  # CoW rewrite drops the old file
-            added_by.pop(f, None)
+    schema_json_c = json.dumps(doc["schemas"][0], separators=(",", ":"))
+    spec_json_c = json.dumps(
+        doc["partition-specs"][0]["fields"], separators=(",", ":")
+    )
+    sig = schema_json_c + "|" + spec_json_c
+    common_meta = {
+        "schema": schema_json_c.encode(),
+        "schema-id": b"0",
+        "partition-spec": spec_json_c.encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+    }
 
     def typed_partition(rel: str) -> dict:
         vals = _partition_values(rel)
@@ -495,211 +596,256 @@ def emit_manifests(meta, table_root: str) -> str | None:
             out[name] = None if raw is None else convs[name](raw)
         return out
 
-    # real Iceberg schema + partition-spec JSON for the manifest
-    # headers (same builder the metadata.json chain uses, so field ids
-    # agree). Stats and equality_ids are keyed by the DFS-allocated
-    # field ids from THIS document — nested types (array element ids,
-    # map key/value ids, struct children) interleave with top-level
-    # ids, so enumerate() position is wrong the moment a complex
-    # column precedes a primitive one.
-    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_metadata import (
-        build_table_metadata,
-        field_name_history,
+    # ---------------- logical replay: chain state per snapshot
+    merge_min = int(
+        meta.properties.get("commit.manifest.min-count-to-merge", "8")
     )
-
-    doc = build_table_metadata(meta, table_root)
-    fid_by_name = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
-    # historical names (pre-rename) also resolve — equality-delete key
-    # columns are recorded in snapshots with their names AT DELETE TIME
-    alias_fid = dict(fid_by_name)
-    for fid, names in field_name_history(
-        getattr(meta, "renames", None), doc["schemas"][0]["fields"]
-    ):
-        for nm in names:
-            alias_fid.setdefault(nm, fid)
-
-    data_dir = os.path.join(table_root, "data")
-    stat_fields = [
-        (fid_by_name[f["name"]], f["name"], str(f["type"]).split("(")[0])
-        for f in schema_fields
-        if isinstance(f["type"], str) and f["name"] in fid_by_name
-    ]
-    entries = []
-    min_seq = seq
-    counts = {1: [0, 0], 0: [0, 0]}  # status -> [files, rows]
-    for rel in sorted(added_by):
-        add_sid, add_seq = added_by[rel]
-        full = os.path.join(data_dir, rel)
-        if not os.path.exists(full):  # expired/vacuumed under old snapshot
+    first_seq: dict[str, int] = {}
+    dfirst: dict[str, int] = {}
+    data_chain: list[dict] = []
+    del_chain: list[dict] = []
+    states = []  # (snapshot, data_chain, del_chain)
+    for s in meta.snapshots:
+        if s.get("staged") and s["snapshot_id"] != cur_sid:
             continue
-        md = _pq().ParquetFile(full).metadata
-        nrows, nbytes = md.num_rows, os.path.getsize(full)
-        vc, nc, lo, hi = _column_stats(md, stat_fields)
-        status = 1 if add_sid == sid else 0  # ADDED vs EXISTING
-        counts[status][0] += 1
-        counts[status][1] += nrows
-        min_seq = min(min_seq, add_seq)
-        entries.append(
-            {
-                "status": status,
-                "snapshot_id": add_sid,
-                "sequence_number": add_seq,
-                "file_sequence_number": add_seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": full,
-                    "file_format": "PARQUET",
-                    "partition": typed_partition(rel),
-                    "record_count": nrows,
-                    "file_size_in_bytes": nbytes,
-                    "value_counts": vc or None,
-                    "null_value_counts": nc or None,
-                    "lower_bounds": lo or None,
-                    "upper_bounds": hi or None,
-                },
-            }
+        if s["snapshot_id"] > cur_sid:
+            break
+        sid_s = int(s["snapshot_id"])
+        seq_s = int(s["sequence_number"])
+        for f, fs in s.get("file_seqs", {}).items():
+            first_seq.setdefault(f, int(fs))
+        for f, fs in s.get("delete_file_seqs", {}).items():
+            dfirst.setdefault(f, int(fs))
+        removed = set(s.get("removed_files", ()))
+        adds = [
+            (f, 1, sid_s, first_seq.setdefault(f, seq_s), None)
+            for f in sorted(s.get("added_files", ()))
+            if f not in removed
+        ]
+        data_chain = _advance(
+            data_chain, adds, removed, sid_s, seq_s, "m0", "rw", 0
         )
+        dremoved = set(s.get("removed_delete_files", ()))
+        eq_cols = tuple(s.get("equality_ids") or ())
+        dadds = [
+            (f, 1, sid_s, dfirst.setdefault(f, seq_s), eq_cols)
+            for f in sorted(s.get("added_delete_files", ()))
+            if f not in dremoved
+        ]
+        del_chain = _advance(
+            del_chain, dadds, dremoved, sid_s, seq_s, "m1", "rwd", 1
+        )
+        if len(data_chain) > merge_min:
+            data_chain = _compact(data_chain, sid_s, seq_s, "c0", 0)
+        if len(del_chain) > merge_min:
+            del_chain = _compact(del_chain, sid_s, seq_s, "cd0", 1)
+        states.append((s, data_chain, del_chain))
 
-    common_meta = {
-        "schema": json.dumps(doc["schemas"][0], separators=(",", ":")).encode(),
-        "schema-id": b"0",
-        "partition-spec": json.dumps(
-            doc["partition-specs"][0]["fields"], separators=(",", ":")
-        ).encode(),
-        "partition-spec-id": b"0",
-        "format-version": b"2",
-    }
-    m0 = os.path.join(mdir, f"{sid}-m0.avro")
-    write_container(
-        m0,
-        _entry_schema(pfields, deletes=False),
-        entries,
-        metadata={**common_meta, "content": b"data"},
-    )
-    manifests = [
-        {
-            "manifest_path": m0,
-            "manifest_length": os.path.getsize(m0),
+    # ---------------- physical emission
+    # entry cache: content -> rel -> full avro data_file entry, seeded
+    # lazily by decoding existing manifests (never a data-file footer
+    # unless the entry appears nowhere on disk yet)
+    entry_cache: dict[int, dict[str, dict]] = {0: {}, 1: {}}
+    decoded: set[str] = set()
+    known_names: list[str] = []  # manifest names seen during replay
+
+    def _rel_of(file_path: str, content: int) -> str:
+        marker = f"{os.sep}data{os.sep}" if content == 0 else f"{os.sep}deletes{os.sep}"
+        _, _, rel = file_path.rpartition(marker)
+        return rel
+
+    def _harvest(name: str, content: int) -> None:
+        path = os.path.join(mdir, name)
+        if name in decoded or not os.path.exists(path):
+            return
+        decoded.add(name)
+        try:
+            _, _, recs = read_container(path)
+        except Exception:
+            return
+        for r in recs:
+            dfile = r.get("data_file") or {}
+            rel = _rel_of(dfile.get("file_path", ""), content)
+            if rel:
+                entry_cache[content].setdefault(rel, dfile)
+
+    def _build_data_file(rel: str, content: int) -> dict | None:
+        if content == 0:
+            full = os.path.join(data_dir, rel)
+            if not os.path.exists(full):
+                return None
+            md = _pq().ParquetFile(full).metadata
+            vc, nc, lo, hi = _column_stats(md, stat_fields)
+            return {
+                "content": 0,
+                "file_path": full,
+                "file_format": "PARQUET",
+                "partition": typed_partition(rel),
+                "record_count": md.num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+                "value_counts": vc or None,
+                "null_value_counts": nc or None,
+                "lower_bounds": lo or None,
+                "upper_bounds": hi or None,
+            }
+        full = os.path.join(ddir, rel)
+        if not os.path.exists(full):
+            return None
+        nrows, nbytes = _file_stats(full)
+        return {
+            "content": 2,  # equality deletes
+            "file_path": full,
+            "file_format": "PARQUET",
+            "partition": {f["name"]: None for f in pfields},
+            "record_count": nrows,
+            "file_size_in_bytes": nbytes,
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+
+    def _entry_for(rel, status, esid, eseq, eq, content) -> dict | None:
+        dfile = entry_cache[content].get(rel)
+        if dfile is None:
+            for name in known_names:
+                _harvest(name, content)
+                if rel in entry_cache[content]:
+                    dfile = entry_cache[content][rel]
+                    break
+        if dfile is None:
+            dfile = _build_data_file(rel, content)
+            if dfile is None:
+                return None  # vacuumed under an old snapshot
+            entry_cache[content][rel] = dfile
+        dfile = dict(dfile)
+        # normalize to the CURRENT table root (rename_table moves the
+        # directory; digests make stale-rooted manifests regenerate,
+        # and carried entries must follow)
+        base = data_dir if content == 0 else ddir
+        dfile["file_path"] = os.path.join(base, rel)
+        if content == 1:
+            dfile["equality_ids"] = [
+                alias_fid[c] for c in (eq or ()) if c in alias_fid
+            ] or dfile.get("equality_ids")
+        return {
+            "status": status,
+            "snapshot_id": esid,
+            "sequence_number": eseq,
+            "file_sequence_number": eseq,
+            "data_file": dfile,
+        }
+
+    def _write_manifest(m: dict, name: str) -> dict | None:
+        """Write one manifest file (if missing) and return its
+        manifest-list descriptor; None when every entry's backing file
+        has been vacuumed."""
+        path = os.path.join(mdir, name)
+        avro_entries = []
+        counts = {1: [0, 0], 0: [0, 0]}
+        min_seq = m["writer_seq"]
+        for rel, status, esid, eseq, eq in m["entries"]:
+            e = _entry_for(rel, status, esid, eseq, eq, m["content"])
+            if e is None:
+                continue
+            counts[status][0] += 1
+            counts[status][1] += int(e["data_file"]["record_count"])
+            min_seq = min(min_seq, eseq)
+            avro_entries.append(e)
+        if not avro_entries:
+            return None
+        if not os.path.exists(path):
+            write_container(
+                path,
+                _entry_schema(pfields, deletes=(m["content"] == 1)),
+                avro_entries,
+                metadata={
+                    **common_meta,
+                    "content": b"data" if m["content"] == 0 else b"deletes",
+                },
+            )
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
             "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
+            "content": m["content"],
+            "sequence_number": m["writer_seq"],
             "min_sequence_number": min_seq,
-            "added_snapshot_id": sid,
+            "added_snapshot_id": m["writer_sid"],
             "added_files_count": counts[1][0],
             "existing_files_count": counts[0][0],
             "deleted_files_count": 0,
             "added_rows_count": counts[1][1],
             "existing_rows_count": counts[0][1],
             "deleted_rows_count": 0,
-            "partitions": _field_summaries(pfields, entries),
+            "partitions": (
+                _field_summaries(pfields, avro_entries)
+                if m["content"] == 0
+                else None
+            ),
             "key_metadata": None,
         }
-    ]
 
-    # live equality-delete files -> a deletes manifest (content = 1);
-    # same first-commit-sequence rule as data files (the engine's
-    # _live_delete_files, incl. collapsed ``delete_file_seqs``)
-    del_by: dict[str, tuple[int, int, list[str]]] = {}
-    dfirst: dict[str, int] = {}
-    for s in meta.snapshots:
-        if s.get("staged") and s["snapshot_id"] != sid:
+    desc_cache: dict[str, dict] = {}
+
+    def _seed_descriptors(snap_path: str) -> None:
+        """Reuse descriptors from an existing manifest list — carried
+        manifests are immutable, so their manifest_file rows are too."""
+        if not os.path.exists(snap_path):
+            return
+        try:
+            _, _, recs = read_container(snap_path)
+        except Exception:
+            return
+        for r in recs:
+            desc_cache.setdefault(os.path.basename(r["manifest_path"]), r)
+
+    snap_path_out = None
+    prev_sid = None
+    for s, dchain, delchain in states:
+        sid_s = int(s["snapshot_id"])
+        for m in dchain + delchain:
+            name = (
+                f"{m['tag']}-"
+                f"{_digest(table_root, sig, m['content'], m['entries'])}.avro"
+            )
+            m["name"] = name
+            if name not in known_names:
+                known_names.append(name)
+        snap_path = os.path.join(mdir, f"snap-{sid_s}.avro")
+        is_current = sid_s == cur_sid
+        if s.get("staged") and not is_current:
+            prev_sid = sid_s
             continue
-        if s["snapshot_id"] > sid:
-            break
-        for f, fseq in s.get("delete_file_seqs", {}).items():
-            dfirst.setdefault(f, int(fseq))
-        for f in s.get("added_delete_files", ()):
-            fseq = dfirst.setdefault(f, int(s["sequence_number"]))
-            del_by[f] = (
-                int(s["snapshot_id"]),
-                fseq,
-                list(s.get("equality_ids") or ()),
-            )
-        for f in s.get("removed_delete_files", ()):
-            del_by.pop(f, None)
-    if del_by:
-        ddir = os.path.join(table_root, "deletes")
-        dentries = []
-        dmin = seq
-        dcounts = {1: [0, 0], 0: [0, 0]}
-        field_ids = alias_fid  # DFS allocation + historical aliases
-        for rel in sorted(del_by):
-            add_sid, add_seq, eq_cols = del_by[rel]
-            full = os.path.join(ddir, rel)
-            if not os.path.exists(full):
-                continue
-            nrows, nbytes = _file_stats(full)
-            status = 1 if add_sid == sid else 0
-            dcounts[status][0] += 1
-            dcounts[status][1] += nrows
-            dmin = min(dmin, add_seq)
-            dentries.append(
-                {
-                    "status": status,
-                    "snapshot_id": add_sid,
-                    "sequence_number": add_seq,
-                    "file_sequence_number": add_seq,
-                    "data_file": {
-                        "content": 2,  # equality deletes
-                        "file_path": full,
-                        "file_format": "PARQUET",
-                        "partition": {f["name"]: None for f in pfields},
-                        "record_count": nrows,
-                        "file_size_in_bytes": nbytes,
-                        "value_counts": None,
-                        "null_value_counts": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                        "equality_ids": [
-                            field_ids[c] for c in eq_cols if c in field_ids
-                        ]
-                        or None,
-                    },
-                }
-            )
-        if dentries:
-            m1 = os.path.join(mdir, f"{sid}-m1.avro")
-            write_container(
-                m1,
-                _entry_schema(pfields, deletes=True),
-                dentries,
-                metadata={**common_meta, "content": b"deletes"},
-            )
-            manifests.append(
-                {
-                    "manifest_path": m1,
-                    "manifest_length": os.path.getsize(m1),
-                    "partition_spec_id": 0,
-                    "content": 1,
-                    "sequence_number": seq,
-                    "min_sequence_number": dmin,
-                    "added_snapshot_id": sid,
-                    "added_files_count": dcounts[1][0],
-                    "existing_files_count": dcounts[0][0],
-                    "deleted_files_count": 0,
-                    "added_rows_count": dcounts[1][1],
-                    "existing_rows_count": dcounts[0][1],
-                    "deleted_rows_count": 0,
-                    "partitions": None,
-                    "key_metadata": None,
-                }
-            )
-
-    snap_path = os.path.join(mdir, f"snap-{sid}.avro")
-    parent = (
-        str(meta.snapshots[-2]["snapshot_id"]).encode()
-        if len(meta.snapshots) > 1
-        else b"null"
-    )
-    write_container(
-        snap_path,
-        MANIFEST_FILE_SCHEMA,
-        manifests,
-        metadata={
-            "format-version": b"2",
-            "snapshot-id": str(sid).encode(),
-            "parent-snapshot-id": parent,
-            "sequence-number": str(seq).encode(),
-        },
-    )
-    return snap_path
+        if os.path.exists(snap_path) and not is_current:
+            prev_sid = sid_s
+            continue
+        if prev_sid is not None:
+            _seed_descriptors(os.path.join(mdir, f"snap-{prev_sid}.avro"))
+        manifests = []
+        for m in dchain + delchain:
+            desc = desc_cache.get(m["name"])
+            if desc is None or not os.path.exists(
+                os.path.join(mdir, m["name"])
+            ):
+                desc = _write_manifest(m, m["name"])
+                if desc is not None:
+                    desc_cache[m["name"]] = desc
+            if desc is not None:
+                manifests.append(desc)
+        parent = b"null" if prev_sid is None else str(prev_sid).encode()
+        write_container(
+            snap_path,
+            MANIFEST_FILE_SCHEMA,
+            manifests,
+            metadata={
+                "format-version": b"2",
+                "snapshot-id": str(sid_s).encode(),
+                "parent-snapshot-id": parent,
+                "sequence-number": str(int(s["sequence_number"])).encode(),
+            },
+        )
+        if is_current:
+            snap_path_out = snap_path
+        prev_sid = sid_s
+    return snap_path_out

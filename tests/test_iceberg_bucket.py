@@ -107,9 +107,13 @@ def test_engine_bucket_layout_is_spec_conformant(wh):
         assert got == [f"x{k}"]
     # manifest partition tuple = spec bucket
     sid = wh.current_snapshot_id("bt")
-    _, _, entries = read_container(
-        os.path.join(wh.root, "bt", "metadata", f"{sid}-m0.avro")
+    _, _, manifests = read_container(
+        os.path.join(wh.root, "bt", "metadata", f"snap-{sid}.avro")
     )
+    entries = []
+    for mf in manifests:
+        if mf["content"] == 0:
+            entries.extend(read_container(mf["manifest_path"])[2])
     import pyarrow.parquet as pq
 
     for e in entries:

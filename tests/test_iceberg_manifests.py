@@ -39,6 +39,20 @@ def _java_read(spark, path: str) -> list[dict]:
     return out
 
 
+def _data_entries(wh, table: str, sid) -> list[dict]:
+    """All data-manifest entries for a snapshot, resolved through its
+    manifest list (carry-forward names are content-digested, so tests
+    must route through snap-<sid>.avro like a real reader)."""
+    mdir = os.path.join(wh.root, table, "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    out = []
+    for mf in manifests:
+        if mf["content"] == 0:
+            _, _, es = read_container(mf["manifest_path"])
+            out.extend(es)
+    return out
+
+
 def test_avro_roundtrip_all_types(tmp_path):
     schema = {
         "type": "record",
@@ -110,20 +124,25 @@ def test_manifest_chain_for_partitioned_table(wh, spark):
     mlist_path = doc["snapshots"][-1]["manifest-list"]
     assert os.path.exists(mlist_path), mlist_path
 
-    # manifest list: spec field set, counts match, path resolves
+    # manifest list: spec field set, counts match, paths resolve.
+    # Carry-forward: snapshot 1's manifest is referenced UNCHANGED and
+    # snapshot 2 contributes only its own delta manifest
     _, mmeta, manifests = read_container(mlist_path)
     assert mmeta["format-version"] == b"2"
-    assert len(manifests) == 1
-    mf = manifests[0]
-    assert mf["added_snapshot_id"] == sid
-    assert mf["content"] == 0
-    assert mf["added_files_count"] >= 1
-    assert mf["existing_files_count"] >= 1  # snapshot-1 files carried
-    assert os.path.exists(mf["manifest_path"])
-    assert mf["manifest_length"] == os.path.getsize(mf["manifest_path"])
+    assert len(manifests) == 2
+    carried, delta = manifests
+    first_sid = wh._read_meta("mt").snapshots[0]["snapshot_id"]
+    assert carried["added_snapshot_id"] == first_sid
+    assert delta["added_snapshot_id"] == sid
+    assert all(m["content"] == 0 for m in manifests)
+    assert delta["added_files_count"] >= 1 and delta["existing_files_count"] == 0
+    for mf in manifests:
+        assert os.path.exists(mf["manifest_path"])
+        assert mf["manifest_length"] == os.path.getsize(mf["manifest_path"])
 
-    # manifest entries: full live set, typed partitions, real footers
-    _, emeta, entries = read_container(mf["manifest_path"])
+    # manifest entries across the chain: full live set, typed
+    # partitions, real footers
+    _, emeta, _ = read_container(delta["manifest_path"])
     assert emeta["content"] == b"data"
     # header carries the REAL Iceberg schema + spec (ids match the
     # metadata.json chain)
@@ -132,17 +151,25 @@ def test_manifest_chain_for_partitioned_table(wh, spark):
     hspec = json.loads(emeta["partition-spec"])
     assert hspec[0]["transform"] == "identity" and hspec[0]["field-id"] == 1000
     live = {os.path.join(wh.root, "mt", "data", f) for f in wh._live_files(wh._read_meta("mt"))}
+    entries = _data_entries(wh, "mt", sid)
     assert {e["data_file"]["file_path"] for e in entries} == live
     assert {e["data_file"]["partition"]["state"] for e in entries} == {"TX", "NY"}
     assert sum(e["data_file"]["record_count"] for e in entries) == 3
-    added = [e for e in entries if e["status"] == 1]
-    assert all(e["snapshot_id"] == sid for e in added)
-    assert sum(mf[k] for k in ("added_rows_count", "existing_rows_count")) == 3
+    added = [e for e in entries if e["status"] == 1 and e["snapshot_id"] == sid]
+    assert added  # the delta's entries are ADDED by this snapshot
+    assert sum(
+        m["added_rows_count"] + m["existing_rows_count"] for m in manifests
+    ) == 3
 
-    # the official Java avro reader agrees on both files
-    assert len(_java_read(spark, mlist_path)) == 1
-    jentries = _java_read(spark, mf["manifest_path"])
-    assert {e["data_file"]["file_path"] for e in jentries} == live
+    # the official Java avro reader agrees on the whole chain
+    assert len(_java_read(spark, mlist_path)) == 2
+    jpaths = set()
+    for mf in manifests:
+        jpaths |= {
+            e["data_file"]["file_path"]
+            for e in _java_read(spark, mf["manifest_path"])
+        }
+    assert jpaths == live
 
 
 def test_manifest_partition_value_typing(wh):
@@ -157,8 +184,7 @@ def test_manifest_partition_value_typing(wh):
         "tt", [(1, __import__("datetime").date(2021, 3, 5), __import__("datetime").datetime(2021, 3, 5, 10, 0, 0))]
     )
     sid = wh.current_snapshot_id("tt")
-    mdir = os.path.join(wh.root, "tt", "metadata")
-    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    entries = _data_entries(wh, "tt", sid)
     part = entries[0]["data_file"]["partition"]
     # day transform: days since epoch (spec typing, not the dir string)
     assert part["ts_day"] == (
@@ -303,8 +329,7 @@ def test_manifest_column_stats_recorded(wh):
     wh.create_table("cs", "k int, v string")
     wh.insert_values("cs", [(1, "aa"), (5, "zz"), (None, "mm")])
     sid = wh.current_snapshot_id("cs")
-    mdir = os.path.join(wh.root, "cs", "metadata")
-    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    entries = _data_entries(wh, "cs", sid)
     # the insert fans rows over several files; aggregate the per-file
     # stats (field ids: k=1, v=2, flat-schema DFS order)
     vc = nulls = 0
@@ -517,8 +542,7 @@ def test_manifest_sequences_survive_rollback(wh):
     wh.truncate_table("rs")  # seq 2: removes A
     wh.rollback_to_snapshot("rs", s1)  # seq 3: re-adds A
     sid = wh.current_snapshot_id("rs")
-    mdir = os.path.join(wh.root, "rs", "metadata")
-    _, _, entries = read_container(os.path.join(mdir, f"{sid}-m0.avro"))
+    entries = _data_entries(wh, "rs", sid)
     assert entries
     engine_seqs = wh._file_seqs(wh._read_meta("rs"))
     for e in entries:
@@ -547,9 +571,7 @@ def test_stats_field_ids_respect_nested_id_allocation(wh):
         doc = json.load(f)
     ids = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
     assert ids == {"a": 1, "b": 3, "c": 4}  # element-id 2 consumed by a
-    _, _, entries = read_container(
-        os.path.join(root, "metadata", f"{sid}-m0.avro")
-    )
+    entries = _data_entries(wh, "nst", sid)
     keys = set()
     for e in entries:
         for kv in e["data_file"]["value_counts"] or ():
@@ -615,3 +637,130 @@ def test_spec_reader_rejects_positional_deletes(wh, spark):
 
     with pytest.raises(ValueError, match="positional delete"):
         rit(spark, os.path.join(wh.root, "pd")).collect()
+
+
+# ---------------------------------------------------------------------------
+# Carry-forward emission (round 8): O(delta) metadata work per commit
+# ---------------------------------------------------------------------------
+
+
+def _snap_manifests(wh, table, sid):
+    mdir = os.path.join(wh.root, table, "metadata")
+    _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
+    return manifests
+
+
+def test_unchanged_manifest_carried_byte_identical(wh):
+    """A commit that does not touch a prior manifest's files must
+    reference that manifest file UNCHANGED — same path in the new
+    manifest list, not rewritten, byte-identical."""
+    wh.create_table("cf", "k int, v string")
+    wh.insert_values("cf", [(1, "a")])
+    s1 = wh.current_snapshot_id("cf")
+    m1 = _snap_manifests(wh, "cf", s1)
+    assert len(m1) == 1
+    p1 = m1[0]["manifest_path"]
+    bytes1 = open(p1, "rb").read()
+    stat1 = os.stat(p1)
+
+    wh.insert_values("cf", [(2, "b")])
+    s2 = wh.current_snapshot_id("cf")
+    m2 = _snap_manifests(wh, "cf", s2)
+    assert len(m2) == 2
+    carried = next(m for m in m2 if m["manifest_path"] == p1)
+    assert carried["added_snapshot_id"] == s1
+    assert open(p1, "rb").read() == bytes1
+    st = os.stat(p1)
+    assert (st.st_mtime_ns, st.st_ino) == (stat1.st_mtime_ns, stat1.st_ino)
+    # and a third commit still carries BOTH prior manifests unchanged
+    wh.insert_values("cf", [(3, "c")])
+    s3 = wh.current_snapshot_id("cf")
+    m3 = _snap_manifests(wh, "cf", s3)
+    assert len(m3) == 3
+    assert {m["manifest_path"] for m in m2} < {m["manifest_path"] for m in m3}
+
+
+def test_delete_rewrites_only_touched_manifest(wh):
+    """A CoW delete that hits one snapshot's files rewrites ONLY the
+    manifest holding them; the other carries forward untouched, and
+    surviving entries keep their original snapshot id and sequence."""
+    wh.create_table("rwm", "k int, state string", partition_by=["state"])
+    wh.insert_values("rwm", [(1, "TX"), (2, "NY")])
+    s1 = wh.current_snapshot_id("rwm")
+    wh.insert_values("rwm", [(3, "CA")])
+    s2 = wh.current_snapshot_id("rwm")
+    paths2 = {m["manifest_path"]: m for m in _snap_manifests(wh, "rwm", s2)}
+    ca_path = next(
+        p for p, m in paths2.items() if m["added_snapshot_id"] == s2
+    )
+    wh.delete_from("rwm", "state = 'NY'")  # rewrites only snapshot-1 files
+    s3 = wh.current_snapshot_id("rwm")
+    m3 = {m["manifest_path"]: m for m in _snap_manifests(wh, "rwm", s3)}
+    assert ca_path in m3  # untouched manifest carried verbatim
+    # the snapshot-1 manifest was replaced (its NY file died and the
+    # delete's CoW rewrite added a new TX file under s3)
+    assert all(
+        p == ca_path or p not in paths2 for p in m3
+    ), (sorted(paths2), sorted(m3))
+    meta = wh._read_meta("rwm")
+    seqs = wh._file_seqs(meta)
+    for p, mf in m3.items():
+        _, _, entries = read_container(p)
+        for e in entries:
+            rel = os.path.relpath(
+                e["data_file"]["file_path"], os.path.join(wh.root, "rwm", "data")
+            )
+            assert e["sequence_number"] == seqs[rel]
+    # engine live set == chain live set
+    live = {
+        os.path.join(wh.root, "rwm", "data", f)
+        for f in wh._live_files(meta)
+    }
+    got = set()
+    for p in m3:
+        _, _, entries = read_container(p)
+        got |= {e["data_file"]["file_path"] for e in entries}
+    assert got == live
+
+
+def test_manifest_chain_compacts_at_threshold(wh, spark):
+    """Beyond commit.manifest.min-count-to-merge the chain compacts to
+    one manifest, bounding reader fan-out; parity with the engine scan
+    holds throughout."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    wh.create_table("cp", "k int, v string")
+    with wh._table_lock("cp"):
+        meta = wh._read_meta("cp")
+        meta.properties["commit.manifest.min-count-to-merge"] = "3"
+        wh._write_meta(meta)
+    for i in range(6):
+        wh.insert_values("cp", [(i, f"x{i}")])
+    sid = wh.current_snapshot_id("cp")
+    manifests = _snap_manifests(wh, "cp", sid)
+    assert len(manifests) <= 3 + 1, [m["manifest_path"] for m in manifests]
+    root = os.path.join(wh.root, "cp")
+    got = _rows(read_iceberg_table(spark, root), ["k", "v"])
+    assert got == _rows(wh.read_table("cp"), ["k", "v"])
+    assert got == [(i, f"x{i}") for i in range(6)]
+
+
+def test_missing_historical_manifest_list_heals(wh):
+    """Deleting a historical snap-*.avro and committing again
+    regenerates it (time travel over the spec route self-heals)."""
+    wh.create_table("hl", "k int")
+    wh.insert_values("hl", [(1,)])
+    s1 = wh.current_snapshot_id("hl")
+    mdir = os.path.join(wh.root, "hl", "metadata")
+    snap1 = os.path.join(mdir, f"snap-{s1}.avro")
+    os.remove(snap1)
+    wh.insert_values("hl", [(2,)])
+    assert os.path.exists(snap1)
+    _, _, manifests = read_container(snap1)
+    total = 0
+    for mf in manifests:
+        _, _, entries = read_container(mf["manifest_path"])
+        total += sum(e["data_file"]["record_count"] for e in entries)
+    assert total == 1  # snapshot 1 sees only its own row

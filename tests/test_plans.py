@@ -307,6 +307,18 @@ def test_knn_vote_broadcasts_queries_streams_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_gram_matrix_join_free_single_agg(spark, sf_dir):
+    """Round-8 rewrite (VERDICT r7 item 4): the D×D Gram matrix is a
+    mapInPandas per-batch outer-product partial feeding ONE cell-keyed
+    hash aggregate — no vec_id self-join fanning out D(D+1)/2 rows per
+    vector, no posexplode."""
+    plan = explain_str(QUERIES["embedding_gram_matrix"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no posexplode long form
+    assert "MapInPandas" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
 def test_doc_length_histogram_partial_agg_no_join(spark, sf_dir):
     plan = explain_str(QUERIES["doc_length_histogram"](spark, sf_dir), "simple")
     assert "Join" not in plan, plan
