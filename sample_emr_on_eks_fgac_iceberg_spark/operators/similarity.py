@@ -10,11 +10,14 @@ summation order — and the final cosine is a deterministic double
 expression over those integers. This costs < 0.1% relative error on
 unit-scale float32 embeddings and buys bit-exact cross-engine scores.
 
-100 TB posture: the exact top-k broadcasts the (small) query set and
-streams the candidate side — one pass, no shuffle of the big side; the
-LSH variant buckets candidates so each query only scans its bucket.
-All vector math is JVM-side (`transform`/`zip_with`/`aggregate`), no
-Python in the hot loop.
+100 TB posture: the exact top-k streams the candidate side once
+against the in-closure query matrix with per-task top-K preselection
+— one pass, no shuffle of the big side; the LSH variant buckets
+candidates so each query only scans its bucket. Quantization and
+narrow projections stay JVM-side; the N·D-scale flops (GEMM, outer
+products) run as Arrow-batched numpy — NOT as `aggregate`/`zip_with`
+higher-order lambdas, which Spark evaluates interpreted per element
+(measured 2-3× slower on the top-k dot product).
 """
 
 from __future__ import annotations
@@ -173,24 +176,79 @@ _ORACLE_NORMS = f"""
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k: broadcast the query vectors,
-    stream every candidate once, rank per query."""
+    """Exact brute-force cosine top-k: the query matrix rides into an
+    Arrow-batched GEMM against every candidate batch, each batch
+    pre-selects its local top-K per query, and a final tiny window
+    merges the survivors.
+
+    Round-8 rewrite (VERDICT r7 item 5): the old plan evaluated the
+    dot product with `aggregate`/`zip_with` higher-order lambdas,
+    which Spark interprets per ELEMENT — N×Q×D interpreted evals
+    dominated the runtime (the ann_lsh_det lesson, similarity.py
+    history). Now one numpy GEMM per Arrow batch does the N·Q·D flops
+    in BLAS, integer-exact (int64 dot over the same JVM-quantized
+    milli-units), and the double cosine keeps the oracle's exact
+    operand order dot/(q_nrm·c_nrm). Per-batch top-K selection uses
+    the SAME total order as the final rank (cosine desc, neighbor
+    asc), so the global top-K is contained in the union of batch
+    top-Ks — the standard distributed top-k shape: tasks emit Q×K
+    rows each, the final window sorts Q×K×tasks rows, never N.
+
+    Driver state: the Q=10 query vectors (bounded collect, allowlisted
+    pattern as in ann_ivf_det's probe selection)."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
-    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "q")
-    c = _with_norm(fan_out(e, spark, "vec_id"), "c")
-    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
-        F.col("q_norm") * F.col("c_norm")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _quantized(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.v for r in qrows], dtype=np.int64)
+    q_nrm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+
+    cand = fan_out(e, spark, "vec_id").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["v"]], dtype=np.int64
+            )
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dots = cm @ qm.T  # n×Q, exact int64 milli-unit dot
+            c_nrm = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (q_nrm[None, :] * c_nrm[:, None])
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(q_ids)):
+                mask = c_ids != q_ids[j]
+                cj, sj = c_ids[mask], cos[mask, j]
+                order = np.lexsort((cj, -sj))[:TOP_K]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_c.append(cj[order])
+                out_s.append(sj[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        _score, "q_id bigint, neighbor_id bigint, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            F.col("c_id").alias("neighbor_id"),
-            sim.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
     )
 
 

@@ -75,9 +75,13 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 
 def test_no_cartesian_in_similarity_topk(spark, sf_dir):
-    # the query side must be the broadcast side (small), candidates stream
+    # round-8 shape: the Q×D query matrix rides into an Arrow-batched
+    # GEMM (no join at all — the old broadcast-nested-loop evaluated
+    # the dot product in interpreted higher-order lambdas); candidates
+    # stream once, each task emits only its local top-K per query
     plan = explain_str(QUERIES["ann_cosine_topk"](spark, sf_dir), "simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
 
 
