@@ -34,10 +34,10 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #      the rotation advances automatically each round), so parked
 #      queries keep periodic regression coverage instead of falling
 #      out of the signal permanently.
-# The 7 rows-only-by-design queries (approx sketches, seeded LSH, the
-# featurizer stub) sit at the very bottom: each has an oracle-checked
-# deterministic sibling in _CORE, and a window slot spent on a
-# no_oracle row is a slot without signal (VERDICT r4 task 3).
+# The 5 rows-only-by-design queries (approx sketches, pyspark.ml hash
+# families) sit at the very bottom: each has an oracle-checked
+# deterministic sibling in the window tiers, and a window slot spent
+# on a no_oracle row is a slot without signal (VERDICT r4 task 3).
 DRIVER_WINDOW = 50
 
 _CORE = [
@@ -50,10 +50,6 @@ _CORE = [
     "range_join_purchase_followup",
     # event analytics (funnel)
     "events_funnel_conversion",
-    # round-7: RFM rewritten on skew.ntile_cutpoints (no single-
-    # partition window) — changed code re-verifies in-window; q15's
-    # parallel rewrite (broadcast scalar max) rides the rotation
-    "customer_rfm_segments",
     # UDF / UDAF
     "udf_scalar_charge",
     # text analysis
@@ -66,30 +62,20 @@ _CORE = [
     "dedup_simhash_det",
     "dedup_embedding_cosine",
     "dedup_connected_components",
-    # similarity search
+    # similarity search (round 8: ann_cosine_topk rewritten as an
+    # Arrow-batched GEMM with per-task top-K, embedding_gram_matrix as
+    # mapInPandas outer-product partials, and ann_lsh_bucketed
+    # converted from rows-only to fully oracle-checked via integer
+    # milli-unit hyperplane literals — all three re-verify in-window)
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "similarity_pairs_threshold",
     "ann_lsh_det",
     "embedding_centroids",
     "knn_label_vote",
-    # multimodal (PCM decode; the PGM sibling rides the rotation;
-    # round-7 debut: genuine 24-bit BMP decode)
-    "multimodal_audio_rms",
-    "multimodal_bmp_stats",
-    # round-7 debuts: directional shingle containment, Kneser-Ney
-    # bigram count tables, fixed-point Gram matrix (whitening/PCA
-    # input), feature-store trailing-window snapshot
-    "dedup_containment",
-    "kneser_ney_counts",
     "embedding_gram_matrix",
-    "user_feature_snapshot",
-    # round-7 batch 2: integer z-test outlier screen, global length
-    # quartiles via the stacked cut-point helper (2nd consumer), and
-    # the byte-histogram featurizer converted from rows-only to
-    # oracle-checked (integer counts, numpy bincount, ASCII guard)
-    "embedding_outliers",
-    "doc_length_quartiles",
-    "multimodal_features",
+    # multimodal (PCM decode; PGM/BMP siblings ride the rotation)
+    "multimodal_audio_rms",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",
@@ -102,6 +88,16 @@ _CORE = [
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 8 (round-7 debuts, all driver-green
+    # in CORRECTNESS_r07; they re-verify round-robin)
+    "customer_rfm_segments",
+    "multimodal_bmp_stats",
+    "dedup_containment",
+    "kneser_ney_counts",
+    "user_feature_snapshot",
+    "embedding_outliers",
+    "doc_length_quartiles",
+    "multimodal_features",
     # demoted from _CORE in round 7 (VERDICT r6 task 2: stable multi-
     # round greens whose permanent core slots starved the rotation —
     # core 49 → ≤35, rotating block back to ≥15 slots/round; a second
@@ -229,13 +225,13 @@ _ROTATION = [
 ]
 
 # rows-only by honest design (each with an oracle-checked
-# deterministic sibling in _CORE) — kept below the window.
-# multimodal_features left this list in round 7: its byte-histogram
-# output became integer-exact and gained a DuckDB oracle.
+# deterministic sibling in _CORE or _ROTATION) — kept below the
+# window. multimodal_features left this list in round 7 (integer-exact
+# byte histogram); ann_lsh_bucketed in round 8 (integer milli-unit
+# hyperplane literals shared with the oracle).
 _ROWS_ONLY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_lsh_bucketed",
     "ann_ivf_topk",
     "approx_distinct_users",
     "approx_percentile_prices",

@@ -283,26 +283,83 @@ def _hyperplanes(n_planes: int = 8, dim: int = DIM) -> list[list[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-@register("ann_lsh_bucketed")  # approximate index → rows-only check
+def _hyperplanes_int(n_planes: int = 8, dim: int = DIM) -> list[list[int]]:
+    """The same seeded hyperplanes quantized to integer milli-units at
+    generation time (driver-side literals shared verbatim by the Spark
+    plan AND the DuckDB oracle) — the sign test over an integer dot is
+    exact in both engines, which is what upgraded ann_lsh_bucketed
+    from rows-only to fully oracle-checked (round 8)."""
+    return [
+        [int(round(v * 1000)) for v in plane]
+        for plane in _hyperplanes(n_planes, dim)
+    ]
+
+
+def _lsh_oracle_sql() -> str:
+    planes = ", ".join(
+        f"({i}, {pl})" for i, pl in enumerate(_hyperplanes_int())
+    )
+    return f"""
+    WITH qv AS (SELECT vec_id, {_ORACLE_QUANT} AS v FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {planes}) AS t(pi, pv)),
+    buckets AS (
+        SELECT vec_id, v,
+               CAST(SUM(CASE WHEN dot > 0 THEN 1 << pi ELSE 0 END) AS INT)
+                   AS bucket
+        FROM (
+            SELECT q.vec_id, q.v, p.pi,
+                   list_sum(list_transform(range(len(q.v)),
+                                           i -> q.v[i+1] * p.pv[i+1])) AS dot
+            FROM qv q CROSS JOIN planes p)
+        GROUP BY vec_id, v),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+               CAST(list_sum(list_transform(range(len(a.v)),
+                                            i -> a.v[i+1]*b.v[i+1])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(range(len(a.v)),
+                                                    i -> a.v[i+1]*a.v[i+1])) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(range(len(b.v)),
+                                                      i -> b.v[i+1]*b.v[i+1])) AS DOUBLE)))
+                   AS cosine
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    ranked AS (
+        SELECT a_id, b_id, bucket, cosine,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY cosine DESC, b_id) AS rank
+        FROM pairs)
+    SELECT a_id, b_id, bucket, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_lsh_oracle_sql())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) LSH: bucket = sign bits of
     the dot product with 8 fixed hyperplanes; candidates join only
     within their bucket, then exact cosine ranks the bucket — the
     sub-linear ANN path (recall < 1.0 by construction, bounded by the
-    bucket collision probability; add hyperplane tables to raise it)."""
+    bucket collision probability; add hyperplane tables to raise it).
+
+    Fully oracle-checked since round 8 (VERDICT r7 item 6): the seeded
+    hyperplanes are quantized to integer milli-units at generation
+    time and shared as literals with the DuckDB oracle, so the sign
+    test runs over an exact integer dot in both engines — same
+    conversion multimodal_features got in round 7."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    planes = _hyperplanes()
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    planes = _hyperplanes_int()
+    vec = _quantized(F.col("embedding"))
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        pl = F.array(*[F.lit(v) for v in plane])
+        pl = F.array(*[F.lit(v).cast("long") for v in plane])
         d = F.aggregate(
             F.zip_with(vec, pl, lambda x, y: x * y),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = e.select(
+        "vec_id", "embedding", bucket.cast("int").alias("bucket")
+    )
     ba = bucketed.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket")
     bb = bucketed.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("bucket").alias("bucket_b"))
     qa = _quantized(F.col("a_emb"))
