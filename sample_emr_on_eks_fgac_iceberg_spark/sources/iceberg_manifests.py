@@ -692,8 +692,12 @@ def emit_manifests(meta, table_root: str) -> str | None:
         if not os.path.exists(full):
             return None
         nrows, nbytes = _file_stats(full)
+        # kind by schema: the spec's positional delete files carry
+        # exactly (file_path, pos) — content=1; anything else is an
+        # equality delete file — content=2
+        cols = set(_pq().read_schema(full).names)
         return {
-            "content": 2,  # equality deletes
+            "content": 1 if cols == {"file_path", "pos"} else 2,
             "file_path": full,
             "file_format": "PARQUET",
             "partition": {f["name"]: None for f in pfields},

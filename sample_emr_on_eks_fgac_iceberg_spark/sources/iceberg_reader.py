@@ -19,9 +19,12 @@ for files written without parquet field ids, applied to data files
 AND equality-delete files; if a delete file's columns still don't
 match (no mapping entry), they resolve positionally via
 ``equality_ids`` order (the engine writes delete files as
-``select(*keys)`` in that order). Positional delete files (content=1)
-are rejected with a clear error — this engine never writes them, and
-misreading one as equality keys would silently drop wrong rows.
+``select(*keys)`` in that order). Positional delete files (content=1,
+round 8) apply via an anti-join on the (data-relative file path, row
+ordinal) identity — the row ordinal comes from the parquet reader's
+``_metadata.row_index``, captured before any projection — under the
+spec's sequence rule for positional deletes (del_seq >= data_seq,
+where equality uses strict >).
 """
 
 from __future__ import annotations
@@ -274,6 +277,7 @@ def read_iceberg_table(
 
     data_by_seq: dict[int, list[str]] = {}
     deletes: list[tuple[int, str, tuple[str, ...]]] = []
+    pos_deletes: list[tuple[int, str]] = []
     for mf in manifests:
         _, _, entries = read_container(mf["manifest_path"])
         for e in entries:
@@ -285,14 +289,10 @@ def read_iceberg_table(
                 ):
                     continue
                 data_by_seq.setdefault(seq, []).append(dfile["file_path"])
+            elif dfile.get("content") == 1:
+                # positional deletes: (file_path, pos) tuples
+                pos_deletes.append((seq, dfile["file_path"]))
             else:
-                if dfile.get("content") == 1:
-                    raise ValueError(
-                        f"positional delete file (content=1) at "
-                        f"{dfile['file_path']}: not supported by the "
-                        f"spec-route reader (this engine writes only "
-                        f"equality deletes, content=2)"
-                    )
                 keys = tuple(
                     id2name[i] for i in (dfile.get("equality_ids") or ())
                 )
@@ -301,9 +301,14 @@ def read_iceberg_table(
     base = os.path.join(table_root, "data")
     parts = []
     for seq, paths in sorted(data_by_seq.items()):
-        df = _apply_name_mapping(
-            spark.read.option("basePath", base).parquet(*sorted(paths))
-        ).withColumn("__seq", F.lit(seq))
+        df = spark.read.option("basePath", base).parquet(*sorted(paths))
+        if pos_deletes:
+            # row identity for positional deletes, captured BEFORE any
+            # projection so the ordinal is the file's, not the plan's
+            df = df.withColumn("__pf", F.col("_metadata.file_path")).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+        df = _apply_name_mapping(df).withColumn("__seq", F.lit(seq))
         parts.append(df)
     if not parts:
         # declared-typed empty frame
@@ -314,9 +319,35 @@ def read_iceberg_table(
     )
     # re-assert declared types (dates/decimals survive the round-trip;
     # transform-derived directory columns like ts_day fall away here)
+    extra = ["__seq"] + (["__pf", "__pos"] if pos_deletes else [])
     out = out.select(
-        *[F.col(n).cast(t).alias(n) for n, t in cols], "__seq"
+        *[F.col(n).cast(t).alias(n) for n, t in cols], *extra
     )
+
+    # positional deletes first (they key on the physical row identity,
+    # which the equality anti-join below does not disturb): anti-join
+    # on the data-relative path + row ordinal, sequence guard
+    # del_seq >= data_seq (the spec applies a positional delete to
+    # files of the same commit or earlier — >= where equality uses >)
+    if pos_deletes:
+        rel = lambda c: F.substring_index(c, "/data/", -1)  # noqa: E731
+        dparts = [
+            spark.read.parquet(path).select(
+                rel(F.col("file_path")).alias("__d_rel"),
+                F.col("pos").alias("__d_pos"),
+                F.lit(int(seq)).alias("__del_seq"),
+            )
+            for seq, path in sorted(pos_deletes)
+        ]
+        dels = reduce(lambda a, b: a.unionByName(b), dparts)
+        cond = (
+            (rel(F.col("__pf")) == F.col("__d_rel"))
+            & (F.col("__pos") == F.col("__d_pos"))
+            & (F.col("__del_seq") >= F.col("__seq"))
+        )
+        out = out.join(F.broadcast(dels), cond, "left_anti").drop(
+            "__pf", "__pos"
+        )
 
     # equality deletes: anti-join per distinct key tuple with the
     # sequence guard (delete seq > data seq); key frames are small and

@@ -590,19 +590,15 @@ class Warehouse:
 
     def set_delete_mode(self, name: str, mode: str) -> None:
         """write.delete.mode: 'copy-on-write' (default) or
-        'merge-on-read'. MoR requires identifier fields."""
+        'merge-on-read'. With identifier fields MoR writes EQUALITY
+        delete files (content=2, key tuples); without them it writes
+        POSITIONAL delete files (content=1, (file_path, pos) rows) —
+        the spec's two row-level delete kinds."""
         name = self._resolve_dml_target(name).name
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"Unknown delete mode '{mode}'")
         with self._table_lock(name):
             meta = self._read_meta(name)
-            if mode == "merge-on-read" and not json.loads(
-                meta.properties.get("identifier_fields", "[]")
-            ):
-                raise ValueError(
-                    "merge-on-read deletes need identifier fields "
-                    "(set_identifier_fields first)"
-                )
             meta.properties["write.delete.mode"] = mode
             self._write_meta(meta)
 
@@ -1012,9 +1008,9 @@ class Warehouse:
         containing a match."""
         keys = json.loads(meta.properties.get("identifier_fields", "[]"))
         if not keys:
-            raise ValueError(
-                f"merge-on-read delete on '{meta.name}' needs identifier fields"
-            )
+            # no row identity -> the spec's OTHER delete kind:
+            # positional delete files
+            return self._delete_positional(meta, cond)
         scan = self._scan_live(meta)
         if scan is None:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
@@ -1040,6 +1036,107 @@ class Warehouse:
                 equality_ids=keys,
             )
         return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
+
+    _REL_AFTER_DATA = "/data/"
+
+    @staticmethod
+    def _rel_expr(col):
+        """Data-dir-relative path from a file URI/path column — the
+        join key both sides of a positional-delete application share
+        (absolute URIs go stale when rename_table moves the directory;
+        the rel path does not)."""
+        return F.substring_index(col, Warehouse._REL_AFTER_DATA, -1)
+
+    def _delete_positional(self, meta: TableMeta, cond) -> dict:
+        """DELETE under merge-on-read WITHOUT identifier fields: write
+        the matched rows' (file_path, pos) tuples as a POSITIONAL
+        delete file (Iceberg content=1; columns named per the spec's
+        reserved fields 2147483546/2147483545) and commit — no data
+        file rewritten, no row identity required. The scan already
+        subtracts previously-committed deletes, so re-deleting the
+        same rows is a no-op commit."""
+        scan = self._scan_live(meta, with_pos=True)
+        if scan is None:
+            return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        hit = F.coalesce(cond, F.lit(False))
+        matched = (
+            scan.filter(hit)
+            .select(
+                F.col("__pos_file").alias("file_path"),
+                F.col("__pos").cast("bigint").alias("pos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n = matched.count()
+        if n == 0:
+            return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        ddir = self.delete_dir(meta.name)
+        os.makedirs(ddir, exist_ok=True)
+        with self._table_lock(meta.name):
+            before = self._delete_files_on_disk(meta.name)
+            # spec: positional delete rows sorted by (file_path, pos)
+            matched.dropDuplicates(["file_path", "pos"]).sortWithinPartitions(
+                "file_path", "pos"
+            ).write.mode("append").parquet(ddir)
+            added = self._delete_files_on_disk(meta.name) - before
+            self._commit_snapshot(
+                meta,
+                "delete",
+                added=set(),
+                added_deletes=added,
+            )
+        return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
+
+    def _split_delete_kinds(
+        self, name: str, del_map: dict[str, int]
+    ) -> tuple[dict[str, int], dict[str, int]]:
+        """(equality, positional) partition of the live delete files.
+        Kind is read from each file's parquet schema — a positional
+        delete file has exactly the spec's (file_path, pos) columns —
+        so it survives snapshot-log collapse with no extra metadata.
+        One footer read per delete file, metadata-scale."""
+        import pyarrow.parquet as pq
+
+        ddir = self.delete_dir(name)
+        eq: dict[str, int] = {}
+        pos: dict[str, int] = {}
+        for f, seq in del_map.items():
+            cols = set(pq.read_schema(os.path.join(ddir, f)).names)
+            (pos if cols == {"file_path", "pos"} else eq)[f] = seq
+        return eq, pos
+
+    def _apply_position_deletes(
+        self, meta: TableMeta, df: DataFrame, del_map: dict[str, int]
+    ) -> DataFrame:
+        """Subtract positionally-deleted rows: anti-join on the
+        (data-relative file path, row ordinal) identity with the
+        sequence guard del_seq >= data_seq (the spec applies a
+        positional delete to files of the same commit or earlier —
+        note >= where equality uses >). The delete side is (path, pos)
+        tuples only — small — so it broadcasts; the scan is never
+        shuffled by the subtraction."""
+        ddir = self.delete_dir(meta.name)
+        parts = []
+        by_seq: dict[int, list[str]] = {}
+        for f, s in del_map.items():
+            by_seq.setdefault(s, []).append(f)
+        for seq, files in sorted(by_seq.items()):
+            raw = self.spark.read.parquet(*(os.path.join(ddir, f) for f in files))
+            parts.append(
+                raw.select(
+                    self._rel_expr(F.col("file_path")).alias("__d_rel"),
+                    F.col("pos").alias("__d_pos"),
+                ).withColumn("__del_seq", F.lit(int(seq)))
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        cond = (
+            (self._rel_expr(F.col("__pos_file")) == F.col("__d_rel"))
+            & (F.col("__pos") == F.col("__d_pos"))
+            & (F.col("__del_seq") >= F.col("__seq"))
+        )
+        return df.join(F.broadcast(dels), cond, "left_anti")
 
     def update_where(self, name: str, assignments: dict, condition=None) -> dict:
         """UPDATE name SET col = expr[, …] [WHERE condition] — same
@@ -1451,6 +1548,7 @@ class Warehouse:
         files: set[str] | list[str],
         with_file: bool = False,
         seq_of: dict[str, int] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame | None:
         """Manifest-planned read of an explicit file set, resolved
         against the current schema. Files are grouped by the partition
@@ -1473,6 +1571,11 @@ class Warehouse:
         extra = ("__file_path",) if with_file else ()
         if seq_of is not None:
             extra = extra + ("__seq",)
+        if with_pos:
+            # (file, row ordinal) identity for positional deletes —
+            # Iceberg's (file_path, pos) tuple, via Spark's parquet
+            # metadata columns
+            extra = extra + ("__pos_file", "__pos")
         parts = []
         for key, group_files in groups.items():
             reader = self.spark.read.option("basePath", data)
@@ -1495,6 +1598,10 @@ class Warehouse:
                 raw = raw.withColumn("__file_path", F.col("_metadata.file_path"))
             if seq_of is not None:
                 raw = raw.withColumn("__seq", F.lit(int(key[1])))
+            if with_pos:
+                raw = raw.withColumn(
+                    "__pos_file", F.col("_metadata.file_path")
+                ).withColumn("__pos", F.col("_metadata.row_index"))
             parts.append(self._project(raw, meta, extra=extra))
         out = parts[0]
         for p in parts[1:]:
@@ -1584,25 +1691,39 @@ class Warehouse:
         snapshot_id: int | None = None,
         with_file: bool = False,
         filters: list[tuple] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame | None:
         """Scan of the live data files of the requested snapshot minus
-        any live equality deletes, resolved against the current schema.
-        ``filters`` prune the file list at the manifest level (hidden-
-        partitioning scan planning) — the caller applies the residual.
-        None for an empty set."""
+        any live equality AND positional deletes, resolved against the
+        current schema. ``filters`` prune the file list at the manifest
+        level (hidden-partitioning scan planning) — the caller applies
+        the residual. None for an empty set."""
         files = self._live_files(meta, snapshot_id)
         if filters:
             files = self._prune_files(meta, files, filters)
         del_map = self._live_delete_files(meta, snapshot_id)
+        eq_map, pos_map = (
+            self._split_delete_kinds(meta.name, del_map) if del_map else ({}, {})
+        )
+        need_pos = with_pos or bool(pos_map)
         scan = self._read_files(
             meta,
             files,
             with_file=with_file,
             seq_of=self._file_seqs(meta) if del_map else None,
+            with_pos=need_pos,
         )
-        if scan is None or not del_map:
-            return scan
-        return self._apply_equality_deletes(meta, scan, del_map)
+        if scan is None:
+            return None
+        if pos_map:
+            scan = self._apply_position_deletes(meta, scan, pos_map)
+        if eq_map:
+            scan = self._apply_equality_deletes(meta, scan, eq_map)
+        elif del_map:
+            scan = scan.drop("__seq")
+        if need_pos and not with_pos:
+            scan = scan.drop("__pos_file", "__pos")
+        return scan
 
     def _project(self, df: DataFrame, meta: TableMeta, extra: tuple = ()) -> DataFrame:
         """Resolve a raw scan against the *current* declared schema:

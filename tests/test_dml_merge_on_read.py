@@ -50,10 +50,63 @@ def test_mor_delete_writes_no_data_files(wh):
     assert snap["equality_ids"] == ["k"]
 
 
-def test_mor_requires_identifier_fields(wh):
+def test_mor_without_identifiers_writes_positional_deletes(wh):
+    """MoR without identifier fields takes the spec's OTHER delete
+    kind: positional delete files (content=1) holding (file_path, pos)
+    tuples — no row identity needed, no data file rewritten."""
     wh.create_table("t", "k int, v string")
-    with pytest.raises(ValueError, match="identifier fields"):
-        wh.set_delete_mode("t", "merge-on-read")
+    wh.set_delete_mode("t", "merge-on-read")  # legal since round 8
+    wh.insert_values("t", [(i, f"x{i}") for i in range(10)])
+    files_before = set(wh._live_files(wh._read_meta("t")))
+    stats = wh.delete_from("t", "k % 3 = 0")
+    assert stats["mode"] == "merge-on-read" and stats["deleted_rows"] == 4
+    meta = wh._read_meta("t")
+    assert set(wh._live_files(meta)) == files_before  # nothing rewritten
+    got = sorted((r.k, r.v) for r in wh.read_table("t").collect())
+    assert got == [(i, f"x{i}") for i in range(10) if i % 3]
+    # the delete file is positional by schema: exactly (file_path, pos)
+    import os
+    import pyarrow.parquet as pq
+
+    dfiles = wh._live_delete_files(meta)
+    assert dfiles
+    for f in dfiles:
+        cols = set(pq.read_schema(os.path.join(wh.delete_dir("t"), f)).names)
+        assert cols == {"file_path", "pos"}
+
+
+def test_positional_delete_sequence_and_idempotence(wh):
+    wh.create_table("ps", "k int, v string")
+    wh.set_delete_mode("ps", "merge-on-read")
+    wh.insert_values("ps", [(1, "a"), (2, "b"), (3, "c")])
+    wh.delete_from("ps", "k = 2")
+    # re-delete: already-deleted rows don't match -> no-op commit
+    again = wh.delete_from("ps", "k = 2")
+    assert again["deleted_rows"] == 0 and again["delete_files"] == 0
+    # a LATER file reuses row ordinal 0 — the (file, pos) identity plus
+    # the del_seq >= data_seq guard must not touch it
+    wh.insert_values("ps", [(2, "b2")])
+    got = sorted((r.k, r.v) for r in wh.read_table("ps").collect())
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # positional + time travel: the pre-delete snapshot still shows b
+    snaps = [s["snapshot_id"] for s in wh._read_meta("ps").snapshots]
+    old = sorted(
+        (r.k, r.v) for r in wh.read_table("ps", snapshot_id=snaps[0]).collect()
+    )
+    assert old == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_positional_deletes_survive_rename_table(wh):
+    """The application key is the data-relative path, so moving the
+    table directory (rename_table) does not orphan positional
+    deletes even though the stored file_path URIs go stale."""
+    wh.create_table("pr0", "k int, v string")
+    wh.set_delete_mode("pr0", "merge-on-read")
+    wh.insert_values("pr0", [(1, "a"), (2, "b")])
+    wh.delete_from("pr0", "k = 1")
+    wh.rename_table("pr0", "pr1")
+    got = sorted((r.k, r.v) for r in wh.read_table("pr1").collect())
+    assert got == [(2, "b")]
 
 
 def test_mor_time_travel_reads_pre_delete_rows(wh):

@@ -615,28 +615,29 @@ def test_spec_reader_resolves_rename_after_mor_delete(wh, spark):
     assert got2 == _rows(wh.read_table("rn"), cols) == [(1, "a")]
 
 
-def test_spec_reader_rejects_positional_deletes(wh, spark):
-    """A manifest entry with data_file.content=1 (positional deletes)
-    must raise a clear error, never be misread as equality keys."""
+def test_spec_reader_applies_positional_deletes(wh, spark):
+    """Positional delete files (content=1, written by MoR DELETE on a
+    table WITHOUT identifier fields) must apply through the spec route
+    exactly as through the engine: manifest entries carry content=1
+    and no equality_ids, and the (file_path, pos) tuples anti-join
+    under the del_seq >= data_seq rule."""
     wh.create_table("pd", "k int, v string")
-    wh.set_identifier_fields("pd", ["k"])
-    wh.set_delete_mode("pd", "merge-on-read")
-    wh.insert_values("pd", [(1, "a"), (2, "b")])
-    wh.delete_from("pd", "k = 1")
+    wh.set_delete_mode("pd", "merge-on-read")  # no identifiers -> positional
+    wh.insert_values("pd", [(i, f"x{i}") for i in range(8)])
+    wh.delete_from("pd", "k % 3 = 0")
+    wh.insert_values("pd", [(0, "new0")])  # later file: same pos ordinals, immune
     sid = wh.current_snapshot_id("pd")
     mdir = os.path.join(wh.root, "pd", "metadata")
     _, _, manifests = read_container(os.path.join(mdir, f"snap-{sid}.avro"))
     dmf = next(m for m in manifests if m["content"] == 1)
-    schema, meta, dentries = read_container(dmf["manifest_path"])
-    for e in dentries:
-        e["data_file"]["content"] = 1  # forge a positional-delete entry
-    write_container(dmf["manifest_path"], schema, dentries, metadata=meta)
-    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
-        read_iceberg_table as rit,
-    )
-
-    with pytest.raises(ValueError, match="positional delete"):
-        rit(spark, os.path.join(wh.root, "pd")).collect()
+    _, _, dentries = read_container(dmf["manifest_path"])
+    assert all(e["data_file"]["content"] == 1 for e in dentries)
+    assert all(e["data_file"].get("equality_ids") is None for e in dentries)
+    root = os.path.join(wh.root, "pd")
+    cols = ["k", "v"]
+    got = _rows(read_iceberg_table(spark, root), cols)
+    assert got == _rows(wh.read_table("pd"), cols)
+    assert (0, "new0") in got and (0, "x0") not in got and (3, "x3") not in got
 
 
 # ---------------------------------------------------------------------------
