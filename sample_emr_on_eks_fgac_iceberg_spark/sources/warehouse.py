@@ -1139,9 +1139,13 @@ class Warehouse:
         return df.join(F.broadcast(dels), cond, "left_anti")
 
     def update_where(self, name: str, assignments: dict, condition=None) -> dict:
-        """UPDATE name SET col = expr[, …] [WHERE condition] — same
-        file-granular copy-on-write as delete_from; assignment
-        expressions may reference any column of the row."""
+        """UPDATE name SET col = expr[, …] [WHERE condition] — file-
+        granular copy-on-write by default; assignment expressions may
+        reference any column of the row. With
+        ``write.update.mode=merge-on-read`` (Iceberg's independent
+        update-mode knob) the matched rows become a positional delete
+        file plus an appended data file of the rewritten rows — one
+        snapshot, no existing data file rewritten."""
         meta = self._resolve_dml_target(name)
         schema_names = {f.name for f in meta.schema.fields}
         for col in assignments:
@@ -1150,6 +1154,8 @@ class Warehouse:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if cond is None:
             cond = F.lit(True)
+        if meta.properties.get("write.update.mode") == "merge-on-read":
+            return self._update_merge_on_read(meta, assignments, cond)
         scan = self._scan_with_filepath(meta)
         if scan is None:
             return {"updated_rows": 0, "rewritten_files": 0}
@@ -1172,6 +1178,67 @@ class Warehouse:
         )
         self._rewrite_files(meta, rewritten, "update", affected)
         return {"updated_rows": n, "rewritten_files": len(affected)}
+
+    def _update_merge_on_read(self, meta: TableMeta, assignments: dict, cond) -> dict:
+        """UPDATE under write.update.mode=merge-on-read: the spec's
+        delete+insert decomposition — matched rows' (file_path, pos)
+        tuples become a positional delete file, the assignment-applied
+        rows append as a NEW data file, and both commit in ONE
+        snapshot. The new file's data sequence equals the delete's, and
+        positional deletes key on (path, ordinal), so the rewritten
+        rows are immune by identity, not by sequence. Cost at 100 TB:
+        matched rows only (keys file + updated rows), vs CoW's rewrite
+        of every file containing a match."""
+        scan = self._scan_live(meta, with_pos=True)
+        if scan is None:
+            return {"updated_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        hit = F.coalesce(cond, F.lit(False))
+        matched = scan.filter(hit).localCheckpoint(eager=False)
+        n = matched.count()
+        if n == 0:
+            return {"updated_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
+        updated = matched.select(
+            *[
+                (
+                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name).cast(f.dataType).alias(f.name)
+                )
+                for f in meta.schema.fields
+            ]
+        )
+        dels = matched.select(
+            F.col("__pos_file").alias("file_path"),
+            F.col("__pos").cast("bigint").alias("pos"),
+        )
+        order = self._write_order(meta)
+        if order:
+            updated = updated.sortWithinPartitions(*order)
+        ddir = self.delete_dir(meta.name)
+        os.makedirs(ddir, exist_ok=True)
+        with self._table_lock(meta.name):
+            before_d = self._delete_files_on_disk(meta.name)
+            dels.dropDuplicates(["file_path", "pos"]).sortWithinPartitions(
+                "file_path", "pos"
+            ).write.mode("append").parquet(ddir)
+            added_deletes = self._delete_files_on_disk(meta.name) - before_d
+            before = self._data_files(meta.name)
+            updated, part_cols = self._prepare_partitions(meta, updated)
+            writer = updated.write.mode("append")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(self.data_dir(meta.name))
+            self._commit_snapshot(
+                meta,
+                "update",
+                added=self._data_files(meta.name) - before,
+                added_deletes=added_deletes,
+            )
+        return {
+            "updated_rows": n,
+            "delete_files": len(added_deletes),
+            "mode": "merge-on-read",
+        }
 
     def merge_into(
         self,

@@ -228,3 +228,68 @@ def test_mor_guard_cannot_drop_identifier_column(wh):
     _mor_table(wh)
     with pytest.raises(ValueError, match="identifier column"):
         wh.drop_column("t", "k")
+
+
+def test_mor_update_positional_delete_plus_append(wh):
+    """write.update.mode=merge-on-read: UPDATE decomposes into one
+    positional delete file + one appended data file in a single
+    snapshot — no existing data file is rewritten (Iceberg's
+    independent update-mode knob; delete mode may stay CoW)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    wh.create_table("mu", "k int, v string, amt int", partition_by=["v"])
+    with wh._table_lock("mu"):
+        meta = wh._read_meta("mu")
+        meta.properties["write.update.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    wh.insert_values("mu", [(i, "a" if i < 5 else "b", i * 10) for i in range(10)])
+    files_before = set(wh._live_files(wh._read_meta("mu")))
+    r = wh.update_where("mu", {"amt": "amt + 1"}, "k % 2 = 0")
+    assert r == {"updated_rows": 5, "delete_files": 1, "mode": "merge-on-read"}
+    meta = wh._read_meta("mu")
+    # old files still live (not rewritten), new file(s) appended
+    assert files_before < set(wh._live_files(meta))
+    snap = meta.snapshots[-1]
+    assert snap["operation"] == "update"
+    assert snap["added_files"] and snap["added_delete_files"]
+    assert not snap.get("removed_files")
+    # the delete file is positional by schema
+    for f in snap["added_delete_files"]:
+        cols = set(pq.read_schema(os.path.join(wh.delete_dir("mu"), f)).names)
+        assert cols == {"file_path", "pos"}
+    got = sorted((x.k, x.amt) for x in wh.read_table("mu").collect())
+    assert got == sorted(
+        (i, i * 10 + (1 if i % 2 == 0 else 0)) for i in range(10)
+    )
+
+
+def test_mor_update_composes_and_time_travels(wh, spark):
+    import os
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    wh.create_table("mu2", "k int, amt int")
+    with wh._table_lock("mu2"):
+        meta = wh._read_meta("mu2")
+        meta.properties["write.update.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    wh.insert_values("mu2", [(1, 10), (2, 20)])
+    wh.update_where("mu2", {"amt": "amt + 1"}, "k = 1")
+    # updating the UPDATED row again must hit the appended copy, not
+    # the positionally-deleted original
+    wh.update_where("mu2", {"amt": "amt * 2"}, "k = 1")
+    got = {x.k: x.amt for x in wh.read_table("mu2").collect()}
+    assert got == {1: 22, 2: 20}
+    first = wh._read_meta("mu2").snapshots[0]["snapshot_id"]
+    old = {x.k: x.amt for x in wh.read_table("mu2", snapshot_id=first).collect()}
+    assert old == {1: 10, 2: 20}
+    # spec-route reader agrees (positional deletes over the avro chain)
+    via_spec = {
+        x.k: x.amt
+        for x in read_iceberg_table(spark, os.path.join(wh.root, "mu2")).collect()
+    }
+    assert via_spec == got
