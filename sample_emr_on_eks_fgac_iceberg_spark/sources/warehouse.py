@@ -1267,6 +1267,17 @@ class Warehouse:
         meta = self._resolve_dml_target(name)
         if matched_update and matched_delete:
             raise ValueError("pass matched_update or matched_delete, not both")
+        if meta.properties.get("write.merge.mode") == "merge-on-read":
+            return self._merge_merge_on_read(
+                meta,
+                source,
+                on,
+                matched_update=matched_update,
+                matched_delete=matched_delete,
+                not_matched_insert=not_matched_insert,
+                target_alias=target_alias,
+                source_alias=source_alias,
+            )
         source = source.localCheckpoint(eager=False)
         src = source.withColumn("__matched", F.lit(True)).alias(source_alias)
         scan = self._scan_with_filepath(meta)
@@ -1360,6 +1371,140 @@ class Warehouse:
             return stats
         self._rewrite_files(meta, out, "merge", affected)
         stats["rewritten_files"] = len(affected)
+        return stats
+
+    def _merge_merge_on_read(
+        self,
+        meta: TableMeta,
+        source: DataFrame,
+        on: str,
+        *,
+        matched_update: dict | None,
+        matched_delete: bool,
+        not_matched_insert: dict | bool,
+        target_alias: str,
+        source_alias: str,
+    ) -> dict:
+        """MERGE under write.merge.mode=merge-on-read: matched target
+        rows become a positional delete file; their UPDATE-applied
+        replacements and the NOT MATCHED inserts append as new data
+        files; everything commits in ONE snapshot. Only matched ROWS
+        pay — unmatched rows in the same files are untouched (CoW
+        rewrites every file containing any match). The (file, pos)
+        identity doubles as the row id for the one-source-row-per-
+        target-row cardinality rule."""
+        source = source.localCheckpoint(eager=False)
+        src = source.alias(source_alias)
+        scan = self._scan_live(meta, with_pos=True)
+        stats = {
+            "updated_rows": 0,
+            "deleted_rows": 0,
+            "inserted_rows": 0,
+            "delete_files": 0,
+            "mode": "merge-on-read",
+        }
+        ta = target_alias
+        t = None
+        dels = None
+        new_rows = None
+        if scan is not None:
+            t = scan.localCheckpoint(eager=False).alias(ta)
+            joined = t.join(src, F.expr(on), "inner").localCheckpoint(eager=False)
+            agg = (
+                joined.groupBy(F.col(f"{ta}.__pos_file"), F.col(f"{ta}.__pos"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("max_n"), F.count(F.lit(1)).alias("rows"))
+                .collect()[0]
+            )
+            if agg["max_n"] is not None and agg["max_n"] > 1:
+                raise MergeCardinalityError(
+                    f"MERGE INTO {meta.name}: a target row matched "
+                    f"{agg['max_n']} source rows"
+                )
+            n_matched = int(agg["rows"] or 0)
+            if n_matched:
+                dels = joined.select(
+                    F.col(f"{ta}.__pos_file").alias("file_path"),
+                    F.col(f"{ta}.__pos").cast("bigint").alias("pos"),
+                )
+                if matched_delete:
+                    stats["deleted_rows"] = n_matched
+                else:
+                    upd = matched_update or {}
+                    new_rows = joined.select(
+                        *[
+                            (
+                                F.expr(upd[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in upd
+                                else F.col(f"{ta}.{f.name}").alias(f.name)
+                            )
+                            for f in meta.schema.fields
+                        ]
+                    )
+                    stats["updated_rows"] = n_matched
+
+        inserts = None
+        if not_matched_insert:
+            unmatched = (
+                src.join(t, F.expr(on), "left_anti") if t is not None else src
+            )
+            if not_matched_insert is True:
+                missing = [
+                    f.name for f in meta.schema.fields if f.name not in source.columns
+                ]
+                if missing:
+                    raise SchemaMismatchError(
+                        f"MERGE INTO {meta.name}: INSERT * source missing "
+                        f"columns {missing}"
+                    )
+                inserts = unmatched.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
+                )
+            else:
+                inserts = unmatched.select(
+                    *[
+                        F.expr(not_matched_insert.get(f.name, "NULL"))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in meta.schema.fields
+                    ]
+                )
+            stats["inserted_rows"] = inserts.count()
+            if stats["inserted_rows"] == 0:
+                inserts = None
+
+        appended = new_rows
+        if inserts is not None:
+            appended = appended.unionByName(inserts) if appended is not None else inserts
+        if appended is None and dels is None:
+            return stats
+
+        order = self._write_order(meta)
+        if order and appended is not None:
+            appended = appended.sortWithinPartitions(*order)
+        ddir = self.delete_dir(meta.name)
+        os.makedirs(ddir, exist_ok=True)
+        with self._table_lock(meta.name):
+            added_deletes: set[str] = set()
+            if dels is not None:
+                before_d = self._delete_files_on_disk(meta.name)
+                dels.dropDuplicates(["file_path", "pos"]).sortWithinPartitions(
+                    "file_path", "pos"
+                ).write.mode("append").parquet(ddir)
+                added_deletes = self._delete_files_on_disk(meta.name) - before_d
+            added: set[str] = set()
+            if appended is not None:
+                before = self._data_files(meta.name)
+                appended, part_cols = self._prepare_partitions(meta, appended)
+                writer = appended.write.mode("append")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(self.data_dir(meta.name))
+                added = self._data_files(meta.name) - before
+            self._commit_snapshot(
+                meta, "merge", added=added, added_deletes=added_deletes
+            )
+        stats["delete_files"] = len(added_deletes)
         return stats
 
     # -------------------------------------------------------------- scan

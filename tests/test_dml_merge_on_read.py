@@ -293,3 +293,59 @@ def test_mor_update_composes_and_time_travels(wh, spark):
         for x in read_iceberg_table(spark, os.path.join(wh.root, "mu2")).collect()
     }
     assert via_spec == got
+
+
+def test_mor_merge_upsert_delete_and_cardinality(wh, spark):
+    """write.merge.mode=merge-on-read: matched rows become a
+    positional delete + appended replacements, NOT MATCHED inserts
+    append, all in one snapshot; the (file, pos) identity doubles as
+    the row id for the cardinality rule; spec-route reads agree."""
+    import os
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        MergeCardinalityError,
+    )
+
+    wh.create_table("mg", "k int, v string, amt int")
+    with wh._table_lock("mg"):
+        meta = wh._read_meta("mg")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    wh.insert_values("mg", [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    files_before = set(wh._live_files(wh._read_meta("mg")))
+    src = spark.createDataFrame([(2, "B", 200), (4, "d", 40)], "k int, v string, amt int")
+    r = wh.merge_into(
+        "mg", src, "t.k = s.k",
+        matched_update={"v": "s.v", "amt": "s.amt"}, not_matched_insert=True,
+    )
+    assert r["mode"] == "merge-on-read"
+    assert (r["updated_rows"], r["inserted_rows"], r["delete_files"]) == (1, 1, 1)
+    meta = wh._read_meta("mg")
+    assert files_before < set(wh._live_files(meta))  # no rewrite, only appends
+    snap = meta.snapshots[-1]
+    assert snap["operation"] == "merge" and not snap.get("removed_files")
+    got = sorted((x.k, x.v, x.amt) for x in wh.read_table("mg").collect())
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)]
+
+    # WHEN MATCHED THEN DELETE: delete-file-only commit
+    r2 = wh.merge_into(
+        "mg", spark.createDataFrame([(1,)], "k int"), "t.k = s.k",
+        matched_delete=True, not_matched_insert=False,
+    )
+    assert r2["deleted_rows"] == 1 and r2["delete_files"] == 1
+    assert sorted(x.k for x in wh.read_table("mg").collect()) == [2, 3, 4]
+
+    # cardinality rule still enforced through the (file, pos) identity
+    dup = spark.createDataFrame([(2, "x", 1), (2, "y", 2)], "k int, v string, amt int")
+    with pytest.raises(MergeCardinalityError):
+        wh.merge_into("mg", dup, "t.k = s.k", matched_update={"v": "s.v"})
+
+    # spec-route parity over the whole MoR-merge history
+    via_spec = sorted(
+        (x.k, x.v, x.amt)
+        for x in read_iceberg_table(spark, os.path.join(wh.root, "mg")).collect()
+    )
+    assert via_spec == sorted((x.k, x.v, x.amt) for x in wh.read_table("mg").collect())
