@@ -76,6 +76,10 @@ _CORE = [
     "embedding_gram_matrix",
     # multimodal (PCM decode; PGM/BMP siblings ride the rotation)
     "multimodal_audio_rms",
+    # round-8 debuts: SemDeDup within-cluster semantic pruning and
+    # the bigram-MLE fluency score completing the KN train→score loop
+    "semdedup_prune",
+    "bigram_mle_doc_score",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",

@@ -1003,3 +1003,77 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_dup_passages"),
         )
     )
+
+
+_SEMDEDUP_TAU = 0.4  # same near-dup band the pairwise screens use
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(CAST(list_sum(list_transform(range(len(v)),
+                   i -> v[i+1]*v[i+1])) AS DOUBLE)) AS nrm
+        FROM qv)
+    SELECT a.vec_id, a.label,
+           EXISTS(
+               SELECT 1 FROM n b
+               WHERE b.label = a.label AND b.vec_id < a.vec_id
+                 AND CAST(list_sum(list_transform(range(len(a.v)),
+                         i -> a.v[i+1]*b.v[i+1])) AS DOUBLE)
+                     / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+           ) AS is_dup
+    FROM n a
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public): a
+    vector is a duplicate when a LOWER-id vector in its own CLUSTER
+    sits within cosine >= τ — the deterministic keep-lowest-id variant
+    of the paper's per-cluster screen. Clustering to label first is
+    the paper's complexity win: Σ|cluster|² pair work instead of N².
+
+    Plan shape at 100 TB: ONE label-keyed shuffle into applyInPandas,
+    one numpy GEMM per cluster (int64 milli-unit dots — exact, the
+    cosine then uses the oracle's operand order), no cross-cluster
+    pairs ever materialize. Cluster size bounds task memory the same
+    way block size bounds the block-GEMM; at this scale the label
+    plays the coarse-quantizer role embedding_cluster_assign computes
+    for real pipelines."""
+    import numpy as np
+    import pandas as pd
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    quant = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in pdf["v"]], dtype=np.int64
+        )
+        nrm = np.sqrt((x * x).sum(axis=1).astype(np.float64))
+        cos = (x @ x.T).astype(np.float64) / np.outer(nrm, nrm)
+        lower = np.tril(cos >= _SEMDEDUP_TAU, k=-1)  # j < i neighbors only
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "is_dup": lower.any(axis=1),
+            }
+        )
+
+    return quant.groupBy("label").applyInPandas(
+        prune, "vec_id long, label int, is_dup boolean"
+    )

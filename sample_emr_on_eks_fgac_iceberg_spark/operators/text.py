@@ -942,3 +942,94 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+@register(
+    "bigram_mle_doc_score",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    doc_bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])
+                   ELSE []::VARCHAR[] END) AS bigram
+        FROM words),
+    pairs AS (
+        SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM doc_bg),
+    counts AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, SUM(c12) AS c1 FROM counts GROUP BY w1),
+    scored AS (
+        SELECT p.doc_id,
+               (1000000 * c.c12) // x.c1 AS mle_micro
+        FROM pairs p
+          JOIN counts c ON c.w1 = p.w1 AND c.w2 = p.w2
+          JOIN ctx x ON x.w1 = p.w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(mle_micro) AS BIGINT) AS mle_micro_sum,
+           CAST(SUM(mle_micro) AS DOUBLE) / COUNT(*) AS mle_micro_avg
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_mle_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-MLE fluency score — the n-gram LM quality
+    proxy that completes the `kneser_ney_counts` train→score loop: for
+    each doc bigram, p_MLE(w₂|w₁) = c(w₁,w₂)/c(w₁,•) scaled to exact
+    integer micro-units by FLOOR division (both engines' integer `div`
+    truncate identically on non-negative counts), then summed per doc.
+    Repetitive/templated docs score high, incoherent token soup scores
+    low — the classic cheap pre-perplexity filter (no transcendentals,
+    so the score is bit-exact cross-engine; a real perplexity needs
+    log, whose libm rounding differs across engines).
+
+    Plan shape at 100 TB: bigrams built per-document inside codegen;
+    the corpus count table and the doc-bigram stream shuffle on the
+    SAME (w1, w2) key (one partitioning shared by count + join); the
+    context totals are a distinct-bigram-sized rollup joined back on
+    w1; the final doc_id aggregate is the only other exchange. No
+    broadcast of corpus-sized state, no window."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])) "
+        "ELSE array() END"
+    )
+    doc_bg = materialize_once(
+        d.select("doc_id", toks.alias("w"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    counts = materialize_once(
+        doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        doc_bg.join(counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            "doc_id",
+            F.expr("(1000000 * c12) div c1").alias("mle_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("mle_micro").cast("bigint").alias("mle_micro_sum"),
+            (F.sum("mle_micro").cast("double") / F.count(F.lit(1))).alias(
+                "mle_micro_avg"
+            ),
+        )
+    )
