@@ -101,6 +101,9 @@ HEADLINE = [
     "user_feature_snapshot",
     "embedding_outliers",
     "doc_length_quartiles",
+    # round-8: SemDeDup cluster pruning + bigram-MLE fluency scoring
+    "semdedup_prune",
+    "bigram_mle_doc_score",
 ]
 
 

@@ -2204,15 +2204,13 @@ class Warehouse:
         ddir = self.delete_dir(name)
         for f in sorted(self._live_delete_files(meta)):
             full = os.path.join(ddir, f)
-            rows.append(
-                (
-                    "equality-deletes",
-                    f,
-                    None,
-                    pq.ParquetFile(full).metadata.num_rows,
-                    os.path.getsize(full),
-                )
+            pf = pq.ParquetFile(full)
+            kind = (
+                "position-deletes"
+                if set(pf.schema_arrow.names) == {"file_path", "pos"}
+                else "equality-deletes"
             )
+            rows.append((kind, f, None, pf.metadata.num_rows, os.path.getsize(full)))
         return self.spark.createDataFrame(
             rows,
             "content string, file_path string, partition string, "
