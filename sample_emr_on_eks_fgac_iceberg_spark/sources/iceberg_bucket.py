@@ -85,7 +85,11 @@ def _spec_bytes(v) -> bytes:
         return bytes(v)
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
-            micros = int(v.timestamp() * 1_000_000)
+            # exact integer micros — float .timestamp() seconds lose
+            # sub-microsecond precision for modern epochs (ADVICE r8)
+            micros = (
+                v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ) // _dt.timedelta(microseconds=1)
         else:  # session timezone is UTC (session.py)
             micros = int((v - _EPOCH_TS) / _dt.timedelta(microseconds=1))
         return _struct.pack("<q", micros)
@@ -93,7 +97,10 @@ def _spec_bytes(v) -> bytes:
         return _struct.pack("<q", (v - _EPOCH_D).days)
     if isinstance(v, _decimal.Decimal):
         unscaled = int(v.scaleb(-v.as_tuple().exponent))
-        length = max(1, (unscaled.bit_length() + 8) // 8)
+        # spec: MINIMAL two's-complement length — for -2^(8k-1) exactly
+        # k bytes (e.g. -128 → 0x80, not 0xFF80); (x + (x<0)).bit_length()
+        # counts magnitude bits of the signed representation (ADVICE r8)
+        length = (unscaled + (unscaled < 0)).bit_length() // 8 + 1
         return unscaled.to_bytes(length, "big", signed=True)
     if isinstance(v, float):
         # spec: float is hashed as the widened double's 8-byte LE;

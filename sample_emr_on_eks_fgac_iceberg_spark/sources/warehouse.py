@@ -139,6 +139,16 @@ class MergeCardinalityError(Exception):
     Iceberg's MERGE raises (non-deterministic update otherwise)."""
 
 
+class CommitConflictError(Exception):
+    """A concurrent commit invalidated this one (Iceberg's optimistic
+    concurrency): either the files this commit removes / the data files
+    its positional deletes reference are no longer live (someone
+    rewrote them — applying ours would lose their effects), or another
+    process claimed the same metadata version (O_EXCL version claim,
+    the HadoopTableOperations pattern). Re-plan against the refreshed
+    table state and retry; non-overlapping commits succeed on retry."""
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -428,6 +438,12 @@ class Warehouse:
             raise TableNotFoundError(f"Table '{name}' does not exist")
         os.remove(meta_path)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        # version-claim / lock debris must go with the table: a
+        # re-created table restarts at sequence 1, which a stale claim
+        # file would otherwise report as a commit conflict
+        for f in os.listdir(self._meta_dir):
+            if f.startswith(f".{name}.commit-") or f == f".{name}.lock":
+                os.remove(os.path.join(self._meta_dir, f))
 
     def show_partitions(self, name: str) -> list[str]:
         """Partition values currently on disk, as Spark's SHOW
@@ -647,6 +663,8 @@ class Warehouse:
         removed_deletes: set[str] | None = None,
         equality_ids: list[str] | None = None,
         staged: bool = False,
+        delete_kinds: dict[str, str] | None = None,
+        delete_refs: dict[str, list[str]] | None = None,
     ) -> None:
         """Optimistic commit: re-read the on-disk metadata so a
         concurrent committer's snapshots are not clobbered, then append
@@ -657,6 +675,50 @@ class Warehouse:
         if os.path.exists(self._meta_path(meta.name)):
             meta = self._read_meta(meta.name)
         seq = meta.snapshots[-1]["sequence_number"] + 1 if meta.snapshots else 1
+        # optimistic-concurrency validation (Iceberg's
+        # validateDataFilesExist): every file this commit removes, and
+        # every data file its positional deletes reference, must still
+        # be live in the re-read metadata — otherwise a concurrent
+        # commit rewrote them between our scan planning and now, and
+        # applying ours would silently lose its effects. Validated
+        # against the POST-commit live set so rollback's re-adds count.
+        # (rollback re-adds historical delete files whose refs may
+        # legitimately point at files a later commit rewrote while the
+        # delete file stayed live — exempt from ref validation)
+        check_refs = delete_refs if operation != "rollback" else None
+        if removed or check_refs:
+            cur_live = self._live_files(meta)
+            gone = set(removed or ()) - cur_live
+            post = (cur_live | set(added)) - set(removed or ())
+            ref_gone = {
+                r for refs in (check_refs or {}).values() for r in refs
+            } - post
+            if gone or ref_gone:
+                raise CommitConflictError(
+                    f"Commit to '{meta.name}' conflicts with a concurrent "
+                    f"commit: {sorted(gone or ref_gone)[:4]} no longer live "
+                    "— re-plan against the refreshed table state and retry"
+                )
+        if removed_deletes:
+            cur_dels = set(self._live_delete_files(meta))
+            dgone = set(removed_deletes) - cur_dels
+            if dgone:
+                raise CommitConflictError(
+                    f"Commit to '{meta.name}' conflicts with a concurrent "
+                    f"commit: delete files {sorted(dgone)[:4]} no longer live"
+                )
+        # O_EXCL metadata-version claim (Iceberg HadoopTableOperations):
+        # even without the flock (separate hosts on shared storage), two
+        # processes committing from the same base cannot both win — the
+        # second O_EXCL create fails and surfaces as a clean conflict.
+        claim = os.path.join(self._meta_dir, f".{meta.name}.commit-{seq}")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"Concurrent commit already claimed version {seq} of "
+                f"'{meta.name}' — refresh and retry"
+            ) from None
         import pyarrow.parquet as pq
 
         data = self.data_dir(meta.name)
@@ -690,6 +752,18 @@ class Warehouse:
             entry["removed_delete_files"] = sorted(removed_deletes or ())
         if equality_ids:
             entry["equality_ids"] = list(equality_ids)
+        # delete-file kind (content=1 positional / content=2 equality)
+        # and the data files a positional delete references, recorded
+        # IN the committing snapshot (ADVICE r8: schema-sniffed kinds
+        # misclassify an equality-delete table whose identifier fields
+        # are literally named file_path/pos; refs let scans prune the
+        # delete application to intersecting data files)
+        if delete_kinds:
+            entry["delete_kinds"] = {f: delete_kinds[f] for f in sorted(delete_kinds)}
+        if delete_refs:
+            entry["delete_refs"] = {
+                f: sorted(delete_refs[f]) for f in sorted(delete_refs)
+            }
         if staged:
             entry["staged"] = True
         # record the spec the added files were written under (partition
@@ -1036,6 +1110,7 @@ class Warehouse:
                 added=set(),
                 added_deletes=added,
                 equality_ids=keys,
+                delete_kinds={f: "equality" for f in added},
             )
         return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
 
@@ -1069,7 +1144,14 @@ class Warehouse:
             )
             .localCheckpoint(eager=False)
         )
-        n = matched.count()
+        # one job: match count + the referenced data files (bounded by
+        # the table's file count — the manifest stats Iceberg records
+        # per delete file, used by scans to scope delete application)
+        row = matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._rel_expr(F.col("file_path"))).alias("refs"),
+        ).collect()[0]
+        n, refs = row["n"], sorted(row["refs"])
         if n == 0:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
         ddir = self.delete_dir(meta.name)
@@ -1086,25 +1168,62 @@ class Warehouse:
                 "delete",
                 added=set(),
                 added_deletes=added,
+                delete_kinds={f: "positional" for f in added},
+                delete_refs={f: refs for f in added},
             )
         return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
 
+    @staticmethod
+    def _delete_kinds_from_meta(meta: TableMeta) -> dict[str, str]:
+        """delete file → 'equality' | 'positional', replayed from the
+        snapshot log. Precedence per file (first record wins): an
+        explicit ``delete_kinds`` map (written by every delete commit
+        since round 9, and by the collapsed base manifest), else the
+        committing snapshot's equality_ids presence (pre-round-9
+        metadata: equality commits always recorded their key columns,
+        positional ones never did)."""
+        kinds: dict[str, str] = {}
+        for s in meta.snapshots:
+            for f, k in s.get("delete_kinds", {}).items():
+                kinds.setdefault(f, k)
+            inferred = "equality" if s.get("equality_ids") else "positional"
+            for f in s.get("added_delete_files", ()):
+                kinds.setdefault(f, inferred)
+        return kinds
+
+    @staticmethod
+    def _delete_refs_from_meta(meta: TableMeta) -> dict[str, frozenset]:
+        """positional delete file → the set of data-relative paths it
+        references (from the committing snapshot's ``delete_refs``).
+        Files with no recorded refs are absent — callers must treat
+        them as may-reference-anything (no pruning)."""
+        refs: dict[str, frozenset] = {}
+        for s in meta.snapshots:
+            for f, r in s.get("delete_refs", {}).items():
+                refs.setdefault(f, frozenset(r))
+        return refs
+
     def _split_delete_kinds(
-        self, name: str, del_map: dict[str, int]
+        self, meta: TableMeta, del_map: dict[str, int]
     ) -> tuple[dict[str, int], dict[str, int]]:
         """(equality, positional) partition of the live delete files.
-        Kind is read from each file's parquet schema — a positional
-        delete file has exactly the spec's (file_path, pos) columns —
-        so it survives snapshot-log collapse with no extra metadata.
-        One footer read per delete file, metadata-scale."""
-        import pyarrow.parquet as pq
-
-        ddir = self.delete_dir(name)
+        Kind comes from snapshot metadata (``_delete_kinds_from_meta``);
+        a file the log does not classify (pre-round-9 collapsed base
+        manifests) falls back to a parquet-footer sniff — a positional
+        delete file has exactly the spec's (file_path, pos) columns.
+        Metadata-scale either way."""
+        kinds = self._delete_kinds_from_meta(meta)
+        ddir = self.delete_dir(meta.name)
         eq: dict[str, int] = {}
         pos: dict[str, int] = {}
         for f, seq in del_map.items():
-            cols = set(pq.read_schema(os.path.join(ddir, f)).names)
-            (pos if cols == {"file_path", "pos"} else eq)[f] = seq
+            k = kinds.get(f)
+            if k is None:
+                import pyarrow.parquet as pq
+
+                cols = set(pq.read_schema(os.path.join(ddir, f)).names)
+                k = "positional" if cols == {"file_path", "pos"} else "equality"
+            (pos if k == "positional" else eq)[f] = seq
         return eq, pos
 
     def _apply_position_deletes(
@@ -1196,7 +1315,11 @@ class Warehouse:
             return {"updated_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
         hit = F.coalesce(cond, F.lit(False))
         matched = scan.filter(hit).localCheckpoint(eager=False)
-        n = matched.count()
+        row = matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._rel_expr(F.col("__pos_file"))).alias("refs"),
+        ).collect()[0]
+        n, refs = row["n"], sorted(row["refs"])
         if n == 0:
             return {"updated_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
         updated = matched.select(
@@ -1235,6 +1358,8 @@ class Warehouse:
                 "update",
                 added=self._data_files(meta.name) - before,
                 added_deletes=added_deletes,
+                delete_kinds={f: "positional" for f in added_deletes},
+                delete_refs={f: refs for f in added_deletes},
             )
         return {
             "updated_rows": n,
@@ -1930,8 +2055,22 @@ class Warehouse:
             files = self._prune_files(meta, files, filters)
         del_map = self._live_delete_files(meta, snapshot_id)
         eq_map, pos_map = (
-            self._split_delete_kinds(meta.name, del_map) if del_map else ({}, {})
+            self._split_delete_kinds(meta, del_map) if del_map else ({}, {})
         )
+        if pos_map:
+            # scope the positional-delete application (Iceberg scopes
+            # delete files to data files via manifest stats): a delete
+            # file whose recorded refs don't intersect the scanned file
+            # set is skipped — under a sustained CDC-upsert stream the
+            # per-scan delete union stays bounded by the files actually
+            # read, not by total delete history. Unknown refs
+            # (pre-round-9 commits) stay conservatively applied.
+            refs_map = self._delete_refs_from_meta(meta)
+            pos_map = {
+                f: s
+                for f, s in pos_map.items()
+                if f not in refs_map or not refs_map[f].isdisjoint(files)
+            }
         need_pos = with_pos or bool(pos_map)
         scan = self._read_files(
             meta,
@@ -2411,13 +2550,18 @@ class Warehouse:
             current = self._live_files(meta)
             target_dels = set(self._live_delete_files(meta, snapshot_id))
             current_dels = set(self._live_delete_files(meta))
+            readded = target_dels - current_dels
+            kinds = self._delete_kinds_from_meta(meta)
+            refs = self._delete_refs_from_meta(meta)
             self._commit_snapshot(
                 meta,
                 "rollback",
                 added=target - current,
                 removed=current - target,
-                added_deletes=target_dels - current_dels,
+                added_deletes=readded,
                 removed_deletes=current_dels - target_dels,
+                delete_kinds={f: kinds[f] for f in readded if f in kinds},
+                delete_refs={f: sorted(refs[f]) for f in readded if f in refs},
             )
 
     def publish_snapshot(self, name: str, snapshot_id: int) -> int:
@@ -2539,6 +2683,11 @@ class Warehouse:
         base_live = self._live_files(meta, base_sid)
         base_dels = self._live_delete_files(meta, base_sid)
         all_seqs = self._file_seqs(meta)
+        # the collapsed base must keep each delete file's kind and refs
+        # explicitly — the committing snapshots (whose equality_ids /
+        # delete_kinds carried them) are being expired
+        all_kinds = self._delete_kinds_from_meta(meta)
+        all_refs = self._delete_refs_from_meta(meta)
         base = dict(
             retained[0],
             added_files=sorted(base_live),
@@ -2549,6 +2698,8 @@ class Warehouse:
             added_delete_files=sorted(base_dels),
             removed_delete_files=[],
             delete_file_seqs=dict(base_dels),
+            delete_kinds={f: all_kinds[f] for f in base_dels if f in all_kinds},
+            delete_refs={f: sorted(all_refs[f]) for f in base_dels if f in all_refs},
         )
         referenced: set[str] = set()
         referenced_dels: set[str] = set()
@@ -2591,6 +2742,80 @@ class Warehouse:
         for f in del_orphans:
             os.remove(os.path.join(ddir, f))
         return {"deleted_files": len(orphans) + len(del_orphans)}
+
+    def rewrite_position_delete_files(self, name: str) -> dict:
+        """Iceberg's ``rewrite_position_delete_files`` maintenance:
+        drop positional delete files that are DANGLING (every data file
+        they reference has been compacted/rewritten out of the live
+        set — their rows can never subtract anything again) and compact
+        the surviving positional-delete rows into a fresh file set.
+        Under round 8's streaming CDC-upsert sink each micro-batch adds
+        one positional delete file; without this procedure the per-scan
+        delete application grows with delete history instead of with
+        the files actually referenced.
+
+        One snapshot, operation='replace': old positional delete files
+        leave the live set (history still reads them), surviving rows
+        commit as new files with fresh refs metadata. Equality deletes
+        are untouched. Cost: one scan of the positional delete rows
+        (delete files are keys-only, metadata-scale relative to data)
+        joined against the live-file list — never a data-file read."""
+        meta = self._resolve_dml_target(name)
+        name = meta.name
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            del_map = self._live_delete_files(meta)
+            _, pos_map = (
+                self._split_delete_kinds(meta, del_map) if del_map else ({}, {})
+            )
+            if not pos_map:
+                return {"removed_delete_files": 0, "added_delete_files": 0,
+                        "remaining_rows": 0}
+            live = self._live_files(meta)
+            ddir = self.delete_dir(name)
+            raw = self.spark.read.parquet(
+                *(os.path.join(ddir, f) for f in pos_map)
+            )
+            live_df = self.spark.createDataFrame(
+                [(f,) for f in sorted(live)], "__live_rel string"
+            )
+            kept = (
+                raw.withColumn("__rel", self._rel_expr(F.col("file_path")))
+                .join(
+                    F.broadcast(live_df),
+                    F.col("__rel") == F.col("__live_rel"),
+                    "left_semi",
+                )
+                .drop("__rel")
+                .dropDuplicates(["file_path", "pos"])
+                .localCheckpoint(eager=False)
+            )
+            row = kept.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(self._rel_expr(F.col("file_path"))).alias("refs"),
+            ).collect()[0]
+            n, refs = int(row["n"]), sorted(row["refs"])
+            added: set[str] = set()
+            if n > 0:
+                before = self._delete_files_on_disk(name)
+                kept.sortWithinPartitions("file_path", "pos").write.mode(
+                    "append"
+                ).parquet(ddir)
+                added = self._delete_files_on_disk(name) - before
+            self._commit_snapshot(
+                meta,
+                "replace",
+                added=set(),
+                added_deletes=added,
+                removed_deletes=set(pos_map),
+                delete_kinds={f: "positional" for f in added},
+                delete_refs={f: refs for f in added},
+            )
+        return {
+            "removed_delete_files": len(pos_map),
+            "added_delete_files": len(added),
+            "remaining_rows": n,
+        }
 
     def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:
         """Morton (z-curve) key over ``cols``: each column is min/max

@@ -41,7 +41,14 @@ def warehouse_sink(wh: Warehouse, table: str, source_id: str):
     return sink
 
 
-def upsert_sink(wh: Warehouse, table: str, source_id: str, on: str, keys: list[str]):
+def upsert_sink(
+    wh: Warehouse,
+    table: str,
+    source_id: str,
+    on: str,
+    keys: list[str],
+    order_by: str | None = None,
+):
     """A foreachBatch callable applying each micro-batch as an
     idempotent UPSERT (CDC apply): MERGE INTO with update-all-columns
     on match and insert-by-name otherwise, fenced by
@@ -52,14 +59,27 @@ def upsert_sink(wh: Warehouse, table: str, source_id: str, on: str, keys: list[s
     every file containing a matched key, every batch).
 
     A micro-batch may carry several versions of one key (the merge
-    cardinality rule rejects that); the sink keeps the LAST version
-    per key by a deterministic max over the batch's own ordering
-    columns — callers pass e.g. keys=["k"] and ensure the batch has a
-    total order (here: last row wins by the batch's max __seq-like
-    column when present, else plain dropDuplicates)."""
+    cardinality rule rejects that). With ``order_by`` (a version /
+    event-time column that totally orders rows within a key) the sink
+    deterministically applies the LAST version per key — the CDC
+    last-writer-wins contract. WITHOUT ``order_by`` the batch is
+    reduced with ``dropDuplicates(keys)``, which keeps an ARBITRARY
+    row per key — only safe when the upstream guarantees at most one
+    version per key per batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.dropDuplicates(keys)
+        if order_by is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+            b = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            b = batch_df.dropDuplicates(keys)
         Warehouse(batch_df.sparkSession, wh.root).merge_into(
             table,
             b,

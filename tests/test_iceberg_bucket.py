@@ -149,3 +149,38 @@ def test_string_and_date_bucket_partitioning_round_trip(wh):
     assert got == {("alpha", 1), ("beta", 2), (None, 3)}
     # equality pruning on a string bucket key
     assert [r.v for r in wh.read_table("sd").filter("name = 'beta'").collect()] == [2]
+
+
+def test_decimal_minimal_twos_complement_bytes():
+    """ADVICE r8: unscaled values equal to -2^(8k-1) must encode in
+    the MINIMAL signed length (-128 → 0x80, one byte, not 0xFF80) or
+    the hash diverges from external spec readers."""
+    cases = {
+        "0": b"\x00",
+        "127": b"\x7f",
+        "128": b"\x00\x80",
+        "-128": b"\x80",
+        "-129": b"\xff\x7f",
+        "-1": b"\xff",
+        "-32768": b"\x80\x00",
+        "-3.2768": b"\x80\x00",  # unscaled -32768 at scale 4
+    }
+    for s, want in cases.items():
+        assert _spec_bytes(decimal.Decimal(s)) == want, s
+
+
+def test_tz_aware_timestamp_hashes_like_naive_utc():
+    """ADVICE r8: tz-aware datetimes must convert to micros exactly
+    (integer floor-div), not via float seconds — and agree with the
+    naive-UTC path for the same instant."""
+    naive = dt.datetime(2017, 11, 16, 22, 31, 8, 123457)
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    assert _spec_bytes(aware) == _spec_bytes(naive)
+    # modern epoch where float seconds lose sub-micro precision
+    t = dt.datetime(2026, 8, 15, 12, 0, 0, 1, tzinfo=dt.timezone.utc)
+    micros = (
+        t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    ) // dt.timedelta(microseconds=1)
+    import struct
+
+    assert _spec_bytes(t) == struct.pack("<q", micros)

@@ -656,3 +656,35 @@ def test_streaming_upsert_sink_exactly_once_mor(spark, tmp_path):
         matched_update={"v": "s.v", "ver": "s.ver"}, txn=("cdc-1", 2),
     )
     assert r.get("skipped") is True
+
+
+def test_upsert_sink_order_by_keeps_last_version_per_key(spark, tmp_path):
+    """ADVICE r8: a micro-batch carrying several versions of one key
+    must apply the LAST version deterministically when order_by is
+    given — not an arbitrary dropDuplicates survivor."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import upsert_sink
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("dim", "k int, v string, ver int")
+    with wh._table_lock("dim"):
+        meta = wh._read_meta("dim")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    sink = upsert_sink(wh, "dim", "cdc-o", "t.k = s.k", keys=["k"], order_by="ver")
+
+    # one batch, three versions of k=1 plus one of k=2 — last wins by ver
+    b0 = spark.createDataFrame(
+        [(1, "v1", 1), (1, "v3", 3), (1, "v2", 2), (2, "b", 1)],
+        "k int, v string, ver int",
+    )
+    sink(b0, 0)
+    got = sorted((r.k, r.v, r.ver) for r in wh.read_table("dim").collect())
+    assert got == [(1, "v3", 3), (2, "b", 1)]
+    # next batch downgrades nothing: version 4 replaces 3 deterministically
+    b1 = spark.createDataFrame(
+        [(1, "v4", 4), (1, "v0", 0)], "k int, v string, ver int"
+    )
+    sink(b1, 1)
+    got = sorted((r.k, r.v, r.ver) for r in wh.read_table("dim").collect())
+    assert got == [(1, "v4", 4), (2, "b", 1)]
