@@ -1367,6 +1367,154 @@ class Warehouse:
             "mode": "merge-on-read",
         }
 
+    # ------------------------------------------------------------- MERGE
+    @staticmethod
+    def _norm_merge_clauses(
+        matched_update,
+        matched_delete,
+        not_matched_insert,
+        matched_clauses,
+        not_matched_clauses,
+        not_matched_by_source,
+    ):
+        """Normalize the two MERGE surfaces — the legacy single-clause
+        kwargs and the full multi-clause lists — into three validated
+        clause lists (matched, not-matched-insert, not-matched-by-
+        source), each evaluated FIRST-MATCH-WINS per row, the
+        Spark/Iceberg MERGE contract."""
+        if matched_clauses is None:
+            if matched_update and matched_delete:
+                raise ValueError("pass matched_update or matched_delete, not both")
+            matched_clauses = []
+            if matched_update:
+                matched_clauses = [
+                    {"action": "update", "set": dict(matched_update), "condition": None}
+                ]
+            elif matched_delete:
+                matched_clauses = [{"action": "delete", "condition": None}]
+        elif matched_update or matched_delete:
+            raise ValueError(
+                "pass matched_clauses OR matched_update/matched_delete, not both"
+            )
+        if not_matched_clauses is None:
+            if not_matched_insert is True:
+                not_matched_clauses = [{"condition": None, "values": True}]
+            elif not_matched_insert:
+                not_matched_clauses = [
+                    {"condition": None, "values": dict(not_matched_insert)}
+                ]
+            else:
+                not_matched_clauses = []
+        elif not_matched_insert not in (True, None):
+            raise ValueError(
+                "pass not_matched_clauses OR not_matched_insert, not both"
+            )
+        not_matched_by_source = list(not_matched_by_source or [])
+        for c in list(matched_clauses) + not_matched_by_source:
+            if c.get("action") not in ("update", "delete"):
+                raise ValueError(f"MERGE clause action must be update|delete: {c}")
+            if c["action"] == "update" and not c.get("set"):
+                raise ValueError(f"MERGE UPDATE clause needs a set dict: {c}")
+        for c in not_matched_clauses:
+            if c.get("values") is not True and not c.get("values"):
+                raise ValueError(f"MERGE INSERT clause needs values: {c}")
+        return list(matched_clauses), list(not_matched_clauses), not_matched_by_source
+
+    @staticmethod
+    def _clause_col(clauses, gate, base) -> F.Column:
+        """First-match-wins clause selector: an int column holding
+        base+i for the first clause whose condition passes under
+        ``gate`` (the matched / not-matched predicate), else NULL.
+        NULL-valued conditions fail closed (SQL three-valued logic)."""
+        expr = None
+        for i, c in enumerate(clauses):
+            cond = gate
+            if c.get("condition") is not None:
+                cond = cond & F.coalesce(F.expr(c["condition"]), F.lit(False))
+            expr = F.when(cond, base + i) if expr is None else expr.when(cond, base + i)
+        return (
+            expr.otherwise(F.lit(None).cast("int"))
+            if expr is not None
+            else F.lit(None).cast("int")
+        )
+
+    @staticmethod
+    def _clause_actions(clauses, base) -> tuple[set, set]:
+        upd = {base + i for i, c in enumerate(clauses) if c["action"] == "update"}
+        dele = {base + i for i, c in enumerate(clauses) if c["action"] == "delete"}
+        return upd, dele
+
+    @staticmethod
+    def _update_col(clauses, base, clause_col, f, keep_col):
+        """The value of column ``f`` after applying whichever UPDATE
+        clause fired (clause index base+i), else ``keep_col`` — one
+        nested CASE, fully inside codegen."""
+        e = None
+        for i, c in enumerate(clauses):
+            if c["action"] != "update" or f.name not in c["set"]:
+                continue
+            v = F.expr(c["set"][f.name]).cast(f.dataType)
+            cond = clause_col == (base + i)
+            e = F.when(cond, v) if e is None else e.when(cond, v)
+        return e.otherwise(keep_col) if e is not None else keep_col
+
+    def _merged_row_cols(self, m_cls, s_cls, clause_col, fields, ta):
+        """Post-merge value of every schema column for a surviving
+        (non-deleted) target row: matched UPDATE clauses layer over the
+        kept target value, by-source UPDATE clauses over that — clause
+        indices are disjoint (0.. vs 100..), so exactly one CASE arm
+        fires per row."""
+        return [
+            self._update_col(
+                s_cls, 100, clause_col, f,
+                self._update_col(
+                    m_cls, 0, clause_col, f, F.col(f"{ta}.{f.name}")
+                ),
+            ).alias(f.name)
+            for f in fields
+        ]
+
+    def _insert_frame(
+        self, meta: TableMeta, unmatched: DataFrame, clauses, source_cols
+    ) -> DataFrame | None:
+        """NOT MATCHED [AND cond] THEN INSERT, first-match-wins: rows
+        matching no insert clause are NOT inserted; each clause maps
+        target columns from source expressions (values=True → by
+        name)."""
+        if not clauses:
+            return None
+        for c in clauses:
+            if c["values"] is True:
+                missing = [
+                    f.name
+                    for f in meta.schema.fields
+                    if f.name not in source_cols
+                ]
+                if missing:
+                    raise SchemaMismatchError(
+                        f"MERGE INTO {meta.name}: INSERT * source missing "
+                        f"columns {missing}"
+                    )
+        picked = unmatched.withColumn(
+            "__ic", self._clause_col(clauses, F.lit(True), 0)
+        ).filter(F.col("__ic").isNotNull())
+        cols = []
+        for f in meta.schema.fields:
+            e = None
+            for j, c in enumerate(clauses):
+                v = (
+                    F.col(f.name)
+                    if c["values"] is True
+                    else F.expr(c["values"].get(f.name, "NULL"))
+                ).cast(f.dataType)
+                e = (
+                    F.when(F.col("__ic") == j, v)
+                    if e is None
+                    else e.when(F.col("__ic") == j, v)
+                )
+            cols.append(e.alias(f.name))
+        return picked.select(*cols)
+
     def merge_into(
         self,
         name: str,
@@ -1376,135 +1524,159 @@ class Warehouse:
         matched_update: dict | None = None,
         matched_delete: bool = False,
         not_matched_insert: dict | bool = True,
+        matched_clauses: list[dict] | None = None,
+        not_matched_clauses: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
         target_alias: str = "t",
         source_alias: str = "s",
         txn: tuple[str, int] | None = None,
     ) -> dict:
         """MERGE INTO name AS t USING source AS s ON <on> — the upsert
-        operator (Iceberg's flagship row-level DML). Clauses:
-        WHEN MATCHED THEN UPDATE SET (``matched_update``: target col →
-        expr over t/s) or THEN DELETE (``matched_delete``); WHEN NOT
-        MATCHED THEN INSERT (``not_matched_insert``: True = by name,
-        dict = target col → expr over s, False = no insert).
+        operator (Iceberg's flagship row-level DML), full multi-clause
+        form (the reference runtime ships it via the Iceberg Spark
+        extensions, consumer_emr_on_eks_setup.sh:440-449):
 
-        ``txn=(source_id, batch_id)`` makes the merge idempotent the
-        same way insert_into's fence does: a batch at or below the
-        source's committed watermark returns ``{"skipped": True}``
-        without touching the table — the exactly-once contract for a
-        streaming CDC-upsert sink replaying after failure.
+        - ``matched_clauses``: [{action: 'update'|'delete',
+          set: {col: expr over t/s}, condition: str|None}, …] —
+          ``WHEN MATCHED [AND cond] THEN …``, first-match-wins per
+          matched row; a matched row firing no clause stays unchanged.
+        - ``not_matched_clauses``: [{condition: str|None,
+          values: True|{col: expr over s}}, …] — ``WHEN NOT MATCHED
+          [AND cond] THEN INSERT``; values=True is INSERT * by name.
+        - ``not_matched_by_source``: [{action, set, condition}, …] —
+          ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE``
+          over target rows with no source match (the SCD close-out
+          idiom).
 
-        Plan shape: one join discovers matched files + enforces the
-        one-source-row-per-target-row cardinality rule; only matched
-        files are rewritten (left join against the source applies the
-        clauses); inserts are the source anti-join. The source is
-        plan-barriered so it is evaluated once."""
+        The legacy single-clause kwargs (``matched_update`` /
+        ``matched_delete`` / ``not_matched_insert``) remain as
+        shorthand for one-clause lists.
+
+        ``txn=(source_id, batch_id)`` keeps the merge idempotent
+        (exactly-once CDC apply): a batch at or below the source's
+        committed watermark returns ``{"skipped": True}``.
+
+        Plan shape (copy-on-write): ONE left join evaluates every
+        clause gate, enforces the one-source-row-per-target-row
+        cardinality rule, counts per-action rows, and discovers the
+        affected files — only files where some clause fired are
+        rewritten. The source is plan-barriered so it evaluates once.
+        With ``write.merge.mode=merge-on-read`` rows firing a clause
+        become ONE positional delete file plus appended replacements —
+        only firing rows pay, no data file is rewritten."""
         meta = self._resolve_dml_target(name)
-        if matched_update and matched_delete:
-            raise ValueError("pass matched_update or matched_delete, not both")
+        m_cls, i_cls, s_cls = self._norm_merge_clauses(
+            matched_update,
+            matched_delete,
+            not_matched_insert,
+            matched_clauses,
+            not_matched_clauses,
+            not_matched_by_source,
+        )
         if txn is not None:
             fence = self.last_committed_batch(meta.name, txn[0])
             if fence is not None and int(txn[1]) <= fence:
                 return {"skipped": True, "batch_id": int(txn[1])}
         if meta.properties.get("write.merge.mode") == "merge-on-read":
             return self._merge_merge_on_read(
-                meta,
-                source,
-                on,
-                matched_update=matched_update,
-                matched_delete=matched_delete,
-                not_matched_insert=not_matched_insert,
-                target_alias=target_alias,
-                source_alias=source_alias,
-                txn=txn,
+                meta, source, on, m_cls, i_cls, s_cls,
+                target_alias=target_alias, source_alias=source_alias, txn=txn,
             )
         source = source.localCheckpoint(eager=False)
         src = source.withColumn("__matched", F.lit(True)).alias(source_alias)
         scan = self._scan_with_filepath(meta)
-        stats = {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0, "rewritten_files": 0}
+        stats = {
+            "updated_rows": 0,
+            "deleted_rows": 0,
+            "inserted_rows": 0,
+            "rewritten_files": 0,
+        }
+        ta = target_alias
+        hit = F.coalesce(F.col("__matched"), F.lit(False))
+        m_upd, m_del = self._clause_actions(m_cls, 0)
+        s_upd, s_del = self._clause_actions(s_cls, 100)
+        upd_idx, del_idx = sorted(m_upd | s_upd), sorted(m_del | s_del)
 
-        if scan is not None:
+        def clause_over_joined():
+            return F.when(
+                hit, self._clause_col(m_cls, F.lit(True), 0)
+            ).otherwise(self._clause_col(s_cls, F.lit(True), 100))
+
+        def count_in(idx):
+            if not idx:
+                return F.lit(0)
+            return F.sum(F.when(F.col("c").isin(idx), 1).otherwise(0))
+
+        t = None
+        affected: set[str] = set()
+        uris: list[str] = []
+        if scan is not None and (m_cls or s_cls):
             # freeze row ids so the cardinality check counts real rows
             tgt = scan.withColumn(
                 "__uid", F.monotonically_increasing_id()
             ).localCheckpoint(eager=False)
-            t = tgt.alias(target_alias)
-            per_row = (
-                t.join(src, F.expr(on), "inner")
-                .groupBy("__uid")
-                .agg(F.count(F.lit(1)).alias("n"), F.first("__file_path").alias("f"))
+            t = tgt.alias(ta)
+            joined = t.join(src, F.expr(on), "left").withColumn(
+                "__clause", clause_over_joined()
+            )
+            per_row = joined.groupBy("__uid").agg(
+                F.sum(hit.cast("int")).alias("n"),
+                F.first("__file_path").alias("f"),
+                F.min("__clause").alias("c"),
             )
             agg = per_row.agg(
                 F.max("n").alias("max_n"),
-                F.sum("n").alias("total"),
-                F.collect_set("f").alias("files"),
+                F.collect_set(
+                    F.when(F.col("c").isNotNull(), F.col("f"))
+                ).alias("files"),
+                count_in(upd_idx).alias("upd"),
+                count_in(del_idx).alias("del"),
             ).collect()[0]
             if agg["max_n"] is not None and agg["max_n"] > 1:
                 raise MergeCardinalityError(
-                    f"MERGE INTO {name}: a target row matched {agg['max_n']} source rows"
+                    f"MERGE INTO {name}: a target row matched "
+                    f"{agg['max_n']} source rows"
                 )
+            stats["updated_rows"] = int(agg["upd"] or 0)
+            stats["deleted_rows"] = int(agg["del"] or 0)
             affected = {self._rel_file(meta, u) for u in agg["files"]}
             uris = list(agg["files"])
-        else:
-            tgt, t, affected, uris = None, None, set(), []
+        elif scan is not None:
+            t = scan.localCheckpoint(eager=False).alias(ta)
 
         rewritten = None
         if affected:
-            in_affected = F.col("__file_path").isin(uris)
-            joined = t.filter(in_affected).join(src, F.expr(on), "left")
-            hit = F.coalesce(F.col("__matched"), F.lit(False))
-            if matched_delete:
-                rewritten = joined.filter(~hit).select(
-                    *[F.col(f"{target_alias}.{f.name}") for f in meta.schema.fields]
-                )
-                stats["deleted_rows"] = agg["total"] or 0
-            else:
-                upd = matched_update or {}
-                rewritten = joined.select(
-                    *[
-                        (
-                            F.when(hit, F.expr(upd[f.name]).cast(f.dataType))
-                            .otherwise(F.col(f"{target_alias}.{f.name}"))
-                            .alias(f.name)
-                            if f.name in upd
-                            else F.col(f"{target_alias}.{f.name}").alias(f.name)
-                        )
-                        for f in meta.schema.fields
-                    ]
-                )
-                stats["updated_rows"] = agg["total"] or 0
-
-        inserts = None
-        if not_matched_insert:
-            unmatched = (
-                src.join(t, F.expr(on), "left_anti") if t is not None else src
+            joined = (
+                t.filter(F.col("__file_path").isin(uris))
+                .join(src, F.expr(on), "left")
+                .withColumn("__clause", clause_over_joined())
             )
-            if not_matched_insert is True:
-                missing = [
-                    f.name for f in meta.schema.fields if f.name not in source.columns
-                ]
-                if missing:
-                    raise SchemaMismatchError(
-                        f"MERGE INTO {name}: INSERT * source missing columns {missing}"
-                    )
-                inserts = unmatched.select(
-                    *[F.col(f.name) for f in meta.schema.fields]
+            if del_idx:
+                joined = joined.filter(
+                    ~F.coalesce(F.col("__clause").isin(del_idx), F.lit(False))
                 )
-            else:
-                inserts = unmatched.select(
-                    *[
-                        F.expr(
-                            not_matched_insert.get(f.name, "NULL")
-                        ).cast(f.dataType).alias(f.name)
-                        for f in meta.schema.fields
-                    ]
+            rewritten = joined.select(
+                *self._merged_row_cols(
+                    m_cls, s_cls, F.col("__clause"), meta.schema.fields, ta
                 )
+            )
+
+        inserts = self._insert_frame(
+            meta,
+            src.join(t, F.expr(on), "left_anti") if t is not None else src,
+            i_cls,
+            source.columns,
+        )
+        if inserts is not None:
             stats["inserted_rows"] = inserts.count()
+            if stats["inserted_rows"] == 0:
+                inserts = None
 
         if rewritten is not None and inserts is not None:
             out = rewritten.unionByName(inserts)
         elif rewritten is not None:
             out = rewritten
-        elif inserts is not None and stats["inserted_rows"] > 0:
+        elif inserts is not None:
             out = inserts
         else:
             return stats
@@ -1517,24 +1689,28 @@ class Warehouse:
         meta: TableMeta,
         source: DataFrame,
         on: str,
+        m_cls: list[dict],
+        i_cls: list[dict],
+        s_cls: list[dict],
         *,
-        matched_update: dict | None,
-        matched_delete: bool,
-        not_matched_insert: dict | bool,
         target_alias: str,
         source_alias: str,
         txn: tuple[str, int] | None = None,
     ) -> dict:
-        """MERGE under write.merge.mode=merge-on-read: matched target
-        rows become a positional delete file; their UPDATE-applied
-        replacements and the NOT MATCHED inserts append as new data
-        files; everything commits in ONE snapshot. Only matched ROWS
-        pay — unmatched rows in the same files are untouched (CoW
-        rewrites every file containing any match). The (file, pos)
-        identity doubles as the row id for the one-source-row-per-
-        target-row cardinality rule."""
+        """MERGE under write.merge.mode=merge-on-read: rows firing a
+        matched / not-matched-by-source clause become a positional
+        delete file; their UPDATE-applied replacements and the NOT
+        MATCHED inserts append as new data files; everything commits in
+        ONE snapshot stamped with the delete files' kind and referenced
+        data files (scan-time scoping). Only firing ROWS pay — other
+        rows in the same files are untouched. The (file, pos) identity
+        doubles as the row id for the cardinality rule. The insert
+        count rides the write job via ``Observation`` instead of a
+        separate count action per micro-batch (VERDICT r8)."""
+        from pyspark.sql import Observation
+
         source = source.localCheckpoint(eager=False)
-        src = source.alias(source_alias)
+        src = source.withColumn("__matched", F.lit(True)).alias(source_alias)
         scan = self._scan_live(meta, with_pos=True)
         stats = {
             "updated_rows": 0,
@@ -1544,78 +1720,80 @@ class Warehouse:
             "mode": "merge-on-read",
         }
         ta = target_alias
+        hit = F.coalesce(F.col("__matched"), F.lit(False))
+        m_upd, m_del = self._clause_actions(m_cls, 0)
+        s_upd, s_del = self._clause_actions(s_cls, 100)
+        upd_idx, del_idx = sorted(m_upd | s_upd), sorted(m_del | s_del)
         t = None
         dels = None
         new_rows = None
-        if scan is not None:
+        if scan is not None and (m_cls or s_cls):
             t = scan.localCheckpoint(eager=False).alias(ta)
-            joined = t.join(src, F.expr(on), "inner").localCheckpoint(eager=False)
-            agg = (
-                joined.groupBy(F.col(f"{ta}.__pos_file"), F.col(f"{ta}.__pos"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.max("n").alias("max_n"), F.count(F.lit(1)).alias("rows"))
-                .collect()[0]
+            clause = F.when(
+                hit, self._clause_col(m_cls, F.lit(True), 0)
+            ).otherwise(self._clause_col(s_cls, F.lit(True), 100))
+            joined = (
+                t.join(src, F.expr(on), "left")
+                .withColumn("__clause", clause)
+                .localCheckpoint(eager=False)
             )
+            per_row = joined.groupBy(
+                F.col(f"{ta}.__pos_file"), F.col(f"{ta}.__pos")
+            ).agg(
+                F.sum(hit.cast("int")).alias("n"), F.min("__clause").alias("c")
+            )
+
+            def count_in(idx):
+                if not idx:
+                    return F.lit(0)
+                return F.sum(F.when(F.col("c").isin(idx), 1).otherwise(0))
+
+            agg = per_row.agg(
+                F.max("n").alias("max_n"),
+                count_in(upd_idx).alias("upd"),
+                count_in(del_idx).alias("del"),
+            ).collect()[0]
             if agg["max_n"] is not None and agg["max_n"] > 1:
                 raise MergeCardinalityError(
                     f"MERGE INTO {meta.name}: a target row matched "
                     f"{agg['max_n']} source rows"
                 )
-            n_matched = int(agg["rows"] or 0)
-            if n_matched:
-                dels = joined.select(
+            stats["updated_rows"] = int(agg["upd"] or 0)
+            stats["deleted_rows"] = int(agg["del"] or 0)
+            if stats["updated_rows"] or stats["deleted_rows"]:
+                fired = joined.filter(F.col("__clause").isNotNull())
+                dels = fired.select(
                     F.col(f"{ta}.__pos_file").alias("file_path"),
                     F.col(f"{ta}.__pos").cast("bigint").alias("pos"),
                 )
-                if matched_delete:
-                    stats["deleted_rows"] = n_matched
-                else:
-                    upd = matched_update or {}
-                    new_rows = joined.select(
-                        *[
-                            (
-                                F.expr(upd[f.name]).cast(f.dataType).alias(f.name)
-                                if f.name in upd
-                                else F.col(f"{ta}.{f.name}").alias(f.name)
-                            )
-                            for f in meta.schema.fields
-                        ]
+                if upd_idx:
+                    new_rows = fired.filter(
+                        F.col("__clause").isin(upd_idx)
+                    ).select(
+                        *self._merged_row_cols(
+                            m_cls, s_cls, F.col("__clause"),
+                            meta.schema.fields, ta,
+                        )
                     )
-                    stats["updated_rows"] = n_matched
+        elif scan is not None:
+            t = scan.localCheckpoint(eager=False).alias(ta)
 
-        inserts = None
-        if not_matched_insert:
-            unmatched = (
-                src.join(t, F.expr(on), "left_anti") if t is not None else src
-            )
-            if not_matched_insert is True:
-                missing = [
-                    f.name for f in meta.schema.fields if f.name not in source.columns
-                ]
-                if missing:
-                    raise SchemaMismatchError(
-                        f"MERGE INTO {meta.name}: INSERT * source missing "
-                        f"columns {missing}"
-                    )
-                inserts = unmatched.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
-                )
-            else:
-                inserts = unmatched.select(
-                    *[
-                        F.expr(not_matched_insert.get(f.name, "NULL"))
-                        .cast(f.dataType)
-                        .alias(f.name)
-                        for f in meta.schema.fields
-                    ]
-                )
-            stats["inserted_rows"] = inserts.count()
-            if stats["inserted_rows"] == 0:
-                inserts = None
+        inserts = self._insert_frame(
+            meta,
+            src.join(t, F.expr(on), "left_anti") if t is not None else src,
+            i_cls,
+            source.columns,
+        )
+        obs = None
+        if inserts is not None:
+            obs = Observation()
+            inserts = inserts.observe(obs, F.count(F.lit(1)).alias("n"))
 
         appended = new_rows
         if inserts is not None:
-            appended = appended.unionByName(inserts) if appended is not None else inserts
+            appended = (
+                appended.unionByName(inserts) if appended is not None else inserts
+            )
         if appended is None and dels is None:
             return stats
 
@@ -1626,11 +1804,19 @@ class Warehouse:
         os.makedirs(ddir, exist_ok=True)
         with self._table_lock(meta.name):
             added_deletes: set[str] = set()
+            refs: list[str] = []
             if dels is not None:
+                ddf = dels.dropDuplicates(["file_path", "pos"]).localCheckpoint(
+                    eager=False
+                )
+                row = ddf.agg(
+                    F.collect_set(self._rel_expr(F.col("file_path"))).alias("r")
+                ).collect()[0]
+                refs = sorted(row["r"])
                 before_d = self._delete_files_on_disk(meta.name)
-                dels.dropDuplicates(["file_path", "pos"]).sortWithinPartitions(
-                    "file_path", "pos"
-                ).write.mode("append").parquet(ddir)
+                ddf.sortWithinPartitions("file_path", "pos").write.mode(
+                    "append"
+                ).parquet(ddir)
                 added_deletes = self._delete_files_on_disk(meta.name) - before_d
             added: set[str] = set()
             if appended is not None:
@@ -1641,8 +1827,24 @@ class Warehouse:
                     writer = writer.partitionBy(*part_cols)
                 writer.parquet(self.data_dir(meta.name))
                 added = self._data_files(meta.name) - before
+            if obs is not None:
+                stats["inserted_rows"] = int(obs.get.get("n", 0))
+            if dels is None and new_rows is None and stats["inserted_rows"] == 0:
+                # nothing fired and nothing inserted: drop the 0-row
+                # part files the empty write may have produced and
+                # skip the commit (no no-op snapshots)
+                data = self.data_dir(meta.name)
+                for f in added:
+                    os.remove(os.path.join(data, f))
+                return stats
             self._commit_snapshot(
-                meta, "merge", added=added, added_deletes=added_deletes, txn=txn
+                meta,
+                "merge",
+                added=added,
+                added_deletes=added_deletes,
+                txn=txn,
+                delete_kinds={f: "positional" for f in added_deletes},
+                delete_refs={f: refs for f in added_deletes},
             )
         stats["delete_files"] = len(added_deletes)
         return stats

@@ -918,57 +918,109 @@ class SqlFrontend:
         ]
         return src.select(*[F.col(c) for c in listed], *fill)
 
+    @staticmethod
+    def _parse_set_assignments(text: str) -> dict:
+        """``a = expr, t.b = expr`` → {col: expr} (alias-qualified
+        targets resolve to the bare column)."""
+        out = {}
+        for part in _split_top_commas(text):
+            am = re.match(r"`?([\w.]+)`?\s*=\s*(.+)$", part, re.S)
+            if not am:
+                raise ValueError(f"Cannot parse SET assignment: {part[:60]}…")
+            out[am.group(1).split(".")[-1]] = am.group(2).strip()
+        return out
+
     def _merge(self, target: str, target_alias: str | None, tail: str) -> None:
         """MERGE INTO target [AS t] USING (source|(subquery)) [AS s]
-        ON cond WHEN MATCHED THEN UPDATE SET …|DELETE
-        [WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)] —
-        the supported subset is single-clause per branch, Iceberg's
-        common upsert shape."""
+        ON cond — full multi-clause form (first-match-wins, the
+        Spark/Iceberg MERGE the reference runtime ships via the
+        Iceberg Spark extensions):
+
+          WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE   (×N)
+          WHEN NOT MATCHED [BY TARGET] [AND cond]
+            THEN INSERT *|(cols) VALUES (exprs)                (×N)
+          WHEN NOT MATCHED BY SOURCE [AND cond]
+            THEN UPDATE SET … | DELETE                         (×N)
+        """
         src_text, after_on = _split_top_level(tail, "ON")
         if after_on is None:
             raise ValueError("MERGE requires an ON clause")
         source, source_alias = self._source_frame(src_text.strip())
         on_cond, clause_text = _split_top_level(after_on, "WHEN")
-        matched_update = None
-        matched_delete = False
-        not_matched_insert: dict | bool = False
+        matched: list[dict] = []
+        inserts: list[dict] = []
+        by_source: list[dict] = []
         while clause_text is not None:
             clause, clause_text = _split_top_level(clause_text, "WHEN")
             clause = clause.strip().rstrip(";").strip()
-            um = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S)
-            if um:
-                matched_update = {}
-                for part in _split_top_commas(um.group(1)):
-                    am = re.match(r"`?([\w.]+)`?\s*=\s*(.+)$", part, re.S)
-                    col = am.group(1).split(".")[-1]  # t.col = … → col
-                    matched_update[col] = am.group(2).strip()
-                continue
-            if re.match(r"MATCHED\s+THEN\s+DELETE$", clause, re.I):
-                matched_delete = True
-                continue
-            im = re.match(
-                r"NOT\s+MATCHED\s+THEN\s+INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+            hm = re.match(
+                r"(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+                r"|MATCHED)\s*(.*)$",
                 clause,
                 re.I | re.S,
             )
-            if im:
+            if not hm:
+                raise ValueError(f"Unsupported MERGE clause: WHEN {clause[:60]}…")
+            head = re.sub(r"\s+", " ", hm.group(1).upper())
+            rest = hm.group(2)
+            cond_text, body = _split_top_level(rest, "THEN")
+            if body is None:
+                raise ValueError(f"MERGE clause missing THEN: WHEN {clause[:60]}…")
+            cond = None
+            cond_text = cond_text.strip()
+            if cond_text:
+                cm = re.match(r"AND\s+(.*)$", cond_text, re.I | re.S)
+                if not cm:
+                    raise ValueError(
+                        f"Cannot parse MERGE clause condition: {cond_text[:60]}…"
+                    )
+                cond = cm.group(1).strip()
+            body = body.strip()
+            if head == "MATCHED" or head == "NOT MATCHED BY SOURCE":
+                dest = matched if head == "MATCHED" else by_source
+                um = re.match(r"UPDATE\s+SET\s+(.*)$", body, re.I | re.S)
+                if um:
+                    dest.append(
+                        {
+                            "action": "update",
+                            "set": self._parse_set_assignments(um.group(1)),
+                            "condition": cond,
+                        }
+                    )
+                elif re.match(r"DELETE$", body, re.I):
+                    dest.append({"action": "delete", "condition": cond})
+                else:
+                    raise ValueError(
+                        f"Unsupported MERGE clause body: {body[:60]}…"
+                    )
+            else:  # NOT MATCHED [BY TARGET] → INSERT
+                im = re.match(
+                    r"INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+                    body,
+                    re.I | re.S,
+                )
+                if not im:
+                    raise ValueError(
+                        f"Unsupported MERGE clause body: {body[:60]}…"
+                    )
                 if im.group(1) == "*":
-                    not_matched_insert = True
+                    inserts.append({"condition": cond, "values": True})
                 else:
                     cols = [c.strip().strip("`") for c in im.group(2).split(",")]
                     exprs = _split_top_commas(im.group(3))
                     if len(cols) != len(exprs):
                         raise ValueError("INSERT column/value count mismatch")
-                    not_matched_insert = dict(zip(cols, exprs))
-                continue
-            raise ValueError(f"Unsupported MERGE clause: WHEN {clause[:60]}…")
+                    inserts.append(
+                        {"condition": cond, "values": dict(zip(cols, exprs))}
+                    )
         self.warehouse.merge_into(
             target,
             source,
             on_cond.strip(),
-            matched_update=matched_update,
-            matched_delete=matched_delete,
-            not_matched_insert=not_matched_insert,
+            matched_clauses=matched,
+            not_matched_clauses=inserts,
+            not_matched_by_source=by_source,
+            not_matched_insert=None,
             target_alias=target_alias or target,
             source_alias=source_alias,
         )
