@@ -76,10 +76,10 @@ _CORE = [
     "embedding_gram_matrix",
     # multimodal (PCM decode; PGM/BMP siblings ride the rotation)
     "multimodal_audio_rms",
-    # round-8 debuts: SemDeDup within-cluster semantic pruning and
-    # the bigram-MLE fluency score completing the KN train→score loop
-    "semdedup_prune",
-    "bigram_mle_doc_score",
+    # round-9 debuts: CDC changelog read (consumer side of the round-8
+    # upsert sink) and the multi-clause SCD close-out MERGE
+    "cdc_merge_changelog",
+    "merge_scd_close_out",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",
@@ -92,6 +92,10 @@ _CORE = [
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 9 (round-8 debuts, driver-green in
+    # CORRECTNESS_r08; they re-verify round-robin)
+    "semdedup_prune",
+    "bigram_mle_doc_score",
     # demoted from _CORE in round 8 (round-7 debuts, all driver-green
     # in CORRECTNESS_r07; they re-verify round-robin)
     "customer_rfm_segments",

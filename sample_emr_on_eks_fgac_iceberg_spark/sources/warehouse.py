@@ -2246,13 +2246,18 @@ class Warehouse:
         with_file: bool = False,
         filters: list[tuple] | None = None,
         with_pos: bool = False,
+        restrict_files: set[str] | None = None,
     ) -> DataFrame | None:
         """Scan of the live data files of the requested snapshot minus
         any live equality AND positional deletes, resolved against the
         current schema. ``filters`` prune the file list at the manifest
         level (hidden-partitioning scan planning) — the caller applies
-        the residual. None for an empty set."""
+        the residual. ``restrict_files`` intersects the live set with
+        an explicit file list (CDC pre-image reads). None for an empty
+        set."""
         files = self._live_files(meta, snapshot_id)
+        if restrict_files is not None:
+            files = files & restrict_files
         if filters:
             files = self._prune_files(meta, files, filters)
         del_map = self._live_delete_files(meta, snapshot_id)
@@ -2701,19 +2706,48 @@ class Warehouse:
         name: str,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        mode: str = "append",
     ) -> DataFrame:
-        """Incremental append scan (Iceberg's incremental read /
-        changelog): the rows ADDED strictly after ``from_snapshot_id``
-        up to and including ``to_snapshot_id`` — i.e. only the new data
-        files, never a rescan of the table. This is the primitive a
-        streaming consumer tails: each micro-batch reads the file delta
-        between two snapshots, so cost scales with the delta, not the
-        table. Files added by delete/update/merge rewrites carry
-        pre-existing rows; pass appends_only=False semantics by
-        filtering on the snapshot operation yourself via snapshots()."""
+        """Incremental read between two snapshots (Iceberg's
+        incremental scan / ``create_changelog_view``).
+
+        ``mode='append'``: the rows ADDED strictly after
+        ``from_snapshot_id`` up to and including ``to_snapshot_id`` —
+        only the new data files, never a rescan of the table. Files
+        added by delete/update/merge rewrites carry pre-existing rows;
+        use mode='cdc' for row-accurate changes.
+
+        ``mode='cdc'``: a changelog frame — the table columns plus
+        ``_change_type`` ('insert' | 'delete'; an update is a
+        delete+insert pair, Iceberg's changelog representation),
+        ``_change_ordinal`` (0-based snapshot position within the
+        range), and ``_commit_snapshot_id``. Per snapshot:
+
+        - rows of its added data files → insert;
+        - rows of its removed data files (as of the PREVIOUS snapshot,
+          prior deletes applied) → delete — for copy-on-write rewrites
+          the carried rows appear as delete+insert pairs, exactly as
+          Iceberg's changelog emits them;
+        - rows targeted by its added positional delete files → delete
+          (pre-image: previous-snapshot scan restricted to the delete
+          files' recorded refs, semi-joined on (file, pos));
+        - rows targeted by its added equality delete files → delete
+          (previous-snapshot scan semi-joined on the key columns).
+
+        Compaction / delete-maintenance snapshots (operation
+        'replace') are net-zero and skipped.
+
+        100 TB posture: cost per snapshot is the delta files plus, for
+        delete pre-images, the referenced files — manifest-planned,
+        never a table rescan; delete sides broadcast (keys/positions
+        only)."""
         meta = self._read_meta(name)
         if meta.link_to is not None:
-            return self.read_changes(meta.link_to, from_snapshot_id, to_snapshot_id)
+            return self.read_changes(
+                meta.link_to, from_snapshot_id, to_snapshot_id, mode=mode
+            )
+        if mode not in ("append", "cdc"):
+            raise ValueError(f"read_changes mode must be append|cdc, got {mode!r}")
         known = {s["snapshot_id"] for s in meta.snapshots}
         for sid in (from_snapshot_id, to_snapshot_id):
             if sid is not None and sid not in known:
@@ -2722,20 +2756,160 @@ class Warehouse:
                 )
         lo = from_snapshot_id or 0
         hi = to_snapshot_id if to_snapshot_id is not None else float("inf")
-        # "publish" makes a WAP-staged append live — its added files are
-        # new rows for a changelog consumer exactly like an append. A
-        # still-staged snapshot is invisible (matching scan semantics)
-        # unless it is itself the explicit range head (the audit read).
-        files = [
-            f
-            for s in meta.snapshots
-            if lo < s["snapshot_id"] <= hi
-            and s["operation"] in ("append", "publish")
-            and (not s.get("staged") or s["snapshot_id"] == to_snapshot_id)
-            for f in s["added_files"]
-        ]
-        out = self._read_files(meta, files)
-        return out if out is not None else self.spark.createDataFrame([], meta.schema)
+        if mode == "append":
+            # "publish" makes a WAP-staged append live — its added
+            # files are new rows for a changelog consumer exactly like
+            # an append. A still-staged snapshot is invisible (matching
+            # scan semantics) unless it is itself the explicit range
+            # head (the audit read).
+            files = [
+                f
+                for s in meta.snapshots
+                if lo < s["snapshot_id"] <= hi
+                and s["operation"] in ("append", "publish")
+                and (not s.get("staged") or s["snapshot_id"] == to_snapshot_id)
+                for f in s["added_files"]
+            ]
+            out = self._read_files(meta, files)
+            return (
+                out
+                if out is not None
+                else self.spark.createDataFrame([], meta.schema)
+            )
+        return self._read_changes_cdc(meta, lo, hi, to_snapshot_id)
+
+    def _cdc_schema(self, meta: TableMeta) -> T.StructType:
+        return T.StructType(
+            list(meta.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_change_ordinal", T.IntegerType(), False),
+                T.StructField("_commit_snapshot_id", T.LongType(), False),
+            ]
+        )
+
+    def _read_changes_cdc(
+        self, meta: TableMeta, lo: int, hi, to_snapshot_id: int | None
+    ) -> DataFrame:
+        """The mode='cdc' body of read_changes — see there."""
+        refs_map = self._delete_refs_from_meta(meta)
+        parts: list[DataFrame] = []
+
+        def tag(df: DataFrame, ct: str, ordinal: int, sid: int) -> None:
+            parts.append(
+                df.select(
+                    *[F.col(f.name) for f in meta.schema.fields],
+                    F.lit(ct).alias("_change_type"),
+                    F.lit(int(ordinal)).cast("int").alias("_change_ordinal"),
+                    F.lit(int(sid)).cast("bigint").alias("_commit_snapshot_id"),
+                )
+            )
+
+        prev_sid: int | None = None
+        ordinal = 0
+        for s in meta.snapshots:
+            sid = s["snapshot_id"]
+            if sid > (hi if hi != float("inf") else sid):
+                break
+            in_range = (
+                lo < sid <= hi
+                and s["operation"] != "replace"
+                and (not s.get("staged") or sid == to_snapshot_id)
+            )
+            if not in_range:
+                if not s.get("staged"):
+                    prev_sid = sid
+                continue
+
+            # inserts: rows of the snapshot's added data files
+            ins = self._read_files(meta, s.get("added_files", ()))
+            if ins is not None:
+                tag(ins, "insert", ordinal, sid)
+
+            # deletes 1: rows of removed data files, as of prev
+            removed = set(s.get("removed_files", ()))
+            if removed and prev_sid is not None:
+                pre = self._scan_live(
+                    meta, snapshot_id=prev_sid, restrict_files=removed
+                )
+                if pre is not None:
+                    tag(pre, "delete", ordinal, sid)
+
+            # deletes 2/3: pre-images of the snapshot's added delete files
+            added_dels = list(s.get("added_delete_files", ()))
+            if added_dels and prev_sid is not None:
+                eqm, posm = self._split_delete_kinds(
+                    meta, {f: 0 for f in added_dels}
+                )
+                pos_files, eq_files = sorted(posm), sorted(eqm)
+                ddir = self.delete_dir(meta.name)
+                if pos_files:
+                    restrict = None
+                    if all(f in refs_map for f in pos_files):
+                        restrict = set().union(*(refs_map[f] for f in pos_files))
+                    pre = self._scan_live(
+                        meta,
+                        snapshot_id=prev_sid,
+                        with_pos=True,
+                        restrict_files=restrict,
+                    )
+                    if pre is not None:
+                        dels = self.spark.read.parquet(
+                            *(os.path.join(ddir, f) for f in pos_files)
+                        ).select(
+                            self._rel_expr(F.col("file_path")).alias("__d_rel"),
+                            F.col("pos").alias("__d_pos"),
+                        )
+                        img = pre.join(
+                            F.broadcast(dels),
+                            (
+                                self._rel_expr(F.col("__pos_file"))
+                                == F.col("__d_rel")
+                            )
+                            & (F.col("__pos") == F.col("__d_pos")),
+                            "left_semi",
+                        )
+                        tag(img, "delete", ordinal, sid)
+                if eq_files:
+                    keys = list(s.get("equality_ids") or ())
+                    # key names stored at commit time resolve through
+                    # the rename log, like the delete files themselves
+                    raw = self.spark.read.parquet(
+                        *(os.path.join(ddir, f) for f in eq_files)
+                    )
+                    for old, new in meta.renames:
+                        if old in raw.columns and new not in raw.columns:
+                            raw = raw.withColumnRenamed(old, new)
+                        keys = [new if k == old else k for k in keys]
+                    pre = self._scan_live(meta, snapshot_id=prev_sid)
+                    if pre is not None and keys:
+                        cond = F.lit(True)
+                        for k in keys:
+                            cond = cond & F.col(f"__pre.{k}").eqNullSafe(
+                                F.col(f"__dk.{k}")
+                            )
+                        img = (
+                            pre.alias("__pre")
+                            .join(
+                                F.broadcast(
+                                    raw.select(*keys).dropDuplicates(keys)
+                                ).alias("__dk"),
+                                cond,
+                                "left_semi",
+                            )
+                        )
+                        tag(img, "delete", ordinal, sid)
+
+            ordinal += 1
+            if not s.get("staged"):
+                prev_sid = sid
+
+        if not parts:
+            return self.spark.createDataFrame([], self._cdc_schema(meta))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def rollback_to_snapshot(self, name: str, snapshot_id: int) -> None:
         """Iceberg's rollback_to_snapshot: commit a new snapshot whose

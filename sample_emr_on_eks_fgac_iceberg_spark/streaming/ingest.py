@@ -170,16 +170,24 @@ class ChangelogTail:
         table: str,
         checkpoint_path: str,
         on_rewrite: str = "error",
+        mode: str = "append",
     ):
         import json
         import os
 
         if on_rewrite not in ("error", "skip"):
             raise ValueError("on_rewrite must be 'error' or 'skip'")
+        if mode not in ("append", "cdc"):
+            raise ValueError("mode must be 'append' or 'cdc'")
         self.wh = wh
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.on_rewrite = on_rewrite
+        # mode='cdc': poll() returns the row-accurate changelog frame
+        # (_change_type insert/delete) via read_changes(mode='cdc') —
+        # rewrite commits are fully representable, so poll never raises
+        # ChangelogRewriteError in this mode
+        self.mode = mode
         self._json = json
         self._os = os
         self._pending: int | None = None
@@ -196,11 +204,14 @@ class ChangelogTail:
         head = self.wh.current_snapshot_id(self.table)
         last = self._committed()
         if head is None or head == last:
-            return (
-                self.wh.spark.createDataFrame([], self.wh.schema_of(self.table)),
-                None,
+            meta = self.wh._resolve_dml_target(self.table)
+            empty_schema = (
+                self.wh._cdc_schema(meta)
+                if self.mode == "cdc"
+                else self.wh.schema_of(self.table)
             )
-        if self.on_rewrite == "error":
+            return (self.wh.spark.createDataFrame([], empty_schema), None)
+        if self.on_rewrite == "error" and self.mode != "cdc":
             rewrites = [
                 (s["snapshot_id"], s["operation"])
                 for s in self.wh.snapshots(self.table)
@@ -211,7 +222,7 @@ class ChangelogTail:
             if rewrites:
                 raise ChangelogRewriteError(self.table, rewrites)
         df = self.wh.read_changes(
-            self.table, from_snapshot_id=last, to_snapshot_id=head
+            self.table, from_snapshot_id=last, to_snapshot_id=head, mode=self.mode
         )
         self._pending = head
         return df, head

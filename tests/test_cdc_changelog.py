@@ -1,0 +1,170 @@
+"""read_changes(mode='cdc') — the consumer-side counterpart of the
+round-8 CDC-upsert sink (VERDICT r8 task 1): row-accurate _change_type
+insert/delete rows per snapshot (update = delete+insert pair), computed
+from each snapshot's added data files plus the pre-images of its added
+delete files / removed data files. Iceberg parity: the semantics of
+``create_changelog_view``.
+"""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _changes(df):
+    return sorted(
+        (tuple(r)[: -3] + (r._change_type, r._change_ordinal, r._commit_snapshot_id))
+        for r in df.collect()
+    )
+
+
+def _mor_merge_table(wh):
+    wh.create_table("t", "id bigint, val string, amt bigint")
+    with wh._table_lock("t"):
+        meta = wh._read_meta("t")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        meta.properties["write.delete.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    return "t"
+
+
+def test_cdc_mor_merge_emits_delete_insert_pairs(wh, spark):
+    _mor_merge_table(wh)
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    s1 = wh.current_snapshot_id("t")
+    src = spark.createDataFrame(
+        [(2, "b2", 25, "U"), (3, None, 0, "D"), (4, "d", 40, "I")],
+        "id bigint, val string, amt bigint, op string",
+    )
+    wh.merge_into(
+        "t", src, "t.id = s.id",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "set": {"val": "s.val", "amt": "s.amt"},
+             "condition": None},
+        ],
+        not_matched_clauses=[{"condition": None, "values": True}],
+        not_matched_insert=None,
+    )
+    got = _changes(wh.read_changes("t", from_snapshot_id=s1, mode="cdc"))
+    assert got == sorted([
+        (2, "b", 20, "delete", 0, 2),
+        (3, "c", 30, "delete", 0, 2),
+        (2, "b2", 25, "insert", 0, 2),
+        (4, "d", 40, "insert", 0, 2),
+    ])
+
+
+def test_cdc_equality_delete_preimage(wh):
+    wh.create_table("t", "k int, v string")
+    wh.set_identifier_fields("t", ["k"])
+    wh.set_delete_mode("t", "merge-on-read")
+    wh.insert_values("t", [(1, "a"), (2, "b"), (3, "c")])
+    s1 = wh.current_snapshot_id("t")
+    wh.delete_from("t", "k = 2")
+    got = _changes(wh.read_changes("t", from_snapshot_id=s1, mode="cdc"))
+    assert got == [(2, "b", "delete", 0, 2)]
+
+
+def test_cdc_cow_delete_emits_pairs_for_carried_rows(wh):
+    """Copy-on-write rewrites emit removed-file rows as deletes and
+    added-file rows as inserts — carried rows appear as a delete+insert
+    pair, exactly as Iceberg's changelog represents a CoW commit."""
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    s1 = wh.current_snapshot_id("t")
+    wh.delete_from("t", "k = 1")
+    rows = wh.read_changes("t", from_snapshot_id=s1, mode="cdc").collect()
+    dels = sorted((r.k, r.v) for r in rows if r._change_type == "delete")
+    ins = sorted((r.k, r.v) for r in rows if r._change_type == "insert")
+    # every removed-file row deleted; survivors re-inserted (the pair)
+    assert (1, "a") in dels
+    assert ins == [r for r in dels if r != (1, "a")]
+
+
+def test_cdc_ordinals_and_multi_snapshot_range(wh):
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a")])
+    wh.insert_values("t", [(2, "b")])
+    wh.insert_values("t", [(3, "c")])
+    got = _changes(wh.read_changes("t", mode="cdc"))
+    assert got == [
+        (1, "a", "insert", 0, 1),
+        (2, "b", "insert", 1, 2),
+        (3, "c", "insert", 2, 3),
+    ]
+    # bounded range: only snapshot 2
+    got = _changes(
+        wh.read_changes("t", from_snapshot_id=1, to_snapshot_id=2, mode="cdc")
+    )
+    assert got == [(2, "b", "insert", 0, 2)]
+
+
+def test_cdc_skips_compaction_and_maintenance(wh):
+    _mor_merge_table(wh)
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20)])
+    wh.delete_from("t", "id = 1")
+    s = wh.current_snapshot_id("t")
+    wh.compact_table("t")  # replace snapshot: net-zero for a consumer
+    got = wh.read_changes("t", from_snapshot_id=s, mode="cdc")
+    assert got.count() == 0
+    assert "_change_type" in got.columns
+
+
+def test_cdc_empty_table_schema(wh):
+    wh.create_table("t", "k int, v string")
+    df = wh.read_changes("t", mode="cdc")
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "_change_type", "_change_ordinal",
+                          "_commit_snapshot_id"]
+
+
+def test_changelog_tail_cdc_mode_no_duplicate_changes(wh, spark, tmp_path):
+    """VERDICT r8 task 1 'done' criterion: a replayed (un-acked) poll
+    returns the same changes; after ack the next poll is empty — the
+    consumer never emits duplicate changes across restarts."""
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import ChangelogTail
+
+    _mor_merge_table(wh)
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20)])
+    ckpt = str(tmp_path / "cdc.ckpt")
+    tail = ChangelogTail(wh, "t", ckpt, mode="cdc")
+    df1, head1 = tail.poll()
+    first = _changes(df1)
+    assert head1 is not None and len(first) == 2
+    # crash before ack: a fresh consumer re-polls the SAME delta
+    again = ChangelogTail(wh, "t", ckpt, mode="cdc")
+    df2, head2 = again.poll()
+    assert head2 == head1 and _changes(df2) == first
+    again.ack(head2)
+    # after ack: nothing new, no re-emission
+    df3, head3 = again.poll()
+    assert head3 is None and df3.count() == 0
+    # an upsert batch later: only ITS changes appear
+    src = spark.createDataFrame([(2, "B", 21)], "id bigint, val string, amt bigint")
+    wh.merge_into("t", src, "t.id = s.id",
+                  matched_update={"val": "s.val", "amt": "s.amt"})
+    df4, head4 = again.poll()
+    got = _changes(df4)
+    assert [g[:4] for g in got] == [(2, "B", 21, "insert"), (2, "b", 20, "delete")]
+    again.ack(head4)
+    assert again.poll()[1] is None
+
+
+def test_changelog_tail_cdc_never_raises_rewrite_error(wh):
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import ChangelogTail
+
+    wh.create_table("t", "k int, v string")
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.update_where("t", {"v": "'z'"}, "k = 1")  # CoW rewrite commit
+    tail = ChangelogTail(wh, "t", "/dev/null/nope", mode="cdc")
+    tail.checkpoint_path = None  # force fresh
+    tail._committed = lambda: None
+    df, head = tail.poll()  # append-mode would raise ChangelogRewriteError
+    assert head is not None
+    assert {r._change_type for r in df.collect()} == {"insert", "delete"}
