@@ -786,6 +786,19 @@ class SqlFrontend:
                 [(branch, self.warehouse.resolve_ref(table, branch))],
                 "branch_updated string, latest_ref long",
             )
+        if proc == "rewrite_position_delete_files":
+            stats = self.warehouse.rewrite_position_delete_files(table)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        stats["removed_delete_files"],
+                        stats["added_delete_files"],
+                        stats["remaining_rows"],
+                    )
+                ],
+                "rewritten_delete_files_count long, "
+                "added_delete_files_count long, remaining_position_deletes long",
+            )
         if proc == "rewrite_data_files":
             strategy = str(arg("strategy", 1, "binpack")).lower()
             sort_order = arg("sort_order", 2)

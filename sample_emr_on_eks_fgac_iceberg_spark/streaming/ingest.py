@@ -235,3 +235,54 @@ class ChangelogTail:
             self._json.dump({"snapshot_id": snapshot_id}, f)
         self._os.replace(tmp, self.checkpoint_path)  # atomic
         self._pending = None
+
+
+def apply_changelog(wh, table: str, changes: DataFrame, keys: list[str], txn=None):
+    """Apply a ``read_changes(mode='cdc')`` frame to a replica table —
+    the full replication loop (upsert producer → changelog consumer →
+    replica): reduce the frame to the LAST change per key (ordinal
+    order; within an update's delete+insert pair the insert is the
+    post-image), then ONE multi-clause MERGE applies it — matched
+    deletes drop, matched inserts update, unmatched inserts insert.
+
+    Pass ``txn=(source_id, batch_id)`` to make the apply idempotent
+    under at-least-once delivery (a replayed poll is a no-op commit).
+
+    100 TB posture: one window over the change delta (not the table)
+    plus one MERGE; with the replica in merge-on-read mode each apply
+    costs a positional delete file + an append, nothing rewritten."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    meta_cols = {"_change_type", "_change_ordinal", "_commit_snapshot_id"}
+    data_cols = [c for c in changes.columns if c not in meta_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_change_ordinal").desc(), F.col("_change_type").desc()
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return wh.merge_into(
+        table,
+        last,
+        on,
+        matched_clauses=[
+            {"action": "delete", "condition": "s._change_type = 'delete'"},
+            {
+                "action": "update",
+                "set": {c: f"s.{c}" for c in data_cols},
+                "condition": None,
+            },
+        ],
+        not_matched_clauses=[
+            {
+                "condition": "s._change_type = 'insert'",
+                "values": {c: f"s.{c}" for c in data_cols},
+            }
+        ],
+        not_matched_insert=None,
+        txn=txn,
+    )

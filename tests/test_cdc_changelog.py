@@ -168,3 +168,70 @@ def test_changelog_tail_cdc_never_raises_rewrite_error(wh):
     df, head = tail.poll()  # append-mode would raise ChangelogRewriteError
     assert head is not None
     assert {r._change_type for r in df.collect()} == {"insert", "delete"}
+
+
+def test_cdc_replication_loop_replica_converges(wh, spark, tmp_path):
+    """The full round-trip: upsert producer (merge-on-read MERGE) →
+    ChangelogTail(mode='cdc') → apply_changelog onto a replica — after
+    every acked poll the replica equals the source, including deletes,
+    and a replayed apply (same txn batch) is a no-op."""
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        ChangelogTail,
+        apply_changelog,
+    )
+
+    _mor_merge_table(wh)
+    wh.create_table("replica", "id bigint, val string, amt bigint")
+    with wh._table_lock("replica"):
+        meta = wh._read_meta("replica")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    tail = ChangelogTail(wh, "t", str(tmp_path / "rep.ckpt"), mode="cdc")
+
+    def rows(name):
+        return sorted(tuple(r) for r in wh.read_table(name).collect())
+
+    def drain(batch_id):
+        df, head = tail.poll()
+        if head is None:
+            return
+        apply_changelog(wh, "replica", df, ["id"], txn=("rep", batch_id))
+        tail.ack(head)
+
+    # batch 1: initial load
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    drain(0)
+    assert rows("replica") == rows("t")
+
+    # batch 2: update + delete + insert in one MERGE
+    src = spark.createDataFrame(
+        [(2, "B", 25, "U"), (3, None, 0, "D"), (4, "d", 40, "I")],
+        "id bigint, val string, amt bigint, op string",
+    )
+    wh.merge_into(
+        "t", src, "t.id = s.id",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "set": {"val": "s.val", "amt": "s.amt"},
+             "condition": None},
+        ],
+        not_matched_clauses=[{"condition": None, "values": True}],
+        not_matched_insert=None,
+    )
+    drain(1)
+    assert rows("replica") == rows("t") == [
+        (1, "a", 10), (2, "B", 25), (4, "d", 40)
+    ]
+
+    # replayed apply of the same batch id: fenced no-op
+    df, head = ChangelogTail(wh, "t", str(tmp_path / "rep2.ckpt"), mode="cdc").poll()
+    r = apply_changelog(wh, "replica", df, ["id"], txn=("rep", 1))
+    assert r.get("skipped") is True
+    assert rows("replica") == rows("t")
+
+    # batch 3: plain delete, then another update — multi-snapshot poll
+    wh.set_delete_mode("t", "merge-on-read")
+    wh.delete_from("t", "id = 1")
+    wh.update_where("t", {"amt": "amt + 1"}, "id = 2")
+    drain(2)
+    assert rows("replica") == rows("t") == [(2, "B", 26), (4, "d", 40)]

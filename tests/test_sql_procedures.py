@@ -142,3 +142,23 @@ def test_analyze_table_statistics(fe):
     }
     assert out2["stats.row_count"] == "2"
     assert not any(k.startswith("stats.col.") for k in out2)
+
+
+def test_call_rewrite_position_delete_files(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    eng = FgacEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE t (k INT, v STRING)")
+    wh = eng.warehouse
+    wh.set_delete_mode("t", "merge-on-read")
+    eng.sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    eng.sql("DELETE FROM t WHERE k = 1")
+    eng.sql("DELETE FROM t WHERE k = 3")
+    row = eng.sql(
+        "CALL system.rewrite_position_delete_files(table => 't')"
+    ).collect()[0]
+    assert row.rewritten_delete_files_count == 2
+    assert row.added_delete_files_count >= 1
+    assert row.remaining_position_deletes == 2
+    got = sorted(r.k for r in wh.read_table("t").collect())
+    assert got == [2, 4]
