@@ -70,16 +70,21 @@ _CORE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "similarity_pairs_threshold",
-    "ann_lsh_det",
-    "embedding_centroids",
-    "knn_label_vote",
     "embedding_gram_matrix",
     # multimodal (PCM decode; PGM/BMP siblings ride the rotation)
     "multimodal_audio_rms",
     # round-9 debuts: CDC changelog read (consumer side of the round-8
-    # upsert sink) and the multi-clause SCD close-out MERGE
+    # upsert sink), the multi-clause SCD close-out MERGE, the
+    # compute_updates changelog relabel, and incremental
+    # materialized-aggregate maintenance over the changelog
     "cdc_merge_changelog",
     "merge_scd_close_out",
+    "cdc_compute_updates",
+    "cdc_net_changes",
+    "cdc_incremental_agg_maintenance",
+    # round-9 debut: product-quantization ANN (code-based family) with
+    # ADC preselect + exact re-rank
+    "ann_pq_adc",
     # curation / privacy
     "pack_sequences_sharded",
     "k_anonymity_report",
@@ -93,9 +98,13 @@ _CORE = [
 # window each round, advancing by that block size per round.
 _ROTATION = [
     # demoted from _CORE in round 9 (round-8 debuts, driver-green in
-    # CORRECTNESS_r08; they re-verify round-robin)
+    # CORRECTNESS_r08; they re-verify round-robin) plus three stable
+    # multi-round similarity greens to keep _CORE ≤ 30
     "semdedup_prune",
     "bigram_mle_doc_score",
+    "ann_lsh_det",
+    "embedding_centroids",
+    "knn_label_vote",
     # demoted from _CORE in round 8 (round-7 debuts, all driver-green
     # in CORRECTNESS_r07; they re-verify round-robin)
     "customer_rfm_segments",

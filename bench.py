@@ -109,6 +109,9 @@ HEADLINE = [
     # times the changelog/table read itself)
     "cdc_merge_changelog",
     "merge_scd_close_out",
+    "cdc_incremental_agg_maintenance",
+    # round-9: PQ codes + ADC preselect + exact re-rank
+    "ann_pq_adc",
 ]
 
 

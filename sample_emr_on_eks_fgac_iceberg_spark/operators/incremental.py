@@ -202,3 +202,149 @@ def merge_scd_close_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     → insert. Only files where some clause fired are rewritten."""
     wh = _scd_warehouse_for(spark)
     return wh.read_table("dim")
+
+
+@register(
+    "cdc_compute_updates",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id, val, CAST(amt AS BIGINT) AS amt,
+           ct AS _change_type, CAST(0 AS INT) AS _change_ordinal,
+           CAST(2 AS BIGINT) AS _commit_snapshot_id
+    FROM (VALUES (2, 'b',  20, 'update_before'),
+                 (2, 'b2', 25, 'update_after'),
+                 (3, 'c',  30, 'delete'),
+                 (4, 'd',  40, 'insert')) t(id, val, amt, ct)
+    """,
+)
+def cdc_compute_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg create_changelog_view(compute_updates): within one
+    commit, the delete+insert pair sharing the identifier column is
+    relabeled update_before/update_after; the bare delete and the
+    fresh insert keep their kinds. One window over the change DELTA —
+    never the table."""
+    wh, snap1 = _cdc_warehouse_for(spark)
+    return wh.read_changes(
+        _CDC_TABLE,
+        from_snapshot_id=snap1,
+        mode="cdc",
+        compute_updates=True,
+        identifier_columns=["id"],
+    )
+
+
+@register(
+    "cdc_net_changes",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id, val, CAST(amt AS BIGINT) AS amt,
+           'insert' AS _change_type, CAST(ord AS INT) AS _change_ordinal,
+           CAST(sid AS BIGINT) AS _commit_snapshot_id
+    FROM (VALUES (1, 'a',  10, 0, 1),
+                 (2, 'b2', 25, 1, 2),
+                 (4, 'd',  40, 1, 2)) t(id, val, amt, ord, sid)
+    """,
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg create_changelog_view(net_changes): the whole-history
+    changelog collapses to the NET change per row value — (2,'b',20)
+    and (3,'c',30) were inserted then deleted inside the range and
+    emit nothing; surviving rows keep the last contributing
+    ordinal/snapshot. One groupBy over the change DELTA (rows scale
+    with changes, not the table)."""
+    wh, _snap1 = _cdc_warehouse_for(spark)
+    return wh.read_changes(_CDC_TABLE, mode="cdc", net_changes=True)
+
+
+_AGG_STATE: dict[str, tuple] = {}
+
+
+def _agg_warehouse_for(spark: SparkSession):
+    """Materialized-aggregate maintenance fixture: a metrics table with
+    a base snapshot (the stored rollup's high-water mark) and one
+    CDC-upsert commit after it."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+    key = spark.sparkContext.applicationId
+    if key not in _AGG_STATE:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="cdc_agg_wh_"))
+        wh.create_table("metrics", "grp STRING, k BIGINT, amt BIGINT")
+        with wh._table_lock("metrics"):
+            meta = wh._read_meta("metrics")
+            meta.properties["write.merge.mode"] = "merge-on-read"
+            wh._write_meta(meta)
+        wh.insert_values(
+            "metrics",
+            [("g1", 1, 10), ("g1", 2, 20), ("g2", 3, 30), ("g2", 4, 40)],
+        )
+        snap1 = wh.current_snapshot_id("metrics")
+        src = spark.createDataFrame(
+            [("g1", 2, 25, "U"), ("g2", 3, 0, "D"), ("g2", 5, 50, "I")],
+            "grp string, k bigint, amt bigint, op string",
+        )
+        wh.merge_into(
+            "metrics",
+            src,
+            "t.k = s.k",
+            matched_clauses=[
+                {"action": "delete", "condition": "s.op = 'D'"},
+                {"action": "update", "set": {"amt": "s.amt"}, "condition": None},
+            ],
+            not_matched_clauses=[
+                {"condition": None,
+                 "values": {"grp": "s.grp", "k": "s.k", "amt": "s.amt"}},
+            ],
+            not_matched_insert=None,
+        )
+        _AGG_STATE[key] = (wh, snap1)
+    return _AGG_STATE[key]
+
+
+@register(
+    "cdc_incremental_agg_maintenance",
+    oracle="""
+    SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(total_amt AS BIGINT) AS total_amt
+    FROM (VALUES ('g1', 2, 35), ('g2', 2, 90)) t(grp, n_rows, total_amt)
+    """,
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the changelog:
+    the stored per-group rollup (computed at the base snapshot) is
+    brought current by FOLDING IN the CDC delta — insert rows add
+    (+1, +amt), delete rows subtract — instead of rescanning the
+    table. At 100 TB this is the difference between refreshing a
+    rollup from a PB-scale scan and from the last commit's delta:
+    cost scales with changes, not table size. An update pair folds to
+    its net effect automatically (delete −old, insert +new)."""
+    from pyspark.sql import functions as F
+
+    wh, snap1 = _agg_warehouse_for(spark)
+    base = (
+        wh.read_table("metrics", snapshot_id=snap1)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("b_rows"),
+            F.sum("amt").alias("b_amt"),
+        )
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        wh.read_changes("metrics", from_snapshot_id=snap1, mode="cdc")
+        .groupBy("grp")
+        .agg(
+            F.sum(sign).alias("d_rows"),
+            F.sum(sign * F.col("amt")).alias("d_amt"),
+        )
+    )
+    return (
+        base.join(delta, "grp", "full_outer")
+        .select(
+            F.col("grp"),
+            (F.coalesce("b_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.coalesce("b_amt", F.lit(0)) + F.coalesce("d_amt", F.lit(0)))
+            .cast("bigint")
+            .alias("total_amt"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -1244,3 +1244,200 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_sq",
         ((nx > F.col("s1")) & (lhs * lhs > rhs)).alias("is_outlier"),
     )
+
+
+_PQ_M = 8  # subspaces; DIM=64 → 8 dims per subspace; codes per subspace = labels
+_PQ_RERANK = 100  # ADC candidates re-ranked exactly per query
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH x0 AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+                   AS xi0
+        FROM embeddings),
+    nrm AS (SELECT vec_id, CAST(SUM(xi0 * xi0) AS BIGINT) AS ni
+            FROM x0 GROUP BY vec_id),
+    x AS (
+        SELECT x0.vec_id, label, dim,
+               CAST(round(xi0 * 1000.0 / sqrt(ni)) AS BIGINT) AS xi
+        FROM x0 JOIN nrm ON x0.vec_id = nrm.vec_id),
+    sx AS (
+        SELECT vec_id, label, dim // {64 // _PQ_M} AS sub,
+               dim % {64 // _PQ_M} AS sd, xi
+        FROM x),
+    cw AS (
+        SELECT label AS code, sub, sd,
+               CAST(round(AVG(CAST(xi AS DOUBLE))) AS BIGINT) AS c
+        FROM sx GROUP BY label, sub, sd),
+    d AS (
+        SELECT sx.vec_id, sx.sub, cw.code,
+               CAST(SUM((xi - c) * (xi - c)) AS BIGINT) AS dist_sq
+        FROM sx JOIN cw ON sx.sub = cw.sub AND sx.sd = cw.sd
+        GROUP BY sx.vec_id, sx.sub, cw.code),
+    codes AS (
+        SELECT vec_id, sub, code
+        FROM (SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist_sq, code) AS rk
+              FROM d)
+        WHERE rk = 1),
+    lut AS (SELECT vec_id AS q_id, sub, code, dist_sq FROM d
+            WHERE vec_id < {N_QUERIES}),
+    adc AS (
+        SELECT l.q_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.dist_sq) AS BIGINT) AS adc_dist_sq
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        WHERE c.vec_id <> l.q_id
+        GROUP BY l.q_id, c.vec_id),
+    cand AS (
+        SELECT q_id, neighbor_id
+        FROM (SELECT q_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY adc_dist_sq, neighbor_id)
+                         AS rk
+              FROM adc)
+        WHERE rk <= {_PQ_RERANK}),
+    dots AS (
+        SELECT c.q_id, c.neighbor_id,
+               CAST(SUM(xq.xi0 * xc.xi0) AS BIGINT) AS dot
+        FROM cand c
+          JOIN x0 xq ON xq.vec_id = c.q_id
+          JOIN x0 xc ON xc.vec_id = c.neighbor_id AND xc.dim = xq.dim
+        GROUP BY c.q_id, c.neighbor_id),
+    scored AS (
+        SELECT d.q_id, d.neighbor_id,
+               d.dot / (sqrt(nq.ni) * sqrt(nc.ni)) AS cosine
+        FROM dots d
+          JOIN nrm nq ON nq.vec_id = d.q_id
+          JOIN nrm nc ON nc.vec_id = d.neighbor_id),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the compression-based ANN family (IVF = partition-based, LSH =
+    hash-based, PQ = code-based). Vectors are split into _PQ_M
+    subspaces; each subspace has a deterministic codebook (per-label
+    subvector means in integer milli-units — no RNG, no iteration, the
+    same trick as `ann_ivf_det`'s coarse quantizer); every vector is
+    ENCODED as _PQ_M small code ids (64 floats → 8 bytes, 32×
+    compression). A query never touches raw candidate vectors: it
+    builds an M×K lookup table of exact squared distances from its own
+    raw subvectors to every codeword, and a candidate's approximate
+    distance is the SUM of M table lookups selected by its codes
+    (ADC). Vectors are L2-NORMALIZED before encoding (unit-scale
+    milli-units, re-rounded from the exact integer norm), so squared
+    L2 distance is 2 − 2·cosine — ADC ranking IS cosine ranking up to
+    quantization error. The ADC pass PRESELECTS _PQ_RERANK candidates
+    per query; an exact integer-dot re-rank over just those picks the
+    final top-K (the standard PQ+refine production shape — PQ is a
+    candidate filter, not a final scorer). Deterministic end-to-end —
+    bit-exact vs DuckDB (integer sums, IEEE sqrt/divide).
+
+    100 TB posture: the codebook (M×K×(D/M) rows) and the per-query
+    LUT (Q×M×K rows, here 10×8×10) broadcast; the corpus-sized
+    operand is the CODES table at M ints per vector, joined to the
+    broadcast LUT with map-side partial sums — the scan is over the
+    compressed representation (32× smaller than the raw embeddings),
+    which is the entire point of PQ at scale. The exact re-rank
+    touches only Q·R raw vectors (id-keyed join, query arrays
+    broadcast). Measured recall@5 vs the exact baseline: 0.76 at
+    sf0.01 on near-random synthetic vectors (floor asserted in
+    tests/test_similarity_recall.py); real clustered embeddings sit
+    far higher."""
+    sub_d = DIM // _PQ_M
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    # normalize at the ARRAY level: the norm is an exact integer sum of
+    # milli-unit squares (order-free), the rescale one deterministic
+    # sqrt/division/round per element — no extra shuffle for the norm
+    q = e.withColumn("xiarr", _quantized("embedding"))
+    q = materialize_once(
+        q.withColumn("ni", _dot(F.col("xiarr"), F.col("xiarr")))
+        .select("vec_id", "label", "xiarr", "ni")
+    )
+    sx = materialize_once(
+        q.select(
+            "vec_id", "label", "ni", F.posexplode("xiarr").alias("dim", "xi0")
+        ).select(
+            "vec_id",
+            "label",
+            (F.col("dim") / sub_d).cast("int").alias("sub"),
+            (F.col("dim") % sub_d).alias("sd"),
+            F.round(F.col("xi0") * 1000.0 / F.sqrt(F.col("ni")))
+            .cast("long")
+            .alias("xi"),
+        )
+    )
+    cw = sx.groupBy(F.col("label").alias("code"), "sub", "sd").agg(
+        F.round(F.avg(F.col("xi").cast("double"))).cast("long").alias("c")
+    )
+    # one distance pass serves BOTH encoding (argmin per vec/subspace)
+    # and the query LUTs (queries are rows of the same table)
+    d = materialize_once(
+        sx.join(F.broadcast(cw), ["sub", "sd"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum((F.col("xi") - F.col("c")) * (F.col("xi") - F.col("c")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    wk = Window.partitionBy("vec_id", "sub").orderBy("dist_sq", "code")
+    codes = (
+        d.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "sub", "code", "dist_sq"
+    )
+    wc = Window.partitionBy("q_id").orderBy("adc_dist_sq", "neighbor_id")
+    cand = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist_sq").cast("bigint").alias("adc_dist_sq"))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _PQ_RERANK)
+        .select("q_id", "neighbor_id")
+    )
+    # exact re-rank of the R preselected candidates: integer dots on
+    # the ORIGINAL milli-units (query arrays broadcast, candidate
+    # arrays joined by id — Q·R raw vectors touched, never the corpus)
+    qarr = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("xiarr").alias("qa"),
+        F.col("ni").alias("nq"),
+    )
+    carr = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("xiarr").alias("ca"),
+        F.col("ni").alias("nc"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qarr), "q_id")
+        .join(carr, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qa"), F.col("ca"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nc")))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -36,7 +36,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -430,6 +430,12 @@ class Warehouse:
             os.rename(os.path.join(self.root, old), os.path.join(self.root, new))
             self._write_meta(meta)
             os.remove(self._meta_path(old))
+            # commit-claim debris keys on the table NAME: a later table
+            # re-created under the old name restarts at sequence 1 and
+            # must not inherit stale claims
+            for f in os.listdir(self._meta_dir):
+                if f.startswith(f".{old}.commit-"):
+                    os.remove(os.path.join(self._meta_dir, f))
 
     def drop_table(self, name: str) -> None:
         """M1: DROP TABLE — removes data files and metadata."""
@@ -2707,6 +2713,9 @@ class Warehouse:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         mode: str = "append",
+        compute_updates: bool = False,
+        identifier_columns: list[str] | None = None,
+        net_changes: bool = False,
     ) -> DataFrame:
         """Incremental read between two snapshots (Iceberg's
         incremental scan / ``create_changelog_view``).
@@ -2737,6 +2746,15 @@ class Warehouse:
         Compaction / delete-maintenance snapshots (operation
         'replace') are net-zero and skipped.
 
+        ``compute_updates`` (Iceberg's create_changelog_view option):
+        within each ordinal, a delete+insert pair sharing the
+        ``identifier_columns`` (default: the table's identifier
+        fields) is relabeled ``update_before`` / ``update_after``.
+        ``net_changes``: collapse the range to the NET change per row
+        value — a row inserted then deleted inside the range emits
+        nothing. The two options are mutually exclusive, as in
+        Iceberg.
+
         100 TB posture: cost per snapshot is the delta files plus, for
         delete pre-images, the referenced files — manifest-planned,
         never a table rescan; delete sides broadcast (keys/positions
@@ -2744,10 +2762,22 @@ class Warehouse:
         meta = self._read_meta(name)
         if meta.link_to is not None:
             return self.read_changes(
-                meta.link_to, from_snapshot_id, to_snapshot_id, mode=mode
+                meta.link_to,
+                from_snapshot_id,
+                to_snapshot_id,
+                mode=mode,
+                compute_updates=compute_updates,
+                identifier_columns=identifier_columns,
+                net_changes=net_changes,
             )
         if mode not in ("append", "cdc"):
             raise ValueError(f"read_changes mode must be append|cdc, got {mode!r}")
+        if (compute_updates or net_changes) and mode != "cdc":
+            raise ValueError("compute_updates/net_changes require mode='cdc'")
+        if compute_updates and net_changes:
+            raise ValueError(
+                "compute_updates and net_changes are mutually exclusive"
+            )
         known = {s["snapshot_id"] for s in meta.snapshots}
         for sid in (from_snapshot_id, to_snapshot_id):
             if sid is not None and sid not in known:
@@ -2776,7 +2806,70 @@ class Warehouse:
                 if out is not None
                 else self.spark.createDataFrame([], meta.schema)
             )
-        return self._read_changes_cdc(meta, lo, hi, to_snapshot_id)
+        out = self._read_changes_cdc(meta, lo, hi, to_snapshot_id)
+        if compute_updates:
+            keys = list(
+                identifier_columns
+                or json.loads(meta.properties.get("identifier_fields", "[]"))
+            )
+            if not keys:
+                raise ValueError(
+                    "compute_updates needs identifier_columns (or table "
+                    "identifier fields)"
+                )
+            # one window over the change DELTA (never the table): a
+            # delete+insert pair on the same key within one ordinal is
+            # an update — relabel its halves
+            w = Window.partitionBy("_change_ordinal", *keys)
+            is_del = (F.col("_change_type") == "delete").cast("int")
+            is_ins = (F.col("_change_type") == "insert").cast("int")
+            out = (
+                out.withColumn("__nd", F.sum(is_del).over(w))
+                .withColumn("__ni", F.sum(is_ins).over(w))
+                .withColumn(
+                    "_change_type",
+                    F.when(
+                        (F.col("_change_type") == "delete")
+                        & (F.col("__ni") > 0),
+                        F.lit("update_before"),
+                    )
+                    .when(
+                        (F.col("_change_type") == "insert")
+                        & (F.col("__nd") > 0),
+                        F.lit("update_after"),
+                    )
+                    .otherwise(F.col("_change_type")),
+                )
+                .drop("__nd", "__ni")
+            )
+        if net_changes:
+            # net effect per ROW VALUE across the whole range: inserts
+            # count +1, deletes −1; |net| copies of the surviving kind
+            # emit with the LAST contributing ordinal/snapshot
+            data = [f.name for f in meta.schema.fields]
+            net = (
+                out.groupBy(*data)
+                .agg(
+                    F.sum(
+                        F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                    ).alias("__net"),
+                    F.max("_change_ordinal").alias("_change_ordinal"),
+                    F.max("_commit_snapshot_id").alias("_commit_snapshot_id"),
+                )
+                .filter(F.col("__net") != 0)
+            )
+            out = net.select(
+                *data,
+                F.when(F.col("__net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.col("_change_ordinal"),
+                F.col("_commit_snapshot_id"),
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("__net")))
+                ).alias("__copy"),
+            ).drop("__copy")
+        return out
 
     def _cdc_schema(self, meta: TableMeta) -> T.StructType:
         return T.StructType(

@@ -235,3 +235,118 @@ def test_cdc_replication_loop_replica_converges(wh, spark, tmp_path):
     wh.update_where("t", {"amt": "amt + 1"}, "id = 2")
     drain(2)
     assert rows("replica") == rows("t") == [(2, "B", 26), (4, "d", 40)]
+
+
+def test_cdc_compute_updates_pairs_become_updates(wh, spark):
+    _mor_merge_table(wh)
+    wh.set_identifier_fields("t", ["id"])
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    s1 = wh.current_snapshot_id("t")
+    src = spark.createDataFrame(
+        [(2, "b2", 25, "U"), (3, None, 0, "D"), (4, "d", 40, "I")],
+        "id bigint, val string, amt bigint, op string",
+    )
+    wh.merge_into(
+        "t", src, "t.id = s.id",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "set": {"val": "s.val", "amt": "s.amt"},
+             "condition": None},
+        ],
+        not_matched_clauses=[{"condition": None, "values": True}],
+        not_matched_insert=None,
+    )
+    got = sorted(
+        (r.id, r.val, r._change_type)
+        for r in wh.read_changes(
+            "t", from_snapshot_id=s1, mode="cdc", compute_updates=True
+        ).collect()
+    )
+    assert got == [
+        (2, "b", "update_before"),
+        (2, "b2", "update_after"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+
+
+def test_cdc_net_changes_cancels_within_range(wh):
+    wh.create_table("t", "k int, v string")
+    wh.set_delete_mode("t", "merge-on-read")
+    wh.insert_values("t", [(1, "a"), (2, "b")])
+    wh.insert_values("t", [(3, "c")])
+    wh.delete_from("t", "k = 3")  # inserted then deleted inside range
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in wh.read_changes("t", mode="cdc", net_changes=True).collect()
+    )
+    assert got == [(1, "a", "insert"), (2, "b", "insert")]
+
+
+def test_cdc_option_validation(wh):
+    wh.create_table("t", "k int, v string")
+    with pytest.raises(ValueError):
+        wh.read_changes("t", mode="append", compute_updates=True)
+    with pytest.raises(ValueError):
+        wh.read_changes("t", mode="cdc", compute_updates=True, net_changes=True)
+    with pytest.raises(ValueError):
+        wh.read_changes("t", mode="cdc", compute_updates=True)  # no keys
+
+
+def test_incremental_agg_maintenance_equals_rescan(wh, spark):
+    """The maintained rollup (base agg + CDC delta fold) must equal a
+    direct rescan of the current table — across updates, deletes, and
+    inserts, and across MULTIPLE maintenance cycles."""
+    from pyspark.sql import functions as F
+
+    wh.create_table("m", "grp string, k bigint, amt bigint")
+    with wh._table_lock("m"):
+        meta = wh._read_meta("m")
+        meta.properties["write.merge.mode"] = "merge-on-read"
+        meta.properties["write.delete.mode"] = "merge-on-read"
+        wh._write_meta(meta)
+    wh.insert_values("m", [("a", 1, 5), ("a", 2, 7), ("b", 3, 11)])
+    snap = wh.current_snapshot_id("m")
+    base = wh.read_table("m", snapshot_id=snap).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+    )
+
+    def maintain(base, from_snap, to_snap):
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            wh.read_changes("m", from_snapshot_id=from_snap,
+                            to_snapshot_id=to_snap, mode="cdc")
+            .groupBy("grp")
+            .agg(F.sum(sign).alias("dn"), F.sum(sign * F.col("amt")).alias("ds"))
+        )
+        return (
+            base.join(delta, "grp", "full_outer")
+            .select(
+                "grp",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    # cycle 1: upsert batch
+    src = spark.createDataFrame(
+        [("a", 2, 9), ("b", 4, 13)], "grp string, k bigint, amt bigint"
+    )
+    wh.merge_into("m", src, "t.k = s.k", matched_update={"amt": "s.amt"})
+    head = wh.current_snapshot_id("m")
+    got = maintain(base, snap, head).localCheckpoint()
+    want = wh.read_table("m").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # cycle 2: delete a whole group, maintain from the previous head
+    wh.delete_from("m", "grp = 'a'")
+    got2 = maintain(got, head, wh.current_snapshot_id("m"))
+    want2 = wh.read_table("m").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))

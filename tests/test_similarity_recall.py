@@ -54,3 +54,24 @@ def test_ann_ivf_det_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"ivf_det recall {recall:.2f}"
+
+
+def test_ann_pq_adc_recall_floor(spark, sf_dir):
+    """PQ+ADC with exact re-rank: the ADC pass over 8-byte codes
+    preselects _PQ_RERANK candidates, the exact integer-dot re-rank
+    picks top-K. Measured 0.66 (sf0.001) / 0.76 (sf0.01) against the
+    exact brute-force baseline on near-random synthetic vectors —
+    floor kept conservative."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_pq_adc,
+    )
+
+    exact = {
+        (r.q_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id) for r in ann_pq_adc(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"pq_adc recall {recall:.2f}"
