@@ -2569,14 +2569,18 @@ class Warehouse:
                 )
             )
         ddir = self.delete_dir(name)
+        kinds = self._delete_kinds_from_meta(meta)
         for f in sorted(self._live_delete_files(meta)):
             full = os.path.join(ddir, f)
             pf = pq.ParquetFile(full)
-            kind = (
-                "position-deletes"
-                if set(pf.schema_arrow.names) == {"file_path", "pos"}
-                else "equality-deletes"
-            )
+            k = kinds.get(f)
+            if k is None:  # pre-round-9 metadata: footer-sniff fallback
+                k = (
+                    "positional"
+                    if set(pf.schema_arrow.names) == {"file_path", "pos"}
+                    else "equality"
+                )
+            kind = "position-deletes" if k == "positional" else "equality-deletes"
             rows.append((kind, f, None, pf.metadata.num_rows, os.path.getsize(full)))
         return self.spark.createDataFrame(
             rows,
@@ -2667,6 +2671,122 @@ class Warehouse:
             "added_data_files_count int, removed_data_files_count int, "
             "added_delete_files_count int, removed_delete_files_count int, "
             "added_records bigint",
+        )
+
+    def entries_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.entries``: one manifest entry per (snapshot,
+        file) transition — status 1 = ADDED, 2 = DELETED — for data AND
+        delete files, oldest snapshot first. Pure snapshot-log replay:
+        metadata-scale, zero data I/O (Iceberg reads the avro
+        manifests; this engine's snapshot log carries the same
+        diffs — see sources/iceberg_manifests.py for the spec-route
+        mirror external readers use)."""
+        meta = self._read_meta(name)
+        kinds = self._delete_kinds_from_meta(meta)
+
+        def _content(f: str) -> str:
+            k = kinds.get(f, "equality")
+            return "position-deletes" if k == "positional" else "equality-deletes"
+
+        rows = []
+        for s in meta.snapshots:
+            sid, seq = s["snapshot_id"], s["sequence_number"]
+            for f in sorted(s["added_files"]):
+                rows.append((1, sid, seq, "data", f))
+            for f in sorted(s.get("removed_files", ())):
+                rows.append((2, sid, seq, "data", f))
+            for f in sorted(s.get("added_delete_files", ())):
+                rows.append((1, sid, seq, _content(f), f))
+            for f in sorted(s.get("removed_delete_files", ())):
+                rows.append((2, sid, seq, _content(f), f))
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id bigint, sequence_number bigint, "
+            "content string, file_path string",
+        )
+
+    def all_files_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.all_files``: every data/delete file referenced
+        by ANY snapshot still reachable (time travel reads them), with
+        footer stats and whether the CURRENT snapshot references it.
+        Footer reads are bounded by historical file count
+        (manifest-scale); files already vacuumed by expire_snapshots
+        are skipped."""
+        import pyarrow.parquet as pq
+
+        meta = self._read_meta(name)
+        live = set(self._live_files(meta))
+        live_del = set(self._live_delete_files(meta))
+        kinds = self._delete_kinds_from_meta(meta)
+        seen_data: set[str] = set()
+        seen_del: set[str] = set()
+        for s in meta.snapshots:
+            seen_data.update(s["added_files"])
+            seen_del.update(s.get("added_delete_files", ()))
+        rows = []
+        data = self.data_dir(name)
+        for f in sorted(seen_data):
+            full = os.path.join(data, f)
+            if not os.path.exists(full):
+                continue  # expired + vacuumed
+            rows.append(
+                (
+                    "data",
+                    f,
+                    os.path.dirname(f) or None,
+                    pq.ParquetFile(full).metadata.num_rows,
+                    os.path.getsize(full),
+                    f in live,
+                )
+            )
+        ddir = self.delete_dir(name)
+        for f in sorted(seen_del):
+            full = os.path.join(ddir, f)
+            if not os.path.exists(full):
+                continue
+            kind = (
+                "position-deletes"
+                if kinds.get(f) == "positional"
+                else "equality-deletes"
+            )
+            rows.append(
+                (
+                    kind,
+                    f,
+                    None,
+                    pq.ParquetFile(full).metadata.num_rows,
+                    os.path.getsize(full),
+                    f in live_del,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "content string, file_path string, partition string, "
+            "record_count bigint, file_size_in_bytes bigint, is_live boolean",
+        )
+
+    def position_deletes_df(self, name: str) -> DataFrame:
+        """Iceberg's ``t.position_deletes``: the live positional-delete
+        ROWS — (referenced data file, row ordinal, owning delete file).
+        The tuples are read DISTRIBUTED (spark.read over the delete
+        parquet files, delete-file provenance from the reserved
+        ``_metadata`` column), so the view scales with delete volume,
+        not driver memory."""
+        meta = self._read_meta(name)
+        del_map = self._live_delete_files(meta)
+        _, pos = self._split_delete_kinds(meta, del_map)
+        if not pos:
+            return self.spark.createDataFrame(
+                [], "file_path string, pos bigint, delete_file_path string"
+            )
+        ddir = self.delete_dir(meta.name)
+        raw = self.spark.read.parquet(
+            *(os.path.join(ddir, f) for f in sorted(pos))
+        )
+        return raw.select(
+            "file_path",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("_metadata.file_path").alias("delete_file_path"),
         )
 
     def alter_write_order(self, name: str, order_by: list[str]) -> None:

@@ -178,7 +178,7 @@ _ALL_GRANTABLE = {"SELECT", "DESCRIBE", "INSERT", "DELETE", "ALTER", "DROP"}
 # t.history / t.partitions
 _META_TABLE_RE = re.compile(
     r"([\w.]+)\.(snapshots|files|history|partitions|refs|manifests"
-    r"|metadata_log_entries)(?![\w.])",
+    r"|metadata_log_entries|entries|all_files|position_deletes)(?![\w.])",
     re.I,
 )
 
