@@ -3525,3 +3525,98 @@ class Warehouse:
             "added_files": len(added),
             "materialized_delete_files": len(live_dels),
         }
+
+    # --------------------------------------------- zero-copy onboarding
+    def add_files(self, name: str, source_dir: str) -> dict:
+        """Iceberg's ``system.add_files``: register EXISTING parquet
+        files into the table WITHOUT rewriting them — the onboarding
+        path for data that already lives in the lake. Files are
+        hard-linked into the table's data directory (zero-copy on one
+        filesystem; cross-device falls back to copy) preserving their
+        relative layout (``col=value`` partition dirs land as
+        partitions), then ONE append snapshot commits them.
+
+        At 100 TB this is the entire point: a pre-existing parquet lake
+        onboards with footer reads + metadata writes — no Spark job
+        touches the data bytes (the reference onboards its warehouse
+        the same way: Iceberg tables registered over data already in
+        object storage, consumer_emr_on_eks_setup.sh:261-287).
+
+        Schema safety (fail-closed, per footer): every imported column
+        must exist in the table schema with the same type or one the
+        table's type legally WIDENS from (int→bigint, float→double —
+        the reader already merges narrow files, see
+        _merged_group_schema); unknown or non-widenable columns
+        refuse. Missing columns read as NULL."""
+        import shutil
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        meta = self._resolve_dml_target(name)
+        src = os.path.abspath(source_dir)
+        if not os.path.isdir(src):
+            raise ValueError(f"add_files source is not a directory: {src}")
+        rels = sorted(
+            os.path.relpath(os.path.join(dp, fn), src)
+            for dp, _, fns in os.walk(src)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        if not rels:
+            raise ValueError(f"add_files found no parquet files under {src}")
+        tbl = {f.name: f.dataType for f in meta.schema.fields}
+        n_records = 0
+        for rel in rels:
+            pf = pq.ParquetFile(os.path.join(src, rel))
+            n_records += pf.metadata.num_rows
+            for fld in pf.schema_arrow:
+                if fld.name not in tbl:
+                    raise ValueError(
+                        f"add_files: column '{fld.name}' of {rel} not in "
+                        f"table '{meta.name}' schema"
+                    )
+                ftype = from_arrow_type(fld.type)
+                ttype = tbl[fld.name]
+                if ftype != ttype and self._widen_pair(ftype, ttype) != ttype:
+                    raise ValueError(
+                        f"add_files: column '{fld.name}' type "
+                        f"{ftype.simpleString()} incompatible with table "
+                        f"type {ttype.simpleString()}"
+                    )
+        data = self.data_dir(meta.name)
+        with self._table_lock(meta.name):
+            cur = self._read_meta(meta.name)
+            existing = self._live_files(cur) | {
+                f for s in cur.snapshots for f in s["added_files"]
+            }
+            added: set[str] = set()
+            for rel in rels:
+                dst_rel, i = rel, 0
+                while dst_rel in existing or dst_rel in added:
+                    i += 1
+                    base, ext = os.path.splitext(rel)
+                    dst_rel = f"{base}-import{i}{ext}"
+                dst = os.path.join(data, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(os.path.join(src, rel), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(src, rel), dst)
+                added.add(dst_rel)
+            self._commit_snapshot(cur, "append", added=added)
+        return {"added_files": len(added), "added_records": n_records}
+
+    def snapshot_table(self, source_dir: str, name: str) -> dict:
+        """Iceberg's ``system.snapshot``: create a NEW table over an
+        existing parquet directory without copying data — schema
+        inferred from the files (one metadata-only Spark read), then
+        ``add_files``. The created table is a regular table: subsequent
+        DML rewrites only the files it touches."""
+        df = self.spark.read.parquet(source_dir)
+        if self.table_exists(name):
+            raise ValueError(f"snapshot target table '{name}' already exists")
+        self.create_table(name, df.schema)
+        stats = self.add_files(name, source_dir)
+        return {"imported_files": stats["added_files"],
+                "imported_records": stats["added_records"]}

@@ -183,6 +183,14 @@ _META_TABLE_RE = re.compile(
 )
 
 
+def _strip_parquet_path(source: str) -> str:
+    """Accept Iceberg's path-table spellings for add_files/snapshot
+    sources — ``parquet.`/path```, ```parquet`.`/path``` — or a plain
+    directory path, returning the bare path."""
+    m = re.match(r"`?parquet`?\s*\.\s*`([^`]+)`\s*$", source.strip(), re.I)
+    return m.group(1) if m else source.strip().strip("`")
+
+
 def _sub_outside_strings(pattern: str, repl: str, text: str, flags: int = 0) -> str:
     """``re.sub`` applied only OUTSIDE single-quoted SQL string
     literals (with '' escaping) — table-name rewrites must never
@@ -819,6 +827,24 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 [(stats.get("rewritten_files", 0), stats.get("added_files", 0))],
                 "rewritten_data_files_count long, added_data_files_count long",
+            )
+        if proc == "add_files":
+            source = str(arg("source_table", 1))
+            stats = self.warehouse.add_files(table, _strip_parquet_path(source))
+            return self.spark.createDataFrame(
+                [(stats["added_files"], stats["added_records"])],
+                "added_files_count long, added_records_count long",
+            )
+        if proc == "snapshot":
+            # Iceberg argument order: snapshot(source_table, table)
+            source = str(named["source_table"]) if "source_table" in named else str(pos[0])
+            dest = str(named["table"]) if "table" in named else str(pos[1])
+            stats = self.warehouse.snapshot_table(
+                _strip_parquet_path(source), dest
+            )
+            return self.spark.createDataFrame(
+                [(stats["imported_files"], stats["imported_records"])],
+                "imported_files_count long, imported_records_count long",
             )
         raise ValueError(f"Unknown procedure system.{proc}")
 
