@@ -82,15 +82,15 @@ _CORE = [
     "cdc_compute_updates",
     "cdc_net_changes",
     "cdc_incremental_agg_maintenance",
-    # round-9 debut: product-quantization ANN (code-based family) with
-    # ADC preselect + exact re-rank
+    # round-9 debuts: product-quantization ANN (code-based family) with
+    # ADC preselect + exact re-rank; integer PageRank over the trade
+    # graph
     "ann_pq_adc",
+    "graph_pagerank_trade",
     # curation / privacy
     "pack_sequences_sharded",
-    "k_anonymity_report",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
-    "join_right_segment_spend",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -105,6 +105,8 @@ _ROTATION = [
     "ann_lsh_det",
     "embedding_centroids",
     "knn_label_vote",
+    "k_anonymity_report",
+    "join_right_segment_spend",
     # demoted from _CORE in round 8 (round-7 debuts, all driver-green
     # in CORRECTNESS_r07; they re-verify round-robin)
     "customer_rfm_segments",

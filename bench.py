@@ -110,8 +110,10 @@ HEADLINE = [
     "cdc_merge_changelog",
     "merge_scd_close_out",
     "cdc_incremental_agg_maintenance",
-    # round-9: PQ codes + ADC preselect + exact re-rank
+    # round-9: PQ codes + ADC preselect + exact re-rank; fixed-point
+    # PageRank over the customer-supplier trade graph
     "ann_pq_adc",
+    "graph_pagerank_trade",
 ]
 
 

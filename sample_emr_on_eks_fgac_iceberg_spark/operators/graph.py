@@ -1,0 +1,141 @@
+"""Graph analytics over the star schema's implicit graphs (SURVEY.md
+§2.B event-analytics/dedup tier; sibling of dedup.graph_triangle_count
+and dedup.dedup_connected_components).
+
+Determinism: ranks are integers scaled by 10^12 and every step is
+integer division / integer sums — order-free, bit-exact across Spark
+and DuckDB with zero float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+# damping 0.85 as the exact rational 85/100 — applied in integer math
+_PR_D_NUM, _PR_D_DEN = 85, 100
+
+_PR_EDGE_CTE = """
+    pairs AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS c_node,
+                        's' || l.l_suppkey AS s_node
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+        SELECT c_node AS src, s_node AS dst FROM pairs
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
+def _pr_iter_sql(prev: str, it: int) -> str:
+    """One unrolled integer PageRank step as a CTE pair."""
+    return f"""
+    contrib{it} AS (
+        SELECT e.dst AS node, SUM(r.r // r.deg) AS s
+        FROM {prev} r JOIN edges e ON e.src = r.node
+        GROUP BY e.dst),
+    it{it} AS (
+        SELECT d.node, d.deg,
+               ({_PR_D_DEN - _PR_D_NUM} * {_PR_SCALE}) // ({_PR_D_DEN} * n.n)
+                   + ({_PR_D_NUM} * c.s) // {_PR_D_DEN} AS r
+        FROM deg d JOIN contrib{it} c ON c.node = d.node CROSS JOIN n)
+    """
+
+
+@register(
+    "graph_pagerank_trade",
+    oracle=f"""
+    WITH {_PR_EDGE_CTE},
+    it0 AS (SELECT d.node, d.deg, {_PR_SCALE} // n.n AS r
+            FROM deg d CROSS JOIN n),
+    {_pr_iter_sql("it0", 1)},
+    {_pr_iter_sql("it1", 2)},
+    {_pr_iter_sql("it2", 3)}
+    SELECT node, CAST(deg AS BIGINT) AS degree,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM it{_PR_ITERS}
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier trade graph (undirected:
+    each distinct (customer, supplier) trading pair is an edge both
+    ways, so no dangling-mass correction is needed), {_PR_ITERS} fixed
+    iterations, damping 0.85 — the 'which suppliers sit at the center
+    of the purchasing network' centrality query.
+
+    All-integer arithmetic: ranks are scaled by 10^12; each step is
+    contrib = r div deg (integer), partial-aggregated sums, and an
+    integer damping blend — bit-exact vs the DuckDB oracle with zero
+    float accumulation, like dedup_connected_components' label algebra.
+
+    100 TB posture: the edge list is built once (one distinct over the
+    join's projection) and checkpointed; every iteration is one
+    src-keyed broadcast-or-shuffle join of the RANK table (|V| rows —
+    tiny vs |E|) against edges plus one dst-keyed partial-agg shuffle;
+    iteration count is a fixed constant, nothing data-sized ever
+    reaches the driver (the scalar |V| rides a 1-row broadcast).
+    Skewed hubs partial-aggregate map-side before the dst shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = materialize_once(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+    )
+    deg = materialize_once(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n"))  # 1-row scalar broadcast
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node",
+        "deg",
+        F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.select("node", F.expr("r div deg").alias("c"))
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, "node")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.expr(
+                        f"CAST({(_PR_D_DEN - _PR_D_NUM) * _PR_SCALE} AS BIGINT) "
+                        f"div ({_PR_D_DEN} * n)"
+                    )
+                    + F.expr(f"({_PR_D_NUM} * s) div {_PR_D_DEN}")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("r").cast("bigint").alias("rank_scaled"),
+    )
