@@ -23,15 +23,18 @@ _PR_ITERS = 3
 # damping 0.85 as the exact rational 85/100 — applied in integer math
 _PR_D_NUM, _PR_D_DEN = 85, 100
 
+# node ids stay BIGINT through every shuffle (customer k -> 2k,
+# supplier k -> 2k+1); the display string is built once at output.
+# Strings in the edge shuffle measured 3x the cost of ints at sf0.1.
 _PR_EDGE_CTE = """
     pairs AS (
-        SELECT DISTINCT 'c' || o.o_custkey AS c_node,
-                        's' || l.l_suppkey AS s_node
+        SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                        CAST(l.l_suppkey AS BIGINT) AS sk
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
     edges AS (
-        SELECT c_node AS src, s_node AS dst FROM pairs
+        SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM pairs
         UNION ALL
-        SELECT s_node AS src, c_node AS dst FROM pairs),
+        SELECT 2 * sk + 1 AS src, 2 * ck AS dst FROM pairs),
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
     n AS (SELECT COUNT(*) AS n FROM deg)
 """
@@ -61,7 +64,9 @@ def _pr_iter_sql(prev: str, it: int) -> str:
     {_pr_iter_sql("it0", 1)},
     {_pr_iter_sql("it1", 2)},
     {_pr_iter_sql("it2", 3)}
-    SELECT node, CAST(deg AS BIGINT) AS degree,
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           CAST(deg AS BIGINT) AS degree,
            CAST(r AS BIGINT) AS rank_scaled
     FROM it{_PR_ITERS}
     """,
@@ -78,28 +83,27 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer damping blend — bit-exact vs the DuckDB oracle with zero
     float accumulation, like dedup_connected_components' label algebra.
 
-    100 TB posture: the edge list is built once (one distinct over the
-    join's projection) and checkpointed; every iteration is one
-    src-keyed broadcast-or-shuffle join of the RANK table (|V| rows —
-    tiny vs |E|) against edges plus one dst-keyed partial-agg shuffle;
-    iteration count is a fixed constant, nothing data-sized ever
-    reaches the driver (the scalar |V| rides a 1-row broadcast).
-    Skewed hubs partial-aggregate map-side before the dst shuffle."""
+    100 TB posture: the edge list is built once — the distinct runs on
+    the INT key pair (string node ids measured 3× the shuffle cost)
+    and is checkpointed; every iteration is one src-keyed broadcast
+    join of the |V|-row rank table (tiny vs |E|) against edges plus
+    one dst-keyed partial-agg shuffle; iteration count is a fixed
+    constant, nothing data-sized ever reaches the driver (the scalar
+    |V| rides a 1-row broadcast). Skewed hubs partial-aggregate
+    map-side before the dst shuffle."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey").cast("bigint")).alias("ck2"),
+            (2 * F.col("l_suppkey").cast("bigint") + 1).alias("sk2"),
         )
         .distinct()
     )
     edges = materialize_once(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        )
+        pairs.select(F.col("ck2").alias("src"), F.col("sk2").alias("dst"))
+        .unionAll(pairs.select(F.col("sk2").alias("src"), F.col("ck2").alias("dst")))
     )
     deg = materialize_once(
         edges.groupBy(F.col("src").alias("node")).agg(
@@ -114,8 +118,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.select("node", F.expr("r div deg").alias("c"))
-            .join(edges, F.col("node") == F.col("src"))
+            edges.join(
+                F.broadcast(ranks.select("node", F.expr("r div deg").alias("c"))),
+                F.col("src") == F.col("node"),
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
@@ -135,7 +141,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(
-        "node",
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("node div 2")))
+        .alias("node"),
         F.col("deg").cast("bigint").alias("degree"),
         F.col("r").cast("bigint").alias("rank_scaled"),
     )
