@@ -286,3 +286,67 @@ def apply_changelog(wh, table: str, changes: DataFrame, keys: list[str], txn=Non
         not_matched_insert=None,
         txn=txn,
     )
+
+
+def maintain_rollup(
+    wh,
+    rollup_table: str,
+    changes: DataFrame,
+    group_keys: list[str],
+    sum_cols: list[str],
+    txn=None,
+):
+    """Fold one ``read_changes(mode='cdc')`` frame into a STORED
+    rollup table — streaming incremental materialized-view
+    maintenance (the continuous counterpart of the
+    ``cdc_incremental_agg_maintenance`` query; pair with
+    :class:`ChangelogTail(mode='cdc')` for the tail-ack loop).
+
+    Contract: the rollup table's schema is ``group_keys + n_rows
+    BIGINT + sum_<col> BIGINT per sum column``, initialized from a
+    base-snapshot aggregate (or empty for a fresh source). Each frame
+    reduces to one signed delta row per touched group (insert /
+    update_after rows count +1/+value, delete / update_before −1/−v),
+    then ONE multi-clause MERGE applies it: a group whose count hits
+    zero is deleted, an existing group is adjusted, a new group
+    inserts. Pass ``txn=(source_id, batch_id)`` so a replayed poll is
+    a no-op commit (exactly-once under at-least-once delivery).
+
+    100 TB posture: the aggregation runs over the change DELTA
+    (manifest-planned files, map-side partial sums), the MERGE touches
+    only rollup files containing affected groups — refresh cost scales
+    with the commit's changes, never the source table or the full
+    rollup."""
+    from pyspark.sql import functions as F
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_after"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).cast("bigint").alias("d_rows")] + [
+        F.sum(sign * F.col(c)).cast("bigint").alias(f"d_{c}") for c in sum_cols
+    ]
+    nonzero = F.col("d_rows") != 0
+    for c in sum_cols:
+        nonzero = nonzero | (F.col(f"d_{c}") != 0)
+    delta = changes.groupBy(*group_keys).agg(*aggs).filter(nonzero)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in group_keys)
+    update_set = {"n_rows": "t.n_rows + s.d_rows"}
+    insert_vals = {k: f"s.{k}" for k in group_keys}
+    insert_vals["n_rows"] = "s.d_rows"
+    for c in sum_cols:
+        update_set[f"sum_{c}"] = f"t.sum_{c} + s.d_{c}"
+        insert_vals[f"sum_{c}"] = f"s.d_{c}"
+    return wh.merge_into(
+        rollup_table,
+        delta,
+        on,
+        matched_clauses=[
+            {"action": "delete", "condition": "t.n_rows + s.d_rows = 0"},
+            {"action": "update", "set": update_set, "condition": None},
+        ],
+        not_matched_clauses=[
+            {"condition": "s.d_rows > 0", "values": insert_vals}
+        ],
+        not_matched_insert=None,
+        txn=txn,
+    )

@@ -350,3 +350,82 @@ def test_incremental_agg_maintenance_equals_rescan(wh, spark):
         F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
     )
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_streaming_rollup_maintenance_loop(wh, spark, tmp_path):
+    """ChangelogTail(mode='cdc') + maintain_rollup: a stored per-group
+    rollup stays equal to a direct rescan across upserts, deletes, and
+    group birth/death, with exactly-once replay fencing."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        ChangelogTail,
+        maintain_rollup,
+    )
+
+    _mor_merge_table(wh)
+    wh.create_table("rollup", "val string, n_rows bigint, sum_amt bigint")
+    tail = ChangelogTail(wh, "t", str(tmp_path / "roll.ckpt"), mode="cdc")
+    batch = [0]
+
+    def drain():
+        df, head = tail.poll()
+        if head is not None:
+            maintain_rollup(
+                wh, "rollup", df, ["val"], ["amt"], txn=("roll", batch[0])
+            )
+            tail.ack(head)
+            batch[0] += 1
+
+    def rescan():
+        return sorted(
+            map(
+                tuple,
+                wh.read_table("t")
+                .groupBy("val")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("amt").alias("sum_amt"),
+                )
+                .collect(),
+            )
+        )
+
+    def stored():
+        return sorted(map(tuple, wh.read_table("rollup").collect()))
+
+    wh.insert_values("t", [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    drain()
+    assert stored() == rescan() == [("a", 2, 30), ("b", 1, 30)]
+
+    # upsert batch: group 'b' dies (delete), 'a' shrinks+grows, 'c' born
+    src = spark.createDataFrame(
+        [(3, None, 0, "D"), (2, "a", 25, "U"), (4, "c", 40, "I")],
+        "id bigint, val string, amt bigint, op string",
+    )
+    wh.merge_into(
+        "t", src, "t.id = s.id",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "set": {"val": "s.val", "amt": "s.amt"},
+             "condition": None},
+        ],
+        not_matched_clauses=[{"condition": None, "values": True}],
+        not_matched_insert=None,
+    )
+    drain()
+    assert stored() == rescan() == [("a", 2, 35), ("c", 1, 40)]
+
+    # replayed frame with the same txn: fenced no-op
+    df, head = ChangelogTail(
+        wh, "t", str(tmp_path / "roll2.ckpt"), mode="cdc"
+    ).poll()
+    r = maintain_rollup(wh, "rollup", df, ["val"], ["amt"], txn=("roll", 1))
+    assert r.get("skipped") is True
+    assert stored() == rescan()
+
+    # a delete emptying another group, multi-snapshot drain
+    wh.delete_from("t", "val = 'c'")
+    wh.update_where("t", {"amt": "amt + 5"}, "id = 2")
+    drain()
+    assert stored() == rescan() == [("a", 2, 40)]
