@@ -87,6 +87,9 @@ _CORE = [
     # graph
     "ann_pq_adc",
     "graph_pagerank_trade",
+    # round-9 debut: KMV distinct sketch — the oracle-checked sibling
+    # of the rows-only HLL estimate
+    "sketch_kmv_distinct",
     # curation / privacy
     "pack_sequences_sharded",
     # remaining join flavors / subquery shapes

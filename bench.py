@@ -114,6 +114,7 @@ HEADLINE = [
     # PageRank over the customer-supplier trade graph
     "ann_pq_adc",
     "graph_pagerank_trade",
+    "sketch_kmv_distinct",
 ]
 
 

@@ -187,6 +187,82 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_BITS = 56  # 14 hex chars -> fits (K-1)*2^56 in BIGINT
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h),
+    reg AS (
+        SELECT event_type,
+               COUNT(*) AS registers,
+               MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk
+        FROM r WHERE rk <= {_KMV_K}
+        GROUP BY event_type)
+    SELECT event_type, CAST(registers AS BIGINT) AS registers,
+           CAST(CASE WHEN registers < {_KMV_K} THEN registers
+                ELSE ({_KMV_K} - 1) * {2 ** _KMV_BITS}
+                     // GREATEST(('0x' || substr(hk, 1, {_KMV_BITS // 4}))::BIGINT, 1)
+           END AS BIGINT) AS est_distinct
+    FROM reg
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch — the DETERMINISTIC,
+    oracle-checked sibling of `approx_distinct_users` (whose HLL++
+    registers are engine-private): per group keep the K smallest md5
+    hashes of the distinct values; the K-th minimum's position in
+    [0, 1) estimates the distinct count as (K-1)/kth_min (Bar-Yossef
+    et al.), computed in pure integer math over the hash's top 56
+    bits. A group with fewer than K distinct values reports exactly.
+
+    100 TB posture: the sketch is MERGEABLE and bounded — the
+    partial WindowGroupLimit ships at most K registers per group per
+    task before the exchange, so the shuffle carries K x groups rows
+    regardless of data volume; everything after operates on the
+    K-register sketch. Relative error ~ 1/sqrt(K-2) = 13% at K=64
+    (floor-tested against the exact count)."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    reg = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("registers"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    # pure INTEGER division (div) — a double divide would round
+    # differently from the oracle's // at 62-bit magnitudes
+    est = F.expr(
+        f"CAST({(_KMV_K - 1) * 2 ** _KMV_BITS} AS BIGINT) div "
+        f"greatest(CAST(conv(substring(hk, 1, {_KMV_BITS // 4}), 16, 10) "
+        f"AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    return reg.select(
+        "event_type",
+        F.col("registers").cast("bigint").alias("registers"),
+        F.when(F.col("registers") < _KMV_K, F.col("registers"))
+        .otherwise(est)
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
 @register(
     "rollup_returnflag",
     oracle="""

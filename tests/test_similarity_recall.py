@@ -75,3 +75,30 @@ def test_ann_pq_adc_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"pq_adc recall {recall:.2f}"
+
+
+def test_kmv_sketch_error_floor(spark, sf_dir):
+    """KMV distinct estimate vs exact: relative error within 3 sigma
+    (~1/sqrt(K-2) = 13% at K=64; groups under K report exactly)."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.relational import (
+        sketch_kmv_distinct,
+        _t,
+    )
+
+    est = {
+        r.event_type: r.est_distinct
+        for r in sketch_kmv_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        rel = abs(est[k] - exact[k]) / exact[k]
+        assert rel <= 0.40, f"{k}: est {est[k]} vs exact {exact[k]} ({rel:.2f})"
