@@ -71,8 +71,9 @@ _CORE = [
     "ann_lsh_bucketed",
     "similarity_pairs_threshold",
     "embedding_gram_matrix",
-    # multimodal (PCM decode; PGM/BMP siblings ride the rotation)
-    "multimodal_audio_rms",
+    # multimodal (round-9 debut: perceptual-hash image dedup; the
+    # PCM/PGM/BMP decode siblings ride the rotation)
+    "multimodal_image_ahash_dedup",
     # round-9 debuts: CDC changelog read (consumer side of the round-8
     # upsert sink), the multi-clause SCD close-out MERGE, the
     # compute_updates changelog relabel, and incremental
@@ -110,6 +111,7 @@ _ROTATION = [
     "knn_label_vote",
     "k_anonymity_report",
     "join_right_segment_spend",
+    "multimodal_audio_rms",
     # demoted from _CORE in round 8 (round-7 debuts, all driver-green
     # in CORRECTNESS_r07; they re-verify round-robin)
     "customer_rfm_segments",

@@ -572,3 +572,166 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(decode, out_schema)
     )
+
+
+_AH_MAXHAM = 3  # pigeonhole-sound: 4 x 16-bit bands catch hamming <= 3
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len,
+                      CAST(64 + (doc_id % 16) * 8 AS INT) AS w,
+                      CAST(64 + (doc_id % 9) * 8 AS INT) AS h
+               FROM documents
+               WHERE length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
+    px AS (SELECT doc_id, text, len, w, h,
+                  unnest(range(0, CAST(w * h AS BIGINT))) AS s
+           FROM d),
+    v AS (SELECT doc_id,
+                 CAST((s // w) // (h // 8) AS INT) AS br,
+                 CAST((s % w) // (w // 8) AS INT) AS bc,
+                 ascii(substring(text, CAST(s % len + 1 AS BIGINT), 1)) AS val
+          FROM px),
+    blocks AS (SELECT doc_id, br, bc, SUM(val) // COUNT(*) AS bv
+               FROM v GROUP BY doc_id, br, bc),
+    thr AS (SELECT doc_id, SUM(bv) // 64 AS t FROM blocks GROUP BY doc_id),
+    bits AS (SELECT b.doc_id, br, bc,
+                    CASE WHEN bv > t THEN 1 ELSE 0 END AS bit
+             FROM blocks b JOIN thr USING (doc_id)),
+    bands AS (SELECT doc_id, CAST(br // 2 AS INT) AS band,
+                     CAST(SUM(bit * (1 << (bc + 8 * (br % 2)))) AS BIGINT)
+                         AS bv
+              FROM bits GROUP BY doc_id, br // 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+    ham AS (SELECT c.a_id, c.b_id,
+                   SUM(bit_count(xor(xa.bv, xb.bv))) AS hamming
+            FROM cand c
+              JOIN bands xa ON xa.doc_id = c.a_id
+              JOIN bands xb ON xb.doc_id = c.b_id AND xb.band = xa.band
+            GROUP BY c.a_id, c.b_id)
+    SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= {_AH_MAXHAM}
+    """,
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection — average-hash (aHash)
+    over the genuine PGM decode path, closing the multimodal↔dedup
+    loop: decode raster → block-average to an 8×8 grid → threshold by
+    the global mean → 64-bit perceptual hash → banded LSH join → exact
+    Hamming verify. Two images whose pixels differ slightly (crop
+    noise, re-encode jitter) land within a few bits; byte-identical
+    payloads collide at hamming 0.
+
+    Candidate generation is pigeonhole-SOUND for the verify threshold:
+    the hash splits into 4 × 16-bit bands, and any pair with hamming
+    ≤ {_AH_MAXHAM} (< 4) must agree exactly on at least one band — no
+    recall loss vs all-pairs. All arithmetic integer (block mean =
+    sum // n, threshold = sum // 64), bit-exact vs the DuckDB oracle.
+
+    Scale shape: the decoder (Arrow-batched mapInPandas, numpy
+    reshape-sum — no per-pixel Python) reduces each image to FOUR
+    16-bit band rows before any shuffle (~w·h : 4 reduction); the
+    candidate join is keyed on (band, value) — 65 536 buckets per
+    band, never all-pairs; the verify re-joins only candidate ids
+    against the 4-row hashes. The same shape as dedup_minhash_det's
+    band join, applied to pixels instead of shingles."""
+    import numpy as np
+    import pandas as pd
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
+    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
+    pgm = d.filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    ).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P5\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.rpad(F.col("text"), w * h, F.col("text")),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bv", T.LongType()),
+        ]
+    )
+
+    def hash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        header = re.compile(rb"^P5\n(\d+) (\d+)\n255\n")
+        for pdf in batches:
+            ids, bands, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                m = header.match(buf)
+                if m is None:
+                    continue
+                iw, ih = int(m.group(1)), int(m.group(2))
+                plane = np.frombuffer(
+                    buf, dtype=np.uint8, count=iw * ih, offset=m.end()
+                )
+                a = plane.reshape(ih, iw).astype(np.int64)
+                bh, bw = ih // 8, iw // 8
+                blocks = a.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+                t = blocks.sum() // 64
+                bits = (blocks > t).astype(np.int64)
+                rowbytes = (bits << np.arange(8)).sum(axis=1)
+                bvals = rowbytes[0::2] + 256 * rowbytes[1::2]
+                ids.extend([doc_id] * 4)
+                bands.extend(range(4))
+                vals.extend(int(x) for x in bvals)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "band": pd.Series(bands, dtype="int32"),
+                 "bv": pd.Series(vals, dtype="int64")}
+            )
+
+    bands_df = pgm.mapInPandas(hash_bands, out_schema)
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+        materialize_once as _mat,
+    )
+
+    bands_df = _mat(bands_df)
+    x = bands_df.select(
+        F.col("doc_id").alias("a_id"), "band", F.col("bv").alias("abv")
+    )
+    y = bands_df.select(
+        F.col("doc_id").alias("b_id"), "band", F.col("bv").alias("bbv")
+    )
+    cand = (
+        x.join(y, (x.band == y.band) & (x.abv == y.bbv) & (x.a_id < y.b_id))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    xa = bands_df.select(
+        F.col("doc_id").alias("a_id"), "band", F.col("bv").alias("abv")
+    )
+    xb = bands_df.select(
+        F.col("doc_id").alias("b_id"), "band", F.col("bv").alias("bbv")
+    )
+    return (
+        cand.join(xa, "a_id")
+        .join(xb, ["b_id", "band"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.bit_count(F.col("abv").bitwiseXOR(F.col("bbv"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= _AH_MAXHAM)
+    )
