@@ -56,7 +56,6 @@ _CORE = [
     "text_vocab_topk",
     "bigram_topk_per_lang",
     "quality_unigram_rarity",
-    "sketch_cms_heavy_hitters",
     # dedup
     "dedup_minhash_det",
     "dedup_simhash_det",
@@ -88,9 +87,11 @@ _CORE = [
     # graph
     "ann_pq_adc",
     "graph_pagerank_trade",
-    # round-9 debut: KMV distinct sketch — the oracle-checked sibling
-    # of the rows-only HLL estimate
+    # round-9 debuts: KMV distinct sketch and mergeable histogram
+    # quantiles — the oracle-checked siblings of the rows-only
+    # HLL / approx-percentile estimates
     "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
     # curation / privacy
     "pack_sequences_sharded",
     # remaining join flavors / subquery shapes
@@ -112,6 +113,7 @@ _ROTATION = [
     "k_anonymity_report",
     "join_right_segment_spend",
     "multimodal_audio_rms",
+    "sketch_cms_heavy_hitters",
     # demoted from _CORE in round 8 (round-7 debuts, all driver-green
     # in CORRECTNESS_r07; they re-verify round-robin)
     "customer_rfm_segments",

@@ -115,6 +115,7 @@ HEADLINE = [
     "ann_pq_adc",
     "graph_pagerank_trade",
     "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
     "multimodal_image_ahash_dedup",
 ]
 

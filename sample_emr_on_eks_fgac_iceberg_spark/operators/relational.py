@@ -263,6 +263,91 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HQ_WIDTH = 400_000  # histogram bucket width in cents ($4,000)
+_HQ_BUCKETS = 128
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    hist AS (
+        SELECT grp,
+               LEAST(cents // {_HQ_WIDTH}, {_HQ_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS cnt
+        FROM c GROUP BY grp, bucket),
+    cum AS (
+        SELECT grp, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY grp) AS n
+        FROM hist)
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST((MIN(CASE WHEN cum >= (n + 1) // 2
+                          THEN bucket END) + 1) * {_HQ_WIDTH} AS BIGINT)
+               AS p50_upper_cents,
+           CAST((MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                          THEN bucket END) + 1) * {_HQ_WIDTH} AS BIGINT)
+               AS p95_upper_cents
+    FROM cum GROUP BY grp
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bucket histogram quantiles — the bounded-state
+    sibling of the exact `percentile_order_prices` / approx t-digest
+    family: order totals (integer cents) drop into {_HQ_BUCKETS} fixed
+    buckets of ${_HQ_WIDTH // 100}, and a quantile is read off the
+    cumulative histogram as the first bucket covering the rank
+    (reported as the bucket's UPPER bound — a guaranteed one-bucket
+    error envelope, floor-tested). Integer end-to-end — bit-exact vs
+    the oracle.
+
+    100 TB posture: the histogram is the canonical mergeable summary —
+    map-side partial counts reduce every partition to ≤ {_HQ_BUCKETS}
+    rows per group before the shuffle, the cumulative window runs over
+    ≤ {_HQ_BUCKETS} rows per group, and re-aggregation across shards /
+    days is plain count addition (exact percentiles need a full sort;
+    approx_percentile's sketch is engine-private — this one is
+    cross-engine deterministic)."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    hist = c.groupBy(
+        "grp",
+        F.least(
+            F.expr(f"cents div {_HQ_WIDTH}"), F.lit(_HQ_BUCKETS - 1)
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("grp").orderBy("bucket")
+    wn = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "bucket",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    p50_pos = F.expr("(n + 1) div 2")
+    p95_pos = F.expr("(95 * n + 99) div 100")
+    return cum.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.min(F.when(F.col("cum") >= p50_pos, F.col("bucket"))) + 1)
+            * _HQ_WIDTH
+        )
+        .cast("bigint")
+        .alias("p50_upper_cents"),
+        (
+            (F.min(F.when(F.col("cum") >= p95_pos, F.col("bucket"))) + 1)
+            * _HQ_WIDTH
+        )
+        .cast("bigint")
+        .alias("p95_upper_cents"),
+    )
+
+
 @register(
     "rollup_returnflag",
     oracle="""

@@ -102,3 +102,58 @@ def test_kmv_sketch_error_floor(spark, sf_dir):
     for k in exact:
         rel = abs(est[k] - exact[k]) / exact[k]
         assert rel <= 0.40, f"{k}: est {est[k]} vs exact {exact[k]} ({rel:.2f})"
+
+
+def test_histogram_quantile_envelope(spark, sf_dir):
+    """The histogram quantile estimate is the covering bucket's upper
+    bound, so the exact percentile lies within one bucket width below
+    it — the guaranteed error envelope."""
+    from pyspark.sql import functions as F
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.relational import (
+        _HQ_WIDTH,
+        sketch_histogram_quantiles,
+        _t,
+    )
+
+    from pyspark.sql.window import Window
+
+    est = {
+        r.grp: (r.p50_upper_cents, r.p95_upper_cents)
+        for r in sketch_histogram_quantiles(spark, sf_dir).collect()
+    }
+    # exact value AT THE SKETCH'S RANK convention (ceil ranks, no
+    # interpolation): the element at rank (n+1)//2 resp. (95n+99)//100
+    c = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = c.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    exact = {
+        r.grp: (r.p50, r.p95)
+        for r in ranked.groupBy("grp")
+        .agg(
+            F.min(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("p50"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.expr("(95 * n + 99) div 100"), F.col("cents")
+                )
+            ).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g in exact:
+        for i in (0, 1):
+            upper, ex = est[g][i], exact[g][i]
+            assert upper - _HQ_WIDTH < ex <= upper, (
+                f"{g} q{i}: exact {ex} outside ({upper - _HQ_WIDTH}, {upper}]"
+            )
