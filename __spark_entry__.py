@@ -48,8 +48,6 @@ _CORE = [
     # temporal joins
     "asof_join_click_purchase",
     "range_join_purchase_followup",
-    # event analytics (funnel)
-    "events_funnel_conversion",
     # UDF / UDAF
     "udf_scalar_charge",
     # text analysis
@@ -92,6 +90,9 @@ _CORE = [
     # HLL / approx-percentile estimates
     "sketch_kmv_distinct",
     "sketch_histogram_quantiles",
+    # round-9 debut: last-touch attribution (as-of join as one window
+    # pass over per-user sequences)
+    "events_attribution_last_touch",
     # curation / privacy
     "pack_sequences_sharded",
     # remaining join flavors / subquery shapes
@@ -107,6 +108,7 @@ _ROTATION = [
     # multi-round similarity greens to keep _CORE ≤ 30
     "semdedup_prune",
     "bigram_mle_doc_score",
+    "events_funnel_conversion",
     "ann_lsh_det",
     "embedding_centroids",
     "knn_label_vote",

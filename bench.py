@@ -117,6 +117,7 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "sketch_histogram_quantiles",
     "multimodal_image_ahash_dedup",
+    "events_attribution_last_touch",
 ]
 
 

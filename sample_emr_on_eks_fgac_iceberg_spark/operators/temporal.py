@@ -885,3 +885,83 @@ def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS lt_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS lt_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conv AS (
+        SELECT CASE WHEN lt_ts IS NOT NULL
+                         AND ts <= lt_ts + INTERVAL {_ATTR_WINDOW_DAYS} DAY
+                    THEN lt_type ELSE 'none' END AS channel,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM conv GROUP BY channel
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click/view by the same user within a {_ATTR_WINDOW_DAYS}-day
+    lookback (ties broken by the global (ts, event_id) event order);
+    purchases with no in-window touch report as 'none'. Revenue is
+    exact integer cents.
+
+    One window pass — the as-of join expressed as last(ignorenulls)
+    over the per-user event sequence, NOT a self-join: at 100 TB the
+    per-user history shuffles once on user_id and every row is touched
+    once, where the naive purchases×touches join fans out per pair.
+    The final rollup is a 5-row hash agg with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_ts").isNotNull()
+            & (
+                F.col("ts")
+                <= F.col("lt_ts") + F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY")
+            ),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
