@@ -47,7 +47,6 @@ _CORE = [
     "fgac_corpus_stats",
     # temporal joins
     "asof_join_click_purchase",
-    "range_join_purchase_followup",
     # UDF / UDAF
     "udf_scalar_charge",
     # text analysis
@@ -56,7 +55,6 @@ _CORE = [
     "quality_unigram_rarity",
     # dedup
     "dedup_minhash_det",
-    "dedup_simhash_det",
     "dedup_embedding_cosine",
     "dedup_connected_components",
     # similarity search (round 8: ann_cosine_topk rewritten as an
@@ -90,9 +88,11 @@ _CORE = [
     # HLL / approx-percentile estimates
     "sketch_kmv_distinct",
     "sketch_histogram_quantiles",
-    # round-9 debut: last-touch attribution (as-of join as one window
-    # pass over per-user sequences)
+    # round-9 debuts: last-touch attribution, path-to-conversion
+    # mining, and seasonal decomposition (scatter/gather MA)
     "events_attribution_last_touch",
+    "events_prepurchase_paths",
+    "orders_seasonal_decomposition",
     # curation / privacy
     "pack_sequences_sharded",
     # remaining join flavors / subquery shapes
@@ -108,6 +108,8 @@ _ROTATION = [
     # multi-round similarity greens to keep _CORE ≤ 30
     "semdedup_prune",
     "bigram_mle_doc_score",
+    "range_join_purchase_followup",
+    "dedup_simhash_det",
     "events_funnel_conversion",
     "ann_lsh_det",
     "embedding_centroids",

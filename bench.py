@@ -118,6 +118,8 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "multimodal_image_ahash_dedup",
     "events_attribution_last_touch",
+    "events_prepurchase_paths",
+    "orders_seasonal_decomposition",
 ]
 
 

@@ -349,6 +349,107 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_seasonal_decomposition",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+               CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS mkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2, 3),
+    contrib AS (
+        SELECT unnest(range(mkey - 6, mkey + 6)) AS tkey, cents FROM m),
+    tr AS (
+        SELECT tkey, COUNT(*) AS n, SUM(cents) AS s
+        FROM contrib GROUP BY tkey),
+    wt AS (
+        SELECT m.year, m.month, m.mkey, m.cents,
+               CASE WHEN tr.n = 12 THEN tr.s // 12 END AS trend
+        FROM m LEFT JOIN tr ON tr.tkey = m.mkey),
+    seas AS (
+        SELECT month, SUM(cents - trend) // COUNT(*) AS seasonal
+        FROM wt WHERE trend IS NOT NULL GROUP BY month)
+    SELECT wt.year, wt.month,
+           wt.cents AS revenue_cents,
+           CAST(wt.trend AS BIGINT) AS trend_cents,
+           CAST(s.seasonal AS BIGINT) AS seasonal_cents,
+           CAST(wt.cents - wt.trend - s.seasonal AS BIGINT) AS residual_cents
+    FROM wt JOIN seas s ON s.month = wt.month
+    WHERE wt.trend IS NOT NULL
+    """,
+)
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly order revenue —
+    trend (centered 12-month moving average), additive seasonal index
+    per calendar month (mean detrended value), residual. Integer cents
+    with truncating division end-to-end — bit-exact cross-engine.
+
+    100 TB posture: the moving average is a SCATTER/GATHER, not a
+    global window — each monthly total (the series is bounded by
+    calendar months, but the repo's plan gate rejects empty-
+    partitionSpec windows categorically) explodes to the 12 target
+    months it contributes to and a hash agg gathers them, so the plan
+    is aggregates + broadcast joins only, no single-partition
+    exchange. The heavy input pass is the one orders scan feeding the
+    monthly rollup with map-side partials."""
+    m = materialize_once(
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn(
+            "mkey", (F.col("year") * 12 + F.col("month") - 1).cast("bigint")
+        )
+    )
+    contrib = m.select(
+        F.explode(
+            F.sequence(F.col("mkey") - 6, F.col("mkey") + 5)
+        ).alias("tkey"),
+        "cents",
+    )
+    tr = contrib.groupBy("tkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    wt = m.join(F.broadcast(tr), m.mkey == tr.tkey, "left").select(
+        "year",
+        "month",
+        "cents",
+        F.when(F.col("n") == 12, F.expr("s div 12")).alias("trend"),
+    )
+    wt = materialize_once(wt)
+    seas = (
+        wt.filter(F.col("trend").isNotNull())
+        .groupBy(F.col("month").alias("s_month"))
+        .agg(
+            F.expr("sum(cents - trend) div count(1)").alias("seasonal")
+        )
+    )
+    # only fully-defined rows: the centered MA needs 12 neighbors, so
+    # the series' first/last months have no trend — emit the complete
+    # decomposition rows (also keeps the driver compare null-free)
+    return wt.filter(F.col("trend").isNotNull()).join(
+        F.broadcast(seas), wt.month == seas.s_month
+    ).select(
+        "year",
+        "month",
+        F.col("cents").alias("revenue_cents"),
+        F.col("trend").cast("bigint").alias("trend_cents"),
+        F.col("seasonal").cast("bigint").alias("seasonal_cents"),
+        (F.col("cents") - F.col("trend") - F.col("seasonal"))
+        .cast("bigint")
+        .alias("residual_cents"),
+    )
+
+
+@register(
     "rollup_returnflag",
     oracle="""
     SELECT l_returnflag, l_linestatus,

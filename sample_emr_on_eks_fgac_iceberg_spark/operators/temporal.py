@@ -965,3 +965,67 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+_PATH_TOP = 20
+
+
+@register(
+    "events_prepurchase_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type, value,
+               LAG(event_type, 1) OVER w AS l1,
+               LAG(event_type, 2) OVER w AS l2,
+               LAG(event_type, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+        SELECT l3 || '>' || l2 || '>' || l1 AS path,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM seq
+        WHERE event_type = 'purchase' AND l3 IS NOT NULL),
+    agg AS (
+        SELECT path, COUNT(*) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM paths GROUP BY path)
+    SELECT path, CAST(n_purchases AS BIGINT) AS n_purchases, revenue_cents
+    FROM agg
+    ORDER BY n_purchases DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def events_prepurchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-to-conversion mining: the exact 3-step event sequence
+    preceding each purchase (per-user event order), rolled up to the
+    top {_PATH_TOP} converting paths with exact integer-cents revenue —
+    'which journeys end in a sale', the product-analytics staple.
+
+    One user-keyed window pass builds the lags (no self-join, every
+    row touched once), the rollup is vocabulary-bounded (|event
+    types|³ paths max), and the top-K is a TakeOrderedAndProject —
+    bounded driver result regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type", 1).over(w).alias("l1"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 3).over(w).alias("l3"),
+    )
+    paths = seq.filter(
+        (F.col("event_type") == "purchase") & F.col("l3").isNotNull()
+    ).select(
+        F.concat_ws(">", "l3", "l2", "l1").alias("path"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy(F.col("n_purchases").desc(), "path")
+        .limit(_PATH_TOP)
+    )
