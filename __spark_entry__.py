@@ -50,8 +50,6 @@ _CORE = [
     # UDF / UDAF
     "udf_scalar_charge",
     # text analysis
-    "text_vocab_topk",
-    "bigram_topk_per_lang",
     "quality_unigram_rarity",
     # dedup
     "dedup_minhash_det",
@@ -93,8 +91,11 @@ _CORE = [
     "events_attribution_last_touch",
     "events_prepurchase_paths",
     "orders_seasonal_decomposition",
-    # curation / privacy
+    # curation / privacy (round-9 debuts: weighted priority sampling +
+    # training-mix rate planning)
     "pack_sequences_sharded",
+    "sample_weighted_priority",
+    "corpus_mix_rates",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
 ]
@@ -110,6 +111,8 @@ _ROTATION = [
     "bigram_mle_doc_score",
     "range_join_purchase_followup",
     "dedup_simhash_det",
+    "text_vocab_topk",
+    "bigram_topk_per_lang",
     "events_funnel_conversion",
     "ann_lsh_det",
     "embedding_centroids",

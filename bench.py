@@ -120,6 +120,8 @@ HEADLINE = [
     "events_attribution_last_touch",
     "events_prepurchase_paths",
     "orders_seasonal_decomposition",
+    "sample_weighted_priority",
+    "corpus_mix_rates",
 ]
 
 

@@ -773,3 +773,144 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("norm")).cast("bigint").alias("min_chars"),
         F.max(F.length("norm")).cast("bigint").alias("max_chars"),
     )
+
+
+_WPS_K = 25  # weighted-priority sample size per language
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   // GREATEST(n_chars, 1) AS priority
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, lang, n_chars, priority,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY priority, doc_id) AS rk
+        FROM keyed)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(priority AS BIGINT) AS priority, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_WPS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield/Lund/Thorup shape): each
+    document draws a deterministic md5-uniform 56-bit key and its
+    PRIORITY is key // weight — dividing by the weight makes heavy
+    (long) documents proportionally likelier to take the smallest
+    priorities, so the per-language top-{_WPS_K} is a
+    probability-proportional-to-size sample that is REPRODUCIBLE
+    across engines, runs, and cluster sizes (pure integer arithmetic;
+    rand()-based weighted sampling is none of those).
+
+    100 TB posture: one scan, no shuffle of document text — only
+    (id, lang, weight, priority) tuples move; the per-language top-K
+    is a partial WindowGroupLimit (≤K rows per task) before the
+    exchange, the same bounded-shuffle shape as sketch_kmv_distinct."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) "
+            "AS BIGINT) div greatest(n_chars, CAST(1 AS BIGINT))"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WPS_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("priority").cast("bigint").alias("priority"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# target corpus shares in parts-per-million, by language tier: a
+# typical training-mix spec (upweight low-resource, cap the head)
+_MIX_TARGET_PPM = {"en": 400_000, "de": 200_000, "fr": 200_000,
+                   "es": 100_000, "it": 100_000}
+_MIX_DEFAULT_PPM = 50_000
+
+
+@register(
+    "corpus_mix_rates",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(lang_tokens) AS total_tokens FROM tok),
+    tgt AS (
+        SELECT lang, lang_tokens,
+               CASE lang
+                   WHEN 'en' THEN 400000 WHEN 'de' THEN 200000
+                   WHEN 'fr' THEN 200000 WHEN 'es' THEN 100000
+                   WHEN 'it' THEN 100000 ELSE {_MIX_DEFAULT_PPM}
+               END AS target_ppm
+        FROM tok)
+    SELECT t.lang, t.lang_tokens, t.target_ppm,
+           CAST(LEAST(1000000,
+                (t.target_ppm * tot.total_tokens) // GREATEST(t.lang_tokens, 1))
+               AS BIGINT) AS rate_ppm,
+           CAST(LEAST(1000000,
+                (t.target_ppm * tot.total_tokens) // GREATEST(t.lang_tokens, 1))
+                * t.lang_tokens // 1000000 AS BIGINT) AS expected_tokens
+    FROM tgt t CROSS JOIN tot
+    """,
+)
+def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: given per-language token inventories and
+    a target mix (ppm shares), compute the per-language SAMPLING RATE
+    (capped at 1) that realizes the target against the total corpus,
+    plus the expected token yield — the arithmetic behind
+    `sample_language_temperature`'s downsampling and every data-mixture
+    spec (upweight low-resource tiers, cap the head). Integer ppm
+    end-to-end: rate = target_share × total // lang_tokens.
+
+    100 TB posture: one corpus scan with map-side token-count
+    partials down to |langs| rows; everything after is arithmetic on
+    the inventory table with the 1-row total as a scalar broadcast —
+    mix planning costs an aggregation, never a second corpus pass."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    tokens = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    ).cast("bigint")
+    tok = d.groupBy("lang").agg(F.sum(tokens).alias("lang_tokens"))
+    tot = tok.agg(F.sum("lang_tokens").alias("total_tokens"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_TARGET_PPM.items()
+        ],
+        F.lit(_MIX_DEFAULT_PPM),
+    )
+    rate = F.expr(
+        "least(CAST(1000000 AS BIGINT), "
+        "(target_ppm * total_tokens) div greatest(lang_tokens, 1))"
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .withColumn("target_ppm", target.cast("bigint"))
+        .withColumn("rate_ppm", rate.cast("bigint"))
+        .select(
+            "lang",
+            F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
+            "target_ppm",
+            "rate_ppm",
+            F.expr("rate_ppm * lang_tokens div 1000000")
+            .cast("bigint")
+            .alias("expected_tokens"),
+        )
+    )
