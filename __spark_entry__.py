@@ -51,9 +51,9 @@ _CORE = [
     "udf_scalar_charge",
     # text analysis
     "quality_unigram_rarity",
-    # dedup
+    # dedup (round-9 debut: affix seam/boilerplate-head detection)
     "dedup_minhash_det",
-    "dedup_embedding_cosine",
+    "dedup_affix_stitch",
     "dedup_connected_components",
     # similarity search (round 8: ann_cosine_topk rewritten as an
     # Arrow-batched GEMM with per-task top-K, embedding_gram_matrix as
@@ -113,6 +113,7 @@ _ROTATION = [
     "dedup_simhash_det",
     "text_vocab_topk",
     "bigram_topk_per_lang",
+    "dedup_embedding_cosine",
     "events_funnel_conversion",
     "ann_lsh_det",
     "embedding_centroids",

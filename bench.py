@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_seasonal_decomposition",
     "sample_weighted_priority",
     "corpus_mix_rates",
+    "dedup_affix_stitch",
 ]
 
 

@@ -1077,3 +1077,85 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.groupBy("label").applyInPandas(
         prune, "vec_id long, label int, is_dup boolean"
     )
+
+
+_AFFIX_W = 12  # words hashed from each end
+
+
+@register(
+    "dedup_affix_stitch",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+        FROM documents),
+    eligible AS (SELECT doc_id, words FROM w
+                 WHERE len(words) >= {2 * _AFFIX_W}),
+    affix AS (
+        SELECT doc_id,
+               md5(array_to_string(words[1:{_AFFIX_W}], ' ')) AS prefix_h,
+               md5(array_to_string(
+                   words[len(words) - {_AFFIX_W} + 1:len(words)], ' '))
+                   AS suffix_h
+        FROM eligible),
+    seams AS (
+        SELECT 'seam' AS kind, a.doc_id AS a_id, b.doc_id AS b_id
+        FROM affix a JOIN affix b
+          ON a.suffix_h = b.prefix_h AND a.doc_id <> b.doc_id),
+    heads AS (
+        SELECT 'head' AS kind, a.doc_id AS a_id, b.doc_id AS b_id
+        FROM affix a JOIN affix b
+          ON a.prefix_h = b.prefix_h AND a.doc_id < b.doc_id)
+    SELECT kind, a_id, b_id FROM seams
+    UNION ALL
+    SELECT kind, a_id, b_id FROM heads
+    """,
+)
+def dedup_affix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-stitching artifact detection: a document whose trailing
+    {_AFFIX_W}-word affix EQUALS another document's leading affix is a
+    split-document seam (one logical text sliced into overlapping
+    shards by a scraper or chunker) — a duplication mode Jaccard misses
+    because the overlap is a tiny fraction of both documents. Pairs
+    SHARING a leading affix ('head') are template/boilerplate starts —
+    the scraped-page preamble screen. Affixes are md5-hashed over the
+    same whitespace normalization as dedup_exact; both joins are
+    hash-keyed.
+
+    100 TB posture: each document reduces to ONE (prefix_h, suffix_h)
+    row in a single scan (array slice in codegen, no explode); the
+    seam join is an equi-join on a 128-bit hash — candidates are true
+    seams plus md5 collisions only, never a fan-out. The docs-ending-
+    like-they-begin self-pair is excluded by id."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    words = F.split(_norm_text(F.col("text")), " ")
+    eligible = d.select("doc_id", words.alias("words")).filter(
+        F.size("words") >= 2 * _AFFIX_W
+    )
+    affix = eligible.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("words", 1, _AFFIX_W))).alias("prefix_h"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("words", F.size("words") - _AFFIX_W + 1, _AFFIX_W)
+            )
+        ).alias("suffix_h"),
+    )
+    affix = materialize_once(affix)
+    sa = affix.select(F.col("doc_id").alias("a_id"), F.col("suffix_h").alias("h"))
+    sb = affix.select(F.col("doc_id").alias("b_id"), F.col("prefix_h").alias("h"))
+    seams = (
+        sa.join(sb, "h")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(F.lit("seam").alias("kind"), "a_id", "b_id")
+    )
+    pa = affix.select(F.col("doc_id").alias("a_id"), F.col("prefix_h").alias("h"))
+    pb = affix.select(F.col("doc_id").alias("b_id"), F.col("prefix_h").alias("h"))
+    heads = (
+        pa.join(pb, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.lit("head").alias("kind"), "a_id", "b_id")
+    )
+    return seams.unionByName(heads)
