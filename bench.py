@@ -189,9 +189,31 @@ def main() -> None:
     # When the two runs disagree badly (compile blip landed in BOTH —
     # observed: 5.8s then 0.6s on a query whose steady state is 0.6s),
     # one extra run resolves which was the blip; bounded extra cost.
+    # Samples: a warm back-to-back PAIR per query (pass 1), then ONE
+    # decoupled sample per query in a second full pass; the reported
+    # number is the min of the three.  Back-to-back samples alone share
+    # the same ~seconds-wide contention window on a shared box, so a
+    # transient interference spike lands in BOTH runs and best-of-N
+    # cannot suppress it — that is exactly the round-9 signature
+    # (doc_ngram_novelty [3.36, 3.61] in both raw runs, ×5 its r8
+    # time, unreproducible in round 10 under fresh-JVM, prefix, and
+    # full-suite re-runs; see PLANS.md "round-10 regression
+    # root-cause").  The second pass decouples its sample by ~30-60 s
+    # of other queries, far wider than the observed interference, while
+    # the pair keeps the warm (codegen/file-listing-cached) steady-state
+    # number that a pure two-pass scheme loses to the cache release
+    # between samples.
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in names:
+
+    def _run_once(name: str) -> float:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - start
+
+    def _pre_query() -> None:
         # release the previous query's localCheckpoint RDDs before
         # timing: materialize_once barriers pin MEMORY_AND_DISK blocks
         # until the Python frame objects are collected and the JVM
@@ -199,19 +221,15 @@ def main() -> None:
         # inflates later queries' GC time
         gc.collect()
         _release_blocks(spark)
-        runs = []
-        for _ in range(2):
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - start)
-        if max(runs) > 1.5 * min(runs):
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - start)
+
+    for name in names:
+        _pre_query()
+        all_runs[name] = [_run_once(name), _run_once(name)]
+    for name in names:
+        _pre_query()
+        all_runs[name].append(_run_once(name))
+    for name in names:
+        runs = all_runs[name]
         timings[name] = round(min(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]
 
