@@ -1093,12 +1093,28 @@ class Warehouse:
             # no row identity -> the spec's OTHER delete kind:
             # positional delete files
             return self._delete_positional(meta, cond)
-        scan = self._scan_live(meta)
+        scan = self._scan_live(meta, with_file=True)
         if scan is None:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
         hit = F.coalesce(cond, F.lit(False))
-        matched = scan.filter(hit).select(*keys).localCheckpoint(eager=False)
-        n = matched.count()
+        matched = (
+            scan.filter(hit)
+            .select(*keys, F.col("__file_path"))
+            .localCheckpoint(eager=False)
+        )
+        # one job: match count + the data files the matched rows live in
+        # (the stand-in for the partition/column bounds Iceberg records
+        # per equality-delete file — used by scans to skip delete files
+        # disjoint from the read file set, and by maintenance to drop
+        # dangling ones). Sound because identifier_fields declare row
+        # identity: the files holding the matched keys ARE the files
+        # this delete can affect (later-sequence files are excluded by
+        # the application's seq guard regardless).
+        row = matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._rel_expr(F.col("__file_path"))).alias("refs"),
+        ).collect()[0]
+        n, refs = int(row["n"]), sorted(row["refs"])
         if n == 0:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
         ddir = self.delete_dir(meta.name)
@@ -1108,7 +1124,9 @@ class Warehouse:
             # key tuples are tiny relative to the data; one file per
             # non-empty task is fine (Iceberg writes per-task delete
             # files too)
-            matched.dropDuplicates(keys).write.mode("append").parquet(ddir)
+            matched.drop("__file_path").dropDuplicates(keys).write.mode(
+                "append"
+            ).parquet(ddir)
             added = self._delete_files_on_disk(meta.name) - before
             self._commit_snapshot(
                 meta,
@@ -1117,6 +1135,7 @@ class Warehouse:
                 added_deletes=added,
                 equality_ids=keys,
                 delete_kinds={f: "equality" for f in added},
+                delete_refs={f: refs for f in added},
             )
         return {"deleted_rows": n, "delete_files": len(added), "mode": "merge-on-read"}
 
@@ -1199,36 +1218,48 @@ class Warehouse:
 
     @staticmethod
     def _delete_refs_from_meta(meta: TableMeta) -> dict[str, frozenset]:
-        """positional delete file → the set of data-relative paths it
-        references (from the committing snapshot's ``delete_refs``).
-        Files with no recorded refs are absent — callers must treat
-        them as may-reference-anything (no pruning)."""
+        """delete file (either kind) → the set of data-relative paths
+        it references (from the committing snapshot's ``delete_refs``:
+        exact file list for positional deletes, matched-key file list
+        for equality deletes). Files with no recorded refs are absent —
+        callers must treat them as may-reference-anything (no
+        pruning)."""
         refs: dict[str, frozenset] = {}
         for s in meta.snapshots:
             for f, r in s.get("delete_refs", {}).items():
                 refs.setdefault(f, frozenset(r))
         return refs
 
+    def _delete_kind(self, name: str, kinds: dict[str, str], f: str) -> str:
+        """Kind of one delete file: the snapshot-log map first, else the
+        parquet-footer sniff (pre-round-9 collapsed base manifests carry
+        no kind map) — a positional delete file has exactly the spec's
+        (file_path, pos) columns. A vacuumed file that the log never
+        classified defaults to 'equality' (nothing left to sniff)."""
+        k = kinds.get(f)
+        if k is None:
+            path = os.path.join(self.delete_dir(name), f)
+            if os.path.exists(path):
+                import pyarrow.parquet as pq
+
+                cols = set(pq.read_schema(path).names)
+                k = "positional" if cols == {"file_path", "pos"} else "equality"
+            else:
+                k = "equality"
+        return k
+
     def _split_delete_kinds(
         self, meta: TableMeta, del_map: dict[str, int]
     ) -> tuple[dict[str, int], dict[str, int]]:
         """(equality, positional) partition of the live delete files.
-        Kind comes from snapshot metadata (``_delete_kinds_from_meta``);
-        a file the log does not classify (pre-round-9 collapsed base
-        manifests) falls back to a parquet-footer sniff — a positional
-        delete file has exactly the spec's (file_path, pos) columns.
+        Kind comes from snapshot metadata (``_delete_kinds_from_meta``)
+        with the footer-sniff fallback (``_delete_kind``).
         Metadata-scale either way."""
         kinds = self._delete_kinds_from_meta(meta)
-        ddir = self.delete_dir(meta.name)
         eq: dict[str, int] = {}
         pos: dict[str, int] = {}
         for f, seq in del_map.items():
-            k = kinds.get(f)
-            if k is None:
-                import pyarrow.parquet as pq
-
-                cols = set(pq.read_schema(os.path.join(ddir, f)).names)
-                k = "positional" if cols == {"file_path", "pos"} else "equality"
+            k = self._delete_kind(meta.name, kinds, f)
             (pos if k == "positional" else eq)[f] = seq
         return eq, pos
 
@@ -2270,20 +2301,28 @@ class Warehouse:
         eq_map, pos_map = (
             self._split_delete_kinds(meta, del_map) if del_map else ({}, {})
         )
-        if pos_map:
-            # scope the positional-delete application (Iceberg scopes
-            # delete files to data files via manifest stats): a delete
-            # file whose recorded refs don't intersect the scanned file
-            # set is skipped — under a sustained CDC-upsert stream the
-            # per-scan delete union stays bounded by the files actually
-            # read, not by total delete history. Unknown refs
-            # (pre-round-9 commits) stay conservatively applied.
+        if pos_map or eq_map:
+            # scope the delete application (Iceberg scopes delete files
+            # to data files via manifest partition/column bounds): a
+            # delete file whose recorded refs don't intersect the
+            # scanned file set is skipped — under a sustained MoR
+            # delete stream the per-scan delete union stays bounded by
+            # the files actually read, not by total delete history.
+            # Positional refs are exact (the delete names its files);
+            # equality refs are the files holding the matched identifier
+            # keys at commit time, sound under the identifier-fields
+            # row-identity contract. Unknown refs (pre-refs commits)
+            # stay conservatively applied.
             refs_map = self._delete_refs_from_meta(meta)
-            pos_map = {
-                f: s
-                for f, s in pos_map.items()
-                if f not in refs_map or not refs_map[f].isdisjoint(files)
-            }
+
+            def _scoped(m: dict[str, int]) -> dict[str, int]:
+                return {
+                    f: s
+                    for f, s in m.items()
+                    if f not in refs_map or not refs_map[f].isdisjoint(files)
+                }
+
+            pos_map, eq_map = _scoped(pos_map), _scoped(eq_map)
         need_pos = with_pos or bool(pos_map)
         scan = self._read_files(
             meta,
@@ -2573,13 +2612,7 @@ class Warehouse:
         for f in sorted(self._live_delete_files(meta)):
             full = os.path.join(ddir, f)
             pf = pq.ParquetFile(full)
-            k = kinds.get(f)
-            if k is None:  # pre-round-9 metadata: footer-sniff fallback
-                k = (
-                    "positional"
-                    if set(pf.schema_arrow.names) == {"file_path", "pos"}
-                    else "equality"
-                )
+            k = self._delete_kind(name, kinds, f)
             kind = "position-deletes" if k == "positional" else "equality-deletes"
             rows.append((kind, f, None, pf.metadata.num_rows, os.path.getsize(full)))
         return self.spark.createDataFrame(
@@ -2685,7 +2718,9 @@ class Warehouse:
         kinds = self._delete_kinds_from_meta(meta)
 
         def _content(f: str) -> str:
-            k = kinds.get(f, "equality")
+            # footer-sniff fallback for pre-round-9 collapsed manifests,
+            # matching what files()/the scan path actually do with them
+            k = self._delete_kind(name, kinds, f)
             return "position-deletes" if k == "positional" else "equality-deletes"
 
         rows = []
@@ -2746,7 +2781,7 @@ class Warehouse:
                 continue
             kind = (
                 "position-deletes"
-                if kinds.get(f) == "positional"
+                if self._delete_kind(name, kinds, f) == "positional"
                 else "equality-deletes"
             )
             rows.append(
@@ -3345,22 +3380,42 @@ class Warehouse:
 
         One snapshot, operation='replace': old positional delete files
         leave the live set (history still reads them), surviving rows
-        commit as new files with fresh refs metadata. Equality deletes
-        are untouched. Cost: one scan of the positional delete rows
-        (delete files are keys-only, metadata-scale relative to data)
-        joined against the live-file list — never a data-file read."""
+        commit as new files with fresh refs metadata. DANGLING equality
+        delete files — those whose recorded matched-key refs no longer
+        intersect the live data-file set (every file they could subtract
+        from was rewritten/expired) — are dropped in the same commit;
+        surviving equality files are NOT compacted (their application
+        is scoped per commit sequence, so merging across sequences
+        would change the seq guard). Cost: one scan of the positional
+        delete rows (delete files are keys-only, metadata-scale
+        relative to data) joined against the live-file list — never a
+        data-file read; the equality side is pure metadata."""
         meta = self._resolve_dml_target(name)
         name = meta.name
         with self._table_lock(name):
             meta = self._read_meta(name)
             del_map = self._live_delete_files(meta)
-            _, pos_map = (
+            eq_map, pos_map = (
                 self._split_delete_kinds(meta, del_map) if del_map else ({}, {})
             )
-            if not pos_map:
-                return {"removed_delete_files": 0, "added_delete_files": 0,
-                        "remaining_rows": 0}
             live = self._live_files(meta)
+            refs_map = self._delete_refs_from_meta(meta)
+            dangling_eq = {
+                f
+                for f in eq_map
+                if f in refs_map and refs_map[f].isdisjoint(live)
+            }
+            if not pos_map:
+                if dangling_eq:
+                    self._commit_snapshot(
+                        meta,
+                        "replace",
+                        added=set(),
+                        removed_deletes=dangling_eq,
+                    )
+                return {"removed_delete_files": len(dangling_eq),
+                        "added_delete_files": 0,
+                        "remaining_rows": 0}
             ddir = self.delete_dir(name)
             raw = self.spark.read.parquet(
                 *(os.path.join(ddir, f) for f in pos_map)
@@ -3396,12 +3451,12 @@ class Warehouse:
                 "replace",
                 added=set(),
                 added_deletes=added,
-                removed_deletes=set(pos_map),
+                removed_deletes=set(pos_map) | dangling_eq,
                 delete_kinds={f: "positional" for f in added},
                 delete_refs={f: refs for f in added},
             )
         return {
-            "removed_delete_files": len(pos_map),
+            "removed_delete_files": len(pos_map) + len(dangling_eq),
             "added_delete_files": len(added),
             "remaining_rows": n,
         }
