@@ -149,6 +149,16 @@ class CommitConflictError(Exception):
     table state and retry; non-overlapping commits succeed on retry."""
 
 
+class _CommitClaimRace(CommitConflictError):
+    """Internal: lost the O_EXCL version-claim race. RETRYABLE — the
+    competing commit advances the base, so re-reading metadata and
+    revalidating can succeed without re-planning (Iceberg's
+    ``commit.retry.num-retries`` behavior for non-conflicting commits).
+    Validation conflicts (planned files no longer live) raise the base
+    class directly and are never auto-retried: the caller must
+    re-plan."""
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -658,7 +668,74 @@ class Warehouse:
             cond = cond & F.col(f"__tgt.{k}").eqNullSafe(F.col(f"__dels.{k}"))
         return t.join(F.broadcast(d), cond, "left_anti").drop("__seq")
 
+    # a claim older than this with no metadata written at its sequence
+    # was abandoned by a crashed committer and may be reclaimed; no
+    # healthy commit's read→claim window approaches this
+    _CLAIM_STALE_S = 300.0
+
+    def _claim_version(self, name: str, seq: int) -> str:
+        """Acquire the O_EXCL metadata-version claim for ``seq``
+        (Iceberg HadoopTableOperations): even without the flock
+        (separate hosts on shared storage), two processes committing
+        from the same base cannot both win — the second O_EXCL create
+        fails and surfaces as a retryable claim race. A claim left by a
+        committer that CRASHED after claiming but before writing
+        metadata (we know none was written: seq was computed as
+        last+1 from a fresh read) is reclaimed once it is older than
+        ``_CLAIM_STALE_S`` — without this, every retry from the
+        unchanged base recomputes the same seq and conflicts forever
+        (ADVICE r9)."""
+        claim = os.path.join(self._meta_dir, f".{name}.commit-{seq}")
+        for _ in range(2):
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return claim
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(claim).st_mtime
+                except FileNotFoundError:
+                    continue  # holder vanished between open and stat: retry
+                if age <= self._CLAIM_STALE_S:
+                    break  # live competing claim — a genuine race
+                try:
+                    os.unlink(claim)  # abandoned: reclaim
+                except FileNotFoundError:
+                    pass
+        raise _CommitClaimRace(
+            f"Concurrent commit already claimed version {seq} of "
+            f"'{name}' — refresh and retry"
+        )
+
     def _commit_snapshot(
+        self,
+        meta: TableMeta,
+        operation: str,
+        added: set[str],
+        *args,
+        **kwargs,
+    ) -> None:
+        """Optimistic commit with bounded auto-retry (Iceberg's
+        ``commit.retry.num-retries``, default 4): each attempt re-reads
+        the on-disk metadata and revalidates, so a commit that only
+        lost the version-claim race — e.g. two concurrent appends,
+        which can never truly conflict — succeeds on a later attempt
+        without caller-side re-planning. Genuine conflicts (planned
+        files no longer live) raise immediately: only re-planning can
+        fix those."""
+        retries = int(meta.properties.get("commit.retry.num-retries", "4"))
+        for attempt in range(retries + 1):
+            try:
+                return self._commit_snapshot_attempt(
+                    meta, operation, added, *args, **kwargs
+                )
+            except _CommitClaimRace:
+                if attempt == retries:
+                    raise
+                # brief backoff: the competing claim holder needs time
+                # to finish writing its metadata before our re-read
+                time.sleep(min(0.05 * (2 ** attempt), 0.5))
+
+    def _commit_snapshot_attempt(
         self,
         meta: TableMeta,
         operation: str,
@@ -672,9 +749,9 @@ class Warehouse:
         delete_kinds: dict[str, str] | None = None,
         delete_refs: dict[str, list[str]] | None = None,
     ) -> None:
-        """Optimistic commit: re-read the on-disk metadata so a
-        concurrent committer's snapshots are not clobbered, then append
-        ours with the next sequence number (Iceberg's
+        """One optimistic-commit attempt: re-read the on-disk metadata
+        so a concurrent committer's snapshots are not clobbered, then
+        append ours with the next sequence number (Iceberg's
         commit-by-swapping-metadata, linearized per table). ``txn``
         stamps the snapshot with a (source_id, batch_id) pair — the
         exactly-once hook streaming sinks key their idempotence on."""
@@ -713,18 +790,39 @@ class Warehouse:
                     f"Commit to '{meta.name}' conflicts with a concurrent "
                     f"commit: delete files {sorted(dgone)[:4]} no longer live"
                 )
-        # O_EXCL metadata-version claim (Iceberg HadoopTableOperations):
-        # even without the flock (separate hosts on shared storage), two
-        # processes committing from the same base cannot both win — the
-        # second O_EXCL create fails and surfaces as a clean conflict.
-        claim = os.path.join(self._meta_dir, f".{meta.name}.commit-{seq}")
+        claim = self._claim_version(meta.name, seq)
         try:
-            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            raise CommitConflictError(
-                f"Concurrent commit already claimed version {seq} of "
-                f"'{meta.name}' — refresh and retry"
-            ) from None
+            self._write_claimed_snapshot(
+                meta, seq, operation, added, removed, txn, added_deletes,
+                removed_deletes, equality_ids, staged, delete_kinds,
+                delete_refs,
+            )
+        except BaseException:
+            # the commit failed AFTER claiming (footer IOError, ENOSPC,
+            # …) and no metadata was written at this seq — release the
+            # claim so a retry from the unchanged base can reclaim it
+            # immediately instead of conflicting forever (ADVICE r9)
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def _write_claimed_snapshot(
+        self,
+        meta: TableMeta,
+        seq: int,
+        operation: str,
+        added: set[str],
+        removed: set[str] | None,
+        txn: tuple[str, int] | None,
+        added_deletes: set[str] | None,
+        removed_deletes: set[str] | None,
+        equality_ids: list[str] | None,
+        staged: bool,
+        delete_kinds: dict[str, str] | None,
+        delete_refs: dict[str, list[str]] | None,
+    ) -> None:
         import pyarrow.parquet as pq
 
         data = self.data_dir(meta.name)
@@ -3340,10 +3438,36 @@ class Warehouse:
         dropped_dels = self._delete_files_on_disk(name) - referenced_dels
         for f in dropped_dels:
             os.remove(os.path.join(ddir, f))
+        self._prune_claims(name, retained[0]["sequence_number"])
         return {
             "expired_snapshots": n_expired,
             "deleted_files": len(dropped) + len(dropped_dels),
         }
+
+    def _prune_claims(self, name: str, base_seq: int) -> None:
+        """Drop version-claim dotfiles for sequences at or below the
+        collapsed base (ADVICE r9: a long-lived streaming table leaves
+        one claim per commit, degrading every os.listdir of the shared
+        metadata dir). Safe: a committer always computes its target
+        sequence as last+1 from a fresh metadata read, so a claim ≤ the
+        base sequence can only be contended by a process whose
+        read→claim window opened before that commit landed — the mtime
+        staleness guard keeps claims younger than _CLAIM_STALE_S."""
+        prefix = f".{name}.commit-"
+        now = time.time()
+        for f in os.listdir(self._meta_dir):
+            if not f.startswith(prefix):
+                continue
+            try:
+                seq = int(f[len(prefix):])
+            except ValueError:
+                continue
+            path = os.path.join(self._meta_dir, f)
+            try:
+                if seq <= base_seq and now - os.stat(path).st_mtime > self._CLAIM_STALE_S:
+                    os.unlink(path)
+            except FileNotFoundError:
+                pass
 
     def remove_orphan_files(self, name: str) -> dict:
         """Iceberg's remove_orphan_files: physically delete data files
