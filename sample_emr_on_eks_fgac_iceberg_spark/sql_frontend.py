@@ -342,6 +342,12 @@ class SqlFrontend:
         self.spark = spark
         self.warehouse = warehouse
         self.policy = policy  # PolicyStore for GRANT/REVOKE statements
+        # CALL system.create_changelog_view registrations: view name →
+        # read_changes kwargs. Materialized lazily into each _query's
+        # scratch session (a stored temp view would not survive the
+        # per-query newSession isolation), so the view always reflects
+        # the CURRENT snapshot range semantics of its registration.
+        self._changelog_views: dict[str, dict] = {}
         # The frontend executes consumer-delegated DML on behalf of
         # SecureSession principals; path relations (``parquet.`/p```)
         # are never a legitimate spelling here — every source the
@@ -835,6 +841,70 @@ class SqlFrontend:
                 [(stats["added_files"], stats["added_records"])],
                 "added_files_count long, added_records_count long",
             )
+        if proc == "create_changelog_view":
+            # Iceberg's SQL front door for the CDC changelog read
+            # (warehouse.read_changes mode='cdc'): registers a named
+            # view over the change frame; SQL then queries it like any
+            # relation. Options mirror Iceberg's: changelog_view,
+            # options map('start-snapshot-id'/'end-snapshot-id'),
+            # compute_updates, identifier_columns, net_changes.
+            view = str(arg("changelog_view", 1, f"{table}_changes")).strip("`")
+            if view in set(self.warehouse.list_tables()):
+                raise ValueError(
+                    f"changelog_view '{view}' collides with a table name"
+                )
+
+            def _bool(v, default=False) -> bool:
+                if v is None:
+                    return default
+                return str(v).strip().lower() == "true"
+
+            start = end = None
+            opts_raw = named.get("options")
+            if opts_raw is not None:
+                om = re.match(r"map\s*\((.*)\)\s*$", str(opts_raw), re.S | re.I)
+                if not om:
+                    raise ValueError("options must be map('k','v', …)")
+                kv = [
+                    p.strip().strip("'")
+                    for p in _split_top_commas(om.group(1))
+                    if p.strip()
+                ]
+                if len(kv) % 2:
+                    raise ValueError("options map needs key/value pairs")
+                omap = dict(zip(kv[::2], kv[1::2]))
+                unknown = set(omap) - {"start-snapshot-id", "end-snapshot-id"}
+                if unknown:
+                    raise ValueError(f"Unknown changelog options {sorted(unknown)}")
+                if "start-snapshot-id" in omap:
+                    start = int(omap["start-snapshot-id"])
+                if "end-snapshot-id" in omap:
+                    end = int(omap["end-snapshot-id"])
+            id_cols = None
+            ic_raw = named.get("identifier_columns")
+            if ic_raw is not None:
+                im = re.match(r"array\s*\((.*)\)\s*$", str(ic_raw), re.S | re.I)
+                if not im:
+                    raise ValueError("identifier_columns must be array('c', …)")
+                id_cols = [
+                    p.strip().strip("'`")
+                    for p in _split_top_commas(im.group(1))
+                    if p.strip()
+                ]
+            spec = dict(
+                name=table,
+                from_snapshot_id=start,
+                to_snapshot_id=end,
+                mode="cdc",
+                compute_updates=_bool(named.get("compute_updates")),
+                identifier_columns=id_cols,
+                net_changes=_bool(named.get("net_changes")),
+            )
+            # validate eagerly: bad table/snapshot/option combinations
+            # fail at CALL time, not at first SELECT
+            self.warehouse.read_changes(**spec)
+            self._changelog_views[view] = spec
+            return self.spark.createDataFrame([(view,)], "changelog_view string")
         if proc == "snapshot":
             # Iceberg argument order: snapshot(source_table, table)
             source = str(named["source_table"]) if "source_table" in named else str(pos[0])
@@ -1188,6 +1258,12 @@ class SqlFrontend:
             query = re.sub(
                 r"\bsystem\.audit_log\b", "`__system_audit_log`", query, flags=re.I
             )
+        # changelog views registered via CALL system.create_changelog_view:
+        # materialize the ones this query references into the scratch
+        # session (manifest-planned CDC read — delta files only)
+        for view, spec in self._changelog_views.items():
+            if re.search(rf"(?<![\w.`]){re.escape(view)}(?![\w.])", query):
+                wh.read_changes(**spec).createOrReplaceTempView(view)
         for name in tables:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
         for name in sorted(tables, key=len, reverse=True):

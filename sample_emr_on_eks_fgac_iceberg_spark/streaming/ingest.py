@@ -256,13 +256,25 @@ def apply_changelog(wh, table: str, changes: DataFrame, keys: list[str], txn=Non
 
     meta_cols = {"_change_type", "_change_ordinal", "_commit_snapshot_id"}
     data_cols = [c for c in changes.columns if c not in meta_cols]
+    # POST-image-wins priority, not lexicographic order: a
+    # compute_updates frame carries update_before/update_after, and
+    # 'update_before' sorts ABOVE 'update_after' lexicographically —
+    # the pre-image would win and the replica would regress to stale
+    # values (ADVICE r9). Priority also normalizes the clauses below:
+    # update_after applies as an update, update_before is inert.
+    post_image = F.col("_change_type").isin("insert", "update_after")
     w = Window.partitionBy(*keys).orderBy(
-        F.col("_change_ordinal").desc(), F.col("_change_type").desc()
+        F.col("_change_ordinal").desc(),
+        F.when(post_image, F.lit(1)).otherwise(F.lit(0)).desc(),
     )
     last = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # a pre-image can only win the window if its update_after twin
+        # is missing (a malformed slice); applying it would regress the
+        # replica — drop it as inert rather than guess
+        .filter(F.col("_change_type") != F.lit("update_before"))
     )
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     return wh.merge_into(
@@ -279,7 +291,7 @@ def apply_changelog(wh, table: str, changes: DataFrame, keys: list[str], txn=Non
         ],
         not_matched_clauses=[
             {
-                "condition": "s._change_type = 'insert'",
+                "condition": "s._change_type IN ('insert', 'update_after')",
                 "values": {c: f"s.{c}" for c in data_cols},
             }
         ],

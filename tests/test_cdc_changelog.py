@@ -429,3 +429,38 @@ def test_streaming_rollup_maintenance_loop(wh, spark, tmp_path):
     wh.update_where("t", {"amt": "amt + 5"}, "id = 2")
     drain()
     assert stored() == rescan() == [("a", 2, 40)]
+
+
+def test_apply_changelog_compute_updates_frame_post_image_wins(wh, spark):
+    """ADVICE r9: a compute_updates frame (update_before/update_after)
+    applied through apply_changelog must land the POST-image —
+    lexicographic _change_type ordering would pick 'update_before' and
+    regress the replica to stale values."""
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+        apply_changelog,
+    )
+
+    _mor_merge_table(wh)
+    wh.set_identifier_fields("t", ["id"])
+    wh.create_table("replica", "id bigint, val string, amt bigint")
+    wh.insert_values("t", [(1, "a", 10), (2, "b", 20)])
+    wh.insert_values("replica", [(1, "a", 10), (2, "b", 20)])
+    s1 = wh.current_snapshot_id("t")
+    wh.update_where("t", {"val": "'b2'", "amt": "25"}, "id = 2")
+    changes = wh.read_changes(
+        "t", from_snapshot_id=s1, mode="cdc", compute_updates=True
+    )
+    assert {r._change_type for r in changes.collect()} == {
+        "update_before", "update_after"
+    }
+    apply_changelog(wh, "replica", changes, ["id"])
+    assert sorted(tuple(r) for r in wh.read_table("replica").collect()) == [
+        (1, "a", 10), (2, "b2", 25)
+    ]
+    # a key ABSENT from the replica upserts from its update_after row
+    wh.create_table("replica2", "id bigint, val string, amt bigint")
+    wh.insert_values("replica2", [(1, "a", 10)])
+    apply_changelog(wh, "replica2", changes, ["id"])
+    assert sorted(tuple(r) for r in wh.read_table("replica2").collect()) == [
+        (1, "a", 10), (2, "b2", 25)
+    ]
