@@ -51,59 +51,61 @@ _CORE = [
     "udf_scalar_charge",
     # text analysis
     "quality_unigram_rarity",
-    # dedup (round-9 debut: affix seam/boilerplate-head detection)
+    # dedup — dedup_affix_stitch CHANGED in round 10 (the head branch
+    # now emits star edges from the min-id exemplar instead of the
+    # quadratic pairwise clique; VERDICT r9 task 6) and must re-verify
     "dedup_minhash_det",
     "dedup_affix_stitch",
     "dedup_connected_components",
-    # similarity search (round 8: ann_cosine_topk rewritten as an
-    # Arrow-batched GEMM with per-task top-K, embedding_gram_matrix as
-    # mapInPandas outer-product partials, and ann_lsh_bucketed
-    # converted from rows-only to fully oracle-checked via integer
-    # milli-unit hyperplane literals — all three re-verify in-window)
+    # similarity search
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "similarity_pairs_threshold",
-    "embedding_gram_matrix",
-    # multimodal (round-9 debut: perceptual-hash image dedup; the
-    # PCM/PGM/BMP decode siblings ride the rotation)
-    "multimodal_image_ahash_dedup",
-    # round-9 debuts: CDC changelog read (consumer side of the round-8
-    # upsert sink), the multi-clause SCD close-out MERGE, the
-    # compute_updates changelog relabel, and incremental
-    # materialized-aggregate maintenance over the changelog
+    # CDC family — the round-10 warehouse changes (equality-delete refs
+    # + scan scoping, commit auto-retry, Observation-folded CoW MERGE
+    # counts, create_changelog_view) all sit under these paths
     "cdc_merge_changelog",
     "merge_scd_close_out",
     "cdc_compute_updates",
     "cdc_net_changes",
     "cdc_incremental_agg_maintenance",
-    # round-9 debuts: product-quantization ANN (code-based family) with
-    # ADC preselect + exact re-rank; integer PageRank over the trade
-    # graph
-    "ann_pq_adc",
+    # CHANGED round 10: size-gated rank join (broadcast under the node
+    # threshold, shuffle hash join beyond; VERDICT r9 task 7)
     "graph_pagerank_trade",
-    # round-9 debuts: KMV distinct sketch and mergeable histogram
-    # quantiles — the oracle-checked siblings of the rows-only
-    # HLL / approx-percentile estimates
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    # round-9 debuts: last-touch attribution, path-to-conversion
-    # mining, and seasonal decomposition (scatter/gather MA)
-    "events_attribution_last_touch",
-    "events_prepurchase_paths",
-    "orders_seasonal_decomposition",
-    # curation / privacy (round-9 debuts: weighted priority sampling +
-    # training-mix rate planning)
+    # curation / privacy
     "pack_sequences_sharded",
-    "sample_weighted_priority",
-    "corpus_mix_rates",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
+    # round-10 debuts: Gopher-style quality rules, tokenizer fertility,
+    # Welch A/B t² (exact-integer accumulators), Gini revenue
+    # concentration (distributed global rank), PCM voice-activity
+    # segments, and the changelog-view SQL surface
+    "quality_gopher_rules",
+    "text_tokenizer_fertility",
+    "stats_ab_welch_t2",
+    "customers_gini_revenue",
+    "multimodal_audio_vad_segments",
+    "cdc_changelog_view_sql",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 10 (round-9 debuts, driver-green in
+    # CORRECTNESS_r09, untouched since; VERDICT r9 task 8) plus two
+    # stable similarity greens — keeps _CORE ≤ ~20 and the rotating
+    # block ≥ 20
+    "multimodal_image_ahash_dedup",
+    "ann_pq_adc",
+    "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
+    "events_attribution_last_touch",
+    "events_prepurchase_paths",
+    "orders_seasonal_decomposition",
+    "sample_weighted_priority",
+    "corpus_mix_rates",
+    "ann_lsh_bucketed",
+    "embedding_gram_matrix",
     # demoted from _CORE in round 9 (round-8 debuts, driver-green in
     # CORRECTNESS_r08; they re-verify round-robin) plus three stable
     # multi-round similarity greens to keep _CORE ≤ 30

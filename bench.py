@@ -123,6 +123,15 @@ HEADLINE = [
     "sample_weighted_priority",
     "corpus_mix_rates",
     "dedup_affix_stitch",
+    # round-10: Gopher quality rules, tokenizer fertility, Welch A/B,
+    # Gini revenue concentration (distributed rank), PCM VAD segments,
+    # changelog-view SQL (fixture builds lazily in the first run)
+    "quality_gopher_rules",
+    "text_tokenizer_fertility",
+    "stats_ab_welch_t2",
+    "customers_gini_revenue",
+    "multimodal_audio_vad_segments",
+    "cdc_changelog_view_sql",
 ]
 
 

@@ -1105,9 +1105,11 @@ _AFFIX_W = 12  # words hashed from each end
         FROM affix a JOIN affix b
           ON a.suffix_h = b.prefix_h AND a.doc_id <> b.doc_id),
     heads AS (
-        SELECT 'head' AS kind, a.doc_id AS a_id, b.doc_id AS b_id
-        FROM affix a JOIN affix b
-          ON a.prefix_h = b.prefix_h AND a.doc_id < b.doc_id)
+        SELECT 'head' AS kind,
+               min(doc_id) OVER (PARTITION BY prefix_h) AS a_id,
+               doc_id AS b_id
+        FROM affix
+        QUALIFY b_id <> a_id)
     SELECT kind, a_id, b_id FROM seams
     UNION ALL
     SELECT kind, a_id, b_id FROM heads
@@ -1118,17 +1120,24 @@ def dedup_affix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_AFFIX_W}-word affix EQUALS another document's leading affix is a
     split-document seam (one logical text sliced into overlapping
     shards by a scraper or chunker) — a duplication mode Jaccard misses
-    because the overlap is a tiny fraction of both documents. Pairs
+    because the overlap is a tiny fraction of both documents. Documents
     SHARING a leading affix ('head') are template/boilerplate starts —
-    the scraped-page preamble screen. Affixes are md5-hashed over the
-    same whitespace normalization as dedup_exact; both joins are
-    hash-keyed.
+    the scraped-page preamble screen — reported as STAR edges (cluster
+    exemplar = the group's min doc_id → each other member), not all
+    pairs: the connected components are identical, output is linear in
+    members, and the exemplar row is the more useful boilerplate
+    report. Affixes are md5-hashed over the same whitespace
+    normalization as dedup_exact.
 
     100 TB posture: each document reduces to ONE (prefix_h, suffix_h)
     row in a single scan (array slice in codegen, no explode); the
     seam join is an equi-join on a 128-bit hash — candidates are true
-    seams plus md5 collisions only, never a fan-out. The docs-ending-
-    like-they-begin self-pair is excluded by id."""
+    seams plus md5 collisions only, never a fan-out. The head branch is
+    one window min per prefix hash (VERDICT r9: the previous pairwise
+    self-join was quadratic on a hot boilerplate prefix — 1 M docs
+    sharing one scraped-page preamble would emit ~5×10^11 pairs; the
+    star form emits 10^6-1 rows). The docs-ending-like-they-begin
+    self-pair is excluded by id."""
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     words = F.split(_norm_text(F.col("text")), " ")
     eligible = d.select("doc_id", words.alias("words")).filter(
@@ -1151,11 +1160,12 @@ def dedup_affix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") != F.col("b_id"))
         .select(F.lit("seam").alias("kind"), "a_id", "b_id")
     )
-    pa = affix.select(F.col("doc_id").alias("a_id"), F.col("prefix_h").alias("h"))
-    pb = affix.select(F.col("doc_id").alias("b_id"), F.col("prefix_h").alias("h"))
+    from pyspark.sql import Window
+
     heads = (
-        pa.join(pb, "h")
-        .filter(F.col("a_id") < F.col("b_id"))
+        affix.select(F.col("doc_id").alias("b_id"), F.col("prefix_h").alias("h"))
+        .withColumn("a_id", F.min("b_id").over(Window.partitionBy("h")))
+        .filter(F.col("b_id") != F.col("a_id"))
         .select(F.lit("head").alias("kind"), "a_id", "b_id")
     )
     return seams.unionByName(heads)

@@ -348,3 +348,39 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+@register(
+    "cdc_changelog_view_sql",
+    oracle="""
+    SELECT ct AS _change_type, CAST(n AS BIGINT) AS n,
+           CAST(amt AS BIGINT) AS total_amt
+    FROM (VALUES ('delete',        1, 30),
+                 ('insert',        1, 40),
+                 ('update_after',  1, 25),
+                 ('update_before', 1, 20)) t(ct, n, amt)
+    """,
+)
+def cdc_changelog_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 SQL front door for the changelog read:
+    CALL system.create_changelog_view (compute_updates +
+    identifier_columns, Iceberg's exact procedure surface) registers a
+    named view over the CDC frame, then plain SQL aggregates it — the
+    delete+insert pair for id=2 relabels to update_before/update_after,
+    the bare delete (id=3) and fresh insert (id=4) keep their kinds.
+    The view re-plans per query from the manifest-planned delta read
+    (sql_frontend.py), so it tracks later commits like Iceberg's."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    wh, snap1 = _cdc_warehouse_for(spark)
+    fe = SqlFrontend(spark, wh)
+    fe.execute(
+        f"CALL system.create_changelog_view(table => '{_CDC_TABLE}', "
+        "changelog_view => 'cdc_events_cl', "
+        f"options => map('start-snapshot-id', '{snap1}'), "
+        "compute_updates => true, identifier_columns => array('id'))"
+    )
+    return fe.execute(
+        "SELECT _change_type, count(*) AS n, sum(amt) AS total_amt "
+        "FROM cdc_events_cl GROUP BY _change_type"
+    )

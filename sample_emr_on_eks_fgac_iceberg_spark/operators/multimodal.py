@@ -15,11 +15,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import QUERIES, register
 from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import fan_out, load_table
 
 MEDIA_TYPES = ("image/png", "image/jpeg", "audio/wav")
@@ -735,3 +735,78 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _AH_MAXHAM)
     )
+
+
+# mean-square energy floor for voice-activity detection: a window is
+# ACTIVE when sum_sq >= _VAD_MSQ * n_samples (integer cross-multiply —
+# never a float mean compare)
+_VAD_MSQ = 650_000_000
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) // 2 AS n_samp
+               FROM documents
+               WHERE octet_length(CAST(text AS BLOB)) = length(text)),
+    i AS (SELECT doc_id, text, unnest(range(0, n_samp)) AS s
+          FROM d WHERE n_samp > 0),
+    samp AS (
+        SELECT doc_id, s,
+               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS val
+        FROM (SELECT doc_id, s,
+                     ascii(substring(text, CAST(2 * s + 1 AS BIGINT), 1))
+                     + 256 * ascii(substring(text, CAST(2 * s + 2 AS BIGINT), 1))
+                         AS v
+              FROM i)),
+    win AS (
+        SELECT doc_id,
+               CAST(s // {_PCM_WINDOW} AS INT) AS window_index,
+               COUNT(*) AS n_samples,
+               SUM(val * val) AS sum_sq,
+               MAX(abs(val)) AS peak
+        FROM samp GROUP BY doc_id, window_index),
+    act AS (
+        SELECT *, window_index
+               - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY window_index) AS island
+        FROM win WHERE sum_sq >= {_VAD_MSQ} * n_samples)
+    SELECT doc_id,
+           CAST(MIN(window_index) AS INT) AS seg_start,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(SUM(sum_sq) AS BIGINT) AS seg_sum_sq,
+           CAST(MAX(peak) AS INT) AS seg_peak
+    FROM act GROUP BY doc_id, island
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over the PCM payloads:
+    windows whose mean-square energy clears the floor are ACTIVE, and
+    consecutive active windows merge into segments (gaps-and-islands) —
+    the speech-region pre-cut an audio curation pipeline runs before
+    transcription, so downstream featurizers read only voiced spans.
+
+    Determinism: the activity verdict is an integer cross-multiply
+    (sum_sq ≥ floor · n_samples) over the exact integer energies the
+    PCM decode emits; segment stats are integer sums.
+
+    Plan shape at 100 TB: the decode is the same Arrow-batched
+    mapInPandas single pass as multimodal_audio_rms (~payload/256 rows
+    out per clip, no shuffle); the islands trick is ONE doc-keyed
+    window (row_number over active windows) and ONE (doc, island) hash
+    agg — per-clip state, no self-join, no global sort."""
+    win = QUERIES["multimodal_audio_rms"](spark, sf_dir)
+    active = win.filter(
+        F.col("sum_sq")
+        >= F.lit(_VAD_MSQ).cast("bigint") * F.col("n_samples").cast("bigint")
+    )
+    w = Window.partitionBy("doc_id").orderBy("window_index")
+    act = active.withColumn(
+        "island", F.col("window_index") - F.row_number().over(w)
+    )
+    return act.groupBy("doc_id", "island").agg(
+        F.min("window_index").cast("int").alias("seg_start"),
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.sum("sum_sq").cast("bigint").alias("seg_sum_sq"),
+        F.max("peak").cast("int").alias("seg_peak"),
+    ).drop("island")

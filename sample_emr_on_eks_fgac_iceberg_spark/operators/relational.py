@@ -2683,3 +2683,190 @@ def monthly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         (F.col("share") - F.lag("share").over(w)).alias("mom_delta"),
     )
+
+
+@register(
+    "stats_ab_welch_t2",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INT) AS variant,
+               CAST(round(value * 100) AS HUGEINT) AS cents
+        FROM events),
+    g AS (
+        SELECT event_type,
+               SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS s_a,
+               SUM(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS s_b,
+               SUM(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS q_a,
+               SUM(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS q_b
+        FROM e GROUP BY event_type),
+    d AS (
+        SELECT event_type,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+               (CAST(q_a AS DOUBLE)
+                - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                   / CAST(n_a - 1 AS DOUBLE) AS v_a,
+               (CAST(q_b AS DOUBLE)
+                - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                   / CAST(n_b - 1 AS DOUBLE) AS v_b
+        FROM g WHERE n_a > 1 AND n_b > 1)
+    SELECT event_type, n_a, n_b,
+           m_a / 100 AS mean_a, m_b / 100 AS mean_b,
+           ((m_a - m_b) * (m_a - m_b))
+               / (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) AS t2,
+           ((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+            * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)))
+               / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))
+                      / CAST(n_a - 1 AS DOUBLE)
+                  + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
+                      / CAST(n_b - 1 AS DOUBLE)) AS welch_df
+    FROM d
+    """,
+)
+def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance A/B test per event type — the squared
+    t statistic plus the Welch–Satterthwaite degrees of freedom, the
+    experimentation readout every event pipeline ships (t² avoids the
+    sqrt, keeping the value a fixed rational expression tree).
+
+    Determinism: value is an exact 2-decimal quantity, so sums ride
+    exact integer cents (DECIMAL(38,0) / HUGEINT — overflow-proof at
+    any corpus size); the float formula is built from those exact
+    integers with +,-,×,÷ only (each IEEE-correctly-rounded, so the
+    identical expression tree is bit-equal across engines — never
+    ln/exp, registry determinism rules).
+
+    Plan shape at 100 TB: ONE conditional-aggregation pass — variant
+    is derived per row, both arms' (n, Σ, Σ²) ride the same
+    event_type-keyed hash agg with map-side partials; no join, no
+    second scan, final math on a handful of rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    a = F.col("variant") == 0
+
+    def both(expr_a, expr_b, na, nb):
+        return [expr_a.alias(na), expr_b.alias(nb)]
+
+    g = e.groupBy("event_type").agg(
+        *both(F.sum(F.when(a, 1).otherwise(0)), F.sum(F.when(~a, 1).otherwise(0)), "n_a", "n_b"),
+        *both(
+            F.sum(F.when(a, F.col("cents")).otherwise(F.lit(0))),
+            F.sum(F.when(~a, F.col("cents")).otherwise(F.lit(0))),
+            "s_a", "s_b",
+        ),
+        *both(
+            F.sum(F.when(a, F.col("cents") * F.col("cents")).otherwise(F.lit(0))),
+            F.sum(F.when(~a, F.col("cents") * F.col("cents")).otherwise(F.lit(0))),
+            "q_a", "q_b",
+        ),
+    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    m_a = dbl("s_a") / dbl("n_a")
+    m_b = dbl("s_b") / dbl("n_b")
+    v_a = (dbl("q_a") - dbl("s_a") * (dbl("s_a") / dbl("n_a"))) / (
+        dbl("n_a") - F.lit(1.0)
+    )
+    v_b = (dbl("q_b") - dbl("s_b") * (dbl("s_b") / dbl("n_b"))) / (
+        dbl("n_b") - F.lit(1.0)
+    )
+    se_a, se_b = v_a / dbl("n_a"), v_b / dbl("n_b")
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (m_a / F.lit(100.0)).alias("mean_a"),
+        (m_b / F.lit(100.0)).alias("mean_b"),
+        (((m_a - m_b) * (m_a - m_b)) / (se_a + se_b)).alias("t2"),
+        (
+            ((se_a + se_b) * (se_a + se_b))
+            / (
+                se_a * se_a / (dbl("n_a") - F.lit(1.0))
+                + se_b * se_b / (dbl("n_b") - F.lit(1.0))
+            )
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "customers_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev),
+    s AS (SELECT COUNT(*) AS n, SUM(cents) AS sx, SUM(i * cents) AS six
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) / 100 AS total_revenue,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+               / CAST(n * sx AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def customers_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) over customers — the 'how top-heavy
+    is the purchasing base' inequality readout, from the exact rank
+    formula gini = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with xᵢ sorted
+    ascending. All sums ride exact integer cents in DECIMAL(38,0) /
+    HUGEINT; gini is ONE division of exact integers.
+
+    Plan shape at 100 TB — the global rank NEVER funnels the data into
+    one partition: the per-customer aggregate range-repartitions on
+    (cents, custkey) (a strict total order: custkey breaks ties), each
+    range partition computes LOCAL row numbers and the local partials
+    (count, Σx, Σ j·x); the global Σ i·xᵢ then folds the K per-partition
+    rows with their cumulative offsets — Σᵢ i·xᵢ = Σₚ (oₚ·Sₚ + Tₚ).
+    The offsets are K driver-held scalars broadcast back
+    (skew.partition_rank_offsets, the ntile_cutpoints pattern) — no
+    single-partition window anywhere in the plan."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        partition_rank_offsets,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    r = rev.repartitionByRange(32, "cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    ranked = r.withColumn("j", F.row_number().over(lw))
+    partials = materialize_once(
+        ranked.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum("cents").alias("s_p"),
+            F.sum(F.col("j").cast("decimal(38,0)") * F.col("cents")).alias("t_p"),
+        )
+    )
+    off = partials.join(
+        F.broadcast(partition_rank_offsets(partials)), "pid"
+    ).withColumn("o_p", F.col("__offset").cast("decimal(38,0)"))
+    s = off.agg(
+        F.sum("n_p").cast("bigint").alias("n"),
+        F.sum("s_p").alias("sx"),
+        F.sum(F.col("o_p") * F.col("s_p") + F.col("t_p")).alias("six"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("sx").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            (F.lit(2).cast("decimal(38,0)") * F.col("six")
+             - (n + F.lit(1)) * F.col("sx")).cast("double")
+            / (n * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )

@@ -204,3 +204,26 @@ def ntile_assign(
             eq = eq & (F.col(c) == F.lit(b[bc]))
         score = score + gt.cast("int")
     return score
+
+
+def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
+                           count_col: str = "n_p") -> "DataFrame":
+    """Cumulative row offsets per range partition — the K-scalar
+    driver-held state (one row per partition, the ntile_cutpoints
+    pattern) that turns per-partition LOCAL row numbers into exact
+    global ranks: global_rank = offset[pid] + local_rank. Returns a
+    broadcastable (pid, __offset) frame; callers join it back instead
+    of running a single-partition cumulative window (the shape the
+    global-window plan gate rejects)."""
+    rows = sorted(
+        (r[pid_col], r[count_col])
+        for r in partials.select(pid_col, count_col).collect()
+    )
+    out, acc = [], 0
+    for p, n in rows:
+        out.append((int(p), acc))
+        acc += int(n)
+    spark = partials.sparkSession
+    return spark.createDataFrame(
+        out or [(0, 0)], f"{pid_col} int, __offset bigint"
+    )

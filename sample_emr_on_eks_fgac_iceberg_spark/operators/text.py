@@ -1033,3 +1033,207 @@ def bigram_mle_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Gopher-style (Rae et al. 2021, public) document-quality rule
+# thresholds — every verdict is an INTEGER cross-multiplication so the
+# pass/fail bits are bit-exact across engines; the reported ratios are
+# single divisions for human eyes only.
+_GQ_MIN_WORDS = 50
+_GQ_MAX_WORDS = 100_000
+_GQ_MWL_MIN, _GQ_MWL_MAX = 3, 10          # mean word length bounds
+_GQ_TOP_SHARE_NUM, _GQ_TOP_SHARE_DEN = 1, 10   # top unigram ≤ 1/10
+_GQ_DUP2_NUM, _GQ_DUP2_DEN = 3, 10             # dup-bigram share ≤ 3/10
+_GQ_MIN_STOP_HITS = 2                          # ≥2 distinct stopwords
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    uni AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               MAX(c) AS top_cnt,
+               SUM(c * length(word)) AS n_word_chars,
+               SUM(CASE WHEN word IN ('the','a','an','and','of','to','is','in','it','that')
+                        THEN 1 ELSE 0 END) AS stop_hits
+        FROM wc GROUP BY doc_id),
+    big AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2 THEN
+                         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END) AS bg
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                       x -> x <> '') AS w
+                    FROM documents))
+        GROUP BY doc_id, bg),
+    bstat AS (SELECT doc_id, SUM(c) AS n_bigrams,
+                     SUM(c) - COUNT(*) AS n_dup_bigrams
+              FROM big GROUP BY doc_id)
+    SELECT u.doc_id,
+           CAST(u.n_words AS BIGINT) AS n_words,
+           CAST(u.n_word_chars AS DOUBLE) / u.n_words AS mean_word_len,
+           CAST(u.top_cnt AS DOUBLE) / u.n_words AS top_unigram_share,
+           CAST(COALESCE(b.n_dup_bigrams, 0) AS DOUBLE)
+               / CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 1
+                      ELSE b.n_bigrams END AS dup_bigram_share,
+           (u.n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}) AS ok_length,
+           (u.n_word_chars >= {_GQ_MWL_MIN} * u.n_words
+            AND u.n_word_chars <= {_GQ_MWL_MAX} * u.n_words) AS ok_word_len,
+           ({_GQ_TOP_SHARE_DEN} * u.top_cnt
+                <= {_GQ_TOP_SHARE_NUM} * u.n_words) AS ok_top_share,
+           ({_GQ_DUP2_DEN} * COALESCE(b.n_dup_bigrams, 0)
+                <= {_GQ_DUP2_NUM} * COALESCE(b.n_bigrams, 0)) AS ok_dup_bigrams,
+           (u.stop_hits >= {_GQ_MIN_STOP_HITS}) AS ok_stopwords,
+           ((u.n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS})
+            AND u.n_word_chars >= {_GQ_MWL_MIN} * u.n_words
+            AND u.n_word_chars <= {_GQ_MWL_MAX} * u.n_words
+            AND {_GQ_TOP_SHARE_DEN} * u.top_cnt <= {_GQ_TOP_SHARE_NUM} * u.n_words
+            AND {_GQ_DUP2_DEN} * COALESCE(b.n_dup_bigrams, 0)
+                <= {_GQ_DUP2_NUM} * COALESCE(b.n_bigrams, 0)
+            AND u.stop_hits >= {_GQ_MIN_STOP_HITS}) AS passes
+    FROM uni u LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rules (the published repetition /
+    length screens an LLM curation pipeline runs before training):
+    word-count bounds, mean-word-length bounds, top-unigram share
+    (hot-word repetition), duplicate-bigram share (phrase repetition),
+    and a distinct-stopword floor, plus a composite ``passes`` verdict.
+
+    Determinism: every verdict compares INTEGERS (cross-multiplied
+    rational thresholds — never a float compare); the reported ratio
+    columns are one division each. Stop-hit counting sums 0/1 per
+    DISTINCT (doc, word) pair, so it needs no second pass.
+
+    Plan shape at 100 TB: one corpus explode → (doc, word) counts →
+    one doc-keyed agg (unigram stats ride the same shuffle), and one
+    bigram explode → (doc, bigram) counts → doc-keyed agg; the final
+    join keys on doc_id. Per-doc state is vocabulary-bounded; nothing
+    is all-pairs and nothing leaves the executors."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+
+    words = d.select("doc_id", F.explode(toks).alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    uni = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.col("c") * F.length("word")).alias("n_word_chars"),
+        F.sum(
+            F.array_contains(stop_arr, F.col("word")).cast("int")
+        ).alias("stop_hits"),
+    )
+
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
+        "ELSE array() END"
+    )
+    bg = (
+        d.select("doc_id", toks.alias("w"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstat = bg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (F.sum("c") - F.count(F.lit(1))).alias("n_dup_bigrams"),
+    )
+
+    j = uni.join(bstat, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup_bigrams"), F.lit(0))
+    ok_length = F.col("n_words").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+    ok_word_len = (F.col("n_word_chars") >= _GQ_MWL_MIN * F.col("n_words")) & (
+        F.col("n_word_chars") <= _GQ_MWL_MAX * F.col("n_words")
+    )
+    ok_top = (
+        _GQ_TOP_SHARE_DEN * F.col("top_cnt")
+        <= _GQ_TOP_SHARE_NUM * F.col("n_words")
+    )
+    ok_dup = _GQ_DUP2_DEN * nd <= _GQ_DUP2_NUM * nb
+    ok_stop = F.col("stop_hits") >= _GQ_MIN_STOP_HITS
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("n_word_chars").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        (F.col("top_cnt").cast("double") / F.col("n_words")).alias(
+            "top_unigram_share"
+        ),
+        (
+            nd.cast("double")
+            / F.when(nb == 0, F.lit(1)).otherwise(nb)
+        ).alias("dup_bigram_share"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_top.alias("ok_top_share"),
+        ok_dup.alias("ok_dup_bigrams"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_top & ok_dup & ok_stop).alias("passes"),
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '')) AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_tokens
+        FROM documents),
+    ok AS (SELECT *, (n_tokens * 1000000) // n_words AS fert_ppm
+           FROM per_doc WHERE n_words > 0)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words) AS fertility,
+           CAST(MIN(fert_ppm) AS BIGINT) AS min_fert_ppm,
+           CAST(MAX(fert_ppm) AS BIGINT) AS max_fert_ppm
+    FROM ok GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word, the token-budget planning number an LLM pipeline
+    needs per corpus slice (high-fertility languages cost more context
+    per word). Corpus fertility is exact integer sums with ONE final
+    division; the per-doc spread rides min/max of an integer ppm ratio
+    (integer div — no float per doc).
+
+    Plan shape: per-row token counting in codegen (regexp_extract_all
+    + size — no explode), then one 5-group hash agg; the shuffle
+    carries one row per doc."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("n_tokens"),
+    ).filter(F.col("n_words") > 0)
+    per_doc = per_doc.withColumn(
+        "fert_ppm", F.expr("(n_tokens * 1000000) div n_words")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.sum("n_words")).alias("fertility"),
+        F.min("fert_ppm").cast("bigint").alias("min_fert_ppm"),
+        F.max("fert_ppm").cast("bigint").alias("max_fert_ppm"),
+    )

@@ -27,6 +27,7 @@ stats; nothing here collects to the driver.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import re
@@ -1129,9 +1130,17 @@ class Warehouse:
         removed: set[str],
         removed_deletes: set[str] | None = None,
         txn: tuple[str, int] | None = None,
+        empty_guard=None,
     ) -> set[str]:
         """Append the rewritten rows as new data files and commit a
-        snapshot that removes the old files from the live set."""
+        snapshot that removes the old files from the live set.
+
+        ``empty_guard``: an ``Observation`` counting the written rows
+        (metric 'n'). When the statement removes nothing and the guard
+        reports zero rows written — an insert-only MERGE that inserted
+        nothing — the write's 0-row debris is unlinked and NO snapshot
+        commits, preserving the statement's historical no-op semantics
+        without a separate pre-count job."""
         aligned = rewritten.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
         )
@@ -1146,6 +1155,15 @@ class Warehouse:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(meta.name))
             added = self._data_files(meta.name) - before
+            if (
+                empty_guard is not None
+                and not removed
+                and not removed_deletes
+                and int(empty_guard.get["n"]) == 0
+            ):
+                for f in added:
+                    os.remove(os.path.join(self.data_dir(meta.name), f))
+                return set()
             self._commit_snapshot(
                 meta, operation, added, removed,
                 removed_deletes=removed_deletes, txn=txn,
@@ -1802,10 +1820,15 @@ class Warehouse:
             i_cls,
             source.columns,
         )
+        # the insert count rides the write job via Observation instead
+        # of a separate count action (VERDICT r9: one fewer pass over
+        # the source per statement; same pattern as the MoR path below)
+        obs = None
         if inserts is not None:
-            stats["inserted_rows"] = inserts.count()
-            if stats["inserted_rows"] == 0:
-                inserts = None
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            inserts = inserts.observe(obs, F.count(F.lit(1)).alias("n"))
 
         if rewritten is not None and inserts is not None:
             out = rewritten.unionByName(inserts)
@@ -1815,7 +1838,9 @@ class Warehouse:
             out = inserts
         else:
             return stats
-        self._rewrite_files(meta, out, "merge", affected, txn=txn)
+        self._rewrite_files(meta, out, "merge", affected, txn=txn, empty_guard=obs)
+        if obs is not None:
+            stats["inserted_rows"] = int(obs.get["n"])
         stats["rewritten_files"] = len(affected)
         return stats
 
@@ -3771,8 +3796,17 @@ class Warehouse:
             }
             added: set[str] = set()
             for rel in rels:
+                # name-dedup probes the DISK too, not just metadata-known
+                # names: an orphan from a crashed write may occupy the
+                # name without any snapshot referencing it (ADVICE r9 —
+                # os.link would EEXIST and a blanket copy2 fallback
+                # would silently overwrite it)
                 dst_rel, i = rel, 0
-                while dst_rel in existing or dst_rel in added:
+                while (
+                    dst_rel in existing
+                    or dst_rel in added
+                    or os.path.exists(os.path.join(data, dst_rel))
+                ):
                     i += 1
                     base, ext = os.path.splitext(rel)
                     dst_rel = f"{base}-import{i}{ext}"
@@ -3780,8 +3814,19 @@ class Warehouse:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
                     os.link(os.path.join(src, rel), dst)
-                except OSError:
-                    shutil.copy2(os.path.join(src, rel), dst)
+                except OSError as e:
+                    if e.errno == errno.EXDEV:
+                        # cross-device import: zero-copy impossible
+                        shutil.copy2(os.path.join(src, rel), dst)
+                    elif e.errno == errno.EEXIST:
+                        # raced onto a name that appeared after the
+                        # probe — extremely narrow, but never overwrite
+                        raise ValueError(
+                            f"add_files: destination {dst_rel} appeared "
+                            "concurrently; retry the import"
+                        ) from e
+                    else:
+                        raise  # EPERM/ENOSPC/…: surface, don't mask as a copy
                 added.add(dst_rel)
             self._commit_snapshot(cur, "append", added=added)
         return {"added_files": len(added), "added_records": n_records}

@@ -111,3 +111,26 @@ def test_add_files_name_collision_uniquified(wh, spark, tmp_path):
     wh.add_files("t", str(src))
     wh.add_files("t", str(src))  # same relpaths again
     assert sorted(r.k for r in wh.read_table("t").collect()) == [1, 1]
+
+
+def test_add_files_skips_orphan_occupied_names(wh, spark, tmp_path):
+    """ADVICE r9: an on-disk orphan (crashed write, no snapshot refs
+    it) occupying the import name must be renamed AROUND, never
+    silently overwritten."""
+    import os
+
+    src = str(tmp_path / "ext")
+    spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    rel = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    wh.create_table("t", "k int, v string")
+    orphan = os.path.join(wh.data_dir("t"), rel)
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"orphan-bytes")
+    stats = wh.add_files("t", src)
+    assert stats["added_files"] == 1
+    with open(orphan, "rb") as f:
+        assert f.read() == b"orphan-bytes", "orphan was overwritten"
+    assert sorted(tuple(r) for r in wh.read_table("t").collect()) == [(1, "a")]

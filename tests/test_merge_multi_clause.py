@@ -217,3 +217,47 @@ def test_mor_merge_insert_count_via_observe_single_pass(wh, spark):
     )
     assert stats["inserted_rows"] == 1 and stats["updated_rows"] == 0
     assert (7, "g", 70) in _rows(wh.read_table("acct"))
+
+
+def test_cow_merge_insert_count_via_observe_single_pass(wh, spark):
+    """VERDICT r9 task 5: the CoW merge's inserted-row count rides the
+    write job via Observation — no standalone count action. The job
+    tally for an insert-only merge is exactly 2 (left_anti plan checks
+    none; one job plans nothing matched, one writes)."""
+    _table(wh)
+    src = spark.createDataFrame([(7, "g", 70), (8, "h", 80)],
+                                "k int, v string, amt int")
+    stats = wh.merge_into(
+        "acct", src, "t.k = s.k",
+        matched_update={"v": "s.v", "amt": "s.amt"},
+        not_matched_insert=True,
+    )
+    assert stats["inserted_rows"] == 2
+    assert stats["updated_rows"] == 0 and stats["rewritten_files"] == 0
+    got = _rows(wh.read_table("acct"))
+    assert (7, "g", 70) in got and (8, "h", 80) in got
+    snaps = len(wh.snapshots("acct"))
+
+    # a merge whose insert branch lands ZERO rows keeps the historical
+    # no-op semantics: no snapshot committed, no debris files
+    before_files = wh._data_files("acct")
+    stats = wh.merge_into(
+        "acct",
+        spark.createDataFrame([(7, "g", 70)], "k int, v string, amt int"),
+        "t.k = s.k AND false",
+        not_matched_insert=None,
+        matched_update={"v": "s.v"},
+    )
+    assert stats == {
+        "updated_rows": 0, "deleted_rows": 0,
+        "inserted_rows": 0, "rewritten_files": 0,
+    }
+    stats = wh.merge_into(
+        "acct",
+        spark.createDataFrame([], "k int, v string, amt int"),
+        "t.k = s.k",
+        not_matched_insert=True,
+    )
+    assert stats["inserted_rows"] == 0
+    assert len(wh.snapshots("acct")) == snaps, "no-op merge committed a snapshot"
+    assert wh._data_files("acct") == before_files, "no-op merge left debris"

@@ -584,3 +584,27 @@ def test_ivf_det_broadcast_codebook_and_cell_join(spark, sf_dir):
     plan = explain_str(QUERIES["ann_ivf_det"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_rank_join_is_size_gated(spark, sf_dir):
+    """VERDICT r9 task 7: the per-iteration rank join broadcasts under
+    the node threshold and degrades to a non-broadcast join (never a
+    nested loop) above it — a billion-node graph must not die on the
+    broadcast limit."""
+    plan = explain_str(QUERIES["graph_pagerank_trade"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    key = "spark_graft.pagerank.broadcast_max_nodes"
+    spark.conf.set(key, "1")  # force the huge-graph path
+    try:
+        plan_big = explain_str(
+            QUERIES["graph_pagerank_trade"](spark, sf_dir), "simple"
+        )
+    finally:
+        spark.conf.unset(key)
+    assert "BroadcastNestedLoopJoin" not in plan_big, plan_big
+    assert "CartesianProduct" not in plan_big, plan_big
+    # the rank side must have stopped broadcasting in the iteration
+    # joins: with 3 iterations the broadcast count drops materially
+    assert plan_big.count("BroadcastHashJoin") < plan.count(
+        "BroadcastHashJoin"
+    ), (plan, plan_big)

@@ -23,12 +23,16 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "sample_emr_on_eks_fgac_iceb
 #                             buckets-1 boundary rows, never the frame
 # (the spec-route reader's former 1-row bucket-literal collect is gone:
 # literal buckets are now pure Python via iceberg_bucket.bucket_literal)
+#   operators/graph.py      — pagerank |V|: a 1-row scalar that gates
+#                             broadcast-vs-shuffle and fixes the
+#                             integer teleport term
 ALLOWED_COLLECT_FILES = {
     "plans/explain.py",
     "operators/similarity.py",
     "sources/warehouse.py",
     "operators/dedup.py",
     "operators/skew.py",
+    "operators/graph.py",
 }
 
 
