@@ -85,6 +85,11 @@ _CORE = [
     "customers_gini_revenue",
     "multimodal_audio_vad_segments",
     "cdc_changelog_view_sql",
+    # round-10 debuts, wave 2: integer power-iteration top-PC (exact
+    # covariance + truncating-div renormalize, bit-equal loadings) and
+    # lift-ranked collocation mining
+    "embedding_top_pc_power_iteration",
+    "bigram_lift_topk",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

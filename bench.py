@@ -132,6 +132,8 @@ HEADLINE = [
     "customers_gini_revenue",
     "multimodal_audio_vad_segments",
     "cdc_changelog_view_sql",
+    "embedding_top_pc_power_iteration",
+    "bigram_lift_topk",
 ]
 
 

@@ -1441,3 +1441,157 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+_PC_SCALE = 1_000_000  # loading fixed-point scale per iteration
+_PC_ITERS = 3
+
+
+def _pc_iter_sql(prev: str, it: int) -> str:
+    """One unrolled integer power-iteration step (matvec + max-abs
+    renormalize) as a CTE triple — HUGEINT keeps every product exact;
+    // TRUNCATES toward zero in DuckDB, and the driver math mirrors
+    that exactly (see tdiv below)."""
+    return f"""
+    u{it} AS (SELECT cov.i AS d, SUM(cov.c * {prev}.v) AS u
+              FROM cov JOIN {prev} ON {prev}.d = cov.j GROUP BY cov.i),
+    m{it} AS (SELECT GREATEST(MAX(abs(u)), 1) AS m FROM u{it}),
+    it{it} AS (SELECT d, (u * {_PC_SCALE}) // m AS v FROM u{it}, m{it})
+    """
+
+
+@register(
+    "embedding_top_pc_power_iteration",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS nd
+               FROM embeddings),
+    q AS (SELECT vec_id, label,
+                 unnest(range(1, nd + 1)) AS d
+          FROM e),
+    x AS (SELECT q.vec_id, q.label, q.d,
+                 CAST(round(CAST(e.embedding[q.d] AS DOUBLE) * 1000)
+                      AS BIGINT) AS x
+          FROM q JOIN e USING (vec_id)),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    g AS (SELECT a.d AS i, b.d AS j,
+                 SUM(CAST(a.x AS HUGEINT) * b.x) AS gij
+          FROM x a JOIN x b USING (vec_id) GROUP BY a.d, b.d),
+    s AS (SELECT d, SUM(CAST(x AS HUGEINT)) AS sx FROM x GROUP BY d),
+    cov AS (SELECT g.i, g.j, n.n * g.gij - si.sx * sj.sx AS c
+            FROM g CROSS JOIN n
+            JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j),
+    it0 AS (SELECT DISTINCT i AS d, CAST({_PC_SCALE} AS HUGEINT) AS v
+            FROM cov),
+    {_pc_iter_sql("it0", 1)},
+    {_pc_iter_sql("it1", 2)},
+    {_pc_iter_sql("it2", 3)}
+    SELECT x.vec_id, x.label,
+           CAST(SUM(CAST(x.x AS HUGEINT) * it{_PC_ITERS}.v) AS BIGINT)
+               AS proj_scaled
+    FROM x JOIN it{_PC_ITERS} ON it{_PC_ITERS}.d = x.d
+    GROUP BY x.vec_id, x.label
+    """,
+)
+def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by {_PC_ITERS}-step power iteration over
+    the EXACT integer covariance matrix, then every vector's projection
+    onto it — the one-number embedding feature a curation pipeline uses
+    for stratified sampling / drift monitoring, and the first step of a
+    whitening transform.
+
+    All-integer determinism (PageRank's recipe applied to linear
+    algebra): embeddings quantize to fixed-point int (×1000, the
+    engine-wide embedding scale); the covariance NUMERATOR n·G−S·Sᵀ is
+    exact (no 1/n division); each iteration is an integer matvec plus a
+    max-abs renormalize with TRUNCATING division (DuckDB's HUGEINT //
+    truncates toward zero; the driver matches it exactly), so loadings and
+    projections are bit-equal across engines with zero float ops.
+
+    Plan shape at 100 TB: the corpus-sized work is ONE mapInPandas
+    pass emitting D² per-batch outer-product partials (numpy XᵀX in
+    BLAS, same shape as embedding_gram_matrix) into a D²-row hash agg;
+    the D×D eigensolve is driver-side Python over 4,096 bounded cells
+    (arbitrary-precision ints — overflow-free at any corpus size), and
+    the projection pass is one broadcast join of the 64-row loading
+    vector against the quantized embeddings. Nothing data-sized hits
+    the driver; nothing all-pairs hits the cluster."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1000).cast("long"),
+        ).alias("xi"),
+    )
+    e = materialize_once(e)
+
+    out_schema = "i int, j int, n_part long, g_part long, s_part long"
+
+    def _partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["xi"]],
+                dtype=np.int64,
+            )
+            d = x.shape[1]
+            g = x.T @ x
+            s = x.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "n_part": np.int64(x.shape[0]),
+                    "g_part": g.ravel(),
+                    # S_i rides the i side; S_j is looked up driver-side
+                    "s_part": s[ii.ravel()],
+                }
+            )
+
+    cells = (
+        e.select("xi")
+        .mapInPandas(_partials, out_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n_part").cast("decimal(38,0)").alias("n"),
+            F.sum("g_part").cast("decimal(38,0)").alias("g"),
+            F.sum("s_part").cast("decimal(38,0)").alias("s_i"),
+        )
+        .collect()  # D² bounded cells — the driver-side eigensolve input
+    )
+    g = {(r["i"], r["j"]): int(r["g"]) for r in cells}
+    # S_i rides every (i, *) row; read it off the diagonal
+    s = {r["i"]: int(r["s_i"]) for r in cells if r["i"] == r["j"]}
+    n = int(cells[0]["n"]) if cells else 0
+    dims = sorted({i for (i, _) in g})
+    cov = {
+        (i, j): n * g[(i, j)] - s[i] * s[j] for i in dims for j in dims
+    }
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero integer division: DuckDB's HUGEINT //
+        # (and Spark's div) truncate, Python's // floors — negatives
+        # would drift by one loading unit otherwise
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = {d: _PC_SCALE for d in dims}
+    for _ in range(_PC_ITERS):
+        u = {i: sum(cov[(i, j)] * v[j] for j in dims) for i in dims}
+        m = max((abs(x) for x in u.values()), default=0) or 1
+        v = {i: tdiv(u[i] * _PC_SCALE, m) for i in dims}
+    loadings = spark.createDataFrame(
+        [(int(d), int(v[d])) for d in dims], "d int, v long"
+    )
+    proj = (
+        e.select("vec_id", "label", F.posexplode("xi").alias("d", "x"))
+        .join(F.broadcast(loadings), "d")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("v")).cast("bigint").alias("proj_scaled"))
+    )
+    return proj

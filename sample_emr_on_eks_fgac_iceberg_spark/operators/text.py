@@ -1237,3 +1237,93 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fert_ppm").cast("bigint").alias("min_fert_ppm"),
         F.max("fert_ppm").cast("bigint").alias("max_fert_ppm"),
     )
+
+
+_LIFT_TOP_K = 20
+_LIFT_MIN_COUNT = 5  # pair-frequency floor before lift is meaningful
+
+
+@register(
+    "bigram_lift_topk",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w
+              WHERE len(w) >= 2)),
+    pair AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+    lhs AS (SELECT w1, SUM(c_xy) AS c_x FROM pair GROUP BY w1),
+    rhs AS (SELECT w2, SUM(c_xy) AS c_y FROM pair GROUP BY w2),
+    t AS (SELECT SUM(c_xy) AS total FROM pair),
+    scored AS (
+        SELECT p.w1, p.w2, p.c_xy,
+               CAST(p.c_xy * t.total AS DOUBLE) / (l.c_x * r.c_y) AS lift
+        FROM pair p JOIN lhs l USING (w1) JOIN rhs r USING (w2)
+        CROSS JOIN t
+        WHERE p.c_xy >= {_LIFT_MIN_COUNT}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank
+        FROM scored)
+    SELECT rank, w1, w2, CAST(c_xy AS BIGINT) AS c_xy, lift
+    FROM ranked WHERE rank <= {_LIFT_TOP_K}
+    """,
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — observed adjacent-pair frequency
+    over the frequency expected if first/second slots were independent
+    (lift = c_xy·T / (c_x·c_y)) — the association score behind phrase
+    and multi-word-expression detection, rank-equivalent to PMI
+    (log is monotone) without the non-correctly-rounded ln() the
+    registry's determinism rules ban. c_xy·T is exact int64 and one
+    division closes it, so the hashed score is bit-equal cross-engine.
+
+    Plan shape at 100 TB: one bigram explode → (w1, w2) counts; the
+    slot marginals REUSE that aggregate (two vocabulary-sized aggs, no
+    second corpus pass); the total rides a 1-row broadcast; the
+    frequency floor prunes before the joins; top-K is
+    TakeOrderedAndProject (per-partition heaps) and the rank window
+    sees only K survivor rows."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), "
+        "          i -> struct(w[i] AS w1, w[i+1] AS w2)) "
+        "ELSE array() END"
+    )
+    pair = materialize_once(
+        d.select(toks.alias("w"))
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    lhs = pair.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    rhs = pair.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    t = pair.agg(F.sum("c_xy").alias("total"))
+    scored = (
+        pair.filter(F.col("c_xy") >= _LIFT_MIN_COUNT)
+        .join(lhs, "w1")
+        .join(rhs, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("total")).cast("double")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(_LIFT_TOP_K)
+    w = Window.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"), "lift"
+    )

@@ -535,6 +535,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "quality_unigram_rarity",  # ranks top-100 vocab rows (text.py _RARITY_VOCAB)
     "bpe_merge_candidates",  # ranks top-30 char pairs (text.py _BPE_TOP_K)
     "sketch_cms_heavy_hitters",  # ranks top-20 heavy hitters (text.py _CMS_TOP)
+    "bigram_lift_topk",  # ranks top-20 collocations (text.py _LIFT_TOP_K)
 }
 
 
