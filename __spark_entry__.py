@@ -90,6 +90,9 @@ _CORE = [
     # lift-ranked collocation mining
     "embedding_top_pc_power_iteration",
     "bigram_lift_topk",
+    # round-10 wave 2: whole-corpus kNN graph (bucketed GEMM, k edges
+    # per member — the SemDeDup/label-propagation substrate)
+    "similarity_knn_graph",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

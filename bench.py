@@ -134,6 +134,7 @@ HEADLINE = [
     "cdc_changelog_view_sql",
     "embedding_top_pc_power_iteration",
     "bigram_lift_topk",
+    "similarity_knn_graph",
 ]
 
 

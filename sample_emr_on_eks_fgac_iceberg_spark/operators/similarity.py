@@ -1595,3 +1595,126 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.sum(F.col("x") * F.col("v")).cast("bigint").alias("proj_scaled"))
     )
     return proj
+
+
+_KNN_GRAPH_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    proj = ",\n               ".join(
+        f"CASE WHEN list_inner_product(fv, {_LSH_COEFS[k]}::DOUBLE[]) > 0 "
+        f"THEN {1 << k} ELSE 0 END AS p{k}"
+        for k in range(_LSH_DET_PLANES)
+    )
+    bucket = " + ".join(f"p{k}" for k in range(_LSH_DET_PLANES))
+    return f"""
+    WITH fx AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS fv
+        FROM embeddings),
+    pr AS (SELECT vec_id, fv, {proj} FROM fx),
+    bk AS (SELECT vec_id, fv, {bucket} AS bucket FROM pr),
+    cand AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(list_inner_product(a.fv::DOUBLE[], b.fv::DOUBLE[]) AS BIGINT)
+                   AS dot_fixed
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT vec_id, neighbor_id, dot_fixed,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dot_fixed DESC, neighbor_id) AS rank
+        FROM cand)
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, dot_fixed
+    FROM ranked WHERE rank <= {_KNN_GRAPH_K}
+    """
+
+
+@register("similarity_knn_graph", oracle=_knn_graph_oracle())
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the whole embedding corpus (every
+    vector gets its top-{_KNN_GRAPH_K} bucket-mates by exact integer dot
+    product) — the substrate SemDeDup-style cluster pruning, label
+    propagation, and connected-component near-dup analyses build on.
+    Same md5-derived deterministic hyperplanes as ann_lsh_det, so both
+    engines assign identical buckets and the graph is bit-reproducible.
+
+    Plan shape at 100 TB: projections in codegen long form (posexplode
+    + broadcast coefficient join + one hash agg — see ann_lsh_det),
+    then ONE bucket-keyed applyInPandas where each bucket runs a numpy
+    X·Xᵀ GEMM and emits only k edges per member — candidates never
+    materialize as join rows, and the per-task memory is the bucket
+    (plane count scales up with corpus size to keep buckets task-sized;
+    the skew knob is the same one every LSH stage here shares). No
+    global sort: ranks are per-bucket, and each vector lives in exactly
+    ONE bucket."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    fx = e.select("vec_id", fv.alias("fv"))
+    coef_rows = [
+        (j, *[_LSH_COEFS[k][j] for k in range(_LSH_DET_PLANES)])
+        for j in range(_LSH_DET_DIM)
+    ]
+    coefs = spark.createDataFrame(
+        coef_rows,
+        "dim int, " + ", ".join(f"c{k} long" for k in range(_LSH_DET_PLANES)),
+    )
+    flat = fx.select("vec_id", "fv", F.posexplode("fv").alias("dim", "v"))
+    projected = (
+        flat.join(F.broadcast(coefs), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.first("fv").alias("fv"),
+            *[
+                F.sum(F.col("v") * F.col(f"c{k}")).alias(f"s{k}")
+                for k in range(_LSH_DET_PLANES)
+            ],
+        )
+    )
+    bucket = sum(
+        (
+            F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(_LSH_DET_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    bk = projected.select("vec_id", "fv", bucket.alias("bucket"))
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in pdf["fv"]], dtype=np.int64
+        )
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "rank": [], "dot_fixed": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64",
+                      "rank": "int32", "dot_fixed": "int64"})
+        d = x @ x.T
+        ids = pdf["vec_id"].to_numpy()
+        rows = {"vec_id": [], "neighbor_id": [], "rank": [], "dot_fixed": []}
+        k = min(_KNN_GRAPH_K, m - 1)
+        for a in range(m):
+            # exclude self; order by (dot desc, neighbor asc) exactly
+            # like the SQL window
+            order = sorted(
+                (b for b in range(m) if b != a),
+                key=lambda b: (-d[a, b], ids[b]),
+            )[:k]
+            for r, b in enumerate(order, 1):
+                rows["vec_id"].append(int(ids[a]))
+                rows["neighbor_id"].append(int(ids[b]))
+                rows["rank"].append(r)
+                rows["dot_fixed"].append(int(d[a, b]))
+        return pd.DataFrame(rows)
+
+    return bk.groupBy("bucket").applyInPandas(
+        topk, "vec_id long, neighbor_id long, rank int, dot_fixed long"
+    )
