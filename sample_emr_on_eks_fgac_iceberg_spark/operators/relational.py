@@ -2724,7 +2724,7 @@ def monthly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(n_a - 1 AS DOUBLE)
                   + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
                       / CAST(n_b - 1 AS DOUBLE)) AS welch_df
-    FROM d
+    FROM d WHERE v_a + v_b > 0
     """,
 )
 def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2777,6 +2777,10 @@ def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl("n_b") - F.lit(1.0)
     )
     se_a, se_b = v_a / dbl("n_a"), v_b / dbl("n_b")
+    # both arms constant → the statistic is undefined (0/0): drop the
+    # group rather than divide by zero (ANSI mode) or fake an infinity.
+    # Exact-integer condition matching the oracle's v_a + v_b > 0.
+    g = g.filter((v_a + v_b) > F.lit(0.0))
     return g.select(
         "event_type",
         F.col("n_a").cast("bigint").alias("n_a"),
