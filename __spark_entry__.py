@@ -93,6 +93,9 @@ _CORE = [
     # round-10 wave 2: whole-corpus kNN graph (bucketed GEMM, k edges
     # per member — the SemDeDup/label-propagation substrate)
     "similarity_knn_graph",
+    # round-10 wave 3: CUSUM drift detection (window-transform of the
+    # textbook recursion, integer-exact)
+    "events_cusum_changepoint",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -135,6 +135,7 @@ HEADLINE = [
     "embedding_top_pc_power_iteration",
     "bigram_lift_topk",
     "similarity_knn_graph",
+    "events_cusum_changepoint",
 ]
 
 

@@ -1029,3 +1029,118 @@ def events_prepurchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_purchases").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# CUSUM drift detection: slack k and alarm threshold h in COUNTS per
+# hour (integer units, cleared of the mean division below)
+_CUSUM_SLACK = 1
+_CUSUM_H = 12
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, hr),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n, SUM(c) AS total
+        FROM hourly GROUP BY event_type),
+    dev AS (
+        SELECT h.event_type, h.hr,
+               -- n·(x − mean − k) with the mean division cleared:
+               -- d = n·x − total − n·k  (exact integers)
+               t.n * h.c - t.total - t.n * {_CUSUM_SLACK} AS d,
+               t.n AS n
+        FROM hourly h JOIN tot t USING (event_type)),
+    pfx AS (
+        SELECT event_type, hr, n,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev),
+    cusum AS (
+        SELECT event_type, hr, n, p,
+               MIN(p) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS minpre
+        FROM pfx),
+    -- S_t = max(0, P_t - min(P_0..P_(t-1))) with P_0 = 0: the LEAST
+    -- against 0 is the P_0 term (all-positive prefixes must NOT be
+    -- reduced by their own minimum)
+    s AS (SELECT event_type, hr, n,
+                 GREATEST(p - LEAST(COALESCE(minpre, 0), 0), 0) AS s
+          FROM cusum)
+    SELECT event_type,
+           MIN(hr) FILTER (WHERE s >= n * {_CUSUM_H}) AS first_alarm_hr,
+           CAST(MAX(s) AS BIGINT) AS peak_s_scaled,
+           CAST(COUNT(*) FILTER (WHERE s >= n * {_CUSUM_H}) AS BIGINT)
+               AS n_alarm_hours
+    FROM s GROUP BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over each event type's
+    hourly volume — the drift monitor a feed pipeline runs to catch a
+    rate shift (bot burst, schema break upstream) the per-bucket z-test
+    misses because CUSUM accumulates small sustained deviations.
+
+    The textbook recursion S_t = max(0, S_(t-1) + x_t − μ − k) is NOT a
+    plain window sum, but it equals max(0, P_t − min(0, P_(<t))) for
+    the prefix sums P of the deviations — so it runs as TWO stacked windows
+    (running sum, then running min), no recursion, no UDF. Every term
+    is cleared of the mean division (d = n·x − total − n·k, exact
+    integers), so alarms compare integers and the peak statistic is
+    bit-equal cross-engine.
+
+    Plan shape at 100 TB: the windows run over the HOURLY ROLLUP
+    (vocabulary × time rows, partitioned by event_type), never raw
+    events; the rollup itself is one hash agg with map-side partials.
+    Monitoring thousands of types = thousands of independent window
+    partitions."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    dev = hourly.join(tot, "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (
+            F.col("n") * F.col("c") - F.col("total")
+            - F.col("n") * F.lit(_CUSUM_SLACK)
+        ).alias("d"),
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wmin = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx = dev.withColumn("p", F.sum("d").over(wsum))
+    # S_t = max(0, P_t − min(P_0..P_(t-1))), P_0 = 0 — the least()
+    # against 0 carries the P_0 term so all-positive prefixes are not
+    # reduced by their own minimum
+    cusum = pfx.withColumn("minpre", F.min("p").over(wmin))
+    s = cusum.withColumn(
+        "s",
+        F.greatest(
+            F.col("p")
+            - F.least(F.coalesce(F.col("minpre"), F.lit(0)), F.lit(0)),
+            F.lit(0),
+        ),
+    )
+    alarm = F.col("s") >= F.col("n") * F.lit(_CUSUM_H)
+    return s.groupBy("event_type").agg(
+        F.min(F.when(alarm, F.col("hr"))).alias("first_alarm_hr"),
+        F.max("s").cast("bigint").alias("peak_s_scaled"),
+        F.sum(alarm.cast("int")).cast("bigint").alias("n_alarm_hours"),
+    )

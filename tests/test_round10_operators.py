@@ -154,3 +154,46 @@ def test_vad_segments_cover_only_active_windows(spark, tmp_path):
     )
     assert len(segs) == 2, segs
     assert segs[0][0] == 0 and segs[1][0] > segs[0][1]
+
+
+def test_cusum_matches_textbook_recursion(spark, tmp_path):
+    """The window-transform CUSUM (P_t − min(0, P_<t)) must equal the
+    textbook recursion S_t = max(0, S_(t-1) + x_t − μ − k) — a bug both
+    the Spark and oracle sides would SHARE, so parity can't catch it."""
+    import datetime as dt
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
+        _CUSUM_H,
+        _CUSUM_SLACK,
+        events_cusum_changepoint,
+    )
+
+    counts = [3, 3, 3, 9, 9, 9, 9, 1, 1, 12]  # shift up, dip, spike
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, h), eid, "t", 1.0, "{}")
+            )
+            eid += 1
+    sf = _sf(spark, tmp_path, events=(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ))
+    got = events_cusum_changepoint(spark, sf).collect()[0]
+
+    n, total = len(counts), sum(counts)
+    s, peak, alarms, first = 0, 0, 0, None
+    for h, c in enumerate(counts):
+        d = n * c - total - n * _CUSUM_SLACK
+        s = max(0, s + d)
+        peak = max(peak, s)
+        if s >= n * _CUSUM_H:
+            alarms += 1
+            if first is None:
+                first = dt.datetime(2024, 1, 1, h)
+    assert got.peak_s_scaled == peak
+    assert got.n_alarm_hours == alarms
+    assert got.first_alarm_hr == first
