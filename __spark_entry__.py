@@ -96,6 +96,9 @@ _CORE = [
     # round-10 wave 3: CUSUM drift detection (window-transform of the
     # textbook recursion, integer-exact)
     "events_cusum_changepoint",
+    # round-10 wave 3: MinHash estimator-calibration report (est vs
+    # exact Jaccard per candidate pair, decile-bucketed, integer ppm)
+    "dedup_minhash_calibration",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -136,6 +136,7 @@ HEADLINE = [
     "bigram_lift_topk",
     "similarity_knn_graph",
     "events_cusum_changepoint",
+    "dedup_minhash_calibration",
 ]
 
 

@@ -1169,3 +1169,164 @@ def dedup_affix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("head").alias("kind"), "a_id", "b_id")
     )
     return seams.unionByName(heads)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(t) - {SHINGLE_N - 1}),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= {SHINGLE_N}),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    seeded AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+        FROM ex, (SELECT unnest(range({_MH_SEEDS})) AS seed)),
+    sigs AS (SELECT doc_id, seed, min(h) AS sig
+             FROM seeded GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, CAST(seed // {_MH_ROWS} AS INT) AS band,
+                     md5(string_agg(sig, ',' ORDER BY seed)) AS bsig
+              FROM sigs GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bsig = y.bsig
+                  AND x.doc_id < y.doc_id),
+    matches AS (
+        SELECT c.a_id, c.b_id,
+               SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS m
+        FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.a_id
+          JOIN sigs sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+        GROUP BY c.a_id, c.b_id),
+    exact AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS inter,
+               MIN(ea.n) + MIN(eb.n) - COUNT(*) AS un
+        FROM cand c
+          JOIN ex ea ON ea.doc_id = c.a_id
+          JOIN ex eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+        GROUP BY c.a_id, c.b_id),
+    pair AS (
+        SELECT m.a_id,
+               (m.m * 1000000) // {_MH_SEEDS} AS est_ppm,
+               (COALESCE(e.inter, 0) * 1000000)
+                   // COALESCE(e.un, 1) AS exact_ppm,
+               (COALESCE(e.inter, 0) * 10) // COALESCE(e.un, 1) AS decile
+        FROM matches m LEFT JOIN exact e USING (a_id, b_id))
+    SELECT CAST(decile AS INT) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_ppm) AS DOUBLE) / COUNT(*) AS mean_est_ppm,
+           CAST(SUM(exact_ppm) AS DOUBLE) / COUNT(*) AS mean_exact_ppm,
+           CAST(SUM(abs(est_ppm - exact_ppm)) AS DOUBLE) / COUNT(*)
+               AS mean_abs_err_ppm,
+           CAST(MAX(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM pair GROUP BY decile
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration report for the MinHash pipeline: on every
+    LSH candidate pair, the signature-match Jaccard estimate (m/K)
+    against the EXACT shingle Jaccard, bucketed by exact-Jaccard decile
+    — the evidence a dedup rollout needs before trusting the estimate
+    as a dedup verdict (how biased is m/K in the operating range, and
+    how fat are the tails). Everything is integer ppm (one integer div
+    per ratio), so the report is bit-equal cross-engine; the means are
+    single divisions of exact sums.
+
+    Plan shape at 100 TB: identical candidate generation to
+    dedup_minhash_det (banded LSH join — never all-pairs); the match
+    count is a (pair, seed)-keyed join of the signature LONG form (K
+    rows per doc, K fixed); the exact side reuses the shingle index
+    join the verify stage already pays. Output is ≤ 11 decile rows."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    ex = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", _shingles("t").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+    )
+    ex = materialize_once(ex)
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
+        for i in range(_MH_SEEDS)
+    ]
+    sigs = materialize_once(ex.groupBy("doc_id").agg(*sig_cols))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"sig{k * _MH_ROWS + i}") for i in range(_MH_ROWS)]
+            )
+        ).alias(f"b{k}")
+        for k in range(_MH_SEEDS // _MH_ROWS)
+    ]
+    bands = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{k}") for k in range(_MH_SEEDS // _MH_ROWS)])
+        ).alias("band", "bsig"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # signature match count from the wide columns — per-pair fixed work
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(_MH_SEEDS)])
+    sa = sigs.select(F.col("doc_id").alias("a_id"), sig_arr.alias("ga"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), sig_arr.alias("gb"))
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("ga"), F.col("gb"), lambda a, b: a == b),
+            lambda eq: eq,
+        )
+    )
+    matches = cand.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id", "b_id", m.alias("m")
+    )
+    ea = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "s")
+    exact = (
+        cand.join(ea, "a_id")
+        .join(eb, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            (F.min("n_a") + F.min("n_b") - F.count(F.lit(1))).alias("un"),
+        )
+    )
+    pair = matches.join(exact, ["a_id", "b_id"], "left").select(
+        F.expr(f"(m * 1000000) div {_MH_SEEDS}").alias("est_ppm"),
+        F.expr("(coalesce(inter, 0) * 1000000) div coalesce(un, 1)").alias(
+            "exact_ppm"
+        ),
+        F.expr("(coalesce(inter, 0) * 10) div coalesce(un, 1)")
+        .cast("int")
+        .alias("jaccard_decile"),
+    )
+    err = F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    return pair.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.sum("est_ppm").cast("double") / F.count(F.lit(1))).alias(
+            "mean_est_ppm"
+        ),
+        (F.sum("exact_ppm").cast("double") / F.count(F.lit(1))).alias(
+            "mean_exact_ppm"
+        ),
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias(
+            "mean_abs_err_ppm"
+        ),
+        F.max(err).cast("bigint").alias("max_abs_err_ppm"),
+    )
