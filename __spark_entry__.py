@@ -47,10 +47,6 @@ _CORE = [
     "fgac_corpus_stats",
     # temporal joins
     "asof_join_click_purchase",
-    # UDF / UDAF
-    "udf_scalar_charge",
-    # text analysis
-    "quality_unigram_rarity",
     # dedup — dedup_affix_stitch CHANGED in round 10 (the head branch
     # now emits star edges from the min-id exemplar instead of the
     # quadratic pairwise clique; VERDICT r9 task 6) and must re-verify
@@ -59,7 +55,6 @@ _CORE = [
     "dedup_connected_components",
     # similarity search
     "ann_cosine_topk",
-    "similarity_pairs_threshold",
     # CDC family — the round-10 warehouse changes (equality-delete refs
     # + scan scoping, commit auto-retry, Observation-folded CoW MERGE
     # counts, create_changelog_view) all sit under these paths
@@ -71,8 +66,6 @@ _CORE = [
     # CHANGED round 10: size-gated rank join (broadcast under the node
     # threshold, shuffle hash join beyond; VERDICT r9 task 7)
     "graph_pagerank_trade",
-    # curation / privacy
-    "pack_sequences_sharded",
     # remaining join flavors / subquery shapes
     "lateral_top_nations_per_region",
     # round-10 debuts: Gopher-style quality rules, tokenizer fertility,
@@ -105,10 +98,16 @@ _CORE = [
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 10 (stable multi-round greens whose
+    # permanent slots squeezed the rotating block below 20 once the 12
+    # round-10 debuts joined core; VERDICT r9 task 8)
+    "udf_scalar_charge",
+    "quality_unigram_rarity",
+    "similarity_pairs_threshold",
+    "pack_sequences_sharded",
     # demoted from _CORE in round 10 (round-9 debuts, driver-green in
     # CORRECTNESS_r09, untouched since; VERDICT r9 task 8) plus two
-    # stable similarity greens — keeps _CORE ≤ ~20 and the rotating
-    # block ≥ 20
+    # stable similarity greens — keeps the rotating block ≥ 20
     "multimodal_image_ahash_dedup",
     "ann_pq_adc",
     "sketch_kmv_distinct",
