@@ -92,6 +92,8 @@ _CORE = [
     # round-10 wave 3: MinHash estimator-calibration report (est vs
     # exact Jaccard per candidate pair, decile-bucketed, integer ppm)
     "dedup_minhash_calibration",
+    # round-10 wave 3: header/detail reconciliation audit
+    "orders_lineitem_reconciliation",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -137,6 +137,7 @@ HEADLINE = [
     "similarity_knn_graph",
     "events_cusum_changepoint",
     "dedup_minhash_calibration",
+    "orders_lineitem_reconciliation",
 ]
 
 

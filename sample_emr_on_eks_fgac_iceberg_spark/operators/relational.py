@@ -2874,3 +2874,95 @@ def customers_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.col("sx")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "orders_lineitem_reconciliation",
+    oracle="""
+    WITH line AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+               ) AS HUGEINT)) AS line_cents
+        FROM lineitem GROUP BY l_orderkey),
+    o AS (
+        SELECT o.o_orderstatus,
+               CAST(round(o.o_totalprice * 100) AS HUGEINT) AS head_cents,
+               l.line_cents
+        FROM orders o LEFT JOIN line l ON l.l_orderkey = o.o_orderkey),
+    d AS (
+        SELECT o_orderstatus,
+               line_cents IS NULL AS orphan,
+               COALESCE(head_cents - line_cents, 0) AS delta
+        FROM o)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_orders,
+           CAST(SUM(CASE WHEN NOT orphan AND abs(delta) > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(SUM(delta) AS DOUBLE) / 100 AS total_drift,
+           CAST(MAX(abs(delta)) AS DOUBLE) / 100 AS max_abs_drift
+    FROM d GROUP BY o_orderstatus
+    """,
+)
+def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation audit — per order status, how far
+    `o_totalprice` drifts from the lineitem-derived total
+    Σ extprice·(1−disc)·(1+tax), plus headers with NO detail rows —
+    the data-quality gate a warehouse runs before trusting a feed
+    (and a useful property of THIS synthetic corpus: every order
+    drifts, which the report quantifies instead of hiding).
+
+    Determinism: the per-line money value is ONE fixed float
+    expression tree over the raw doubles (each *, correctly rounded
+    IEEE, so bit-equal cross-engine) rounded to integer cents; all
+    sums are exact HUGEINT/DECIMAL(38,0) cents; the reported drift is
+    a single final division.
+
+    Plan shape at 100 TB: one lineitem agg keyed l_orderkey (map-side
+    partials), one LEFT join to the (smaller) orders head — both sides
+    key-partitioned, no window, final agg is status-keyed (handful of
+    groups)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+            * F.lit(100.0)
+        )
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    line = l.groupBy("l_orderkey").agg(F.sum("cents").alias("line_cents"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias(
+            "head_cents"
+        ),
+    )
+    d = o.join(line, o.o_orderkey == line.l_orderkey, "left").select(
+        "o_orderstatus",
+        F.col("line_cents").isNull().alias("orphan"),
+        F.coalesce(
+            F.col("head_cents") - F.col("line_cents"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("delta"),
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("orphan").cast("int")).cast("bigint").alias(
+            "n_orphan_orders"
+        ),
+        F.sum(
+            (~F.col("orphan") & (F.abs("delta") > 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        (F.sum("delta").cast("double") / F.lit(100.0)).alias("total_drift"),
+        (F.max(F.abs("delta")).cast("double") / F.lit(100.0)).alias(
+            "max_abs_drift"
+        ),
+    )

@@ -477,3 +477,47 @@ def test_expire_snapshots_prunes_old_claims(wh):
     left = [f for f in os.listdir(wh._meta_dir) if f.startswith(".t.commit-")]
     assert left == [], f"claims not pruned: {left}"
     assert len(_rows(wh.read_table("t"))) == 4
+
+
+# --------------------------- randomized writer interleaving (round 10)
+def test_randomized_interleaved_writers_converge(wh, spark, tmp_path):
+    """Property: a seeded random interleaving of append / MoR-delete /
+    maintenance operations from TWO Warehouse instances (same table)
+    produces exactly the rows a serial dict-model predicts — commits
+    auto-retry claim races, validation conflicts abort cleanly, and no
+    update is ever lost."""
+    import random
+
+    rng = random.Random(1234)
+    wh.create_table("t", "k int, v string, p int")
+    wh.set_identifier_fields("t", ["k"])
+    wh.set_delete_mode("t", "merge-on-read")
+    other = Warehouse(spark, str(tmp_path / "wh"))
+    writers = [wh, other]
+    model: dict[int, tuple] = {}
+    next_k = 0
+    for step in range(14):
+        w = writers[rng.randrange(2)]
+        op = rng.choice(["insert", "insert", "delete", "maint"])
+        if op == "insert":
+            rows = [
+                (next_k + i, f"s{step}", (next_k + i) % 3) for i in range(3)
+            ]
+            next_k += 3
+            w.insert_values("t", rows)
+            for r in rows:
+                model[r[0]] = r
+        elif op == "delete" and model:
+            k = rng.choice(sorted(model))
+            w.delete_from("t", f"k = {k}")
+            del model[k]
+        elif op == "maint":
+            if rng.random() < 0.5:
+                w.rewrite_position_delete_files("t")
+            else:
+                w.expire_snapshots("t", keep_last=3)
+    got = sorted(tuple(r) for r in wh.read_table("t").collect())
+    assert got == sorted(model.values())
+    # the other instance (fresh metadata read) agrees
+    got2 = sorted(tuple(r) for r in other.read_table("t").collect())
+    assert got2 == got
