@@ -140,9 +140,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one-time src partitioning: every iteration's join reuses it,
         # so only the (small) rank side shuffles per step
         edges = materialize_once(edges.repartition("src"))
-    teleport = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_nodes)
+    # empty graph: deg has no rows — short-circuit before the integer
+    # divisions (the lazy Spark-side formulation returned empty too)
+    n_div = max(n_nodes, 1)
+    teleport = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_div)
     ranks = deg.select(
-        "node", "deg", F.lit(_PR_SCALE // n_nodes).cast("bigint").alias("r")
+        "node", "deg", F.lit(_PR_SCALE // n_div).cast("bigint").alias("r")
     )
     for _ in range(_PR_ITERS):
         contrib = (

@@ -1558,9 +1558,12 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
         .mapInPandas(_partials, out_schema)
         .groupBy("i", "j")
         .agg(
-            F.sum("n_part").cast("decimal(38,0)").alias("n"),
-            F.sum("g_part").cast("decimal(38,0)").alias("g"),
-            F.sum("s_part").cast("decimal(38,0)").alias("s_i"),
+            # widen BEFORE the sum: the per-batch partials are int64,
+            # but their corpus-wide sums are not (long hash-agg state
+            # would overflow exactly where 'overflow-free' is claimed)
+            F.sum(F.col("n_part").cast("decimal(38,0)")).alias("n"),
+            F.sum(F.col("g_part").cast("decimal(38,0)")).alias("g"),
+            F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s_i"),
         )
         .collect()  # D² bounded cells — the driver-side eigensolve input
     )

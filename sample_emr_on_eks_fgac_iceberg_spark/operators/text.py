@@ -1196,7 +1196,8 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                    AS n_tokens
         FROM documents),
-    ok AS (SELECT *, (n_tokens * 1000000) // n_words AS fert_ppm
+    ok AS (SELECT *, (CAST(n_tokens AS BIGINT) * 1000000) // n_words
+               AS fert_ppm
            FROM per_doc WHERE n_words > 0)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1227,7 +1228,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("n_tokens"),
     ).filter(F.col("n_words") > 0)
     per_doc = per_doc.withColumn(
-        "fert_ppm", F.expr("(n_tokens * 1000000) div n_words")
+        # size() is 32-bit: widen BEFORE the multiply — ×10^6 overflows
+        # int for any doc beyond ~2,147 tokens (ANSI exception)
+        "fert_ppm", F.expr("(cast(n_tokens AS bigint) * 1000000) div n_words")
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1261,7 +1264,8 @@ _LIFT_MIN_COUNT = 5  # pair-frequency floor before lift is meaningful
     t AS (SELECT SUM(c_xy) AS total FROM pair),
     scored AS (
         SELECT p.w1, p.w2, p.c_xy,
-               CAST(p.c_xy * t.total AS DOUBLE) / (l.c_x * r.c_y) AS lift
+               (CAST(p.c_xy AS DOUBLE) * CAST(t.total AS DOUBLE))
+                   / (CAST(l.c_x AS DOUBLE) * CAST(r.c_y AS DOUBLE)) AS lift
         FROM pair p JOIN lhs l USING (w1) JOIN rhs r USING (w2)
         CROSS JOIN t
         WHERE p.c_xy >= {_LIFT_MIN_COUNT}),
@@ -1278,8 +1282,10 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift = c_xy·T / (c_x·c_y)) — the association score behind phrase
     and multi-word-expression detection, rank-equivalent to PMI
     (log is monotone) without the non-correctly-rounded ln() the
-    registry's determinism rules ban. c_xy·T is exact int64 and one
-    division closes it, so the hashed score is bit-equal cross-engine.
+    registry's determinism rules ban. Both products run in DOUBLE —
+    c_xy·T and c_x·c_y overflow int64 at corpus scale — and every
+    *, / is IEEE-correctly-rounded, so the identical expression tree
+    is still bit-equal cross-engine.
 
     Plan shape at 100 TB: one bigram explode → (w1, w2) counts; the
     slot marginals REUSE that aggregate (two vocabulary-sized aggs, no
@@ -1315,8 +1321,8 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c_xy",
             (
-                (F.col("c_xy") * F.col("total")).cast("double")
-                / (F.col("c_x") * F.col("c_y"))
+                (F.col("c_xy").cast("double") * F.col("total").cast("double"))
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
             ).alias("lift"),
         )
     )

@@ -674,7 +674,7 @@ class Warehouse:
     # healthy commit's read→claim window approaches this
     _CLAIM_STALE_S = 300.0
 
-    def _claim_version(self, name: str, seq: int) -> str:
+    def _claim_version(self, name: str, seq: int) -> tuple[str, str]:
         """Acquire the O_EXCL metadata-version claim for ``seq``
         (Iceberg HadoopTableOperations): even without the flock
         (separate hosts on shared storage), two processes committing
@@ -685,12 +685,24 @@ class Warehouse:
         last+1 from a fresh read) is reclaimed once it is older than
         ``_CLAIM_STALE_S`` — without this, every retry from the
         unchanged base recomputes the same seq and conflicts forever
-        (ADVICE r9)."""
+        (ADVICE r9). Reclaim goes through RENAME, not unlink: exactly
+        one reclaimer wins the move, so a racer acting on a stale stat
+        can never delete a competitor's freshly re-created claim
+        (stat→unlink TOCTOU). The claim body carries an owner TOKEN;
+        ``_verify_claim`` re-checks it immediately before the metadata
+        write, so even a claim stolen from a still-running (but
+        slower-than-the-staleness-bound) committer aborts that
+        committer retryably instead of losing a commit."""
         claim = os.path.join(self._meta_dir, f".{name}.commit-{seq}")
+        token = f"{os.getpid()}-{id(self)}-{time.monotonic_ns()}"
         for _ in range(2):
             try:
-                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                return claim
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
+                return claim, token
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(claim).st_mtime
@@ -698,14 +710,37 @@ class Warehouse:
                     continue  # holder vanished between open and stat: retry
                 if age <= self._CLAIM_STALE_S:
                     break  # live competing claim — a genuine race
+                tomb = f"{claim}.reclaimed-{token}"
                 try:
-                    os.unlink(claim)  # abandoned: reclaim
+                    os.rename(claim, tomb)  # abandoned: one winner reclaims
+                except OSError:
+                    continue  # another reclaimer won the rename; retry create
+                try:
+                    os.unlink(tomb)
                 except FileNotFoundError:
                     pass
         raise _CommitClaimRace(
             f"Concurrent commit already claimed version {seq} of "
             f"'{name}' — refresh and retry"
         )
+
+    @staticmethod
+    def _verify_claim(claim: str, token: str) -> None:
+        """The last gate before the metadata write: the claim file must
+        still exist and still carry OUR token — a reclaimer that stole
+        it (this committer outlived the staleness bound mid-commit)
+        owns the version now, so we abort retryably rather than write
+        over its commit."""
+        try:
+            with open(claim, "r") as f:
+                held = f.read()
+        except FileNotFoundError:
+            held = None
+        if held != token:
+            raise _CommitClaimRace(
+                f"Version claim {os.path.basename(claim)} was reclaimed "
+                "mid-commit — refresh and retry"
+            )
 
     def _commit_snapshot(
         self,
@@ -791,22 +826,30 @@ class Warehouse:
                     f"Commit to '{meta.name}' conflicts with a concurrent "
                     f"commit: delete files {sorted(dgone)[:4]} no longer live"
                 )
-        claim = self._claim_version(meta.name, seq)
+        claim, claim_token = self._claim_version(meta.name, seq)
         try:
             self._write_claimed_snapshot(
                 meta, seq, operation, added, removed, txn, added_deletes,
                 removed_deletes, equality_ids, staged, delete_kinds,
-                delete_refs,
+                delete_refs, claim=claim, claim_token=claim_token,
             )
         except BaseException:
             # the commit failed AFTER claiming (footer IOError, ENOSPC,
             # …) and no metadata was written at this seq — release the
             # claim so a retry from the unchanged base can reclaim it
-            # immediately instead of conflicting forever (ADVICE r9)
+            # immediately instead of conflicting forever (ADVICE r9).
+            # Only if the claim is still OURS: a reclaimer may already
+            # own this version (never unlink a competitor's claim).
             try:
-                os.unlink(claim)
+                with open(claim, "r") as f:
+                    still_ours = f.read() == claim_token
             except FileNotFoundError:
-                pass
+                still_ours = False
+            if still_ours:
+                try:
+                    os.unlink(claim)
+                except FileNotFoundError:
+                    pass
             raise
 
     def _write_claimed_snapshot(
@@ -823,6 +866,8 @@ class Warehouse:
         staged: bool,
         delete_kinds: dict[str, str] | None,
         delete_refs: dict[str, list[str]] | None,
+        claim: str | None = None,
+        claim_token: str | None = None,
     ) -> None:
         import pyarrow.parquet as pq
 
@@ -874,6 +919,11 @@ class Warehouse:
         # record the spec the added files were written under (partition
         # evolution: reads group files by spec)
         entry["partition_by"] = list(meta.partition_by)
+        if claim is not None and claim_token is not None:
+            # last gate: if a reclaimer stole this version's claim while
+            # the footer reads ran, abort retryably instead of writing
+            # over its commit
+            self._verify_claim(claim, claim_token)
         meta.snapshots.append(entry)
         self._write_meta(meta)
 
@@ -1346,22 +1396,30 @@ class Warehouse:
                 refs.setdefault(f, frozenset(r))
         return refs
 
-    def _delete_kind(self, name: str, kinds: dict[str, str], f: str) -> str:
+    def _delete_kind(
+        self,
+        name: str,
+        kinds: dict[str, str],
+        f: str,
+        cols: set[str] | None = None,
+    ) -> str:
         """Kind of one delete file: the snapshot-log map first, else the
         parquet-footer sniff (pre-round-9 collapsed base manifests carry
         no kind map) — a positional delete file has exactly the spec's
-        (file_path, pos) columns. A vacuumed file that the log never
-        classified defaults to 'equality' (nothing left to sniff)."""
+        (file_path, pos) columns. Callers that already hold the file's
+        schema pass its column names via ``cols`` to avoid a second
+        footer read. A vacuumed file that the log never classified
+        defaults to 'equality' (nothing left to sniff)."""
         k = kinds.get(f)
         if k is None:
-            path = os.path.join(self.delete_dir(name), f)
-            if os.path.exists(path):
+            if cols is None:
+                path = os.path.join(self.delete_dir(name), f)
+                if not os.path.exists(path):
+                    return "equality"
                 import pyarrow.parquet as pq
 
                 cols = set(pq.read_schema(path).names)
-                k = "positional" if cols == {"file_path", "pos"} else "equality"
-            else:
-                k = "equality"
+            k = "positional" if cols == {"file_path", "pos"} else "equality"
         return k
 
     def _split_delete_kinds(
@@ -2735,7 +2793,9 @@ class Warehouse:
         for f in sorted(self._live_delete_files(meta)):
             full = os.path.join(ddir, f)
             pf = pq.ParquetFile(full)
-            k = self._delete_kind(name, kinds, f)
+            k = self._delete_kind(
+                name, kinds, f, cols=set(pf.schema_arrow.names)
+            )
             kind = "position-deletes" if k == "positional" else "equality-deletes"
             rows.append((kind, f, None, pf.metadata.num_rows, os.path.getsize(full)))
         return self.spark.createDataFrame(
@@ -2902,9 +2962,13 @@ class Warehouse:
             full = os.path.join(ddir, f)
             if not os.path.exists(full):
                 continue
+            pf = pq.ParquetFile(full)
             kind = (
                 "position-deletes"
-                if self._delete_kind(name, kinds, f) == "positional"
+                if self._delete_kind(
+                    name, kinds, f, cols=set(pf.schema_arrow.names)
+                )
+                == "positional"
                 else "equality-deletes"
             )
             rows.append(
@@ -2912,7 +2976,7 @@ class Warehouse:
                     kind,
                     f,
                     None,
-                    pq.ParquetFile(full).metadata.num_rows,
+                    pf.metadata.num_rows,
                     os.path.getsize(full),
                     f in live_del,
                 )

@@ -521,3 +521,38 @@ def test_randomized_interleaved_writers_converge(wh, spark, tmp_path):
     # the other instance (fresh metadata read) agrees
     got2 = sorted(tuple(r) for r in other.read_table("t").collect())
     assert got2 == got
+
+
+def test_stolen_claim_aborts_without_lost_update(wh, monkeypatch):
+    """If a reclaimer steals the claim between acquisition and the
+    metadata write (this committer outlived the staleness bound), the
+    commit must abort retryably WITHOUT writing metadata and WITHOUT
+    unlinking the thief's claim."""
+    import os
+
+    wh.create_table("t", "k int, v string, p int")
+    wh.insert_values("t", [(1, "a", 1)])
+    with wh._table_lock("t"):
+        meta = wh._read_meta("t")
+        meta.properties["commit.retry.num-retries"] = "0"
+        wh._write_meta(meta)
+    real = Warehouse._claim_version
+    state = {}
+
+    def thieving(self, name, seq):
+        claim, token = real(self, name, seq)
+        with open(claim, "w") as f:
+            f.write("thief")
+        state["claim"] = claim
+        return claim, token
+
+    monkeypatch.setattr(Warehouse, "_claim_version", thieving)
+    with pytest.raises(CommitConflictError):
+        wh.insert_values("t", [(2, "b", 1)])
+    monkeypatch.undo()
+    assert len(wh.snapshots("t")) == 1, "stolen claim must not commit"
+    with open(state["claim"]) as f:
+        assert f.read() == "thief", "cleanup must not unlink the thief's claim"
+    os.remove(state["claim"])
+    wh.insert_values("t", [(2, "b", 1)])  # normal retry path succeeds
+    assert _rows(wh.read_table("t")) == [(1, "a", 1), (2, "b", 1)]
