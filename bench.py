@@ -297,6 +297,11 @@ def main() -> None:
             ),
             "w",
         ) as f:
+            try:
+                with open("/proc/loadavg") as la:
+                    loadavg = la.read().split()[:3]
+            except OSError:
+                loadavg = []
             json.dump(
                 {
                     "total": total,
@@ -304,6 +309,10 @@ def main() -> None:
                     "runs": all_runs,
                     "sf": float(sf),
                     "omitted_names": omitted_names,
+                    # box pressure at suite END — separates shared-host
+                    # contention from genuine per-query drift when a
+                    # round's numbers move with zero code change
+                    "loadavg_end": loadavg,
                 },
                 f,
                 indent=1,
