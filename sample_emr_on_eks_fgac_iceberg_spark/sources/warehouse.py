@@ -3316,7 +3316,19 @@ class Warehouse:
                         if old in raw.columns and new not in raw.columns:
                             raw = raw.withColumnRenamed(old, new)
                         keys = [new if k == old else k for k in keys]
-                    pre = self._scan_live(meta, snapshot_id=prev_sid)
+                    # restrict the pre-image scan to the data files the
+                    # delete commit recorded (round 10: equality-delete
+                    # refs, symmetric with the positional branch above)
+                    # — the pre-image read costs the referenced files,
+                    # never a previous-snapshot table rescan
+                    restrict = None
+                    if all(f in refs_map for f in eq_files):
+                        restrict = set().union(
+                            *(refs_map[f] for f in eq_files)
+                        )
+                    pre = self._scan_live(
+                        meta, snapshot_id=prev_sid, restrict_files=restrict
+                    )
                     if pre is not None and keys:
                         cond = F.lit(True)
                         for k in keys:

@@ -464,3 +464,24 @@ def test_apply_changelog_compute_updates_frame_post_image_wins(wh, spark):
     assert sorted(tuple(r) for r in wh.read_table("replica2").collect()) == [
         (1, "a", 10), (2, "b2", 25)
     ]
+
+
+def test_cdc_equality_preimage_scoped_to_refs(wh, spark):
+    """Round 10: the equality-delete pre-image read must be restricted
+    to the data files the delete commit recorded — a changelog read
+    after deleting p=1 rows must not open p=2's data files."""
+    wh.create_table("t", "k bigint, v string, p int", partition_by=["p"])
+    wh.set_identifier_fields("t", ["k"])
+    wh.set_delete_mode("t", "merge-on-read")
+    wh.insert_values("t", [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 2)])
+    s1 = wh.current_snapshot_id("t")
+    wh.delete_from("t", "k = 1")  # matched rows live in p=1 only
+    df = wh.read_changes("t", from_snapshot_id=s1, mode="cdc")
+    files = df.inputFiles()
+    data_files = [f for f in files if "/data/" in f]
+    assert data_files, "pre-image read must open the referenced file"
+    assert not any("p=2" in f for f in data_files), (
+        "equality pre-image read opened a non-referenced partition"
+    )
+    got = sorted((r.k, r.v, r._change_type) for r in df.collect())
+    assert got == [(1, "a", "delete")]
