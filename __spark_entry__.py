@@ -92,8 +92,10 @@ _CORE = [
     # round-10 wave 3: MinHash estimator-calibration report (est vs
     # exact Jaccard per candidate pair, decile-bucketed, integer ppm)
     "dedup_minhash_calibration",
-    # round-10 wave 3: header/detail reconciliation audit
+    # round-10 wave 3: header/detail reconciliation audit + exact
+    # order-statistic conversion-latency quantiles
     "orders_lineitem_reconciliation",
+    "events_conversion_latency_quantiles",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -138,6 +138,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "dedup_minhash_calibration",
     "orders_lineitem_reconciliation",
+    "events_conversion_latency_quantiles",
 ]
 
 

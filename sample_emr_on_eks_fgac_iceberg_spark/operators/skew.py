@@ -227,3 +227,63 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
     return spark.createDataFrame(
         out or [(0, 0)], f"{pid_col} int, __offset bigint"
     )
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    quantiles: Sequence[tuple[int, int]],
+    n_parts: int | None = None,
+) -> list[tuple[tuple[int, int], int, Row]]:
+    """EXACT order statistics over the total order ``order_cols``
+    without a single-partition global sort: for each rational quantile
+    (num, den) the row at global ascending position
+    ceil(num·n / den) (floored at 1) — the discrete-quantile position
+    rule, computed in integers so any oracle can mirror it bit-for-bit.
+
+    Returns [(quantile, position, row)] in the given quantile order.
+    Same machinery as ``ntile_cutpoints``: one repartitionByRange +
+    per-partition sort, per-partition counts to the driver (n_parts
+    scalars), then ONE filter fetches all target rows. ``order_cols``
+    must be a strict total order (unique tie-break, no nulls)."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranked = (
+        df.select(*order_cols)
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftrightunsigned("__mid", _MID_LOCAL_BITS)
+    local = F.col("__mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    by_pid = {
+        r["__pid"]: r["count"]
+        for r in ranked.groupBy(pid.alias("__pid")).count().collect()
+    }
+    n = sum(by_pid.values())
+    if n == 0:
+        return []
+    offsets, acc = {}, 0
+    for p in sorted(by_pid):
+        offsets[p] = acc
+        acc += by_pid[p]
+    targets: dict[tuple[int, int], tuple[tuple[int, int], int]] = {}
+    wanted: list[tuple[tuple[int, int], int]] = []
+    for num, den in quantiles:
+        pos = max(1, -(-(num * n) // den))  # ceil(num*n/den), >= 1
+        wanted.append(((num, den), pos))
+        for p in sorted(by_pid):
+            if pos <= offsets[p] + by_pid[p]:
+                targets[(p, pos - offsets[p] - 1)] = ((num, den), pos)
+                break
+    cond = F.lit(False)
+    for p, j in targets:
+        cond = cond | ((pid == F.lit(p)) & (local == F.lit(j)))
+    by_pos: dict[int, Row] = {}
+    for row in ranked.where(cond).collect():
+        p = row["__mid"] >> _MID_LOCAL_BITS
+        j = row["__mid"] & _MID_LOCAL_MASK
+        _, pos = targets[(p, j)]
+        by_pos[pos] = row
+    return [(q, pos, by_pos[pos]) for q, pos in wanted]

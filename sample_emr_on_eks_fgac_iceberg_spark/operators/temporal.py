@@ -1144,3 +1144,102 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").cast("bigint").alias("peak_s_scaled"),
         F.sum(alarm.cast("int")).cast("bigint").alias("n_alarm_hours"),
     )
+
+
+_LATENCY_QUANTILES = ((1, 2), (9, 10), (99, 100))  # p50, p90, p99
+
+
+@register(
+    "events_conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id),
+    lat AS (
+        SELECT user_id,
+               (epoch_us(first_purchase) - epoch_us(first_click))
+                   // 1000000 AS lat_s
+        FROM firsts
+        WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_click),
+    nn AS (SELECT COUNT(*) AS n, SUM(lat_s) AS total FROM lat),
+    ranked AS (SELECT lat_s,
+                      ROW_NUMBER() OVER (ORDER BY lat_s, user_id) AS rk
+               FROM lat)
+    SELECT CAST(nn.n AS BIGINT) AS n_users,
+           CAST(nn.total AS DOUBLE) / nn.n AS mean_s,
+           CAST(MAX(CASE WHEN rk = GREATEST((1 * nn.n + 1) // 2, 1)
+                         THEN lat_s END) AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rk = GREATEST((9 * nn.n + 9) // 10, 1)
+                         THEN lat_s END) AS BIGINT) AS p90_s,
+           CAST(MAX(CASE WHEN rk = GREATEST((99 * nn.n + 99) // 100, 1)
+                         THEN lat_s END) AS BIGINT) AS p99_s
+    FROM ranked CROSS JOIN nn GROUP BY nn.n, nn.total
+    """,
+)
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT p50/p90/p99 of first-click→first-purchase latency — the
+    conversion-speed SLO readout, with discrete quantiles at position
+    ceil(p·n) taken as true order statistics (approx_percentile's
+    engine-private sketch can't be oracle-checked; sorting the corpus
+    to one partition can't scale).
+
+    Plan shape at 100 TB: per-user firsts are ONE conditional hash agg;
+    the latency frame (one row per converting user) range-partitions
+    once, each partition computes local row numbers, and the n_parts
+    per-partition counts — K scalars, never rows — locate the three
+    target positions driver-side (skew.exact_order_statistics, the
+    ntile_cutpoints machinery); ONE filter fetches the three rows. The
+    mean rides a separate exact integer agg. The ceil position rule is
+    pure integer arithmetic, mirrored verbatim in the oracle."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        exact_order_statistics,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = (
+        firsts.filter(
+            F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_click"))
+        )
+        .select(
+            "user_id",
+            # NTZ parquet reads: route through TIMESTAMP (round-3
+            # driver-gate rule — never cast NTZ straight to a number)
+            F.expr(
+                "(unix_micros(cast(first_purchase AS timestamp)) "
+                "- unix_micros(cast(first_click AS timestamp))) div 1000000"
+            ).alias("lat_s"),
+        )
+    )
+    lat = materialize_once(lat)
+    stats = exact_order_statistics(
+        lat, ["lat_s", "user_id"], _LATENCY_QUANTILES
+    )
+    by_q = {q: row["lat_s"] for q, _, row in stats}
+    if not by_q:
+        by_q = {q: None for q in _LATENCY_QUANTILES}
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("lat_s").cast("double") / F.count(F.lit(1))).alias("mean_s"),
+    ).select(
+        "n_users",
+        "mean_s",
+        F.lit(by_q[(1, 2)]).cast("bigint").alias("p50_s"),
+        F.lit(by_q[(9, 10)]).cast("bigint").alias("p90_s"),
+        F.lit(by_q[(99, 100)]).cast("bigint").alias("p99_s"),
+    )
