@@ -2916,14 +2916,18 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
 
     Determinism: the per-line money value is ONE fixed float
     expression tree over the raw doubles (each *, correctly rounded
-    IEEE, so bit-equal cross-engine) rounded to integer cents; all
-    sums are exact HUGEINT/DECIMAL(38,0) cents; the reported drift is
-    a single final division.
+    IEEE, so bit-equal cross-engine) rounded to integer cents; the
+    per-order sums are exact int64 (a single order is nowhere near
+    2^63 cents) and only the corpus-wide drift sum widens to
+    DECIMAL(38,0)/HUGEINT; the reported drift is a single final
+    division.
 
     Plan shape at 100 TB: one lineitem agg keyed l_orderkey (map-side
     partials), one LEFT join to the (smaller) orders head — both sides
     key-partitioned, no window, final agg is status-keyed (handful of
     groups)."""
+    # hot path stays int64 (a single line item / order is nowhere near
+    # 2^63 cents); only the corpus-wide drift sum widens to decimal
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.round(
@@ -2932,14 +2936,14 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
             * (F.lit(1.0) + F.col("l_tax"))
             * F.lit(100.0)
         )
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("cents"),
     )
     line = l.groupBy("l_orderkey").agg(F.sum("cents").alias("line_cents"))
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
             "head_cents"
         ),
     )
@@ -2947,8 +2951,7 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderstatus",
         F.col("line_cents").isNull().alias("orphan"),
         F.coalesce(
-            F.col("head_cents") - F.col("line_cents"),
-            F.lit(0).cast("decimal(38,0)"),
+            F.col("head_cents") - F.col("line_cents"), F.lit(0)
         ).alias("delta"),
     )
     return d.groupBy("o_orderstatus").agg(
@@ -2961,7 +2964,10 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .cast("bigint")
         .alias("n_mismatched"),
-        (F.sum("delta").cast("double") / F.lit(100.0)).alias("total_drift"),
+        (
+            F.sum(F.col("delta").cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+        ).alias("total_drift"),
         (F.max(F.abs("delta")).cast("double") / F.lit(100.0)).alias(
             "max_abs_drift"
         ),
