@@ -2700,10 +2700,14 @@ def monthly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS s_a,
                SUM(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS s_b,
                SUM(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS q_a,
-               SUM(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS q_b
+               SUM(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS q_b,
+               MIN(CASE WHEN variant = 0 THEN cents END) AS mn_a,
+               MAX(CASE WHEN variant = 0 THEN cents END) AS mx_a,
+               MIN(CASE WHEN variant = 1 THEN cents END) AS mn_b,
+               MAX(CASE WHEN variant = 1 THEN cents END) AS mx_b
         FROM e GROUP BY event_type),
     d AS (
-        SELECT event_type,
+        SELECT event_type, mn_a, mx_a, mn_b, mx_b,
                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
                CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
@@ -2724,7 +2728,7 @@ def monthly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(n_a - 1 AS DOUBLE)
                   + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
                       / CAST(n_b - 1 AS DOUBLE)) AS welch_df
-    FROM d WHERE v_a + v_b > 0
+    FROM d WHERE NOT (mn_a = mx_a AND mn_b = mx_b)
     """,
 )
 def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,6 +2770,8 @@ def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~a, F.col("cents") * F.col("cents")).otherwise(F.lit(0))),
             "q_a", "q_b",
         ),
+        *both(F.min(F.when(a, F.col("cents"))), F.min(F.when(~a, F.col("cents"))), "mn_a", "mn_b"),
+        *both(F.max(F.when(a, F.col("cents"))), F.max(F.when(~a, F.col("cents"))), "mx_a", "mx_b"),
     ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     m_a = dbl("s_a") / dbl("n_a")
@@ -2779,8 +2785,14 @@ def stats_ab_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_a, se_b = v_a / dbl("n_a"), v_b / dbl("n_b")
     # both arms constant → the statistic is undefined (0/0): drop the
     # group rather than divide by zero (ANSI mode) or fake an infinity.
-    # Exact-integer condition matching the oracle's v_a + v_b > 0.
-    g = g.filter((v_a + v_b) > F.lit(0.0))
+    # Degeneracy is tested EXACTLY — an arm is constant iff its integer
+    # min equals its integer max — never via the float v_a + v_b > 0,
+    # whose cancellation (q − s·(s/n)) can leak a tiny positive variance
+    # from a constant arm and report an enormous, meaningless t²
+    # (ADVICE r10). min/max ride the same hash agg and cannot overflow.
+    g = g.filter(
+        ~((F.col("mn_a") == F.col("mx_a")) & (F.col("mn_b") == F.col("mx_b")))
+    )
     return g.select(
         "event_type",
         F.col("n_a").cast("bigint").alias("n_a"),

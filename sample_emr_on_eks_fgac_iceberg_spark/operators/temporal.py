@@ -1232,7 +1232,15 @@ def events_conversion_latency_quantiles(
     )
     by_q = {q: row["lat_s"] for q, _, row in stats}
     if not by_q:
-        by_q = {q: None for q in _LATENCY_QUANTILES}
+        # zero converting users: the oracle's GROUP BY over the empty
+        # ranked CTE emits ZERO rows, while a global agg here would emit
+        # one (n_users=0, null quantiles) — return the empty frame with
+        # the output schema to keep cross-engine parity (ADVICE r10)
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, mean_s double, p50_s bigint, "
+            "p90_s bigint, p99_s bigint",
+        )
     return lat.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         (F.sum("lat_s").cast("double") / F.count(F.lit(1))).alias("mean_s"),

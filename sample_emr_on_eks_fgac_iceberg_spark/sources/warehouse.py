@@ -828,6 +828,29 @@ class Warehouse:
                 )
         claim, claim_token = self._claim_version(meta.name, seq)
         try:
+            # Post-claim revalidation (ADVICE r10): winning the claim —
+            # in particular winning a RECLAIM of a >stale-bound claim —
+            # proves nothing about the metadata. A slow holder may have
+            # passed ITS _verify_claim and written metadata at this
+            # sequence just before our rename stole the claim file; our
+            # meta object (and the seq derived from it) would then be
+            # stale and _write_meta would overwrite the committed
+            # snapshot. Re-read the on-disk metadata under our claim: if
+            # any snapshot at or past seq exists, the version is taken —
+            # abort retryably so the retry loop recomputes from fresh
+            # state. (_verify_claim protects the victim that has NOT yet
+            # written; this guard protects the victim that HAS.)
+            if os.path.exists(self._meta_path(meta.name)):
+                latest = self._read_meta(meta.name)
+                if (
+                    latest.snapshots
+                    and latest.snapshots[-1]["sequence_number"] >= seq
+                ):
+                    raise _CommitClaimRace(
+                        f"Version {seq} of '{meta.name}' was committed by a "
+                        "concurrent writer before our claim — refresh and "
+                        "retry"
+                    )
             self._write_claimed_snapshot(
                 meta, seq, operation, added, removed, txn, added_deletes,
                 removed_deletes, equality_ids, staged, delete_kinds,

@@ -1263,6 +1263,18 @@ class SqlFrontend:
         # session (manifest-planned CDC read — delta files only)
         for view, spec in self._changelog_views.items():
             if re.search(rf"(?<![\w.`]){re.escape(view)}(?![\w.])", query):
+                # the collision check at CALL time (create_changelog_view)
+                # only covers tables that existed THEN; a table created
+                # after the CALL with the same name would otherwise
+                # silently shadow the changelog view here (changelog
+                # views materialize before table views). Raising matches
+                # the CALL-time contract (ADVICE r10).
+                if view in tables:
+                    raise ValueError(
+                        f"changelog_view '{view}' collides with a table "
+                        "created after the view was registered — drop or "
+                        "rename one of them"
+                    )
                 wh.read_changes(**spec).createOrReplaceTempView(view)
         for name in tables:
             wh.read_table(name).createOrReplaceTempView(name.replace(".", "__"))
