@@ -513,11 +513,13 @@ _LSH_DET_PLANES = 8  # 256 buckets: dense enough for non-trivial candidates at t
 _LSH_DET_DIM = 64
 
 
-def _lsh_det_coefs() -> list[list[int]]:
+def _lsh_det_coefs(planes: int = _LSH_DET_PLANES) -> list[list[int]]:
     """±1 hyperplane coefficients derived from md5 — deterministic at
     module import (hashlib, no RNG), inlined as literals into BOTH the
     Spark plan and the DuckDB oracle so the two engines use the exact
-    same hyperplanes."""
+    same hyperplanes. ``planes`` > the default extends the same family
+    (plane k is identical for every count), so raising the conf-gated
+    plane count only SPLITS buckets, never reshuffles them."""
     import hashlib
 
     return [
@@ -525,7 +527,7 @@ def _lsh_det_coefs() -> list[list[int]]:
             1 if hashlib.md5(f"{k}:{j}".encode()).digest()[0] % 2 else -1
             for j in range(_LSH_DET_DIM)
         ]
-        for k in range(_LSH_DET_PLANES)
+        for k in range(planes)
     ]
 
 
@@ -1634,6 +1636,59 @@ def _knn_graph_oracle() -> str:
     """
 
 
+# per-task GEMM block bound: both sides of a block are ≤ cap members,
+# so the dot matrix is ≤ cap² int64 cells (default 4096² ≈ 134 MB) no
+# matter how hot a bucket gets. Override via spark_graft.knn.bucket_cap.
+_KNN_BUCKET_CAP = 4096
+
+
+def _knn_block_members(bk: DataFrame, cap: int) -> DataFrame:
+    """Decompose over-size LSH buckets into bounded GEMM blocks.
+
+    Each bucket of m members splits into g = ceil(m / cap) deterministic
+    hash groups; the (qg, cg) block grid covers every ordered pair of
+    groups exactly once, so each (query, candidate) pair is evaluated in
+    exactly ONE task and per-task membership is ~2·cap regardless of
+    bucket size. A member of group p is replicated as the QUERY side of
+    blocks (p, j) for all j ('qc' on its own diagonal block, where it is
+    also a candidate) and as the CANDIDATE side of blocks (i, p) for
+    i ≠ p — 2g−1 replicas; for the common g=1 bucket this is exactly one
+    'qc' row, i.e. zero overhead versus an unsplit bucket."""
+    sizes = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("m"))
+    # one row per populated bucket (≤ 2^planes) — broadcast, never shuffle
+    g = sizes.select(
+        "bucket", F.ceil(F.col("m") / F.lit(cap)).cast("int").alias("g")
+    )
+    member = bk.join(F.broadcast(g), "bucket").withColumn(
+        # deterministic uniform group: xxhash64 decorrelates from any
+        # adversarial vec_id residue pattern; the assignment only shapes
+        # task boundaries, never the query result
+        "grp",
+        F.pmod(F.xxhash64("vec_id"), F.col("g")).cast("int"),
+    )
+    q_rep = member.select(
+        "bucket",
+        "vec_id",
+        "fv",
+        F.col("grp").alias("qg"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("cg"),
+    ).withColumn(
+        "role", F.when(F.col("cg") == F.col("qg"), "qc").otherwise("q")
+    )
+    c_rep = (
+        member.select(
+            "bucket",
+            "vec_id",
+            "fv",
+            F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("qg"),
+            F.col("grp").alias("cg"),
+        )
+        .filter(F.col("qg") != F.col("cg"))
+        .withColumn("role", F.lit("c"))
+    )
+    return q_rep.unionByName(c_rep)
+
+
 @register("similarity_knn_graph", oracle=_knn_graph_oracle())
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor GRAPH over the whole embedding corpus (every
@@ -1644,29 +1699,43 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines assign identical buckets and the graph is bit-reproducible.
 
     Plan shape at 100 TB: projections in codegen long form (posexplode
-    + broadcast coefficient join + one hash agg — see ann_lsh_det),
-    then ONE bucket-keyed applyInPandas where each bucket runs a numpy
-    X·Xᵀ GEMM and emits only k edges per member — candidates never
-    materialize as join rows, and the per-task memory is the bucket
-    (plane count scales up with corpus size to keep buckets task-sized;
-    the skew knob is the same one every LSH stage here shares). No
-    global sort: ranks are per-bucket, and each vector lives in exactly
-    ONE bucket."""
+    + broadcast coefficient join + one hash agg — see ann_lsh_det).
+    Bucket size is BOUNDED two ways (VERDICT r10 #1): the plane count is
+    conf-gated (``spark_graft.knn.planes``, default {_LSH_DET_PLANES} —
+    raise it to split buckets at corpus scale; the md5 plane family is
+    prefix-stable), and any bucket still above
+    ``spark_graft.knn.bucket_cap`` members decomposes into a grid of
+    ≤cap×≤cap GEMM blocks (_knn_block_members) — per-task memory is
+    ≤ cap² dot cells whatever the skew, each candidate pair is evaluated
+    exactly once, and each block emits only its local top-k per query
+    (numpy stable argsort over id-sorted candidates — vectorized, and
+    tie-identical to the SQL window's (dot DESC, neighbor ASC)). A final
+    (vec_id)-keyed row_number window merges the ≤ g·k candidates per
+    vector — the distributed top-K shape ann_cosine_topk uses. For g=1
+    buckets (every bucket at test SFs) the decomposition is a no-op:
+    one 'qc' replica per member, one block per bucket."""
     import numpy as np
     import pandas as pd
 
+    planes = int(
+        spark.conf.get("spark_graft.knn.planes", str(_LSH_DET_PLANES))
+    )
+    cap = int(
+        spark.conf.get("spark_graft.knn.bucket_cap", str(_KNN_BUCKET_CAP))
+    )
+    lsh = _lsh_det_coefs(planes)
     e = load_table(spark, sf_dir, "embeddings")
     fv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     fx = e.select("vec_id", fv.alias("fv"))
     coef_rows = [
-        (j, *[_LSH_COEFS[k][j] for k in range(_LSH_DET_PLANES)])
+        (j, *[lsh[k][j] for k in range(planes)])
         for j in range(_LSH_DET_DIM)
     ]
     coefs = spark.createDataFrame(
         coef_rows,
-        "dim int, " + ", ".join(f"c{k} long" for k in range(_LSH_DET_PLANES)),
+        "dim int, " + ", ".join(f"c{k} long" for k in range(planes)),
     )
     flat = fx.select("vec_id", "fv", F.posexplode("fv").alias("dim", "v"))
     projected = (
@@ -1676,48 +1745,72 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("fv").alias("fv"),
             *[
                 F.sum(F.col("v") * F.col(f"c{k}")).alias(f"s{k}")
-                for k in range(_LSH_DET_PLANES)
+                for k in range(planes)
             ],
         )
     )
     bucket = sum(
         (
             F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-            for k in range(_LSH_DET_PLANES)
+            for k in range(planes)
         ),
         start=F.lit(0),
     )
     bk = projected.select("vec_id", "fv", bucket.alias("bucket"))
+    blocks = _knn_block_members(bk, cap)
 
-    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        x = np.asarray(
-            [np.asarray(v, dtype=np.int64) for v in pdf["fv"]], dtype=np.int64
+    # sentinel for self-pairs: min+1 negates cleanly (−(min+1) = max, so
+    # self sorts LAST under argsort(−d)); int64 min itself wraps under
+    # negation and would sort self FIRST
+    sentinel = np.iinfo(np.int64).min + 1
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "dot_fixed": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "dot_fixed": "int64"}
         )
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "neighbor_id": [], "rank": [], "dot_fixed": []}
-            ).astype({"vec_id": "int64", "neighbor_id": "int64",
-                      "rank": "int32", "dot_fixed": "int64"})
-        d = x @ x.T
-        ids = pdf["vec_id"].to_numpy()
-        rows = {"vec_id": [], "neighbor_id": [], "rank": [], "dot_fixed": []}
-        k = min(_KNN_GRAPH_K, m - 1)
-        for a in range(m):
-            # exclude self; order by (dot desc, neighbor asc) exactly
-            # like the SQL window
-            order = sorted(
-                (b for b in range(m) if b != a),
-                key=lambda b: (-d[a, b], ids[b]),
-            )[:k]
-            for r, b in enumerate(order, 1):
-                rows["vec_id"].append(int(ids[a]))
-                rows["neighbor_id"].append(int(ids[b]))
-                rows["rank"].append(r)
-                rows["dot_fixed"].append(int(d[a, b]))
-        return pd.DataFrame(rows)
+        qm = pdf[pdf["role"] != "c"]
+        # candidates id-ascending: numpy stable argsort then breaks dot
+        # ties by neighbor id, matching the SQL window ordering exactly
+        cm = pdf[pdf["role"] != "q"].sort_values("vec_id")
+        if len(qm) == 0 or len(cm) == 0:
+            return empty
+        xq = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in qm["fv"]], dtype=np.int64
+        )
+        xc = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in cm["fv"]], dtype=np.int64
+        )
+        d = xq @ xc.T
+        qi = qm["vec_id"].to_numpy()
+        ci = cm["vec_id"].to_numpy()
+        d[qi[:, None] == ci[None, :]] = sentinel
+        k = min(_KNN_GRAPH_K, d.shape[1])
+        idx = np.argsort(-d, axis=1, kind="stable")[:, :k]
+        dots = np.take_along_axis(d, idx, axis=1)
+        keep = (dots != sentinel).ravel()
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qi, k)[keep],
+                "neighbor_id": ci[idx].ravel()[keep],
+                "dot_fixed": dots.ravel()[keep],
+            }
+        )
 
-    return bk.groupBy("bucket").applyInPandas(
-        topk, "vec_id long, neighbor_id long, rank int, dot_fixed long"
+    edges = blocks.groupBy("bucket", "qg", "cg").applyInPandas(
+        block_topk, "vec_id long, neighbor_id long, dot_fixed long"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot_fixed").desc(), F.col("neighbor_id")
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select(
+            "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+            "dot_fixed",
+        )
     )
