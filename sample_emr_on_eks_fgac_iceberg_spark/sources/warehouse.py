@@ -2150,6 +2150,111 @@ class Warehouse:
             scan = scan.filter(self._residual_condition(filters))
         return scan
 
+    # ---------------------------------------- storage-partitioned join
+    # The reference's exact runtime pairing (Spark 3.3+ with the Iceberg
+    # SparkCatalog, consumer_emr_on_eks_setup.sh:440-449) ships SPJ:
+    # a join of two tables bucketed on the join key plans WITHOUT a
+    # shuffle — at 100 TB that is the difference between a
+    # metadata-planned co-located join and the largest Exchange in the
+    # plan. Python exposes no DSv2 hook to report a custom scan's
+    # KeyGroupedPartitioning, so the engine expresses the same contract
+    # through Spark's native bucketed tables: each bucket[N] warehouse
+    # table materializes once per snapshot as a bucketBy(N, key) mirror
+    # in the session catalog, and every subsequent join of two mirrors
+    # bucketed to the same N is planned by Catalyst as a zero-Exchange
+    # SortMergeJoin (asserted in tests/test_spj.py). The mirror write is
+    # ONE shuffle, amortized over every later join of that snapshot;
+    # re-materialization happens only when the snapshot advances.
+
+    def bucket_layout(self, name: str) -> tuple[str, int] | None:
+        """(source_column, N) of the table's ``bucket[N]`` partition
+        field, or None — the layout contract storage-partitioned joins
+        key on. Resource links report their target's layout."""
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.bucket_layout(meta.link_to)
+        for pf in parse_partition_spec(meta.partition_by):
+            if pf.kind == "bucket":
+                return pf.source, pf.param
+        return None
+
+    def _mirror_prefix(self, name: str) -> str:
+        import hashlib
+
+        root_tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"__spj_{root_tag}_{name.replace('.', '_')}_v"
+
+    def bucketed_read(self, name: str) -> DataFrame:
+        """Read ``name`` through its bucketed session-catalog mirror,
+        materializing the mirror for the CURRENT snapshot if absent
+        (and dropping mirrors of superseded snapshots). The returned
+        scan reports ``Bucketed: true`` — joins and aggregations keyed
+        on the bucket column plan without an Exchange."""
+        layout = self.bucket_layout(name)
+        if layout is None:
+            raise ValueError(
+                f"Table '{name}' has no bucket[N] partition field — "
+                "storage-partitioned reads need one (PARTITIONED BY "
+                "bucket(N, key))"
+            )
+        key, n = layout
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.bucketed_read(meta.link_to)
+        snap = self.current_snapshot_id(name) or 0
+        prefix = self._mirror_prefix(name)
+        mirror = f"{prefix}{snap}"
+        cat = self.spark.catalog
+        if not cat.tableExists(mirror):
+            for t in cat.listTables():
+                if t.name.startswith(prefix) and t.name != mirror:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            path = os.path.join(
+                self.root, "_spj_mirrors", name.replace(".", "__"), str(snap)
+            )
+            # repartition on the key first: Spark's bucketBy applies the
+            # same hashpartitioning expression, so each task then holds
+            # exactly one bucket and writes exactly one file — the
+            # single-file-per-bucket layout that lets Catalyst keep the
+            # mirror's sort order usable and the file count bounded
+            (
+                self.read_table(name)
+                .repartition(n, key)
+                .write.format("parquet")
+                .bucketBy(n, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(mirror)
+            )
+        return self.spark.table(mirror)
+
+    def storage_partitioned_join(
+        self, left: str, right: str, how: str = "inner"
+    ) -> DataFrame:
+        """Join two ``bucket[N]``-partitioned tables on their bucket
+        source columns with NO shuffle on either side (the Iceberg SPJ
+        contract). Both tables must carry a bucket transform with the
+        SAME N; the join condition is equality of the two bucket source
+        columns (they may be named differently, e.g. o_custkey =
+        c_custkey)."""
+        bl, br = self.bucket_layout(left), self.bucket_layout(right)
+        if bl is None or br is None:
+            missing = left if bl is None else right
+            raise ValueError(
+                f"storage_partitioned_join: '{missing}' has no bucket[N] "
+                "partition field"
+            )
+        (kl, nl), (kr, nr) = bl, br
+        if nl != nr:
+            raise ValueError(
+                f"storage_partitioned_join: bucket counts differ — "
+                f"'{left}' is bucket[{nl}] on {kl}, '{right}' is "
+                f"bucket[{nr}] on {kr}; co-located planning needs equal N"
+            )
+        lm, rm = self.bucketed_read(left), self.bucketed_read(right)
+        return lm.join(rm, lm[kl] == rm[kr], how)
+
     def _file_specs(self, meta: TableMeta) -> dict[str, tuple]:
         """Relative data file → the partition spec it was written under
         (replayed from the snapshot log; pre-evolution entries without a
