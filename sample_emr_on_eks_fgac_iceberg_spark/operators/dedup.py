@@ -1330,3 +1330,136 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(err).cast("bigint").alias("max_abs_err_ppm"),
     )
+
+
+_SUBSTR_W = 12  # minimum match length in tokens (Lee et al. use 50 BPE
+# tokens on web corpora; 12 words keeps the screen non-trivial on the
+# short synthetic documents while exercising the identical machinery)
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ') AS ws
+        FROM documents),
+    wins AS (
+        SELECT doc_id, ws,
+               unnest(range(0, len(ws) - {_SUBSTR_W} + 1)) AS i
+        FROM w WHERE len(ws) >= {_SUBSTR_W}),
+    fp AS (
+        SELECT doc_id, i,
+               md5(array_to_string(
+                   ws[CAST(i + 1 AS BIGINT):CAST(i + {_SUBSTR_W} AS BIGINT)],
+                   ' ')) AS h
+        FROM wins),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.i AS ia, a.h, b.i - a.i AS diag
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+        SELECT doc_a, doc_b, diag, ia,
+               ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                       ORDER BY ia) AS grp
+        FROM m),
+    runs AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+        FROM isl GROUP BY doc_a, doc_b, diag, grp),
+    shared AS (
+        SELECT doc_a, doc_b,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_windows
+        FROM m GROUP BY doc_a, doc_b)
+    SELECT s.doc_a, s.doc_b, s.n_shared_windows,
+           CAST({_SUBSTR_W} - 1 + MAX(r.run) AS BIGINT) AS max_match_tokens
+    FROM shared s JOIN runs r
+      ON s.doc_a = r.doc_a AND s.doc_b = r.doc_b
+    GROUP BY s.doc_a, s.doc_b, s.n_shared_windows
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): flag every document pair that
+    shares an exact token substring of >= {_SUBSTR_W} tokens — the
+    industry-standard training-corpus screen that passage chunking
+    (dedup_passages, fixed 16-word chunks) only approximates, since a
+    long shared span straddling a chunk boundary slips past fixed
+    chunks but can never slip past a SLIDING window: any shared run of
+    length >= W contains at least one aligned W-token window.
+
+    Per surviving pair the report carries n_shared_windows (distinct
+    shared fingerprints) and max_match_tokens — the exact length of the
+    longest shared run, recovered from the window matches without ever
+    materializing substrings: a shared run of length L is a diagonal of
+    L-W+1 consecutive window matches at constant offset delta, so a
+    gaps-and-islands pass over (pair, diag) ordered by offset converts
+    match coordinates into run lengths (max_match = W - 1 + longest
+    island).
+
+    Plan shape at 100 TB: window fingerprints are sequence+explode+
+    slice+md5 inside whole-stage codegen — one narrow (doc_id, offset,
+    16-byte hash) stream, no substring materialization past the hash;
+    candidates come ONLY from the fingerprint equi-self-join (shuffle
+    on h; hot boilerplate keys are exactly what AQE skew-join splits),
+    never all-pairs; the islands pass is one window function over
+    (pair, diag) partitions — match-sized, tiny after the join; both
+    rollups are partial-agg hash aggregations. md5 stands in for the
+    Rabin-Karp fingerprints of the paper (16-byte collisions are
+    negligible and the same function is computable in the oracle
+    engine); text.py's winnowing/rolling-hash machinery shares the
+    convention (SURVEY.md §2.B dedup row)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    words = F.split(_norm_text(F.col("text")), " ")
+    fp = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= _SUBSTR_W)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - _SUBSTR_W)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("i") + 1, _SUBSTR_W)
+                )
+            ).alias("h"),
+        )
+    )
+    fp = materialize_once(fp)
+    a, b = fp.alias("a"), fp.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.i").alias("ia"),
+        F.col("a.h").alias("h"),
+        (F.col("b.i") - F.col("a.i")).alias("diag"),
+    )
+    m = materialize_once(m)
+    wisl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = (
+        m.withColumn("grp", F.col("ia") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.lit(_SUBSTR_W - 1) + F.max("run"))
+            .cast("bigint")
+            .alias("max_match_tokens")
+        )
+    )
+    shared = m.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("h").cast("bigint").alias("n_shared_windows")
+    )
+    return shared.join(runs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_shared_windows", "max_match_tokens"
+    )
