@@ -635,10 +635,22 @@ def emit_manifests(meta, table_root: str) -> str | None:
         del_chain = _advance(
             del_chain, dadds, dremoved, sid_s, seq_s, "m1", "rwd", 1
         )
-        if len(data_chain) > merge_min:
-            data_chain = _compact(data_chain, sid_s, seq_s, "c0", 0)
-        if len(del_chain) > merge_min:
-            del_chain = _compact(del_chain, sid_s, seq_s, "cd0", 1)
+        if s.get("operation") == "rewrite-manifests":
+            # CALL system.rewrite_manifests: an explicit metadata-only
+            # compaction snapshot forces the whole chain into one
+            # manifest per content kind regardless of the auto-merge
+            # threshold (every carried entry keeps its original
+            # snapshot/sequence with EXISTING status — no entry was
+            # added by the compacting snapshot itself)
+            if len(data_chain) > 1:
+                data_chain = _compact(data_chain, sid_s, seq_s, "c0", 0)
+            if len(del_chain) > 1:
+                del_chain = _compact(del_chain, sid_s, seq_s, "cd0", 1)
+        else:
+            if len(data_chain) > merge_min:
+                data_chain = _compact(data_chain, sid_s, seq_s, "c0", 0)
+            if len(del_chain) > merge_min:
+                del_chain = _compact(del_chain, sid_s, seq_s, "cd0", 1)
         states.append((s, data_chain, del_chain))
 
     # ---------------- physical emission

@@ -3720,6 +3720,102 @@ class Warehouse:
             os.remove(os.path.join(ddir, f))
         return {"deleted_files": len(orphans) + len(del_orphans)}
 
+    def rewrite_manifests(self, name: str) -> dict:
+        """Iceberg's ``rewrite_manifests`` maintenance: compact the
+        accumulated per-commit avro manifest pairs into ONE manifest per
+        content kind for the current snapshot. A one-commit-per-micro-
+        batch streaming table otherwise grows `snap-<sid>.avro` +
+        `<sid>-m0.avro` pairs without bound (the reference tables show
+        exactly this layout, producer_cleanup_logs.txt:33-51) and every
+        interop reader must list them all.
+
+        One metadata-only snapshot (operation='rewrite-manifests', no
+        data files touched): the interop emitter force-merges the whole
+        chain regardless of the auto-merge threshold, every carried
+        entry keeping its original snapshot/sequence with EXISTING
+        status. Afterwards, manifest files referenced by NO surviving
+        snapshot's manifest list — and manifest lists of snapshots no
+        longer in the log (expired) — are deleted, so the metadata
+        directory physically shrinks while time travel over retained
+        snapshots keeps working (their lists and manifests stay)."""
+        meta = self._resolve_dml_target(name)
+        name = meta.name
+        with self._table_lock(name):
+            meta = self._read_meta(name)
+            if not meta.snapshots:
+                return {
+                    "rewritten_manifests_count": 0,
+                    "added_manifests_count": 0,
+                    "pruned_metadata_files": 0,
+                }
+            before = set(
+                self._manifest_list_entries(
+                    name, meta.snapshots[-1]["snapshot_id"]
+                )
+            )
+            self._commit_snapshot(meta, "rewrite-manifests", set())
+            meta = self._read_meta(name)
+            after = set(
+                self._manifest_list_entries(
+                    name, meta.snapshots[-1]["snapshot_id"]
+                )
+            )
+            pruned = self._prune_orphan_manifests(name)
+        return {
+            "rewritten_manifests_count": len(before - after),
+            "added_manifests_count": len(after - before),
+            "pruned_metadata_files": pruned,
+        }
+
+    def _manifest_list_entries(self, name: str, sid: int) -> list[str]:
+        """Basenames of the manifests a snapshot's avro manifest list
+        references (empty when the list is missing/unreadable)."""
+        from sample_emr_on_eks_fgac_iceberg_spark.sources.avro_io import (
+            read_container,
+        )
+
+        path = os.path.join(self.root, name, "metadata", f"snap-{sid}.avro")
+        if not os.path.exists(path):
+            return []
+        try:
+            _, _, recs = read_container(path)
+        except Exception:
+            return []
+        return [os.path.basename(r["manifest_path"]) for r in recs]
+
+    def _prune_orphan_manifests(self, name: str) -> int:
+        """Delete avro metadata files no surviving snapshot can reach:
+        manifest lists of snapshots absent from the log, then manifests
+        referenced by no remaining list. Immutable digest-named files
+        regenerate on demand if a healed replay ever needs one again."""
+        mdir = os.path.join(self.root, name, "metadata")
+        if not os.path.isdir(mdir):
+            return 0
+        live = {int(s["snapshot_id"]) for s in self._read_meta(name).snapshots}
+        referenced: set[str] = set()
+        removed = 0
+        for f in sorted(os.listdir(mdir)):
+            if not (f.startswith("snap-") and f.endswith(".avro")):
+                continue
+            try:
+                sid = int(f[5:-5])
+            except ValueError:
+                continue
+            if sid in live:
+                referenced.update(self._manifest_list_entries(name, sid))
+            else:
+                os.remove(os.path.join(mdir, f))
+                removed += 1
+        for f in sorted(os.listdir(mdir)):
+            if (
+                f.endswith(".avro")
+                and not f.startswith("snap-")
+                and f not in referenced
+            ):
+                os.remove(os.path.join(mdir, f))
+                removed += 1
+        return removed
+
     def rewrite_position_delete_files(self, name: str) -> dict:
         """Iceberg's ``rewrite_position_delete_files`` maintenance:
         drop positional delete files that are DANGLING (every data file

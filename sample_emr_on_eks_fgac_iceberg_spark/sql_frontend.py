@@ -813,6 +813,17 @@ class SqlFrontend:
                 "rewritten_delete_files_count long, "
                 "added_delete_files_count long, remaining_position_deletes long",
             )
+        if proc == "rewrite_manifests":
+            stats = self.warehouse.rewrite_manifests(table)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        stats["rewritten_manifests_count"],
+                        stats["added_manifests_count"],
+                    )
+                ],
+                "rewritten_manifests_count long, added_manifests_count long",
+            )
         if proc == "rewrite_data_files":
             strategy = str(arg("strategy", 1, "binpack")).lower()
             sort_order = arg("sort_order", 2)

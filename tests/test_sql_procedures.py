@@ -261,3 +261,80 @@ def test_call_create_changelog_view_validation(fe, spark):
             "CALL system.create_changelog_view("
             "table => 't', compute_updates => true, net_changes => true)"
         )
+
+
+# --------------------------------- rewrite_manifests (round 11)
+def _avro_files(wh, table):
+    mdir = os.path.join(wh.root, table, "metadata")
+    return sorted(f for f in os.listdir(mdir) if f.endswith(".avro"))
+
+
+def test_call_rewrite_manifests_compacts_and_prunes(fe, spark):
+    """A streaming-style table (one commit per micro-batch, auto-merge
+    threshold held high) accumulates a snap+manifest pair per commit;
+    rewrite_manifests collapses the current chain to ONE data manifest
+    and, after expiry, prunes every unreachable avro file — while the
+    spec-route reader still reproduces the live set."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.avro_io import (
+        read_container,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    wh = fe.warehouse
+    fe.execute("CREATE TABLE t (k INT, v STRING)")
+    fe.execute(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('commit.manifest.min-count-to-merge' = '1000')"
+    )
+    for i in range(12):
+        fe.execute(f"INSERT INTO t VALUES ({i}, 'v{i}')")
+    n_before = len(_avro_files(wh, "t"))
+    assert n_before >= 24  # 12 manifest lists + 12 delta manifests
+
+    out = fe.execute("CALL system.rewrite_manifests(table => 't')").collect()[0]
+    assert out["rewritten_manifests_count"] == 12
+    assert out["added_manifests_count"] == 1
+
+    # current list now references exactly one (compacted) data manifest
+    sid = wh.current_snapshot_id("t")
+    snap = os.path.join(wh.root, "t", "metadata", f"snap-{sid}.avro")
+    _, _, manifests = read_container(snap)
+    assert len(manifests) == 1 and "-c0-" in manifests[0]["manifest_path"]
+
+    # expire history, rewrite again: the metadata dir physically shrinks
+    fe.execute("CALL system.expire_snapshots(table => 't', retain_last => 1)")
+    fe.execute("CALL system.rewrite_manifests(table => 't')")
+    n_after = len(_avro_files(wh, "t"))
+    assert n_after < n_before / 3, (n_before, n_after)
+
+    # the spec-route reader reproduces the live set from what remains
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_iceberg_table(spark, os.path.join(wh.root, "t")).collect()
+    )
+    assert got == [(i, f"v{i}") for i in range(12)]
+    assert sorted(tuple(r) for r in fe.execute("SELECT * FROM t").collect()) == got
+
+
+def test_call_rewrite_manifests_preserves_time_travel(fe, spark):
+    """Without expiry, rewrite_manifests keeps every retained snapshot's
+    manifest list and manifests — time travel still plans."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    wh = fe.warehouse
+    fe.execute("CREATE TABLE tt (k INT)")
+    fe.execute("INSERT INTO tt VALUES (1)")
+    s1 = wh.current_snapshot_id("tt")
+    fe.execute("INSERT INTO tt VALUES (2)")
+    fe.execute("CALL system.rewrite_manifests(table => 'tt')")
+    old = read_iceberg_table(
+        spark, os.path.join(wh.root, "tt"), snapshot_id=s1
+    )
+    assert sorted(r["k"] for r in old.collect()) == [1]
+    assert sorted(
+        r[0] for r in fe.execute("SELECT k FROM tt VERSION AS OF 1").collect()
+    ) == [1]
