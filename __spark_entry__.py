@@ -47,61 +47,57 @@ _CORE = [
     "fgac_corpus_stats",
     # temporal joins
     "asof_join_click_purchase",
-    # dedup — dedup_affix_stitch CHANGED in round 10 (the head branch
-    # now emits star edges from the min-id exemplar instead of the
-    # quadratic pairwise clique; VERDICT r9 task 6) and must re-verify
+    # dedup
     "dedup_minhash_det",
     "dedup_affix_stitch",
     "dedup_connected_components",
     # similarity search
     "ann_cosine_topk",
-    # CDC family — the round-10 warehouse changes (equality-delete refs
-    # + scan scoping, commit auto-retry, Observation-folded CoW MERGE
-    # counts, create_changelog_view) all sit under these paths
+    # CDC family — every commit path changed in round 11 (post-claim
+    # metadata revalidation closes the stale-reclaim lost-commit race);
+    # cdc_changelog_view_sql also covers the new materialization-time
+    # table/view collision check
     "cdc_merge_changelog",
     "merge_scd_close_out",
     "cdc_compute_updates",
     "cdc_net_changes",
     "cdc_incremental_agg_maintenance",
-    # CHANGED round 10: size-gated rank join (broadcast under the node
-    # threshold, shuffle hash join beyond; VERDICT r9 task 7)
-    "graph_pagerank_trade",
-    # remaining join flavors / subquery shapes
-    "lateral_top_nations_per_region",
-    # round-10 debuts: Gopher-style quality rules, tokenizer fertility,
-    # Welch A/B t² (exact-integer accumulators), Gini revenue
-    # concentration (distributed global rank), PCM voice-activity
-    # segments, and the changelog-view SQL surface
-    "quality_gopher_rules",
-    "text_tokenizer_fertility",
-    "stats_ab_welch_t2",
-    "customers_gini_revenue",
-    "multimodal_audio_vad_segments",
     "cdc_changelog_view_sql",
-    # round-10 debuts, wave 2: integer power-iteration top-PC (exact
-    # covariance + truncating-div renormalize, bit-equal loadings) and
-    # lift-ranked collocation mining
-    "embedding_top_pc_power_iteration",
-    "bigram_lift_topk",
-    # round-10 wave 2: whole-corpus kNN graph (bucketed GEMM, k edges
-    # per member — the SemDeDup/label-propagation substrate)
-    "similarity_knn_graph",
-    # round-10 wave 3: CUSUM drift detection (window-transform of the
-    # textbook recursion, integer-exact)
-    "events_cusum_changepoint",
-    # round-10 wave 3: MinHash estimator-calibration report (est vs
-    # exact Jaccard per candidate pair, decile-bucketed, integer ppm)
-    "dedup_minhash_calibration",
-    # round-10 wave 3: header/detail reconciliation audit + exact
-    # order-statistic conversion-latency quantiles
-    "orders_lineitem_reconciliation",
+    # CHANGED round 11: exact-integer (min=max) degeneracy guard
+    # replaces the cancellation-prone float variance filter — the
+    # oracle changed too, so both sides must re-verify together
+    "stats_ab_welch_t2",
+    # CHANGED round 11: empty-conversion-set now returns the oracle's
+    # zero rows instead of a 1-row null aggregate
     "events_conversion_latency_quantiles",
+    # CHANGED round 11: conf-gated plane count + capped GEMM block
+    # decomposition + vectorized per-block top-K (VERDICT r10 #1/#2)
+    "similarity_knn_graph",
+    # round-11 debuts: zero-Exchange storage-partitioned join over
+    # bucket[8] tables (the Iceberg SPJ contract, VERDICT r10 missing
+    # #1) and the Lee et al. sliding-window exact substring screen
+    "spj_bucketed_orders_customer",
+    "dedup_substring_exact",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 11 (round-10 debuts, all driver-green
+    # in CORRECTNESS_r10 and untouched since; VERDICT r10 task 7 keeps
+    # the rotating block ≥ 20 of the 50 slots)
+    "quality_gopher_rules",
+    "text_tokenizer_fertility",
+    "customers_gini_revenue",
+    "multimodal_audio_vad_segments",
+    "embedding_top_pc_power_iteration",
+    "bigram_lift_topk",
+    "events_cusum_changepoint",
+    "dedup_minhash_calibration",
+    "orders_lineitem_reconciliation",
+    "graph_pagerank_trade",
+    "lateral_top_nations_per_region",
     # demoted from _CORE in round 10 (stable multi-round greens whose
     # permanent slots squeezed the rotating block below 20 once the 12
     # round-10 debuts joined core; VERDICT r9 task 8)

@@ -792,11 +792,11 @@ def connected_components(
     # loop converge in a single verified step on the common shapes
     # (pairs, min-centered stars) where the neighbor-min seed IS the
     # fixpoint — the agg is one job over the already-needed cached seed.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]  # scale-ok: 1-row SUM convergence scalar
     converged = False
     for _ in range(max_rounds):
         labels = step(labels)
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]  # scale-ok: 1-row SUM convergence scalar
         if cur_sum == prev_sum:
             converged = True
             break

@@ -127,7 +127,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # |V|: allowlisted 1-row scalar (strategy gate + teleport term)
-    n_nodes = int(deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+    n_nodes = int(deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])  # scale-ok: 1-row |V| broadcast-gate scalar
     broadcast_max = int(
         spark.conf.get(
             "spark_graft.pagerank.broadcast_max_nodes", str(_PR_BROADCAST_MAX)

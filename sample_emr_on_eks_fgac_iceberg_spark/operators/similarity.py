@@ -203,7 +203,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", _quantized(F.col("embedding")).alias("v"))
-        .collect()
+        .collect()  # scale-ok: Q=N_QUERIES(10) query vectors
     )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qm = np.array([r.v for r in qrows], dtype=np.int64)
@@ -438,7 +438,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     q_rows = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         "vec_id", "embedding"
-    ).collect()
+    ).collect()  # scale-ok: Q=N_QUERIES(10) query vectors for probe selection
     probe_pairs = []
     for r in q_rows:
         qv = np.array(r["embedding"], dtype=np.float64)
@@ -1567,7 +1567,7 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.col("g_part").cast("decimal(38,0)")).alias("g"),
             F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s_i"),
         )
-        .collect()  # D² bounded cells — the driver-side eigensolve input
+        .collect()  # D² bounded cells — the driver-side eigensolve input  # scale-ok: D^2 bounded covariance cells, never rows
     )
     g = {(r["i"], r["j"]): int(r["g"]) for r in cells}
     # S_i rides every (i, *) row; read it off the diagonal

@@ -141,7 +141,7 @@ def ntile_cutpoints_multi(
     for row in (
         ranked.groupBy(F.col(dim_col).alias("__d"), pid.alias("__pid"))
         .count()
-        .collect()
+        .collect()  # scale-ok: buckets-1 boundary rows
     ):
         sizes.setdefault(row["__d"], {})[row["__pid"]] = row["count"]
     targets: dict[tuple[int, int], tuple[str, int]] = {}
@@ -172,7 +172,7 @@ def ntile_cutpoints_multi(
     for p, j in targets:
         cond = cond | ((pid == F.lit(p)) & (local == F.lit(j)))
     by_dim_pos: dict[str, dict[int, Row]] = {}
-    for row in ranked.where(cond).collect():
+    for row in ranked.where(cond).collect():  # scale-ok: K target order-statistic rows
         p = row["__mid"] >> _MID_LOCAL_BITS
         j = row["__mid"] & _MID_LOCAL_MASK
         d, pos = targets[(p, j)]
@@ -217,7 +217,7 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
     global-window plan gate rejects)."""
     rows = sorted(
         (r[pid_col], r[count_col])
-        for r in partials.select(pid_col, count_col).collect()
+        for r in partials.select(pid_col, count_col).collect()  # scale-ok: one count scalar per partition
     )
     out, acc = [], 0
     for p, n in rows:
@@ -259,7 +259,7 @@ def exact_order_statistics(
     local = F.col("__mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
     by_pid = {
         r["__pid"]: r["count"]
-        for r in ranked.groupBy(pid.alias("__pid")).count().collect()
+        for r in ranked.groupBy(pid.alias("__pid")).count().collect()  # scale-ok: one count scalar per partition
     }
     n = sum(by_pid.values())
     if n == 0:
@@ -281,7 +281,7 @@ def exact_order_statistics(
     for p, j in targets:
         cond = cond | ((pid == F.lit(p)) & (local == F.lit(j)))
     by_pos: dict[int, Row] = {}
-    for row in ranked.where(cond).collect():
+    for row in ranked.where(cond).collect():  # scale-ok: K target order-statistic rows
         p = row["__mid"] >> _MID_LOCAL_BITS
         j = row["__mid"] & _MID_LOCAL_MASK
         _, pos = targets[(p, j)]

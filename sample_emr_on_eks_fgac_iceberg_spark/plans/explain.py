@@ -35,7 +35,7 @@ def executed_plan_str(df: DataFrame) -> str:
     visible when adaptive execution is on."""
     # a noop write would execute a *different* QueryExecution; collect
     # drives this frame's own, flipping AQE to isFinalPlan=true
-    df.collect()
+    df.collect()  # scale-ok: bench/explain helper, not a query path
     return df._jdf.queryExecution().executedPlan().toString()
 
 

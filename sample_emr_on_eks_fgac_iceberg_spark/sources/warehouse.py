@@ -1089,7 +1089,7 @@ class Warehouse:
             pvals = (
                 aligned.select(*[tc.alias(pf.name) for pf, tc in tcols])
                 .distinct()
-                .collect()
+                .collect()  # scale-ok: distinct replaced partition tuples, metadata-sized
             )
             pred = None
             for r in pvals:
@@ -1192,7 +1192,7 @@ class Warehouse:
         row = matched.agg(
             F.count(F.lit(1)).alias("n"),
             F.collect_set("__file_path").alias("files"),
-        ).collect()[0]
+        ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
         return row["n"], {self._rel_file(meta, u) for u in row["files"]}, list(row["files"])
 
     def _rewrite_files(
@@ -1302,7 +1302,7 @@ class Warehouse:
         row = matched.agg(
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._rel_expr(F.col("__file_path"))).alias("refs"),
-        ).collect()[0]
+        ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
         n, refs = int(row["n"]), sorted(row["refs"])
         if n == 0:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
@@ -1364,7 +1364,7 @@ class Warehouse:
         row = matched.agg(
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._rel_expr(F.col("file_path"))).alias("refs"),
-        ).collect()[0]
+        ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
         n, refs = row["n"], sorted(row["refs"])
         if n == 0:
             return {"deleted_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
@@ -1552,7 +1552,7 @@ class Warehouse:
         row = matched.agg(
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._rel_expr(F.col("__pos_file"))).alias("refs"),
-        ).collect()[0]
+        ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
         n, refs = row["n"], sorted(row["refs"])
         if n == 0:
             return {"updated_rows": 0, "delete_files": 0, "mode": "merge-on-read"}
@@ -1865,7 +1865,7 @@ class Warehouse:
                 ).alias("files"),
                 count_in(upd_idx).alias("upd"),
                 count_in(del_idx).alias("del"),
-            ).collect()[0]
+            ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
             if agg["max_n"] is not None and agg["max_n"] > 1:
                 raise MergeCardinalityError(
                     f"MERGE INTO {name}: a target row matched "
@@ -1993,7 +1993,7 @@ class Warehouse:
                 F.max("n").alias("max_n"),
                 count_in(upd_idx).alias("upd"),
                 count_in(del_idx).alias("del"),
-            ).collect()[0]
+            ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
             if agg["max_n"] is not None and agg["max_n"] > 1:
                 raise MergeCardinalityError(
                     f"MERGE INTO {meta.name}: a target row matched "
@@ -2052,7 +2052,7 @@ class Warehouse:
                 )
                 row = ddf.agg(
                     F.collect_set(self._rel_expr(F.col("file_path"))).alias("r")
-                ).collect()[0]
+                ).collect()[0]  # scale-ok: 1-row commit-planning aggregate
                 refs = sorted(row["r"])
                 before_d = self._delete_files_on_disk(meta.name)
                 ddf.sortWithinPartitions("file_path", "pos").write.mode(
@@ -3570,7 +3570,7 @@ class Warehouse:
                 F.min(c).cast("string").alias(f"__mn{i}"),
                 F.max(c).cast("string").alias(f"__mx{i}"),
             ]
-        row = df.agg(*aggs).collect()[0]
+        row = df.agg(*aggs).collect()[0]  # scale-ok: 1-row column-stats aggregate
         data = self.data_dir(meta.name)
         live = self._live_files(meta)
         size = sum(os.path.getsize(os.path.join(data, f)) for f in live)
@@ -3886,7 +3886,7 @@ class Warehouse:
             row = kept.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.collect_set(self._rel_expr(F.col("file_path"))).alias("refs"),
-            ).collect()[0]
+            ).collect()[0]  # scale-ok: 1-row schema-probe aggregate
             n, refs = int(row["n"]), sorted(row["refs"])
             added: set[str] = set()
             if n > 0:
@@ -3936,7 +3936,7 @@ class Warehouse:
         stats = df.agg(
             *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
-        ).collect()[0]
+        ).collect()[0]  # scale-ok: 1-row schema-probe aggregate
 
         def _as_num(c: F.Column, dtype: T.DataType) -> F.Column:
             if isinstance(dtype, T.DateType):
