@@ -78,6 +78,17 @@ _CORE = [
     # #1) and the Lee et al. sliding-window exact substring screen
     "spj_bucketed_orders_customer",
     "dedup_substring_exact",
+    # round-11 debuts, wave 2: skyline dominance (distributed
+    # suffix-min via partition_prefix_min), ABC Pareto classification
+    # (distributed cumulative rank), Matryoshka prefix-dim recall
+    # (per-prefix GEMM + partial top-K), vocabulary coverage curve
+    # (bounded TakeOrderedAndProject branches), Benford first-digit
+    # audit (inlined integer-ppm expectations)
+    "orders_skyline_dominators",
+    "parts_abc_classification",
+    "embedding_matryoshka_recall",
+    "text_vocab_coverage_curve",
+    "orders_benford_digits",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

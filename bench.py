@@ -139,6 +139,18 @@ HEADLINE = [
     "dedup_minhash_calibration",
     "orders_lineitem_reconciliation",
     "events_conversion_latency_quantiles",
+    # round-11: zero-Exchange storage-partitioned join (mirror build
+    # amortizes into the first run), Lee et al. sliding-window exact
+    # substring screen, skyline dominance (distributed suffix-min),
+    # ABC Pareto classification (distributed cumulative rank),
+    # Matryoshka prefix-dim recall, vocab coverage curve, Benford audit
+    "spj_bucketed_orders_customer",
+    "dedup_substring_exact",
+    "orders_skyline_dominators",
+    "parts_abc_classification",
+    "embedding_matryoshka_recall",
+    "text_vocab_coverage_curve",
+    "orders_benford_digits",
 ]
 
 

@@ -2984,3 +2984,237 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
             "max_abs_drift"
         ),
     )
+
+
+@register(
+    "orders_skyline_dominators",
+    oracle="""
+    WITH o2 AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               o_orderdate
+        FROM orders),
+    pc AS (SELECT price_cents, MIN(o_orderdate) AS md
+           FROM o2 GROUP BY price_cents),
+    w AS (SELECT price_cents, md,
+                 MIN(md) OVER (ORDER BY price_cents DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS shm
+          FROM pc)
+    SELECT o2.o_orderkey, o2.price_cents, o2.o_orderdate
+    FROM o2 JOIN w ON o2.price_cents = w.price_cents
+    WHERE o2.o_orderdate = w.md
+      AND (w.shm IS NULL OR o2.o_orderdate < w.shm)
+    """,
+)
+def orders_skyline_dominators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-dominance) query: the orders no other order beats
+    on BOTH dimensions — maximize price, minimize date ("the largest,
+    earliest orders"). An order is dominated iff some order has
+    price ≥ AND date ≤ with at least one strict; the skyline operator
+    Spark lacks, decomposed into relational pieces: a row survives iff
+    (a) no strictly-higher-priced order is at-or-before its date —
+    equivalently its date < the suffix-min date over higher prices —
+    and (b) no same-priced order is strictly earlier (its date equals
+    the per-price min).
+
+    Plan shape at 100 TB — the suffix-min over prices is NEVER a global
+    window: per-price (cents, min_date) is one hash agg; that
+    price-distinct frame range-partitions descending, each partition
+    computes a LOCAL running min, and partition_prefix_min folds K
+    per-partition min scalars driver-side (the partition_rank_offsets
+    pattern) so global suffix-min = least(local, prior-partition min).
+    The surviving price set is skyline-sized — its join back to orders
+    broadcasts."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        partition_prefix_min,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+        "o_orderdate",
+    )
+    pc = o.groupBy("price_cents").agg(F.min("o_orderdate").alias("md"))
+    r = pc.repartitionByRange(32, F.col("price_cents").desc()).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("price_cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = materialize_once(r.withColumn("lshm", F.min("md").over(lw)))
+    partials = loc.groupBy("pid").agg(F.min("md").alias("pmin"))
+    prior = partition_prefix_min(partials, "pid", "pmin")
+    sky_prices = (
+        loc.join(F.broadcast(prior), "pid")
+        # least() skips nulls, so a partition-leading row with no local
+        # predecessor folds to the prior-partition min alone
+        .withColumn("shm", F.least("lshm", "__prior_min"))
+        .filter(F.col("shm").isNull() | (F.col("md") < F.col("shm")))
+        .select("price_cents", "md", "shm")
+    )
+    return (
+        o.join(F.broadcast(sky_prices), "price_cents")
+        .filter(
+            (F.col("o_orderdate") == F.col("md"))
+            & (F.col("shm").isNull() | (F.col("o_orderdate") < F.col("shm")))
+        )
+        .select("o_orderkey", "price_cents", "o_orderdate")
+    )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS cents
+        FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(cents) AS total FROM rev),
+    c AS (SELECT l_partkey, cents,
+                 SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM rev),
+    k AS (SELECT cents,
+                 CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                      WHEN cum * 100 <= total * 95 THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM c CROSS JOIN t)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) * 1000000 // (SELECT total FROM t) AS BIGINT)
+               AS share_ppm
+    FROM k GROUP BY abc_class
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/15/5) inventory classification by part revenue — the
+    planner's Pareto cut: parts are ranked by revenue descending and
+    split where cumulative share crosses 80% (A) and 95% (B). The
+    boundary test is exact integer cross-multiplication
+    (cum·100 ≤ total·80), never a float share.
+
+    Plan shape at 100 TB — same distributed-global-rank machinery as
+    customers_gini_revenue: per-part cents is one hash agg; the frame
+    range-partitions on (cents DESC, partkey), each partition computes
+    a LOCAL running sum, and partition_rank_offsets folds K
+    per-partition revenue sums driver-side into cumulative offsets —
+    global cum = offset[pid] + local. No single-partition window; the
+    3-row class rollup is a partial agg."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        partition_rank_offsets,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
+    r = rev.repartitionByRange(
+        32, F.col("cents").desc(), F.col("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("cents").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = materialize_once(r.withColumn("lcum", F.sum("cents").over(lw)))
+    partials = loc.groupBy("pid").agg(F.sum("cents").alias("s_p"))
+    off = partition_rank_offsets(partials, "pid", "s_p")
+    tot = partials.agg(F.sum("s_p").alias("total"))
+    cum = F.col("__offset").cast("decimal(38,0)") + F.col("lcum")
+    cls = (
+        F.when(cum * 100 <= F.col("total") * 80, "A")
+        .when(cum * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    j = (
+        loc.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("abc_class", cls)
+    )
+    return j.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("CAST((sum(cents) * 1000000) div first(total) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — they sum to exactly 1e6,
+# so observed and expected ppm columns are directly comparable
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "orders_benford_digits",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+              AS first_digit
+          FROM c),
+    g AS (SELECT first_digit, COUNT(*) AS n FROM d GROUP BY first_digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT first_digit,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST(ABS(n * 1000000 // total - ({_BENFORD_CASE})) AS BIGINT)
+               AS abs_dev_ppm
+    FROM g CROSS JOIN t
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/data-quality screen finance pipelines run on monetary
+    columns: the leading significant digit of naturally-occurring
+    amounts should follow P(d) = log10(1 + 1/d). Expected frequencies
+    are INLINED integer-ppm literals (identical in both engines —
+    no runtime log), observed shares are integer division, and the
+    per-digit absolute deviation is exact.
+
+    Plan shape at 100 TB: first digit extracted in codegen (string head
+    of the integer cents — no float log10/pow in the hot path), ONE
+    9-group hash agg with map-side partials, and a broadcast of the
+    1-row total. Output is 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    g = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("total"))
+    j = g.crossJoin(F.broadcast(t))
+    obs = F.expr("n * 1000000 div total")
+    exp_ppm = F.expr(_BENFORD_CASE)
+    return j.select(
+        "first_digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        obs.cast("bigint").alias("observed_ppm"),
+        exp_ppm.cast("bigint").alias("benford_ppm"),
+        F.abs(obs - exp_ppm).cast("bigint").alias("abs_dev_ppm"),
+    )

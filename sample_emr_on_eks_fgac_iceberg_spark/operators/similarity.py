@@ -1814,3 +1814,128 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dot_fixed",
         )
     )
+
+
+_MRL_PREFIXES = (8, 16, 32, 64)
+_MRL_K = 5
+
+
+def _mrl_oracle() -> str:
+    prefixes = ", ".join(str(p) for p in _MRL_PREFIXES)
+    return f"""
+    WITH fx AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+    q AS (SELECT * FROM fx WHERE vec_id < {N_QUERIES}),
+    pref AS (SELECT unnest([{prefixes}]) AS p),
+    cand AS (
+        SELECT pref.p, q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_inner_product(
+                   q.v[1:pref.p]::DOUBLE[], c.v[1:pref.p]::DOUBLE[])
+                   AS BIGINT) AS dot
+        FROM q JOIN fx c ON c.vec_id <> q.vec_id CROSS JOIN pref),
+    ranked AS (
+        SELECT p, q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p, q_id
+                                  ORDER BY dot DESC, neighbor_id) AS rk
+        FROM cand),
+    top AS (SELECT p, q_id, neighbor_id FROM ranked WHERE rk <= {_MRL_K}),
+    base AS (SELECT q_id, neighbor_id FROM top
+             WHERE p = {_MRL_PREFIXES[-1]}),
+    ov AS (SELECT t.p, COUNT(*) AS n_overlap
+           FROM top t JOIN base b
+             ON t.q_id = b.q_id AND t.neighbor_id = b.neighbor_id
+           GROUP BY t.p)
+    SELECT CAST(p AS INT) AS dim_prefix,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_overlap * 1000000 // {N_QUERIES * _MRL_K} AS BIGINT)
+               AS recall_ppm
+    FROM ov
+    """
+
+
+@register("embedding_matryoshka_recall", oracle=_mrl_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (nested-prefix) embedding evaluation: exact top-{_MRL_K}
+    retrieval by integer dot product over the first D' dims for
+    D' in {_MRL_PREFIXES}, scored as recall against the full-dimension
+    top-{_MRL_K} — the dimension-vs-quality curve that decides how far
+    MRL-style embeddings can be truncated before ANN quality collapses
+    (the storage/latency knob every 100 TB vector corpus tunes first).
+    Everything is exact integers: milli-unit quantization, int64 dots,
+    truncating-division ppm.
+
+    Plan shape at 100 TB — the ann_cosine_topk distributed-top-K shape,
+    widened per prefix: the Q={N_QUERIES} query matrix rides into one
+    mapInPandas pass over the candidate stream; each Arrow batch runs
+    ONE GEMM per prefix on the sliced query/candidate matrices (4 BLAS
+    calls, no per-row Python) and emits only its local top-{_MRL_K} per
+    (prefix, query); the final rank window sees prefixes×Q×K×tasks
+    rows, never the corpus. The recall join is top-set sized."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _quantized(F.col("embedding")).alias("v"))
+        .collect()  # scale-ok: Q=N_QUERIES(10) query vectors
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.v for r in qrows], dtype=np.int64)
+
+    cand = fan_out(e, spark, "vec_id").select(
+        "vec_id", _quantized(F.col("embedding")).alias("v")
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["v"]],
+                dtype=np.int64,
+            )
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"p": [], "q_id": [], "neighbor_id": [], "dot": []}
+            for p in _MRL_PREFIXES:
+                dots = cm[:, :p] @ qm[:, :p].T  # n×Q exact int64
+                for j in range(len(q_ids)):
+                    mask = c_ids != q_ids[j]
+                    cj, dj = c_ids[mask], dots[mask, j]
+                    order = np.lexsort((cj, -dj))[:_MRL_K]
+                    out["p"].extend([p] * len(order))
+                    out["q_id"].extend([int(q_ids[j])] * len(order))
+                    out["neighbor_id"].extend(int(x) for x in cj[order])
+                    out["dot"].extend(int(x) for x in dj[order])
+            yield pd.DataFrame(out)
+
+    scored = cand.mapInPandas(
+        _score, "p int, q_id bigint, neighbor_id bigint, dot bigint"
+    )
+    w = Window.partitionBy("p", "q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MRL_K)
+        .select("p", "q_id", "neighbor_id")
+    )
+    top = materialize_once(top)
+    base = top.filter(F.col("p") == _MRL_PREFIXES[-1]).select(
+        "q_id", "neighbor_id"
+    )
+    ov = top.join(base, ["q_id", "neighbor_id"]).groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return ov.select(
+        F.col("p").cast("int").alias("dim_prefix"),
+        F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+        "n_overlap",
+        F.expr(
+            f"CAST((n_overlap * 1000000) div {N_QUERIES * _MRL_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

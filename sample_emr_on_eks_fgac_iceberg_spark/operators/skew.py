@@ -229,6 +229,34 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
     )
 
 
+def partition_prefix_min(
+    partials: "DataFrame", pid_col: str = "pid", val_col: str = "v"
+) -> "DataFrame":
+    """Per-partition prefix MINIMUM — the running-min analog of
+    ``partition_rank_offsets`` (K driver-held scalars, one per range
+    partition): returns a broadcastable (pid, __prior_min) frame where
+    ``__prior_min`` is the minimum of ``val_col`` over all LOWER pids
+    (null for the first partition). With a range partitioning whose
+    order matches the logical scan order, joining this back turns a
+    per-partition local running min into the exact global one — the
+    skyline/dominance fold — without any single-partition window."""
+    rows = sorted(
+        (r[pid_col], r[val_col])
+        for r in partials.select(pid_col, val_col).collect()  # scale-ok: one scalar per partition
+    )
+    out: list[tuple] = []
+    cur = None
+    for p, v in rows:
+        out.append((int(p), cur))
+        if v is not None and (cur is None or v < cur):
+            cur = v
+    spark = partials.sparkSession
+    vt = dict(partials.dtypes)[val_col]
+    return spark.createDataFrame(
+        out or [(0, None)], f"{pid_col} int, __prior_min {vt}"
+    )
+
+
 def exact_order_statistics(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -1333,3 +1333,80 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"), "lift"
     )
+
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM counts),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(COUNT(CASE WHEN ranked.rank <= ks.k THEN 1 END) AS BIGINT)
+               AS vocab_used,
+           CAST(COALESCE(SUM(CASE WHEN ranked.rank <= ks.k
+                                  THEN ranked.n END), 0) AS BIGINT)
+               AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(CASE WHEN ranked.rank <= ks.k
+                                  THEN ranked.n END), 0)
+                * 1000000 // tot.total AS BIGINT) AS coverage_ppm
+    FROM ks CROSS JOIN tot CROSS JOIN ranked
+    GROUP BY ks.k, tot.total
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of all corpus tokens
+    the top-k vocabulary entries cover, for k in {_COVERAGE_KS}: the
+    readout that sizes tokenizer vocabularies and OOV budgets (Zipfian
+    corpora saturate fast; a flat curve flags corrupted/boilerplate
+    text). Coverage is exact integer ppm.
+
+    Plan shape at 100 TB: ONE wordcount hash agg (shuffle volume is
+    per-partition distinct words), then per k a bounded
+    TakeOrderedAndProject top-k (per-partition heaps — the vocabulary
+    is NEVER globally sorted) collapsing straight into a 1-row
+    aggregate; the three 1-row branches union with the broadcast total.
+    Everything after the wordcount is k-bounded."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    counts = materialize_once(
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    branches = []
+    for k in _COVERAGE_KS:
+        topk = counts.orderBy(F.col("n").desc(), F.col("word")).limit(k)
+        branches.append(
+            topk.agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab_used"),
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("bigint")
+                .alias("covered_tokens"),
+            )
+        )
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "vocab_used",
+        "covered_tokens",
+        F.col("total").cast("bigint").alias("total_tokens"),
+        F.expr("CAST((covered_tokens * 1000000) div total AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+    )
