@@ -89,6 +89,13 @@ _CORE = [
     "embedding_matryoshka_recall",
     "text_vocab_coverage_curve",
     "orders_benford_digits",
+    # round-11 debuts, wave 3: exact weighted median (K-scalar crossing
+    # search), Herfindahl supplier concentration (integer ppm), and
+    # delta-join incremental maintenance of a JOIN materialized view
+    # (oracle = definitional full join over the complete tables)
+    "lineitem_weighted_median_price",
+    "supplier_hhi_by_nation",
+    "cdc_join_mv_maintenance",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -151,6 +151,9 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "text_vocab_coverage_curve",
     "orders_benford_digits",
+    "lineitem_weighted_median_price",
+    "supplier_hhi_by_nation",
+    "cdc_join_mv_maintenance",
 ]
 
 

@@ -3218,3 +3218,129 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.cast("bigint").alias("benford_ppm"),
         F.abs(obs - exp_ppm).cast("bigint").alias("abs_dev_ppm"),
     )
+
+
+@register(
+    "lineitem_weighted_median_price",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    t AS (SELECT SUM(w) AS wt FROM x),
+    c AS (SELECT cents, w,
+                 SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM x)
+    SELECT CAST(t.wt AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN c.cum >= (t.wt + 1) // 2
+                         THEN c.cents END) AS BIGINT)
+               AS median_price_cents
+    FROM c CROSS JOIN t GROUP BY t.wt
+    """,
+)
+def lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT quantity-weighted median line price — the 'typical unit of
+    goods' price statistic where each row counts with its physical
+    quantity, not once (the same lower-weighted-quantile rule DuckDB's
+    window formulation mirrors: the first row, in (cents, orderkey,
+    linenumber) order, whose running weight reaches ceil(W/2)).
+
+    Plan shape at 100 TB — skew.weighted_order_statistic: ONE
+    repartitionByRange + per-partition sort + per-partition cumulative
+    window (never global); per-partition weight sums are K driver
+    scalars that locate the crossing partition; a single bounded
+    filter+limit fetches the crossing row."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        weighted_order_statistic,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    total, row = weighted_order_statistic(
+        li, ["cents", "l_orderkey", "l_linenumber"], "w", 1, 2
+    )
+    if row is None:
+        return spark.createDataFrame(
+            [], "total_weight bigint, median_price_cents bigint"
+        )
+    return spark.createDataFrame(
+        [(int(total), int(row["cents"]))],
+        "total_weight bigint, median_price_cents bigint",
+    )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH v AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT)) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey),
+    tot AS (SELECT s_nationkey, SUM(cents) AS total, COUNT(*) AS n_sup
+            FROM v GROUP BY s_nationkey),
+    sh AS (SELECT v.s_nationkey, tot.n_sup, tot.total,
+                  (v.cents * 1000000) // tot.total AS share_ppm
+           FROM v JOIN tot ON v.s_nationkey = tot.s_nationkey)
+    SELECT n.n_name,
+           CAST(sh.n_sup AS BIGINT) AS n_suppliers,
+           CAST(sh.total AS BIGINT) AS revenue_cents,
+           CAST(SUM(sh.share_ppm * sh.share_ppm) // 1000000 AS BIGINT)
+               AS hhi_ppm
+    FROM sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, sh.n_sup, sh.total
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the antitrust-style 'is this market one supplier in a trench coat'
+    readout: HHI = Σ shareᵢ² over each nation's suppliers, here in
+    exact integer ppm (share_ppm via truncating division, the square
+    sum scaled back by 1e6 — both divisions mirrored verbatim in the
+    oracle, so the statistic is bit-equal cross-engine).
+
+    Plan shape at 100 TB: lineitem ⋈ broadcast(supplier) (dim-sized),
+    ONE (nation, supplier)-keyed hash agg with map-side partials —
+    shuffle volume is supplier-distinct, not lineitem-sized — then a
+    nation-keyed rollup of supplier rows and a broadcast nation-name
+    join. No windows, no self-joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    v = materialize_once(v)
+    tot = v.groupBy("s_nationkey").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_sup")
+    )
+    sh = v.join(tot, "s_nationkey").withColumn(
+        "share_ppm", F.expr("(cents * 1000000) div total")
+    )
+    agg = sh.groupBy("s_nationkey", "n_sup", "total").agg(
+        F.expr(
+            "CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)"
+        ).alias("hhi_ppm")
+    )
+    return agg.join(F.broadcast(n), agg["s_nationkey"] == n["n_nationkey"]).select(
+        "n_name",
+        F.col("n_sup").cast("bigint").alias("n_suppliers"),
+        F.col("total").cast("bigint").alias("revenue_cents"),
+        "hhi_ppm",
+    )

@@ -25,6 +25,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # (phase-1 aggregate over input rows, phase-2 combiner over partials)
 AggSpec = tuple[Column, Callable[[str], Column]]
@@ -315,3 +316,63 @@ def exact_order_statistics(
         _, pos = targets[(p, j)]
         by_pos[pos] = row
     return [(q, pos, by_pos[pos]) for q, pos in wanted]
+
+
+def weighted_order_statistic(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    weight_col: str,
+    num: int,
+    den: int,
+    n_parts: int | None = None,
+):
+    """EXACT weighted order statistic without a single-partition sort:
+    the first row (in the strict total order ``order_cols``) whose
+    running weight reaches ceil(num·W/den), W = total weight — the
+    lower weighted quantile rule, all-integer so an oracle mirrors it
+    bit-for-bit. Returns (W, row) or (0, None) on empty input.
+
+    Same K-scalar machinery as exact_order_statistics: ONE
+    repartitionByRange + per-partition sort + local cumulative-weight
+    window (per-partition — never global), per-partition weight sums to
+    the driver, then a single bounded filter+limit fetches the crossing
+    row from the one partition that contains it."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranked = (
+        df.select(*order_cols, weight_col)
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    lw = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn("__cumw", F.sum(weight_col).over(lw))
+    by_pid = {
+        r["__pid"]: int(r["w"])
+        for r in ranked.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()  # scale-ok: one weight-sum scalar per partition
+    }
+    total = sum(by_pid.values())
+    if total <= 0:
+        return 0, None
+    target = max(1, -(-(num * total) // den))  # ceil(num*W/den)
+    acc = 0
+    hit_pid, rem = None, None
+    for p in sorted(by_pid):
+        if target <= acc + by_pid[p]:
+            hit_pid, rem = p, target - acc
+            break
+        acc += by_pid[p]
+    rows = (
+        cum.filter((F.col("__pid") == hit_pid) & (F.col("__cumw") >= rem))
+        .orderBy(*order_cols)
+        .limit(1)
+        .collect()  # scale-ok: the single crossing row
+    )
+    return total, rows[0]
