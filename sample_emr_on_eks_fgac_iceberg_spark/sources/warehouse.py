@@ -2836,10 +2836,31 @@ class Warehouse:
             meta.refs[branch]["snapshot_id"] = self.current_snapshot_id(name)
             self._write_meta(meta)
 
-    def drop_ref(self, name: str, ref: str) -> None:
+    def drop_ref(
+        self,
+        name: str,
+        ref: str,
+        kind: str | None = None,
+        if_exists: bool = True,
+    ) -> None:
+        """Remove a named ref. ``kind`` ('tag'|'branch') makes the drop
+        kind-checked (DROP TAG on a branch refuses, as in Iceberg's
+        SQL); ``if_exists=False`` raises on a missing ref (the bare
+        DROP semantics — the default stays the historical silent pop
+        for API callers)."""
         name = self._resolve_dml_target(name).name
         with self._table_lock(name):
             meta = self._read_meta(name)
+            entry = meta.refs.get(ref)
+            if entry is None:
+                if if_exists:
+                    return
+                raise ValueError(f"Unknown ref '{ref}' on '{name}'")
+            if kind is not None and entry["type"] != kind:
+                raise ValueError(
+                    f"Ref '{ref}' on '{name}' is a {entry['type']}, "
+                    f"not a {kind}"
+                )
             meta.refs.pop(ref, None)
             self._write_meta(meta)
 

@@ -114,6 +114,19 @@ _ALTER_WRITE_ORDER_RE = re.compile(
     r"\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
     re.I,
 )
+# Iceberg branching/tagging DDL: ALTER TABLE t CREATE [OR REPLACE]
+# TAG|BRANCH name [AS OF VERSION n]; REPLACE TAG|BRANCH name AS OF
+# VERSION n; DROP TAG|BRANCH [IF EXISTS] name
+_ALTER_CREATE_REF_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)"
+    r"(TAG|BRANCH)\s+`?([\w.\-]+)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.I,
+)
+_ALTER_DROP_REF_RE = re.compile(
+    r"\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(TAG|BRANCH)\s+"
+    r"(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s*;?\s*$",
+    re.I,
+)
 # Iceberg time-travel SQL: SELECT … FROM t VERSION AS OF 3 /
 # t TIMESTAMP AS OF '2026-01-01 00:00:00' (FOR SYSTEM_VERSION/
 # SYSTEM_TIME spellings accepted)
@@ -531,6 +544,38 @@ class SqlFrontend:
             self.warehouse.alter_write_order(
                 m.group(1),
                 [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()],
+            )
+            return None
+        m = _ALTER_CREATE_REF_RE.match(query)
+        if m:
+            table, verb, kind, ref, ver = (
+                m.group(1),
+                m.group(2).upper(),
+                m.group(3).lower(),
+                m.group(4),
+                m.group(5),
+            )
+            sid = int(ver) if ver else None
+            # bare REPLACE requires the ref to exist (Iceberg's
+            # semantics); CREATE OR REPLACE upserts; bare CREATE
+            # refuses an existing ref via _set_ref
+            if "REPLACE" in verb:
+                self.warehouse.drop_ref(
+                    table, ref, kind=kind,
+                    if_exists=verb.startswith("CREATE"),
+                )
+            if kind == "tag":
+                self.warehouse.create_tag(table, ref, sid)
+            else:
+                self.warehouse.create_branch(table, ref, sid)
+            return None
+        m = _ALTER_DROP_REF_RE.match(query)
+        if m:
+            self.warehouse.drop_ref(
+                m.group(1),
+                m.group(4),
+                kind=m.group(2).lower(),
+                if_exists=bool(m.group(3)),
             )
             return None
         m = _ALTER_TBLPROPS_RE.match(query)

@@ -326,3 +326,48 @@ def test_dml_subquery_views_do_not_outlive_dropped_tables(engine):
 
     with _pytest.raises(Exception, match="dv_s|not.*exist|NOT_FOUND"):
         engine.sql("DELETE FROM dv_t WHERE k IN (SELECT k FROM dv_s)")
+
+
+# --------------------------------- branch/tag DDL (round 11)
+def test_alter_table_tag_branch_ddl(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        SnapshotNotFoundError,
+        Warehouse,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    fe = SqlFrontend(spark, wh)
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    fe.execute("ALTER TABLE t CREATE TAG v1")
+    fe.execute("INSERT INTO t VALUES (2)")
+    fe.execute("ALTER TABLE t CREATE BRANCH dev AS OF VERSION 1")
+    # tag pins snapshot 1; branch points at snapshot 1 explicitly
+    assert sorted(
+        r[0] for r in fe.execute("SELECT k FROM t VERSION AS OF 'v1'").collect()
+    ) == [1]
+    assert sorted(
+        r[0] for r in fe.execute("SELECT k FROM t VERSION AS OF 'dev'").collect()
+    ) == [1]
+    # duplicate CREATE refuses; CREATE OR REPLACE upserts to head
+    with pytest.raises(ValueError, match="already exists"):
+        fe.execute("ALTER TABLE t CREATE TAG v1")
+    fe.execute("ALTER TABLE t CREATE OR REPLACE TAG v1")
+    assert sorted(
+        r[0] for r in fe.execute("SELECT k FROM t VERSION AS OF 'v1'").collect()
+    ) == [1, 2]
+    # bare REPLACE requires existence and matching kind
+    with pytest.raises(ValueError, match="Unknown ref"):
+        fe.execute("ALTER TABLE t REPLACE BRANCH nope AS OF VERSION 1")
+    with pytest.raises(ValueError, match="is a tag"):
+        fe.execute("ALTER TABLE t REPLACE BRANCH v1 AS OF VERSION 1")
+    # kind-checked drops; IF EXISTS swallows missing
+    with pytest.raises(ValueError, match="is a branch"):
+        fe.execute("ALTER TABLE t DROP TAG dev")
+    fe.execute("ALTER TABLE t DROP BRANCH dev")
+    with pytest.raises(ValueError, match="Unknown ref"):
+        fe.execute("ALTER TABLE t DROP BRANCH dev")
+    fe.execute("ALTER TABLE t DROP BRANCH IF EXISTS dev")
+    with pytest.raises(SnapshotNotFoundError):
+        fe.execute("SELECT k FROM t VERSION AS OF 'dev'").collect()
