@@ -96,6 +96,10 @@ _CORE = [
     "lineitem_weighted_median_price",
     "supplier_hhi_by_nation",
     "cdc_join_mv_maintenance",
+    # round-11 debut, wave 4: the packaged watermarked stream-stream
+    # interval join (conversion pairing) — batch mirror of the
+    # streaming plan proven row-identical in test_streaming.py
+    "events_stream_stream_conversions",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -154,6 +154,7 @@ HEADLINE = [
     "lineitem_weighted_median_price",
     "supplier_hhi_by_nation",
     "cdc_join_mv_maintenance",
+    "events_stream_stream_conversions",
 ]
 
 

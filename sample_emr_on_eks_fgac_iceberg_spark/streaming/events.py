@@ -391,3 +391,98 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_counts(
         load_table(spark, sf_dir, "events"), gap="30 minutes"
     )
+
+
+# ------------------------------------------------- stream-stream join
+def join_click_purchase_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval inner join — the ad-tech conversion
+    pairing: every (click, purchase) of the same user with the purchase
+    inside [click_ts, click_ts + horizon]. On streams BOTH sides are
+    watermarked and the join condition carries two-sided event-time
+    bounds, so Spark's symmetric hash join can evict buffered rows once
+    the watermark passes — bounded state, the thing that separates a
+    production stream-stream join from an unbounded buffer. On batch
+    frames the same function is a plain interval equi-join (unified
+    model; the batch plan is the semantic spec for the streaming one,
+    proven in tests/test_streaming.py)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+@register(
+    "events_stream_stream_conversions",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id, c.click_id, p.purchase_id,
+                 (epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+                     // 1000000 AS lat_s
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks_converted,
+           CAST(MIN(lat_s) AS BIGINT) AS min_latency_s
+    FROM j GROUP BY user_id
+    """,
+)
+def events_stream_stream_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch mirror of the watermarked stream-stream interval join
+    (join_click_purchase_streams): per-user (click, purchase) pairs
+    within the 30-minute conversion horizon, rolled up to pair / 
+    converted-click counts and the minimum latency. The true streaming
+    plan (two watermarked file streams, symmetric hash join, append
+    mode) is proven row-identical to this batch plan in
+    tests/test_streaming.py::test_stream_stream_join_matches_batch."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = join_click_purchase_streams(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    lat = F.expr(
+        "(unix_micros(cast(purchase_ts AS timestamp)) "
+        "- unix_micros(cast(click_ts AS timestamp))) div 1000000"
+    )
+    return pairs.withColumn("lat_s", lat).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("click_id").cast("bigint").alias("n_clicks_converted"),
+        F.min("lat_s").cast("bigint").alias("min_latency_s"),
+    )

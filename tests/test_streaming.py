@@ -688,3 +688,29 @@ def test_upsert_sink_order_by_keeps_last_version_per_key(spark, tmp_path):
     sink(b1, 1)
     got = sorted((r.k, r.v, r.ver) for r in wh.read_table("dim").collect())
     assert got == [(1, "v4", 4), (2, "b", 1)]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    """The packaged stream-stream conversion join
+    (join_click_purchase_streams) run as TWO watermarked file streams
+    must be row-identical to the same function on batch frames — the
+    unified-model contract behind the events_stream_stream_conversions
+    driver query."""
+    from sample_emr_on_eks_fgac_iceberg_spark.streaming.events import (
+        join_click_purchase_streams,
+    )
+
+    s = join_click_purchase_streams(
+        read_event_stream(spark, events_dir).filter("event_type = 'click'"),
+        read_event_stream(spark, events_dir).filter("event_type = 'purchase'"),
+    )
+    assert s.isStreaming
+    run_to_memory(s, "sscv_out", output_mode="append")
+    got = spark.table("sscv_out")
+    e = load_table(spark, sf_dir, "events")
+    batch = join_click_purchase_streams(
+        e.filter("event_type = 'click'"),
+        e.filter("event_type = 'purchase'"),
+    )
+    assert _rows(got) == _rows(batch)
+    assert got.count() > 0
