@@ -1756,7 +1756,12 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0),
     )
-    bk = projected.select("vec_id", "fv", bucket.alias("bucket"))
+    # bk feeds BOTH the bucket-size aggregate and the member join in
+    # _knn_block_members — without a barrier the projection pipeline
+    # (posexplode + coefficient join + hash agg) runs twice
+    bk = materialize_once(
+        projected.select("vec_id", "fv", bucket.alias("bucket"))
+    )
     blocks = _knn_block_members(bk, cap)
 
     # sentinel for self-pairs: min+1 negates cleanly (−(min+1) = max, so
