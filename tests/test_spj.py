@@ -96,3 +96,19 @@ def test_spj_driver_query_join_stage_zero_exchange(spark, no_broadcast):
     j = wh.storage_partitioned_join("spj_orders", "spj_customer")
     plan = _executed_plan(j)
     assert "Exchange" not in plan and "SortMergeJoin" in plan, plan
+
+
+def test_bucketed_read_eliminates_agg_exchange(wh, no_broadcast):
+    """The bucketed mirror's output partitioning serves aggregation
+    too: groupBy on the bucket key plans a single-stage hash aggregate
+    with NO Exchange — at 100 TB the same win as the join case."""
+    from pyspark.sql import functions as F
+
+    df = wh.bucketed_read("fact")
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = _executed_plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 50
+    got = {(r["k"], r["s"]) for r in agg.collect()}
+    # k=0 collects v in {0, 50, ..., 350}: 8 rows of i with i%50==0
+    assert (0, sum(range(0, 400, 50))) in got
