@@ -100,6 +100,11 @@ _CORE = [
     # interval join (conversion pairing) — batch mirror of the
     # streaming plan proven row-identical in test_streaming.py
     "events_stream_stream_conversions",
+    # round-11 debut, wave 4: SQL:1999 recursive CTE (Spark 4.0's
+    # WITH RECURSIVE) — hop-bounded transitive closure over the sparse
+    # nation trade graph; the identical recursive SQL text runs on
+    # both engines
+    "nation_trade_reachability",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -155,6 +155,7 @@ HEADLINE = [
     "supplier_hhi_by_nation",
     "cdc_join_mv_maintenance",
     "events_stream_stream_conversions",
+    "nation_trade_reachability",
 ]
 
 

@@ -174,3 +174,83 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("bigint").alias("degree"),
         F.col("r").cast("bigint").alias("rank_scaled"),
     )
+
+
+_REACH_TOP_OUT = 2  # per-src out-degree cap → a sparse, deterministic graph
+_REACH_MAX_HOPS = 3
+
+
+def _reach_sql(edges_rel: str) -> str:
+    """The shared recursive body — identical text runs on Spark (>=4.0
+    ships SQL:1999 WITH RECURSIVE) and DuckDB, so the traversal
+    semantics are cross-engine by construction."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS n
+        FROM {edges_rel[0]} l
+        JOIN {edges_rel[1]} o ON l.l_orderkey = o.o_orderkey
+        JOIN {edges_rel[2]} c ON o.o_custkey = c.c_custkey
+        JOIN {edges_rel[3]} s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY s.s_nationkey, c.c_nationkey),
+    ranked AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, dst) AS rk
+        FROM pairs),
+    edges AS (SELECT src, dst FROM ranked WHERE rk <= {_REACH_TOP_OUT}),
+    r AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM r JOIN edges e ON r.dst = e.src
+        WHERE r.hops < {_REACH_MAX_HOPS}),
+    closure AS (
+        SELECT src, dst, MIN(hops) AS min_hops
+        FROM r WHERE src <> dst GROUP BY src, dst)
+    SELECT ns.n_name AS src_nation, nd.n_name AS dst_nation,
+           CAST(closure.min_hops AS INT) AS min_hops
+    FROM closure
+    JOIN {edges_rel[4]} ns ON closure.src = ns.n_nationkey
+    JOIN {edges_rel[4]} nd ON closure.dst = nd.n_nationkey
+    """
+
+
+@register(
+    "nation_trade_reachability",
+    oracle=_reach_sql(("lineitem", "orders", "customer", "supplier", "nation")),
+)
+def nation_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded transitive closure over the nation-level trade
+    graph via SQL:1999 ``WITH RECURSIVE`` (Spark 4.0's recursive-CTE
+    support — the classic reachability shape that previously required
+    a driver-side iteration loop like dedup_connected_components).
+    Edges keep each supplier-nation's top-{_REACH_TOP_OUT} customer
+    nations by trade count (deterministic (n DESC, dst) tie-break), so
+    the graph is sparse at every SF; reachability is min-hops within
+    {_REACH_MAX_HOPS} hops. The IDENTICAL recursive SQL text runs on
+    Spark and DuckDB — traversal parity by construction.
+
+    Plan shape at 100 TB: the heavy work is the non-recursive seed —
+    one (src, dst) hash agg over the fact join (map-side partials) and
+    a per-src window over ≤ |nations|² rows; the recursion itself
+    iterates on the EDGE table (≤ |nations|·{_REACH_TOP_OUT} rows), so
+    each UnionLoop step is metadata-sized regardless of corpus
+    scale."""
+    views = {}
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        v = f"__reach_{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(
+        _reach_sql(
+            (
+                views["lineitem"],
+                views["orders"],
+                views["customer"],
+                views["supplier"],
+                views["nation"],
+            )
+        )
+    )
