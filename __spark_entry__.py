@@ -45,14 +45,10 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    # temporal joins
-    "asof_join_click_purchase",
     # dedup
     "dedup_minhash_det",
     "dedup_affix_stitch",
     "dedup_connected_components",
-    # similarity search
-    "ann_cosine_topk",
     # CDC family — every commit path changed in round 11 (post-claim
     # metadata revalidation closes the stale-reclaim lost-commit race);
     # cdc_changelog_view_sql also covers the new materialization-time
@@ -105,6 +101,9 @@ _CORE = [
     # nation trade graph; the identical recursive SQL text runs on
     # both engines
     "nation_trade_reachability",
+    # round-11 debut, wave 4: Spark 4 VARIANT semi-structured path
+    # (parse_json + try_variant_get — parse once, extract typed)
+    "events_props_variant_stats",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -113,7 +112,11 @@ _CORE = [
 _ROTATION = [
     # demoted from _CORE in round 11 (round-10 debuts, all driver-green
     # in CORRECTNESS_r10 and untouched since; VERDICT r10 task 7 keeps
-    # the rotating block ≥ 20 of the 50 slots)
+    # the rotating block ≥ 20 of the 50 slots) — plus two multi-round
+    # stable flagship greens (asof join, brute-force cosine) squeezed
+    # out by the 13 round-11 debuts
+    "asof_join_click_purchase",
+    "ann_cosine_topk",
     "quality_gopher_rules",
     "text_tokenizer_fertility",
     "customers_gini_revenue",

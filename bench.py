@@ -156,6 +156,7 @@ HEADLINE = [
     "cdc_join_mv_maintenance",
     "events_stream_stream_conversions",
     "nation_trade_reachability",
+    "events_props_variant_stats",
 ]
 
 

@@ -3344,3 +3344,41 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("bigint").alias("revenue_cents"),
         "hhi_ppm",
     )
+
+
+@register(
+    "events_props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+               AS n_with_k,
+           CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    JSON props column parses ONCE into the open-schema binary Variant
+    encoding (`parse_json`) and typed paths extract with
+    `try_variant_get` — the modern replacement for per-expression
+    `get_json_object` re-parsing (each get_json_object call re-parses
+    the string; Variant parses once and extracts from the binary form,
+    the same access-path economics the Parquet variant shredding spec
+    targets at rest). Sibling of json_extract_events (the classic
+    string-path surface).
+
+    Plan shape at 100 TB: parse + extract are row-local codegen
+    expressions feeding ONE event_type-keyed hash agg with map-side
+    partials — no shuffle beyond the ≤5-group rollup."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
