@@ -134,6 +134,17 @@ _TIME_TRAVEL_RE = re.compile(
     r"([\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?(VERSION|TIME(?:STAMP)?)\s+AS\s+OF\s+('[^']*'|\d+)",
     re.I,
 )
+# Spark 4 SQL-defined scalar functions: CREATE [OR REPLACE]
+# [TEMPORARY] FUNCTION name(params) RETURNS type RETURN body
+_CREATE_SQL_FUNC_RE = re.compile(
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+`?(\w+)`?\s*"
+    r"\(([^)]*)\)\s+RETURNS\s+([\w()\s,]+?)\s+RETURN\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_SQL_FUNC_RE = re.compile(
+    r"\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$",
+    re.I,
+)
 _SHOW_TABLES_RE = re.compile(r"\s*SHOW\s+TABLES\s*;?\s*$", re.I)
 _SHOW_PARTITIONS_RE = re.compile(r"\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.I)
 _SHOW_TBLPROPS_RE = re.compile(
@@ -361,6 +372,12 @@ class SqlFrontend:
         # per-query newSession isolation), so the view always reflects
         # the CURRENT snapshot range semantics of its registration.
         self._changelog_views: dict[str, dict] = {}
+        # SQL-defined scalar functions (Spark 4 `CREATE FUNCTION …
+        # RETURN expr`): name → normalized DDL. Replayed into each
+        # _query scratch session (like changelog views) AND registered
+        # on the primary session so DML predicates/assignments resolve
+        # them through F.expr.
+        self._sql_functions: dict[str, str] = {}
         # The frontend executes consumer-delegated DML on behalf of
         # SecureSession principals; path relations (``parquet.`/p```)
         # are never a legitimate spelling here — every source the
@@ -375,6 +392,31 @@ class SqlFrontend:
         m = _EXPLAIN_RE.match(query)
         if m:
             return self._explain((m.group(1) or "simple").strip().lower(), m.group(2))
+        m = _CREATE_SQL_FUNC_RE.match(query)
+        if m:
+            replace, name = bool(m.group(1)), m.group(2)
+            if not replace and name in self._sql_functions:
+                raise ValueError(f"Function '{name}' already exists")
+            ddl = (
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                f"({m.group(3)}) RETURNS {m.group(4)} RETURN {m.group(5)}"
+            )
+            # validate + register on the primary session NOW (DML
+            # predicate resolution); scratch sessions replay from the
+            # stored DDL per query
+            self.spark.sql(ddl)
+            self._sql_functions[name] = ddl
+            return None
+        m = _DROP_SQL_FUNC_RE.match(query)
+        if m:
+            name, if_exists = m.group(2), bool(m.group(1))
+            if name not in self._sql_functions:
+                if if_exists:
+                    return None
+                raise ValueError(f"Unknown function '{name}'")
+            del self._sql_functions[name]
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            return None
         m = _CREATE_LIKE_RE.match(query)
         if m:
             if_not_exists, new, src = bool(m.group(1)), m.group(2), m.group(3)
@@ -1317,6 +1359,11 @@ class SqlFrontend:
         # changelog views registered via CALL system.create_changelog_view:
         # materialize the ones this query references into the scratch
         # session (manifest-planned CDC read — delta files only)
+        # SQL-defined functions replay into the scratch session (cheap
+        # catalog DDL; the stored form is CREATE OR REPLACE TEMPORARY,
+        # so replay is idempotent)
+        for ddl in self._sql_functions.values():
+            scratch.sql(ddl)
         for view, spec in self._changelog_views.items():
             if re.search(rf"(?<![\w.`]){re.escape(view)}(?![\w.])", query):
                 # the collision check at CALL time (create_changelog_view)

@@ -371,3 +371,45 @@ def test_alter_table_tag_branch_ddl(spark, tmp_path):
     fe.execute("ALTER TABLE t DROP BRANCH IF EXISTS dev")
     with pytest.raises(SnapshotNotFoundError):
         fe.execute("SELECT k FROM t VERSION AS OF 'dev'").collect()
+
+
+# --------------------------------- SQL-defined functions (round 11)
+def test_create_sql_function_and_use(spark, tmp_path):
+    """Spark 4 SQL scalar UDFs through the frontend: the definition
+    survives the per-query scratch-session isolation (replayed DDL),
+    resolves inside DML predicates on the primary session, and obeys
+    CREATE/OR REPLACE/DROP [IF EXISTS] semantics."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    fe = SqlFrontend(spark, wh)
+    fe.execute("CREATE TABLE t (k INT, p DOUBLE, d DOUBLE)")
+    fe.execute("INSERT INTO t VALUES (1, 100.0, 0.1), (2, 50.0, 0.5)")
+    fe.execute(
+        "CREATE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d)"
+    )
+    got = sorted(
+        tuple(r) for r in fe.execute("SELECT k, net(p, d) AS n FROM t").collect()
+    )
+    assert got == [(1, 90.0), (2, 25.0)]
+    # duplicate CREATE refuses; OR REPLACE redefines
+    with pytest.raises(ValueError, match="already exists"):
+        fe.execute("CREATE FUNCTION net(p DOUBLE) RETURNS DOUBLE RETURN p")
+    fe.execute(
+        "CREATE OR REPLACE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * 2"
+    )
+    got = sorted(
+        r["n"] for r in fe.execute("SELECT net(p, d) AS n FROM t").collect()
+    )
+    assert got == [50.0, 180.0]
+    # resolves inside a DML predicate (primary-session registration)
+    fe.execute("DELETE FROM t WHERE net(p, d) > 100")
+    assert sorted(r[0] for r in fe.execute("SELECT k FROM t").collect()) == [2]
+    # drop semantics
+    fe.execute("DROP FUNCTION net")
+    with pytest.raises(ValueError, match="Unknown function"):
+        fe.execute("DROP FUNCTION net")
+    fe.execute("DROP FUNCTION IF EXISTS net")
