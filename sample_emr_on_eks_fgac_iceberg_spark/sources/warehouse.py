@@ -3992,6 +3992,7 @@ class Warehouse:
         name: str,
         target_file_bytes: int | None = None,
         zorder_by: list[str] | None = None,
+        filters: list[tuple] | None = None,
     ) -> dict:
         """Iceberg's rewrite_data_files: rewrite the live file set into
         ~target-size files and commit a replace snapshot. History is
@@ -4005,7 +4006,18 @@ class Warehouse:
         file pruning becomes effective on EVERY z-ordered column, not
         just the leading sort key. At 100 TB this is the difference
         between pruning on one predicate column and pruning on all
-        common filter columns."""
+        common filter columns.
+
+        ``filters`` ([(col, op, literal)], the read_table grammar —
+        Iceberg's ``rewrite_data_files(where => …)``) scopes the
+        rewrite to the files the predicate can touch, planned at the
+        manifest level: a streaming table compacts its hot partition
+        without rewriting the cold 99%. Scoped rewrites keep every
+        live delete file — deletes must still apply to the untouched
+        files; for the rewritten rows they were materialized by the
+        scan, the new files' higher sequence exempts them from old
+        equality deletes, and positional refs to the removed files
+        become no-ops under ref scoping."""
         meta = self._resolve_dml_target(name)
         name = meta.name
         if target_file_bytes is None:
@@ -4017,12 +4029,23 @@ class Warehouse:
             )
         live = self._live_files(meta)
         live_dels = self._live_delete_files(meta)
+        if filters:
+            live = self._prune_files(meta, live, filters)
+            # deletes stay live: they still subtract from files outside
+            # the rewrite scope
+            live_dels = {}
+            if not live:
+                return {"rewritten_files": 0, "added_files": 0}
         if len(live) <= 1 and not live_dels:
             return {"rewritten_files": 0, "added_files": 0}
         data = self.data_dir(name)
         total = sum(os.path.getsize(os.path.join(data, f)) for f in live)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self._scan_live(meta)  # equality deletes already subtracted
+        # equality deletes already subtracted; under a filter scope the
+        # scan is restricted to exactly the files being rewritten
+        df = self._scan_live(
+            meta, restrict_files=live if filters else None
+        )
         if zorder_by:
             missing = [c for c in zorder_by if c not in df.columns]
             if missing:

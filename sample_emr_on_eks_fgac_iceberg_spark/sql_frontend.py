@@ -207,6 +207,41 @@ _META_TABLE_RE = re.compile(
 )
 
 
+def _parse_where_filters(text: str) -> list:
+    """Parse a rewrite_data_files ``where`` predicate — conjunctions of
+    ``col op literal`` with op in {=, <, <=, >, >=} — into the
+    read_table/[(col, op, literal)] filter grammar the manifest-level
+    file pruner consumes. Deliberately narrow: scan-scoping predicates
+    are partition/column-bound comparisons; anything richer refuses
+    loudly rather than silently rewriting the whole table."""
+    import datetime as _dt
+
+    out = []
+    for part in re.split(r"\s+AND\s+", text.strip(), flags=re.I):
+        m = re.match(
+            r"\s*`?(\w+)`?\s*(=|<=|>=|<|>)\s*(.+?)\s*$", part, re.S
+        )
+        if not m:
+            raise ValueError(
+                f"Cannot parse rewrite where-clause term: {part!r} "
+                "(supported: col op literal AND …)"
+            )
+        col, op, lit = m.group(1), m.group(2), m.group(3).strip()
+        dm = re.match(r"(?:DATE\s+)?'(\d{4}-\d{2}-\d{2})'$", lit, re.I)
+        if dm:
+            val: object = _dt.date.fromisoformat(dm.group(1))
+        elif lit.startswith("'") and lit.endswith("'"):
+            val = lit[1:-1]
+        elif re.fullmatch(r"-?\d+", lit):
+            val = int(lit)
+        elif re.fullmatch(r"-?\d+\.\d+", lit):
+            val = float(lit)
+        else:
+            raise ValueError(f"Cannot parse where literal: {lit!r}")
+        out.append((col, op, val))
+    return out
+
+
 def _strip_parquet_path(source: str) -> str:
     """Accept Iceberg's path-table spellings for add_files/snapshot
     sources — ``parquet.`/path```, ```parquet`.`/path``` — or a plain
@@ -823,7 +858,11 @@ class SqlFrontend:
                 continue
             am = re.match(r"(\w+)\s*=>\s*(.+)$", raw, re.S)
             key, val = (am.group(1).lower(), am.group(2).strip()) if am else (None, raw)
-            if val.startswith("'") and val.endswith("'"):
+            if (val.startswith("'") and val.endswith("'")) or (
+                val.startswith('"') and val.endswith('"')
+            ):
+                # Spark string literals: single- OR double-quoted (the
+                # latter lets a where-predicate carry inner 'literals')
                 parsed: object = val[1:-1]
             elif re.fullmatch(r"-?\d+", val):
                 parsed = int(val)
@@ -927,7 +966,12 @@ class SqlFrontend:
                     raise ValueError(
                         f"Unsupported sort_order {sort_order!r} (use zorder(cols))"
                     )
-            stats = self.warehouse.compact_table(table, zorder_by=zcols)
+            where = arg("where", 3)
+            stats = self.warehouse.compact_table(
+                table,
+                zorder_by=zcols,
+                filters=_parse_where_filters(str(where)) if where else None,
+            )
             return self.spark.createDataFrame(
                 [(stats.get("rewritten_files", 0), stats.get("added_files", 0))],
                 "rewritten_data_files_count long, added_data_files_count long",

@@ -338,3 +338,70 @@ def test_call_rewrite_manifests_preserves_time_travel(fe, spark):
     assert sorted(
         r[0] for r in fe.execute("SELECT k FROM tt VERSION AS OF 1").collect()
     ) == [1]
+
+
+# --------------------------------- rewrite_data_files where (round 11)
+def test_call_rewrite_data_files_where_scopes_to_partition(fe):
+    """Predicate-scoped compaction: only the hot partition's files are
+    rewritten — the cold partition's physical files stay byte-identical
+    — and the table reads the same before and after."""
+    wh = fe.warehouse
+    fe.execute(
+        "CREATE TABLE t (k INT, city STRING) PARTITIONED BY (city)"
+    )
+    for i in range(4):
+        fe.execute(f"INSERT INTO t VALUES ({i}, 'hot')")
+    fe.execute("INSERT INTO t VALUES (100, 'cold'), (101, 'cold')")
+    before = sorted(wh._live_files(wh._read_meta("t")))
+    cold_before = [f for f in before if "city=cold" in f]
+    hot_before = [f for f in before if "city=hot" in f]
+    assert len(hot_before) == 4
+
+    out = fe.execute(
+        "CALL system.rewrite_data_files(table => 't', "
+        "where => \"city = 'hot'\")"
+    ).collect()[0]
+    assert out["rewritten_data_files_count"] == 4
+    after = sorted(wh._live_files(wh._read_meta("t")))
+    cold_after = [f for f in after if "city=cold" in f]
+    hot_after = [f for f in after if "city=hot" in f]
+    assert cold_after == cold_before  # untouched
+    assert set(hot_after).isdisjoint(hot_before) and len(hot_after) < 4
+    got = sorted(tuple(r) for r in fe.execute("SELECT * FROM t").collect())
+    assert got == [(0, "hot"), (1, "hot"), (2, "hot"), (3, "hot"),
+                   (100, "cold"), (101, "cold")]
+
+
+def test_call_rewrite_data_files_where_keeps_deletes_for_cold_files(fe):
+    """A scoped rewrite must NOT drop live delete files: deletes on
+    files outside the scope still apply afterwards, while the rewritten
+    rows have them materialized."""
+    wh = fe.warehouse
+    fe.execute("CREATE TABLE t (k INT, city STRING) PARTITIONED BY (city)")
+    wh.set_delete_mode("t", "merge-on-read")
+    fe.execute("INSERT INTO t VALUES (1, 'hot'), (2, 'hot')")
+    fe.execute("INSERT INTO t VALUES (10, 'cold'), (11, 'cold')")
+    fe.execute("DELETE FROM t WHERE k = 2")   # positional delete, hot
+    fe.execute("DELETE FROM t WHERE k = 11")  # positional delete, cold
+    assert len(wh._live_delete_files(wh._read_meta("t"))) == 2
+    fe.execute(
+        "CALL system.rewrite_data_files(table => 't', "
+        "where => \"city = 'hot'\")"
+    )
+    # both deletes still honored
+    got = sorted(tuple(r) for r in fe.execute("SELECT * FROM t").collect())
+    assert got == [(1, "hot"), (10, "cold")]
+    # the cold delete file is still live (cold data file untouched)
+    assert len(wh._live_delete_files(wh._read_meta("t"))) >= 1
+
+
+def test_rewrite_where_parser_refuses_rich_predicates(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Cannot parse"):
+        fe.execute(
+            "CALL system.rewrite_data_files(table => 't', "
+            "where => 'k IN (1, 2)')"
+        )
