@@ -2856,9 +2856,9 @@ def customers_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
         ).alias("cents")
     )
-    r = rev.repartitionByRange(32, "cents", "o_custkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    r = rev.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "cents", "o_custkey"
+    ).withColumn("pid", F.spark_partition_id())
     lw = Window.partitionBy("pid").orderBy("cents", "o_custkey")
     ranked = r.withColumn("j", F.row_number().over(lw))
     partials = materialize_once(
@@ -3038,9 +3038,9 @@ def orders_skyline_dominators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
     pc = o.groupBy("price_cents").agg(F.min("o_orderdate").alias("md"))
-    r = pc.repartitionByRange(32, F.col("price_cents").desc()).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    r = pc.repartitionByRange(
+        spark.sparkContext.defaultParallelism, F.col("price_cents").desc()
+    ).withColumn("pid", F.spark_partition_id())
     lw = (
         Window.partitionBy("pid")
         .orderBy(F.col("price_cents").desc())
@@ -3119,7 +3119,9 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
     r = rev.repartitionByRange(
-        32, F.col("cents").desc(), F.col("l_partkey")
+        spark.sparkContext.defaultParallelism,
+        F.col("cents").desc(),
+        F.col("l_partkey"),
     ).withColumn("pid", F.spark_partition_id())
     lw = (
         Window.partitionBy("pid")

@@ -215,7 +215,13 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
     global ranks: global_rank = offset[pid] + local_rank. Returns a
     broadcastable (pid, __offset) frame; callers join it back instead
     of running a single-partition cumulative window (the shape the
-    global-window plan gate rejects)."""
+    global-window plan gate rejects).
+
+    ``__offset`` inherits ``count_col``'s type when that type is a
+    decimal (the accumulation runs in exact Python ints either way):
+    a bigint offset would overflow when callers fold decimal(38,0)
+    magnitudes — e.g. revenue-cents sums — instead of row counts
+    (ADVICE r11)."""
     rows = sorted(
         (r[pid_col], r[count_col])
         for r in partials.select(pid_col, count_col).collect()  # scale-ok: one count scalar per partition
@@ -225,8 +231,17 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
         out.append((int(p), acc))
         acc += int(n)
     spark = partials.sparkSession
+    ct = dict(partials.dtypes)[count_col]
+    off_type = ct if ct.startswith("decimal") else "bigint"
+    if off_type != "bigint":
+        from decimal import Decimal
+
+        out = [(p, Decimal(a)) for p, a in out]
+        empty = [(0, Decimal(0))]
+    else:
+        empty = [(0, 0)]
     return spark.createDataFrame(
-        out or [(0, 0)], f"{pid_col} int, __offset bigint"
+        out or empty, f"{pid_col} int, __offset {off_type}"
     )
 
 

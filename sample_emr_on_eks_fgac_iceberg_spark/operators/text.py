@@ -1401,7 +1401,13 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = branches[0]
     for b in branches[1:]:
         u = u.unionByName(b)
-    return u.crossJoin(F.broadcast(tot)).select(
+    # empty-corpus parity (ADVICE r11): the oracle's CROSS JOIN over an
+    # empty ranked CTE emits zero rows, while each Spark branch's 1-row
+    # aggregate would emit k rows with null totals — drop them when the
+    # wordcount is empty (total is the SUM over zero rows → null)
+    return u.crossJoin(F.broadcast(tot)).filter(
+        F.col("total").isNotNull()
+    ).select(
         "k",
         "vocab_used",
         "covered_tokens",

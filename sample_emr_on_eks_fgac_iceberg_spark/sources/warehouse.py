@@ -945,7 +945,23 @@ class Warehouse:
         if claim is not None and claim_token is not None:
             # last gate: if a reclaimer stole this version's claim while
             # the footer reads ran, abort retryably instead of writing
-            # over its commit
+            # over its commit.
+            #
+            # Residual TOCTOU (ADVICE r11, documented by design): between
+            # this verify and the _write_meta below, a reclaimer that
+            # steals a >stale-bound claim can still land a commit at the
+            # same sequence around ours — POSIX rename gives atomic
+            # replace, not compare-and-swap, so no ordering of
+            # file-system primitives closes the window entirely. This is
+            # exactly Iceberg's HadoopTableOperations caveat (its javadoc
+            # warns concurrent commits through the Hadoop catalog can
+            # both "succeed"); the production answer there and here is a
+            # catalog with an atomic CAS — the reference uses Glue
+            # (producer_iceberg_datalake_setup.sh), whose UpdateTable is
+            # conditional. The stale bound makes the window reachable
+            # only by a writer that stalled mid-commit for the full
+            # reclaim timeout; the revalidation above plus this verify
+            # shrink it to microseconds on top of that.
             self._verify_claim(claim, claim_token)
         meta.snapshots.append(entry)
         self._write_meta(meta)

@@ -137,7 +137,7 @@ _TIME_TRAVEL_RE = re.compile(
 # Spark 4 SQL-defined scalar functions: CREATE [OR REPLACE]
 # [TEMPORARY] FUNCTION name(params) RETURNS type RETURN body
 _CREATE_SQL_FUNC_RE = re.compile(
-    r"\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+`?(\w+)`?\s*"
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?FUNCTION\s+`?(\w+)`?\s*"
     r"\(([^)]*)\)\s+RETURNS\s+([\w()\s,]+?)\s+RETURN\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
@@ -207,6 +207,20 @@ _META_TABLE_RE = re.compile(
 )
 
 
+def _split_top_and(text: str) -> list[str]:
+    """Split a predicate on AND *outside* single-quoted literals — a
+    literal containing the word ``and`` (``brand = 'A AND B'``) must
+    stay one term (ADVICE r11). SQL escapes a quote by doubling it, so
+    "inside a string" is exactly "odd number of quotes seen so far"."""
+    parts, start = [], 0
+    for m in re.finditer(r"\bAND\b", text, re.I):
+        if text.count("'", 0, m.start()) % 2 == 0:
+            parts.append(text[start : m.start()])
+            start = m.end()
+    parts.append(text[start:])
+    return [p.strip() for p in parts]
+
+
 def _parse_where_filters(text: str) -> list:
     """Parse a rewrite_data_files ``where`` predicate — conjunctions of
     ``col op literal`` with op in {=, <, <=, >, >=} — into the
@@ -217,7 +231,7 @@ def _parse_where_filters(text: str) -> list:
     import datetime as _dt
 
     out = []
-    for part in re.split(r"\s+AND\s+", text.strip(), flags=re.I):
+    for part in _split_top_and(text.strip()):
         m = re.match(
             r"\s*`?(\w+)`?\s*(=|<=|>=|<|>)\s*(.+?)\s*$", part, re.S
         )
@@ -429,12 +443,23 @@ class SqlFrontend:
             return self._explain((m.group(1) or "simple").strip().lower(), m.group(2))
         m = _CREATE_SQL_FUNC_RE.match(query)
         if m:
-            replace, name = bool(m.group(1)), m.group(2)
+            replace, name = bool(m.group(1)), m.group(3)
+            if not m.group(2):
+                # fail loud, not silently session-scoped: a persistent
+                # (catalog) SQL function outlives the session, which
+                # this frontend's dict-backed registry cannot honor —
+                # quietly downgrading it would drop the function on the
+                # next session (ADVICE r11)
+                raise ValueError(
+                    "persistent CREATE FUNCTION is not supported — this "
+                    "frontend registers session-scoped functions only; "
+                    "spell it CREATE [OR REPLACE] TEMPORARY FUNCTION"
+                )
             if not replace and name in self._sql_functions:
                 raise ValueError(f"Function '{name}' already exists")
             ddl = (
                 f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
-                f"({m.group(3)}) RETURNS {m.group(4)} RETURN {m.group(5)}"
+                f"({m.group(4)}) RETURNS {m.group(5)} RETURN {m.group(6)}"
             )
             # validate + register on the primary session NOW (DML
             # predicate resolution); scratch sessions replay from the

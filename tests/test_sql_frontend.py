@@ -386,8 +386,15 @@ def test_create_sql_function_and_use(spark, tmp_path):
     fe = SqlFrontend(spark, wh)
     fe.execute("CREATE TABLE t (k INT, p DOUBLE, d DOUBLE)")
     fe.execute("INSERT INTO t VALUES (1, 100.0, 0.1), (2, 50.0, 0.5)")
+    # persistent (non-TEMPORARY) CREATE FUNCTION refuses loudly instead
+    # of silently downgrading to session scope (ADVICE r11)
+    with pytest.raises(ValueError, match="TEMPORARY"):
+        fe.execute(
+            "CREATE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+            "RETURN p * (1 - d)"
+        )
     fe.execute(
-        "CREATE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+        "CREATE TEMPORARY FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
         "RETURN p * (1 - d)"
     )
     got = sorted(
@@ -396,10 +403,12 @@ def test_create_sql_function_and_use(spark, tmp_path):
     assert got == [(1, 90.0), (2, 25.0)]
     # duplicate CREATE refuses; OR REPLACE redefines
     with pytest.raises(ValueError, match="already exists"):
-        fe.execute("CREATE FUNCTION net(p DOUBLE) RETURNS DOUBLE RETURN p")
+        fe.execute(
+            "CREATE TEMPORARY FUNCTION net(p DOUBLE) RETURNS DOUBLE RETURN p"
+        )
     fe.execute(
-        "CREATE OR REPLACE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
-        "RETURN p * (1 - d) * 2"
+        "CREATE OR REPLACE TEMPORARY FUNCTION net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * 2"
     )
     got = sorted(
         r["n"] for r in fe.execute("SELECT net(p, d) AS n FROM t").collect()
