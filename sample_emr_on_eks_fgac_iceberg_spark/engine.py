@@ -73,4 +73,11 @@ class FgacEngine:
                 Warehouse(s, self.warehouse.root), f"{kind}_df"
             )(name),
             view_store=self.views,
+            # policy-mediated streaming (SURVEY §7 Stage 3): the raw
+            # unbounded frame resolves in the SESSION's Spark (isolated
+            # conf/catalog); SecureSession applies the filter before
+            # returning it
+            stream_loader=lambda s, name, **kw: Warehouse(
+                s, self.warehouse.root
+            ).stream_table(name, **kw),
         )

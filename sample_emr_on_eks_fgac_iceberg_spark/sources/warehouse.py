@@ -2166,6 +2166,84 @@ class Warehouse:
             scan = scan.filter(self._residual_condition(filters))
         return scan
 
+    def stream_table(
+        self, name: str, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
+        """Structured-streaming read of a warehouse table — the
+        engine's equivalent of Iceberg's Spark streaming source
+        (SparkMicroBatchStream): an incremental tail where every
+        committed append surfaces as a micro-batch. Returns an
+        UNBOUNDED DataFrame in the table's logical schema (partition
+        values restored from the directory layout, declared types
+        re-asserted, engine-managed transform columns dropped).
+
+        Contract — mirrors Iceberg's streaming-read rules: the history
+        must be APPEND-ONLY. Overwrite / delete / replace / rollback
+        snapshots, merge-on-read delete files, staged (WAP) snapshots,
+        and schema evolution all refuse loudly at stream-definition
+        time, because a directory tail cannot replay removals or
+        resolve renamed physical columns (Iceberg's source likewise
+        throws on non-append snapshots unless told to skip them).
+        Files that land mid-stream are assumed committed — the same
+        assumption Iceberg's file listing makes between refreshes.
+
+        At 100 TB this is the right shape: the source checkpoints seen
+        files and each trigger reads only NEW files (bounded by
+        ``max_files_per_trigger``), never rescanning history."""
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.stream_table(meta.link_to, max_files_per_trigger)
+        for s in meta.snapshots:
+            if s.get("staged"):
+                raise ValueError(
+                    f"stream_table('{name}'): snapshot "
+                    f"{s['snapshot_id']} is staged (write-audit-publish) "
+                    "— a directory tail would surface unpublished rows; "
+                    "publish or expire it first"
+                )
+            if s.get("operation") != "append" or s.get("removed_files"):
+                raise ValueError(
+                    f"stream_table('{name}'): snapshot "
+                    f"{s['snapshot_id']} is '{s.get('operation')}' — "
+                    "streaming reads need an append-only history (the "
+                    "Iceberg streaming-source contract); use the CDC "
+                    "changelog (read_changes / ChangelogTail) for "
+                    "tables with row-level rewrites"
+                )
+            if s.get("added_delete_files"):
+                raise ValueError(
+                    f"stream_table('{name}'): snapshot "
+                    f"{s['snapshot_id']} carries merge-on-read delete "
+                    "files — a directory tail cannot apply them; "
+                    "compact first or tail the changelog"
+                )
+        if meta.properties.get("schema_evolved") == "true" or meta.renames:
+            raise ValueError(
+                f"stream_table('{name}'): the table's schema evolved — "
+                "a pinned stream schema cannot resolve renamed/widened "
+                "physical columns across old files"
+            )
+        data = self.data_dir(name)
+        os.makedirs(data, exist_ok=True)
+        reader = self.spark.readStream.schema(meta.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", int(max_files_per_trigger)
+            )
+        sdf = reader.parquet(data)
+        # partition discovery appends engine-managed transform columns
+        # (ts_day, k_bucket, …) and may re-type identity values from
+        # directory strings — re-project to the declared logical schema
+        present = set(sdf.columns)
+        return sdf.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in meta.schema.fields
+            ]
+        )
+
     # ---------------------------------------- storage-partitioned join
     # The reference's exact runtime pairing (Spark 3.3+ with the Iceberg
     # SparkCatalog, consumer_emr_on_eks_setup.sh:440-449) ships SPJ:
