@@ -49,67 +49,70 @@ _CORE = [
     "dedup_minhash_det",
     "dedup_affix_stitch",
     "dedup_connected_components",
-    # CDC family — every commit path changed in round 11 (post-claim
-    # metadata revalidation closes the stale-reclaim lost-commit race);
-    # cdc_changelog_view_sql also covers the new materialization-time
-    # table/view collision check
+    # CDC family — commit paths changed in round 11 (post-claim
+    # metadata revalidation); unchanged in round 12 but kept as
+    # flagships of the incremental surface
     "cdc_merge_changelog",
     "merge_scd_close_out",
     "cdc_compute_updates",
     "cdc_net_changes",
     "cdc_incremental_agg_maintenance",
     "cdc_changelog_view_sql",
-    # CHANGED round 11: exact-integer (min=max) degeneracy guard
-    # replaces the cancellation-prone float variance filter — the
-    # oracle changed too, so both sides must re-verify together
-    "stats_ab_welch_t2",
-    # CHANGED round 11: empty-conversion-set now returns the oracle's
-    # zero rows instead of a 1-row null aggregate
-    "events_conversion_latency_quantiles",
-    # CHANGED round 11: conf-gated plane count + capped GEMM block
-    # decomposition + vectorized per-block top-K (VERDICT r10 #1/#2)
+    # CHANGED round 12: the hyperplane count now derives from the
+    # corpus size when the conf is unset (VERDICT r11 missing #3) —
+    # must re-verify the derived default reproduces the oracle
     "similarity_knn_graph",
-    # round-11 debuts: zero-Exchange storage-partitioned join over
-    # bucket[8] tables (the Iceberg SPJ contract, VERDICT r10 missing
-    # #1) and the Lee et al. sliding-window exact substring screen
-    "spj_bucketed_orders_customer",
-    "dedup_substring_exact",
-    # round-11 debuts, wave 2: skyline dominance (distributed
-    # suffix-min via partition_prefix_min), ABC Pareto classification
-    # (distributed cumulative rank), Matryoshka prefix-dim recall
-    # (per-prefix GEMM + partial top-K), vocabulary coverage curve
-    # (bounded TakeOrderedAndProject branches), Benford first-digit
-    # audit (inlined integer-ppm expectations)
+    # CHANGED round 12: range fan-out follows defaultParallelism
+    # instead of a hardcoded 32 (VERDICT r11 wrong #1), and
+    # partition_rank_offsets emits decimal offsets for decimal folds
+    # (ADVICE r11) — gini/skyline/ABC all ride those helpers
+    "customers_gini_revenue",
     "orders_skyline_dominators",
     "parts_abc_classification",
-    "embedding_matryoshka_recall",
+    # CHANGED round 12: empty-corpus parity (ADVICE r11) — the oracle
+    # is unchanged, the Spark side now matches it on zero documents
     "text_vocab_coverage_curve",
-    "orders_benford_digits",
-    # round-11 debuts, wave 3: exact weighted median (K-scalar crossing
-    # search), Herfindahl supplier concentration (integer ppm), and
-    # delta-join incremental maintenance of a JOIN materialized view
-    # (oracle = definitional full join over the complete tables)
-    "lineitem_weighted_median_price",
-    "supplier_hhi_by_nation",
-    "cdc_join_mv_maintenance",
-    # round-11 debut, wave 4: the packaged watermarked stream-stream
-    # interval join (conversion pairing) — batch mirror of the
-    # streaming plan proven row-identical in test_streaming.py
-    "events_stream_stream_conversions",
-    # round-11 debut, wave 4: SQL:1999 recursive CTE (Spark 4.0's
-    # WITH RECURSIVE) — hop-bounded transitive closure over the sparse
-    # nation trade graph; the identical recursive SQL text runs on
-    # both engines
-    "nation_trade_reachability",
-    # round-11 debut, wave 4: Spark 4 VARIANT semi-structured path
-    # (parse_json + try_variant_get — parse once, extract typed)
-    "events_props_variant_stats",
+    # round-12 debuts, wave 1 (the two r11-verdict architectural
+    # gaps): the storage-partitioned join issued THROUGH the SQL
+    # frontend (plain SQL, zero Exchange below the join), and the
+    # policy-mediated structured stream (FGAC applies to the unbounded
+    # frame before any stateful operator; deny at stream definition)
+    "spj_sql_bucketed_join",
+    "fgac_stream_patients_agg",
+    # round-12 debuts, wave 2: nested VARIANT multi-path extraction
+    # (object + array element paths + schema introspection, DuckDB
+    # runs the same json-path extraction), exact-moment lag-1
+    # autocorrelation of the daily revenue series, exact per-group
+    # mode, segment-mix entropy, inter-purchase gap stats,
+    # hapax-legomena share, embedding norm histogram
+    "events_variant_multipath",
+    "orders_daily_autocorr_lag1",
+    "lineitem_mode_shipmonth",
+    "nation_segment_entropy",
+    "customer_interpurchase_gap_stats",
+    "text_hapax_ratio_by_lang",
+    "embedding_norm_histogram",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round 12 (round-11 debuts + r11-changed
+    # entries, all driver-green in CORRECTNESS_r11 and untouched since;
+    # the rotating block stays ≥ 20 of the 50 slots)
+    "spj_bucketed_orders_customer",
+    "dedup_substring_exact",
+    "embedding_matryoshka_recall",
+    "orders_benford_digits",
+    "lineitem_weighted_median_price",
+    "supplier_hhi_by_nation",
+    "cdc_join_mv_maintenance",
+    "events_stream_stream_conversions",
+    "nation_trade_reachability",
+    "events_props_variant_stats",
+    "stats_ab_welch_t2",
+    "events_conversion_latency_quantiles",
     # demoted from _CORE in round 11 (round-10 debuts, all driver-green
     # in CORRECTNESS_r10 and untouched since; VERDICT r10 task 7 keeps
     # the rotating block ≥ 20 of the 50 slots) — plus two multi-round
@@ -119,7 +122,6 @@ _ROTATION = [
     "ann_cosine_topk",
     "quality_gopher_rules",
     "text_tokenizer_fertility",
-    "customers_gini_revenue",
     "multimodal_audio_vad_segments",
     "embedding_top_pc_power_iteration",
     "bigram_lift_topk",

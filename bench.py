@@ -157,6 +157,21 @@ HEADLINE = [
     "events_stream_stream_conversions",
     "nation_trade_reachability",
     "events_props_variant_stats",
+    # round-12: SQL-planned storage-partitioned join (zero Exchange
+    # below the join, straight from the frontend), policy-mediated
+    # structured stream (full FGAC path incl. availableNow drain),
+    # nested VARIANT multi-path extraction, exact-moment lag-1
+    # autocorrelation, exact per-group mode, entropy/hapax/norm
+    # diagnostics, per-customer gap window
+    "spj_sql_bucketed_join",
+    "fgac_stream_patients_agg",
+    "events_variant_multipath",
+    "orders_daily_autocorr_lag1",
+    "lineitem_mode_shipmonth",
+    "nation_segment_entropy",
+    "customer_interpurchase_gap_stats",
+    "text_hapax_ratio_by_lang",
+    "embedding_norm_histogram",
 ]
 
 

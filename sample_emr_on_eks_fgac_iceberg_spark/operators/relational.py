@@ -3384,3 +3384,302 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         F.sum("k").cast("bigint").alias("sum_k"),
     )
+
+
+@register(
+    "events_variant_multipath",
+    oracle="""
+    WITH doc AS (
+        SELECT '{"meta":{"t":"' || event_type || '","k":'
+               || CAST(props ->> '$.k' AS BIGINT)
+               || '},"vals":[' || CAST(round(value * 100) AS BIGINT)
+               || ',' || 2 * CAST(round(value * 100) AS BIGINT)
+               || ']}' AS j
+        FROM events)
+    SELECT j ->> '$.meta.t' AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(j ->> '$.meta.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(j ->> '$.vals[0]' AS BIGINT)) AS BIGINT)
+               AS sum_v0,
+           CAST(SUM(CAST(j ->> '$.vals[1]' AS BIGINT)) AS BIGINT)
+               AS sum_v1,
+           CAST(COUNT(DISTINCT 1) AS BIGINT) AS schema_kinds
+    FROM doc GROUP BY t
+    """,
+)
+def events_variant_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT surface, broadened (VERDICT r11 next #7): a NESTED
+    semi-structured document — object-in-object plus a JSON array —
+    parses ONCE into the binary Variant encoding, and four typed paths
+    extract from it: two nested object keys (`$.meta.t`, `$.meta.k`)
+    and two array ELEMENT paths (`$.vals[0]`, `$.vals[1]`), plus
+    `schema_of_variant` introspection (all rows share one constructed
+    shape, so the per-group distinct schema count must be exactly 1 —
+    the oracle encodes that invariant as COUNT(DISTINCT 1)). The
+    document is synthesized deterministically from event columns
+    (integer cents — no float formatting ambiguity), and DuckDB runs
+    the SAME json-path extraction over the SAME string, so both
+    engines' path semantics are compared end-to-end, not just the
+    arithmetic.
+
+    Plan shape at 100 TB: document build + one parse_json + four
+    variant_gets are row-local codegen expressions; everything feeds a
+    single event_type-keyed hash agg with map-side partials — the only
+    shuffle is the ≤5-group rollup."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    doc = F.concat(
+        F.lit('{"meta":{"t":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        k.cast("string"),
+        F.lit('},"vals":['),
+        cents.cast("string"),
+        F.lit(","),
+        (cents * 2).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    d = e.select(
+        F.try_variant_get(v, "$.meta.t", "string").alias("t"),
+        F.try_variant_get(v, "$.meta.k", "bigint").alias("mk"),
+        F.try_variant_get(v, "$.vals[0]", "bigint").alias("v0"),
+        F.try_variant_get(v, "$.vals[1]", "bigint").alias("v1"),
+        F.schema_of_variant(v).alias("shape"),
+    )
+    return d.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("mk").cast("bigint").alias("sum_k"),
+        F.sum("v0").cast("bigint").alias("sum_v0"),
+        F.sum("v1").cast("bigint").alias("sum_v1"),
+        F.countDistinct("shape").cast("bigint").alias("schema_kinds"),
+    )
+
+
+@register(
+    "orders_daily_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS c
+        FROM orders GROUP BY o_orderdate),
+    pairs AS (
+        SELECT a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               AS corr_lag1
+    FROM s
+    """,
+)
+def orders_daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the
+    time-series health readout (is tomorrow's revenue predicted by
+    today's?). All moments accumulate as EXACT integers (cents sums in
+    DECIMAL(38,0)/HUGEINT — daily-cents squares overflow int64 at
+    scale), and the Pearson ratio is ONE identical double expression on
+    both engines, so the result is bit-reproducible regardless of
+    aggregation order.
+
+    Plan shape at 100 TB: one orderdate-keyed hash agg collapses the
+    fact table to ≤|calendar| daily rows; the lag pairing is an
+    equi-self-join on d+1 (never a global sort or single-partition
+    window); the moment rollup is a 1-row partial agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    daily = o.groupBy("o_orderdate").agg(F.sum("c").alias("c"))
+    a = daily.select(F.col("o_orderdate").alias("d"), F.col("c").alias("x"))
+    b = daily.select(
+        F.date_sub(F.col("o_orderdate"), 1).alias("d"), F.col("c").alias("y")
+    )
+    s = (
+        a.join(b, "d")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+        ).alias("corr_lag1"),
+    )
+
+
+@register(
+    "lineitem_mode_shipmonth",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag,
+               CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+        SELECT l_returnflag, ship_month, n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, ship_month) AS rn
+        FROM counts)
+    SELECT l_returnflag, ship_month AS mode_ship_month,
+           CAST(n AS BIGINT) AS n_items
+    FROM ranked WHERE rn = 1
+    """,
+)
+def lineitem_mode_shipmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (busiest ship month per return flag, lowest
+    month as tie-break) — the categorical analog of the exact median.
+    Never a sketch: the (flag, month) count table is tiny after one
+    hash agg, so the exact answer costs nothing.
+
+    Plan shape at 100 TB: one (flag, month)-keyed hash agg with
+    map-side partials collapses the fact table to ≤|flags|·12 rows
+    (36 here); the rank window runs on that metadata-sized frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.month("l_shipdate").cast("bigint").alias("ship_month"),
+    )
+    counts = li.groupBy("l_returnflag", "ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("ship_month")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("ship_month").alias("mode_ship_month"),
+            F.col("n").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "nation_segment_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+    tot AS (
+        SELECT c_nationkey, SUM(n) AS total, COUNT(*) AS n_segments,
+               SUM(n * ln(CAST(n AS DOUBLE))) AS snln
+        FROM counts GROUP BY c_nationkey)
+    SELECT c_nationkey,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(total AS BIGINT) AS n_customers,
+           CAST(round((ln(CAST(total AS DOUBLE))
+                       - snln / CAST(total AS DOUBLE)) * 1000000)
+                AS BIGINT) AS entropy_ppm
+    FROM tot
+    """,
+)
+def nation_segment_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each nation's market-segment mix (nats,
+    integer ppm) — the diversity readout that flags one-segment
+    nations. Uses the decomposition H = ln(N) − (Σ nᵢ·ln nᵢ)/N so the
+    only float accumulation is Σ nᵢ·ln nᵢ over ≤5 terms per nation;
+    the final ppm rounding absorbs any last-ulp association
+    difference between engines.
+
+    Plan shape at 100 TB: one (nation, segment)-keyed hash agg with
+    map-side partials, then a nation-keyed rollup of ≤5 rows each —
+    both shuffles are key-bounded, nothing global."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("c_nationkey").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("snln"),
+    )
+    h = F.log(F.col("total").cast("double")) - F.col("snln") / F.col(
+        "total"
+    ).cast("double")
+    return tot.select(
+        "c_nationkey",
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        F.col("total").cast("bigint").alias("n_customers"),
+        F.round(h * 1000000).cast("bigint").alias("entropy_ppm"),
+    )
+
+
+@register(
+    "customer_interpurchase_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                         o_orderdate) AS gap
+        FROM orders)
+    SELECT CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           CAST(SUM(CAST(gap AS HUGEINT)) * 1000000
+                // CAST(COUNT(gap) AS HUGEINT) AS BIGINT)
+               AS avg_gap_ppm_days
+    FROM gaps
+    """,
+)
+def customer_interpurchase_gap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase gap statistics — days between a customer's
+    consecutive orders (the recency signal RFM/churn models consume).
+    The mean rides exact integer day-sums with a ppm integer division;
+    no float accumulation anywhere.
+
+    Plan shape at 100 TB: the lag window partitions BY CUSTOMER — the
+    state per task is one prior row per key, fully distributed (never
+    a global sort); the stats rollup is a 1-row partial agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap")
+    )
+    return gaps.agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        F.expr(
+            "CAST((SUM(CAST(gap AS DECIMAL(38,0))) * 1000000) "
+            "div CAST(COUNT(gap) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("avg_gap_ppm_days"),
+    )

@@ -1965,3 +1965,56 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((n_overlap * 1000000) div {N_QUERIES * _MRL_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+_NORM_BUCKET = 1000  # milli-unit² per histogram bucket
+
+
+@register(
+    "embedding_norm_histogram",
+    oracle=f"""
+    WITH ssq AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                    AS BIGINT) AS s
+        FROM embeddings)
+    SELECT CAST(s // {_NORM_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(s) AS BIGINT) AS min_sq_milli,
+           CAST(MAX(s) AS BIGINT) AS max_sq_milli
+    FROM ssq GROUP BY 1
+    """,
+)
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus — the drift/shard
+    sanity readout (un-normalized vectors, dead encoders, and mixed
+    model versions all show up as displaced norm mass). Norms ride
+    exact integer milli-unit² sums (floor(x·1000)², the corpus-wide
+    fixed-point convention), so bucket boundaries are deterministic on
+    both engines.
+
+    Plan shape at 100 TB: posexplode stays in codegen long form (the
+    interpreted higher-order-lambda cost the round-4 bench measured),
+    one vec_id-keyed hash agg computes per-vector ssq with map-side
+    partials, and the histogram is a second ≤·dozens·-group rollup.
+    Shuffle volume is one (vec_id, ssq) pair per vector — D× smaller
+    than the input."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("m"),
+    )
+    ssq = flat.groupBy("vec_id").agg(
+        F.sum(F.col("m") * F.col("m")).alias("s")
+    )
+    return ssq.groupBy(
+        F.expr(f"CAST(s div {_NORM_BUCKET} AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("s").cast("bigint").alias("min_sq_milli"),
+        F.max("s").cast("bigint").alias("max_sq_milli"),
+    )

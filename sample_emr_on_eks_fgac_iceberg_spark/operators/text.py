@@ -1416,3 +1416,51 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm"
         ),
     )
+
+
+@register(
+    "text_hapax_ratio_by_lang",
+    oracle=r"""
+    WITH words AS (
+        SELECT lang,
+               unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS word
+        FROM documents),
+    counts AS (
+        SELECT lang, word, COUNT(*) AS n FROM words GROUP BY lang, word)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(CASE WHEN n = 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS hapax_ppm
+    FROM counts GROUP BY lang
+    """,
+)
+def text_hapax_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per language — the fraction of each
+    language's vocabulary that occurs exactly once (Zipf's tail mass):
+    the corpus-health readout that flags OCR noise / tokenizer damage
+    (hapax share spikes) or boilerplate floods (it collapses). Exact
+    integer ppm.
+
+    Plan shape at 100 TB: one (lang, word)-keyed wordcount hash agg
+    with map-side partials (shuffle volume = per-partition distinct
+    words, the same bound every wordcount op here rides), then a
+    lang-keyed rollup of vocabulary-bounded rows. Nothing global, no
+    sort."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    counts = (
+        d.select("lang", F.explode(toks).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).cast("bigint").alias("n_hapax"),
+        F.expr(
+            "CAST((COUNT(CASE WHEN n = 1 THEN 1 END) * 1000000) "
+            "div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )

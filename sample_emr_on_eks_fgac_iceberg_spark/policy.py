@@ -943,6 +943,29 @@ class SecureSession:
             if self._policy.grant_for(self.principal, name) is None:
                 raise AccessDeniedException(self.principal, name)
             query = re.sub(pattern, f"`{self._view_alias(name)}`", query)
+        # Engine-internal PERMANENT catalog tables (the SPJ bucketed
+        # mirrors `__spj_*`, or anything else saveAsTable'd into the
+        # shared metastore) are visible to every session of the
+        # context — including this one. They hold UNFILTERED rows, so
+        # resolving one here would be a policy bypass (round-12 probe:
+        # a consumer could SELECT a mirror of an ungranted table).
+        # Deny any parsed relation that resolves to a non-temporary
+        # catalog table; the session's own registrations (policy
+        # views, __meta/__tt views, user views) are all temp views and
+        # pass, and unknown names still flow to TABLE_OR_VIEW_NOT_FOUND.
+        parsed = self._parsed_relation_idents(query)
+        if parsed is not None:
+            idents, cte_names = parsed
+            for ident in idents:
+                nm = ".".join(ident)
+                if nm.lower() in cte_names:
+                    continue
+                try:
+                    t = self._spark.catalog.getTable(nm)
+                except Exception:
+                    continue
+                if not t.isTemporary:
+                    raise AccessDeniedException(self.principal, nm)
         # User views referenced by the query: rebuild each through this
         # principal's own policy path (invoker's rights) so revokes and
         # filter changes propagate to every subsequent read.

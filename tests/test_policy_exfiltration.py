@@ -221,3 +221,49 @@ def test_cte_insert_without_table_reads_is_a_legitimate_write(engine):
         "INSERT INTO scratch SELECT * FROM c"
     )
     assert _scratch_rows(engine) == [(7, "mine")]
+
+
+def test_spj_mirror_tables_not_readable_by_consumers(spark, tmp_path):
+    """Round-12 probe: SPJ bucketed mirrors are PERMANENT tables in the
+    shared session catalog — every session of the context can resolve
+    them, and they hold UNFILTERED rows. A consumer SELECT naming a
+    mirror (or any other non-temporary catalog table) must deny at
+    plan time; a granted table keeps working; a typo'd name stays
+    TABLE_OR_VIEW_NOT_FOUND, never a denial."""
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE vault (k BIGINT, ssn STRING) "
+        "PARTITIONED BY (bucket(4, k))"
+    )
+    e.sql("INSERT INTO vault VALUES (1, 'SECRET-1'), (2, 'SECRET-2')")
+    e.sql(
+        "CREATE TABLE lookup (dk BIGINT, x STRING) "
+        "PARTITIONED BY (bucket(4, dk))"
+    )
+    e.sql("INSERT INTO lookup VALUES (1, 'a')")
+    # producer SQL join materializes both mirrors in the shared catalog
+    assert e.sql("SELECT * FROM vault JOIN lookup ON k = dk").count() == 1
+    mirrors = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__spj_")
+    ]
+    assert len(mirrors) >= 2
+    e.policy.grant("mallory", "lookup", {SELECT, DESCRIBE})
+    sess = e.session_for("mallory")
+    for m in mirrors:
+        with pytest.raises(AccessDeniedException):
+            sess.sql(f"SELECT * FROM {m}")
+        with pytest.raises(AccessDeniedException):
+            sess.sql(f"SELECT count(*) FROM (SELECT * FROM {m})")
+    # granted reads still work, and unknown names stay NOT_FOUND
+    assert sess.sql("SELECT * FROM lookup").count() == 1
+    with pytest.raises(Exception) as ei:
+        sess.sql("SELECT * FROM lookupp").collect()
+    assert "TABLE_OR_VIEW_NOT_FOUND" in str(ei.value) or "cannot be found" in str(
+        ei.value
+    )
+    assert not isinstance(ei.value, AccessDeniedException)
+    # a CTE may shadow a mirror's name (it is a local relation)
+    got = sess.sql(
+        f"WITH {mirrors[0]} AS (SELECT 1 AS one) SELECT * FROM {mirrors[0]}"
+    ).collect()
+    assert [tuple(r) for r in got] == [(1,)]
