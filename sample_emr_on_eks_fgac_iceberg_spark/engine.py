@@ -80,4 +80,11 @@ class FgacEngine:
             stream_loader=lambda s, name, **kw: Warehouse(
                 s, self.warehouse.root
             ).stream_table(name, **kw),
+            # consumer-side SPJ: joins of two granted same-N bucketed
+            # tables on their bucket keys resolve through policy-
+            # filtered bucketed mirrors (zero Exchange below the join)
+            bucket_layout=self.warehouse.bucket_layout,
+            bucketed_loader=lambda s, name: Warehouse(
+                s, self.warehouse.root
+            ).bucketed_read(name),
         )

@@ -3498,7 +3498,10 @@ def orders_daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
     )
-    daily = o.groupBy("o_orderdate").agg(F.sum("c").alias("c"))
+    # materialize the ≤|calendar|-row daily frame once: both lag-join
+    # branches reference it, and without the barrier each would re-scan
+    # and re-aggregate the full fact table (audited: 4 scans → 1)
+    daily = materialize_once(o.groupBy("o_orderdate").agg(F.sum("c").alias("c")))
     a = daily.select(F.col("o_orderdate").alias("d"), F.col("c").alias("x"))
     b = daily.select(
         F.date_sub(F.col("o_orderdate"), 1).alias("d"), F.col("c").alias("y")

@@ -372,6 +372,8 @@ class SecureSession:
         metadata_loader=None,
         view_store: dict | None = None,
         stream_loader=None,
+        bucket_layout=None,
+        bucketed_loader=None,
     ):
         self._spark = spark.newSession()
         # The SQL surface is a principal boundary: path-based relations
@@ -381,6 +383,20 @@ class SecureSession:
         # reference's equivalent: the query-engine role can read S3,
         # user code cannot — consumer_emr_on_eks_setup.sh:18-19).
         self._spark.conf.set("spark.sql.runSQLOnFiles", "false")
+        # join-planning tuning follows the engine session — newSession()
+        # starts from context defaults, not the caller's runtime conf,
+        # so an operator-set broadcast threshold / AQE toggle would
+        # silently not apply to consumer queries (same inheritance the
+        # trusted frontend's scratch sessions get)
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        ):
+            try:
+                self._spark.conf.set(key, spark.conf.get(key))
+            except Exception:
+                pass
         self._policy = policy
         self.principal = principal
         self._table_loader = table_loader
@@ -404,6 +420,12 @@ class SecureSession:
         # (spark, name) -> unbounded DataFrame for the policy-mediated
         # streaming surface (None → this session cannot stream)
         self._stream_loader = stream_loader
+        # storage-partitioned joins for CONSUMERS (the reference's SQL
+        # users get SPJ transparently): name -> (key, N) layout probe,
+        # and (spark, name) -> bucketed-mirror frame the policy filter
+        # then wraps. Both None → consumer joins plan shuffled.
+        self._bucket_layout = bucket_layout
+        self._bucketed_loader = bucketed_loader
         # Engine-shared user-view registry (SURVEY §1.6 maps the
         # reference's resource links to "a view or second catalog
         # name"): name -> {"owner", "text"}. Views are INVOKER'S
@@ -943,6 +965,34 @@ class SecureSession:
             if self._policy.grant_for(self.principal, name) is None:
                 raise AccessDeniedException(self.principal, name)
             query = re.sub(pattern, f"`{self._view_alias(name)}`", query)
+        # Consumer-side storage-partitioned joins: when this query joins
+        # two granted bucket[N] tables on their bucket keys with equal
+        # N, re-register those views over the policy-filtered BUCKETED
+        # mirror frames — the filter/mask projection preserves the
+        # mirror's hash partitioning, so the consumer's join plans with
+        # ZERO Exchange below it, exactly like the producer SQL path
+        # (the reference's SQL users get SPJ transparently; no special
+        # method). Fail-open to the plain shuffled view on any denial.
+        if self._bucketed_loader is not None and self._bucket_layout is not None:
+            from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+                spj_candidate_tables,
+            )
+
+            cands = spj_candidate_tables(
+                query,
+                {n for n in self._registered if "." not in n},
+                self._bucket_layout,
+            )
+            for name in cands:
+                try:
+                    secured = self._policy.secured_frame(
+                        self.principal,
+                        name,
+                        self._bucketed_loader(self._spark, name),
+                    )
+                except AccessDeniedException:
+                    continue
+                secured.createOrReplaceTempView(self._view_alias(name))
         # Engine-internal PERMANENT catalog tables (the SPJ bucketed
         # mirrors `__spj_*`, or anything else saveAsTable'd into the
         # shared metastore) are visible to every session of the

@@ -408,6 +408,52 @@ def _matching_paren(text: str, open_idx: int) -> int:
     raise ValueError(f"Unbalanced parentheses in: {text[:80]}…")
 
 
+def spj_candidate_tables(query: str, tables, layout_of) -> set:
+    """Tables this query joins on their own ``bucket[N]`` keys with
+    matching N — the storage-partitioned-join preconditions
+    (VERDICT r11 missing #1). Registering these through their
+    bucketed mirrors (instead of plain scans) lets Catalyst plan
+    the SQL join with ZERO Exchange below it, transparently — the
+    way the reference's Spark + Iceberg SparkCatalog pairing does
+    (consumer_emr_on_eks_setup.sh:440-449): a user writing SQL
+    never calls a special method. The check is deliberately
+    conservative: a missed candidate falls back to the plain
+    shuffled join (correct, just slower); mirrors are semantically
+    identical to the plain scan, so a false positive costs only
+    the one-time per-snapshot mirror materialization."""
+    if not re.search(r"\bJOIN\b", query, re.I):
+        return set()
+    layouts = {}
+    for name in tables:
+        if not re.search(
+            rf"(?<![\w.`]){re.escape(name)}(?![\w.])", query
+        ):
+            continue
+        bl = layout_of(name)
+        if bl is not None:
+            layouts[name] = bl
+    out: set = set()
+    names = sorted(layouts)
+    for i, a in enumerate(names):
+        ka, na = layouts[a]
+        for b in names[i:]:
+            kb, nb = layouts[b]
+            if na != nb:
+                continue
+            def _key(k: str) -> str:
+                # whole-identifier match, optionally alias-qualified
+                return rf"(?:[\w]+\.)?`?\b{re.escape(k)}\b`?"
+
+            pat = (
+                rf"{_key(ka)}\s*=\s*{_key(kb)}"
+                rf"|{_key(kb)}\s*=\s*{_key(ka)}"
+            )
+            if re.search(pat, query, re.I):
+                out.add(a)
+                out.add(b)
+    return out
+
+
 class SqlFrontend:
     """Dispatches SQL statements onto a Warehouse."""
 
@@ -1374,49 +1420,7 @@ class SqlFrontend:
     )
 
     def _spj_candidate_tables(self, query: str, tables: set, wh) -> set:
-        """Tables this query joins on their own ``bucket[N]`` keys with
-        matching N — the storage-partitioned-join preconditions
-        (VERDICT r11 missing #1). Registering these through their
-        bucketed mirrors (instead of plain scans) lets Catalyst plan
-        the SQL join with ZERO Exchange below it, transparently — the
-        way the reference's Spark + Iceberg SparkCatalog pairing does
-        (consumer_emr_on_eks_setup.sh:440-449): a user writing SQL
-        never calls a special method. The check is deliberately
-        conservative: a missed candidate falls back to the plain
-        shuffled join (correct, just slower); mirrors are semantically
-        identical to the plain scan, so a false positive costs only
-        the one-time per-snapshot mirror materialization."""
-        if not re.search(r"\bJOIN\b", query, re.I):
-            return set()
-        layouts = {}
-        for name in tables:
-            if not re.search(
-                rf"(?<![\w.`]){re.escape(name)}(?![\w.])", query
-            ):
-                continue
-            bl = wh.bucket_layout(name)
-            if bl is not None:
-                layouts[name] = bl
-        out: set = set()
-        names = sorted(layouts)
-        for i, a in enumerate(names):
-            ka, na = layouts[a]
-            for b in names[i:]:
-                kb, nb = layouts[b]
-                if na != nb:
-                    continue
-                def _key(k: str) -> str:
-                    # whole-identifier match, optionally alias-qualified
-                    return rf"(?:[\w]+\.)?`?\b{re.escape(k)}\b`?"
-
-                pat = (
-                    rf"{_key(ka)}\s*=\s*{_key(kb)}"
-                    rf"|{_key(kb)}\s*=\s*{_key(ka)}"
-                )
-                if re.search(pat, query, re.I):
-                    out.add(a)
-                    out.add(b)
-        return out
+        return spj_candidate_tables(query, tables, wh.bucket_layout)
 
     def _query(self, query: str) -> DataFrame:
         """Trusted read path: every warehouse table as an unmediated view

@@ -203,3 +203,79 @@ def test_spj_sql_driver_query_join_stage_zero_exchange(spark, no_broadcast):
     )
     plan = _executed_plan(j)
     assert "Exchange" not in plan and "SortMergeJoin" in plan, plan
+
+
+# ------------------------- SPJ on the CONSUMER path (round 12)
+def test_consumer_sql_join_of_bucketed_tables_is_zero_exchange(
+    spark, tmp_path, no_broadcast
+):
+    """A policy-filtered consumer joining two granted same-N bucketed
+    tables on their keys gets the zero-Exchange SPJ plan too — the
+    filter/mask projection preserves the mirrors' hash partitioning,
+    and the rows are exactly the policy-filtered join."""
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import DataCellsFilter
+
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE fact (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))"
+    )
+    e.warehouse.insert_values("fact", [(i % 50, i) for i in range(400)])
+    e.sql(
+        "CREATE TABLE dim (dk BIGINT, name STRING) "
+        "PARTITIONED BY (bucket(4, dk))"
+    )
+    e.warehouse.insert_values("dim", [(i, f"n{i}") for i in range(50)])
+    e.policy.create_data_cells_filter(
+        DataCellsFilter(
+            name="low_keys", table="fact", allowed_columns=None,
+            row_filter="k < 10", column_masks=None,
+        )
+    )
+    e.policy.grant("team1", "fact", filter_name="low_keys")
+    e.policy.grant("team1", "dim")
+    sess = e.session_for("team1")
+    j = sess.sql("SELECT f.k, f.v, d.name FROM fact f JOIN dim d ON f.k = d.dk")
+    j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    got = sorted((r["k"], r["v"], r["name"]) for r in j.collect())
+    assert len(got) == 80  # k in 0..9, 8 rows each — the FILTERED join
+    assert got[0] == (0, 0, "n0") and all(k < 10 for k, _, _ in got)
+    # an ungranted principal gets no SPJ side door
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        AccessDeniedException,
+    )
+
+    with pytest.raises(AccessDeniedException):
+        e.session_for("team2").sql(
+            "SELECT * FROM fact f JOIN dim d ON f.k = d.dk"
+        ).collect()
+
+
+def test_consumer_spj_view_refreshes_after_commit(spark, tmp_path, no_broadcast):
+    """After the SPJ view re-registration, a new commit must surface on
+    the consumer's NEXT query (the data-version token forces a view
+    refresh; the stale snapshot's mirror is dropped)."""
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+
+    e = FgacEngine(spark, str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE fact (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))"
+    )
+    e.warehouse.insert_values("fact", [(1, 10), (2, 20)])
+    e.sql(
+        "CREATE TABLE dim (dk BIGINT, name STRING) "
+        "PARTITIONED BY (bucket(4, dk))"
+    )
+    e.warehouse.insert_values("dim", [(1, "a"), (2, "b"), (7, "g")])
+    e.policy.grant("team1", "fact")
+    e.policy.grant("team1", "dim")
+    sess = e.session_for("team1")
+    q = "SELECT k, v, name FROM fact JOIN dim ON k = dk"
+    assert sess.sql(q).count() == 2
+    e.sql("INSERT INTO fact VALUES (7, 70)")
+    got = {(r["k"], r["v"], r["name"]) for r in sess.sql(q).collect()}
+    assert (7, 70, "g") in got and len(got) == 3
