@@ -1743,8 +1743,12 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # size-derived default: one metadata-cheap count picks enough
         # planes that expected bucket size ≈ cap/4 at ANY corpus size
-        # (VERDICT r11 missing #3) — the conf stays as the override
-        planes = _derive_knn_planes(e.count(), cap)
+        # (VERDICT r11 missing #3) — the conf stays as the override.
+        # Derived from the DEFAULT cap, never the runtime bucket_cap:
+        # bucket_cap's contract is "shapes task boundaries, never the
+        # result", so the plane count (which changes the edge set) must
+        # not move with it.
+        planes = _derive_knn_planes(e.count(), _KNN_BUCKET_CAP)
     lsh = _lsh_det_coefs(planes)
     fv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
