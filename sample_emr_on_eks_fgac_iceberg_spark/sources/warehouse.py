@@ -784,6 +784,7 @@ class Warehouse:
         staged: bool = False,
         delete_kinds: dict[str, str] | None = None,
         delete_refs: dict[str, list[str]] | None = None,
+        wap_id: str | None = None,
     ) -> None:
         """One optimistic-commit attempt: re-read the on-disk metadata
         so a concurrent committer's snapshots are not clobbered, then
@@ -855,6 +856,7 @@ class Warehouse:
                 meta, seq, operation, added, removed, txn, added_deletes,
                 removed_deletes, equality_ids, staged, delete_kinds,
                 delete_refs, claim=claim, claim_token=claim_token,
+                wap_id=wap_id,
             )
         except BaseException:
             # the commit failed AFTER claiming (footer IOError, ENOSPC,
@@ -891,6 +893,7 @@ class Warehouse:
         delete_refs: dict[str, list[str]] | None,
         claim: str | None = None,
         claim_token: str | None = None,
+        wap_id: str | None = None,
     ) -> None:
         import pyarrow.parquet as pq
 
@@ -939,6 +942,10 @@ class Warehouse:
             }
         if staged:
             entry["staged"] = True
+            if wap_id is not None:
+                # Iceberg stamps spark.wap.id into the staged snapshot's
+                # summary; publish_changes finds it by this tag
+                entry["wap_id"] = str(wap_id)
         # record the spec the added files were written under (partition
         # evolution: reads group files by spec)
         entry["partition_by"] = list(meta.partition_by)
@@ -985,6 +992,7 @@ class Warehouse:
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         staged: bool = False,
+        wap_id: str | None = None,
     ) -> bool | int:
         """D2: INSERT INTO — schema-on-write append, partition fan-out.
         Every append commits a new snapshot whose manifest lists the
@@ -1034,12 +1042,17 @@ class Warehouse:
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(self.data_dir(name))
+            if wap_id is not None:
+                # a wap-tagged write is staged by definition (Iceberg:
+                # spark.wap.id set → the commit stages)
+                staged = True
             self._commit_snapshot(
                 meta,
                 "append",
                 self._data_files(name) - before,
                 txn=txn,
                 staged=staged,
+                wap_id=wap_id,
             )
             if staged:
                 return self._read_meta(name).snapshots[-1]["snapshot_id"]
@@ -3662,6 +3675,92 @@ class Warehouse:
                     s["published_as"] = new_id
             self._write_meta(meta)
         return new_id
+
+    def rollback_to_timestamp(self, name: str, ts_ms: int) -> int:
+        """Iceberg's rollback_to_timestamp: roll the head back to the
+        last snapshot committed at or before ``ts_ms`` (same resolution
+        rule as ``TIMESTAMP AS OF`` reads). Returns the snapshot id
+        rolled back to; raises if nothing was committed by then."""
+        name = self._resolve_dml_target(name).name
+        meta = self._read_meta(name)
+        eligible = [
+            s["snapshot_id"]
+            for s in meta.snapshots
+            if not s.get("staged") and s["timestamp_ms"] <= ts_ms
+        ]
+        if not eligible:
+            raise SnapshotNotFoundError(
+                f"Table '{name}' has no snapshot at or before {ts_ms}"
+            )
+        self.rollback_to_snapshot(name, eligible[-1])
+        return eligible[-1]
+
+    def set_current_snapshot(self, name: str, snapshot_id: int) -> None:
+        """Iceberg's set_current_snapshot: point the head at ANY known
+        snapshot — backward (a rollback) or FORWARD again after one
+        (roll-forward). The mechanics are identical either way: commit
+        a snapshot whose live data/delete sets equal the target's, so
+        history is preserved and nothing moves on disk."""
+        self.rollback_to_snapshot(name, snapshot_id)
+
+    def publish_changes(self, name: str, wap_id: str) -> int:
+        """Write-audit-publish by wap id (Iceberg's publish_changes):
+        find the staged snapshot tagged ``wap_id`` and publish it.
+        Iceberg's flow is the same — writers stamp spark.wap.id into
+        the staged snapshot's summary; the audit pipeline publishes by
+        id without ever learning snapshot numbers."""
+        name = self._resolve_dml_target(name).name
+        matches = [
+            s
+            for s in self._read_meta(name).snapshots
+            if s.get("staged") and s.get("wap_id") == wap_id
+        ]
+        if not matches:
+            raise SnapshotNotFoundError(
+                f"Table '{name}' has no staged snapshot with wap_id "
+                f"'{wap_id}'"
+            )
+        unpublished = [s for s in matches if not s.get("published_as")]
+        if not unpublished:
+            raise ValueError(
+                f"wap_id '{wap_id}' was already published as "
+                f"{matches[-1]['published_as']}"
+            )
+        if len(unpublished) > 1:
+            raise ValueError(
+                f"wap_id '{wap_id}' is ambiguous: staged snapshots "
+                f"{sorted(s['snapshot_id'] for s in unpublished)}"
+            )
+        return self.publish_snapshot(name, unpublished[0]["snapshot_id"])
+
+    def ancestors_of(
+        self, name: str, snapshot_id: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Iceberg's ancestors_of: the (snapshot_id, timestamp_ms)
+        lineage from the given head (default: current) back to the
+        root. The engine's main lineage is linear over non-staged
+        snapshots, so ancestors are every published commit at or
+        before the head — newest first, like the procedure's output."""
+        meta = self._read_meta(name)
+        if meta.link_to is not None:
+            return self.ancestors_of(meta.link_to, snapshot_id)
+        head = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id(name)
+        )
+        if head is None:
+            return []
+        known = {s["snapshot_id"] for s in meta.snapshots}
+        if head not in known:
+            raise SnapshotNotFoundError(
+                f"Table '{name}' has no snapshot {head}"
+            )
+        return [
+            (s["snapshot_id"], s["timestamp_ms"])
+            for s in reversed(meta.snapshots)
+            if not s.get("staged") and s["snapshot_id"] <= head
+        ]
 
     # --------------------------------------------------------- statistics
     def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:

@@ -1129,6 +1129,38 @@ class SqlFrontend:
                 [(stats["imported_files"], stats["imported_records"])],
                 "imported_files_count long, imported_records_count long",
             )
+        if proc in ("rollback_to_timestamp", "set_current_snapshot"):
+            prev = self.warehouse.current_snapshot_id(table)
+            if proc == "rollback_to_timestamp":
+                ts = str(arg("timestamp", 1))
+                ts = re.sub(r"^\s*TIMESTAMP\s+", "", ts, flags=re.I).strip("'")
+                ms = int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+                self.warehouse.rollback_to_timestamp(table, ms)
+            else:
+                self.warehouse.set_current_snapshot(
+                    table, int(arg("snapshot_id", 1))
+                )
+            cur = self.warehouse.current_snapshot_id(table)
+            return self.spark.createDataFrame(
+                [(prev, cur)],
+                "previous_snapshot_id long, current_snapshot_id long",
+            )
+        if proc == "publish_changes":
+            wap = arg("wap_id", 1)
+            if wap is None:
+                raise ValueError("publish_changes needs wap_id")
+            new_id = self.warehouse.publish_changes(table, str(wap))
+            return self.spark.createDataFrame(
+                [(new_id,)], "current_snapshot_id long"
+            )
+        if proc == "ancestors_of":
+            snap = arg("snapshot_id", 1)
+            rows = self.warehouse.ancestors_of(
+                table, int(snap) if snap is not None else None
+            )
+            return self.spark.createDataFrame(
+                rows or [], "snapshot_id long, timestamp_ms long"
+            )
         raise ValueError(f"Unknown procedure system.{proc}")
 
     def _ctas(self, m: re.Match) -> None:

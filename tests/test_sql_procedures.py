@@ -405,3 +405,93 @@ def test_rewrite_where_parser_refuses_rich_predicates(fe):
             "CALL system.rewrite_data_files(table => 't', "
             "where => 'k IN (1, 2)')"
         )
+
+
+# ------------------------- round-12 procedures: lineage + WAP by id
+def test_call_set_current_snapshot_rolls_back_and_forward(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    fe.execute("INSERT INTO t VALUES (2)")
+    wh = fe.warehouse
+    snaps = [s["snapshot_id"] for s in wh.snapshots("t")]
+    out = fe.execute(
+        f"CALL system.set_current_snapshot(table => 't', "
+        f"snapshot_id => {snaps[0]})"
+    ).collect()[0]
+    assert out["previous_snapshot_id"] == snaps[1]
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,)]
+    # roll FORWARD again to the two-row snapshot
+    fe.execute(
+        f"CALL system.set_current_snapshot(table => 't', "
+        f"snapshot_id => {snaps[1]})"
+    )
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,), (2,)]
+
+
+def test_call_rollback_to_timestamp(fe):
+    import datetime as dt
+
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    wh = fe.warehouse
+    first_ts = wh.snapshots("t")[0]["timestamp_ms"]
+    fe.execute("INSERT INTO t VALUES (2)")
+    iso = dt.datetime.fromtimestamp(first_ts / 1000).isoformat()
+    out = fe.execute(
+        f"CALL system.rollback_to_timestamp(table => 't', "
+        f"timestamp => TIMESTAMP '{iso}')"
+    ).collect()[0]
+    assert out["current_snapshot_id"] > out["previous_snapshot_id"]
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,)]
+    # a timestamp before any commit refuses
+    with pytest.raises(Exception, match="no snapshot"):
+        fe.execute(
+            "CALL system.rollback_to_timestamp(table => 't', "
+            "timestamp => TIMESTAMP '1990-01-01T00:00:00')"
+        )
+
+
+def test_call_publish_changes_by_wap_id(fe, spark):
+    fe.execute("CREATE TABLE t (k INT)")
+    fe.execute("INSERT INTO t VALUES (1)")
+    wh = fe.warehouse
+    staged = wh.insert_into(
+        "t", spark.createDataFrame([(2,)], "k int"), wap_id="audit-42"
+    )
+    assert isinstance(staged, int)
+    # invisible until published
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,)]
+    out = fe.execute(
+        "CALL system.publish_changes(table => 't', wap_id => 'audit-42')"
+    ).collect()[0]
+    assert out["current_snapshot_id"] > staged
+    assert _rows(fe.execute("SELECT * FROM t")) == [(1,), (2,)]
+    # double-publish refuses; unknown id refuses
+    with pytest.raises(ValueError, match="already published"):
+        fe.execute(
+            "CALL system.publish_changes(table => 't', wap_id => 'audit-42')"
+        )
+    with pytest.raises(Exception, match="no staged snapshot"):
+        fe.execute(
+            "CALL system.publish_changes(table => 't', wap_id => 'nope')"
+        )
+
+
+def test_call_ancestors_of_lineage(fe):
+    fe.execute("CREATE TABLE t (k INT)")
+    for i in range(3):
+        fe.execute(f"INSERT INTO t VALUES ({i})")
+    rows = _rows(fe.execute("CALL system.ancestors_of(table => 't')"))
+    wh = fe.warehouse
+    snaps = [
+        (s["snapshot_id"], s["timestamp_ms"]) for s in wh.snapshots("t")
+    ]
+    assert rows == sorted(snaps)
+    # from an older head: only its ancestors
+    mid = snaps[1][0]
+    rows2 = _rows(
+        fe.execute(
+            f"CALL system.ancestors_of(table => 't', snapshot_id => {mid})"
+        )
+    )
+    assert rows2 == sorted(snaps[:2])
