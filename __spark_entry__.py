@@ -92,6 +92,14 @@ _CORE = [
     "customer_interpurchase_gap_stats",
     "text_hapax_ratio_by_lang",
     "embedding_norm_histogram",
+    # round-12 debuts, wave 3: Zipf log-log OLS over a DISTRIBUTED
+    # vocabulary rank, Pearson chi-square independence for the brand ×
+    # type contingency table, ISO-weekday seasonality, and robust MAD
+    # outlier fencing on exact discrete medians
+    "text_zipf_slope",
+    "part_brand_type_chi2",
+    "orders_weekday_seasonality",
+    "supplier_acctbal_mad_outliers",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

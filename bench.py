@@ -172,6 +172,10 @@ HEADLINE = [
     "customer_interpurchase_gap_stats",
     "text_hapax_ratio_by_lang",
     "embedding_norm_histogram",
+    "text_zipf_slope",
+    "part_brand_type_chi2",
+    "orders_weekday_seasonality",
+    "supplier_acctbal_mad_outliers",
 ]
 
 

@@ -3686,3 +3686,186 @@ def customer_interpurchase_gap_stats(
             "div CAST(COUNT(gap) AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("avg_gap_ppm_days"),
     )
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume and revenue by ISO weekday (Mon=1..Sun=7) — the
+    calendar-seasonality readout. Spark's `weekday()` is 0-based Monday
+    and DuckDB's `isodow` is 1-based Monday, so the +1 is the entire
+    cross-engine mapping; sums ride exact integer cents.
+
+    Plan shape at 100 TB: one 7-group hash agg with map-side partials —
+    shuffle volume is 7 rows per input partition."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.weekday("o_orderdate") + 1).cast("bigint").alias("dow"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "part_brand_type_chi2",
+    oracle="""
+    WITH o AS (
+        SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM part GROUP BY 1, 2),
+    r AS (SELECT p_brand, SUM(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT p_type, SUM(obs) AS ct FROM o GROUP BY 1),
+    t AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+        SELECT CAST(o.obs AS DOUBLE) AS od,
+               CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS e
+        FROM o JOIN r USING (p_brand) JOIN c USING (p_type)
+               CROSS JOIN t)
+    SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_brands,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_types,
+           CAST(((SELECT COUNT(*) FROM r) - 1)
+                * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+           CAST(round(SUM((od - e) * (od - e) / e) * 1000000) AS BIGINT)
+               AS chi2_ppm
+    FROM cells
+    """,
+)
+def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for the brand ×
+    type contingency table — the categorical-association test a
+    curation pipeline runs before trusting a stratification key.
+    Observed counts are exact integers; expected values and the
+    statistic are computed with the IDENTICAL double expression on both
+    engines ((o−e)²/e with e = r·c/N in the same operation order), and
+    the ppm rounding absorbs cross-engine summation-order ulps.
+
+    Plan shape at 100 TB: one (brand, container) hash agg collapses the
+    table to ≤|brands|·|types| cells; marginals are two rollups of
+    that cell table, broadcast back; the statistic is a 1-row agg over
+    the cells. Nothing rescans the fact table."""
+    p = load_table(spark, sf_dir, "part").select("p_brand", "p_type")
+    o = materialize_once(
+        p.groupBy("p_brand", "p_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("obs")
+        )
+    )
+    r = o.groupBy("p_brand").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("p_type").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(r), "p_brand")
+        .join(F.broadcast(c), "p_type")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("obs").cast("double").alias("od"),
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    nb = r.count()  # scale-ok: brand cardinality scalar (≤ dozens)
+    nc = c.count()  # scale-ok: container cardinality scalar (≤ dozens)
+    return cells.agg(
+        F.lit(nb).cast("bigint").alias("n_brands"),
+        F.lit(nc).cast("bigint").alias("n_types"),
+        F.lit((nb - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("od") - F.col("e"))
+                * (F.col("od") - F.col("e"))
+                / F.col("e")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("chi2_ppm"),
+    )
+
+
+@register(
+    "supplier_acctbal_mad_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS c
+        FROM supplier),
+    m AS (
+        SELECT c AS med FROM (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c, s_suppkey) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM b) WHERE rn = (n + 1) // 2),
+    d AS (SELECT b.s_suppkey, abs(b.c - m.med) AS dev, b.c, m.med
+          FROM b CROSS JOIN m),
+    m2 AS (
+        SELECT dev AS mad FROM (
+            SELECT dev, s_suppkey,
+                   ROW_NUMBER() OVER (ORDER BY dev, s_suppkey) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d) WHERE rn = (n + 1) // 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MIN(d.med) AS BIGINT) AS median_cents,
+           CAST(MIN(m2.mad) AS BIGINT) AS mad_cents,
+           CAST(COUNT(CASE WHEN d.dev * 10000 > 3 * 14826 * m2.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM d CROSS JOIN m2
+    """,
+)
+def supplier_acctbal_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust outlier count via the median-absolute-deviation rule
+    (|x − median| > 3·1.4826·MAD — the robust z-score): immune to the
+    very outliers it hunts, unlike stddev fences. Both medians are
+    EXACT discrete order statistics at position ceil(n/2) over a strict
+    total order, computed by `exact_order_statistics` (range partitions
+    + K driver-held counts + one filter — never a global sort), and the
+    1.4826 consistency constant rides as the integer cross-product
+    dev·10⁴ > 3·14826·MAD, so the verdict is float-free.
+
+    Plan shape at 100 TB: two order-statistic passes (each one range
+    repartition of a narrow (cents, key) frame + K scalars) and one
+    1-row rollup with the two medians broadcast as literals."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        exact_order_statistics,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("c"),
+    )
+    [(_, _, row)] = exact_order_statistics(s, ["c", "s_suppkey"], [(1, 2)])
+    med = int(row["c"])
+    d = s.select(
+        "s_suppkey", F.abs(F.col("c") - F.lit(med)).alias("dev")
+    )
+    [(_, _, row2)] = exact_order_statistics(
+        d, ["dev", "s_suppkey"], [(1, 2)]
+    )
+    mad = int(row2["dev"])
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.lit(med).cast("bigint").alias("median_cents"),
+        F.lit(mad).cast("bigint").alias("mad_cents"),
+        F.count(
+            F.when(F.col("dev") * 10000 > 3 * 14826 * mad, 1)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

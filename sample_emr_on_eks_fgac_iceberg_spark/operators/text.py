@@ -1464,3 +1464,93 @@ def text_hapax_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div COUNT(*) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH words AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS word
+        FROM documents),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS r
+        FROM counts),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+            FROM ranked),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM pts)
+    SELECT CAST(m AS BIGINT) AS vocab_size,
+           CAST(round((m * sxy - sx * sy) / (m * sxx - sx * sx) * 1000000)
+                AS BIGINT) AS slope_ppm,
+           CAST(round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                      / m * 1000000) AS BIGINT) AS intercept_ppm
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary — the log-log OLS slope
+    of frequency against rank (natural text sits near −1; OCR noise,
+    boilerplate floods, and tokenizer damage bend it). The rank is a
+    DISTRIBUTED global rank: the wordcount range-partitions on
+    (n DESC, word), each partition computes LOCAL row numbers, and
+    `partition_rank_offsets` folds K per-partition counts driver-side —
+    global rank = offset[pid] + local. No single-partition window over
+    the vocabulary, ever. The OLS moments are double sums whose ppm
+    rounding absorbs cross-engine accumulation-order ulps.
+
+    Plan shape at 100 TB: one wordcount hash agg (shuffle volume =
+    per-partition distinct words), one range repartition of the
+    vocabulary-sized count table, a per-partition window, K driver
+    scalars, and a 1-row moment rollup."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        partition_rank_offsets,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    counts = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = counts.repartitionByRange(
+        spark.sparkContext.defaultParallelism,
+        F.col("n").desc(),
+        F.col("word"),
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy(F.col("n").desc(), F.col("word"))
+    local = materialize_once(r.withColumn("lr", F.row_number().over(lw)))
+    partials = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n_p"))
+    ranked = local.join(
+        F.broadcast(partition_rank_offsets(partials)), "pid"
+    ).select(
+        (F.col("__offset") + F.col("lr")).cast("double").alias("rk"),
+        F.col("n").cast("double").alias("cnt"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rk")).alias("x"), F.log(F.col("cnt")).alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("vocab_size"),
+        F.round(slope * 1000000).cast("bigint").alias("slope_ppm"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("m") * 1000000
+        )
+        .cast("bigint")
+        .alias("intercept_ppm"),
+    )
