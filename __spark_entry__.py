@@ -49,14 +49,10 @@ _CORE = [
     "dedup_minhash_det",
     "dedup_affix_stitch",
     "dedup_connected_components",
-    # CDC family — commit paths changed in round 11 (post-claim
-    # metadata revalidation); unchanged in round 12 but kept as
-    # flagships of the incremental surface
+    # CDC flagships (the deeper family members rotate — stable since
+    # their r11 greens and untouched in round 12)
     "cdc_merge_changelog",
     "merge_scd_close_out",
-    "cdc_compute_updates",
-    "cdc_net_changes",
-    "cdc_incremental_agg_maintenance",
     "cdc_changelog_view_sql",
     # CHANGED round 12: the hyperplane count now derives from the
     # corpus size when the conf is unset (VERDICT r11 missing #3) —
@@ -100,6 +96,13 @@ _CORE = [
     "part_brand_type_chi2",
     "orders_weekday_seasonality",
     "supplier_acctbal_mad_outliers",
+    # round-12 debuts, wave 4: near-dup cluster-size QA histogram
+    # (composes the pointer-jumping CC labeling), sign-safe exact-ppm
+    # quarter-over-quarter growth, and gaps-and-islands order-day
+    # streaks as a first-class query
+    "dedup_cluster_size_histogram",
+    "orders_qoq_growth",
+    "customer_daily_streaks_histogram",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -109,6 +112,9 @@ _ROTATION = [
     # demoted from _CORE in round 12 (round-11 debuts + r11-changed
     # entries, all driver-green in CORRECTNESS_r11 and untouched since;
     # the rotating block stays ≥ 20 of the 50 slots)
+    "cdc_compute_updates",
+    "cdc_net_changes",
+    "cdc_incremental_agg_maintenance",
     "spj_bucketed_orders_customer",
     "dedup_substring_exact",
     "embedding_matryoshka_recall",

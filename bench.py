@@ -176,6 +176,9 @@ HEADLINE = [
     "part_brand_type_chi2",
     "orders_weekday_seasonality",
     "supplier_acctbal_mad_outliers",
+    "dedup_cluster_size_histogram",
+    "orders_qoq_growth",
+    "customer_daily_streaks_histogram",
 ]
 
 

@@ -1463,3 +1463,46 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.join(runs, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_shared_windows", "max_match_tokens"
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=rf"""
+    WITH RECURSIVE {_jaccard_pairs_oracle_cte()},
+    sym AS (
+        SELECT a_id AS s, b_id AS d FROM edges
+        UNION ALL
+        SELECT b_id, a_id FROM edges),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id),
+    csizes AS (SELECT component_id, COUNT(*) AS sz FROM comp GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(sz) AS BIGINT) AS n_documents
+    FROM csizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup QA readout
+    curation teams actually look at: a heavy tail of giant components
+    means the similarity threshold is too loose (boilerplate chaining
+    unrelated docs into one cluster), a flat histogram at size 1 means
+    it is too tight. Composes the connected-components labeling
+    (pointer jumping, dedup_connected_components) with two
+    component-bounded rollups.
+
+    Plan shape at 100 TB: everything after the CC labels is keyed on
+    component_id — one hash agg to sizes (≤ |components| rows), one
+    ≤ max-size-group histogram rollup. The labeling itself is the
+    audited pointer-jumping plan."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(
+        F.col("sz").cast("bigint").alias("component_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum("sz").cast("bigint").alias("n_documents"),
+    )

@@ -3869,3 +3869,103 @@ def supplier_acctbal_mad_outliers(
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+@register(
+    "orders_qoq_growth",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qt,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS c
+        FROM orders GROUP BY 1, 2),
+    l AS (SELECT yr, qt, c, lag(c) OVER (ORDER BY yr, qt) AS p FROM q)
+    SELECT yr, qt, CAST(c AS BIGINT) AS revenue_cents,
+           CAST(CASE WHEN p IS NULL THEN NULL
+                     WHEN c >= p THEN (c - p) * 1000000 // p
+                     ELSE -((p - c) * 1000000 // p) END AS BIGINT)
+               AS qoq_ppm
+    FROM l
+    """,
+)
+def orders_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth in exact integer ppm — the
+    BI staple. Growth is truncating integer division applied to the
+    POSITIVE magnitude with the sign re-attached, because Spark's
+    `div` truncates toward zero while DuckDB's `//` floors: they only
+    agree on non-negative operands, so a naive (c−p)·10⁶ div p would
+    diverge on every down quarter.
+
+    Plan shape at 100 TB: one (year, quarter)-keyed hash agg with
+    map-side partials collapses the fact table to ≤4·|years| rows; the
+    lag window runs on that calendar-bounded frame (single partition
+    by construction and by bound — ~40 rows for a decade)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qt"),
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    q = o.groupBy("yr", "qt").agg(F.sum("c").alias("c"))
+    w = Window.orderBy("yr", "qt")
+    l = q.withColumn("p", F.lag("c").over(w))
+    growth = F.when(F.col("p").isNull(), F.lit(None)).otherwise(
+        F.when(F.col("c") >= F.col("p"), F.lit(1)).otherwise(F.lit(-1))
+        * F.expr("CAST((abs(c - p) * 1000000) div p AS BIGINT)")
+    )
+    return l.select(
+        "yr",
+        "qt",
+        F.col("c").cast("bigint").alias("revenue_cents"),
+        growth.cast("bigint").alias("qoq_ppm"),
+    )
+
+
+@register(
+    "customer_daily_streaks_histogram",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dt
+        FROM orders),
+    r AS (
+        SELECT o_custkey, dt,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY dt)
+                   AS rn
+        FROM d),
+    s AS (
+        SELECT o_custkey, dt - CAST(rn AS INTEGER) AS anchor,
+               COUNT(*) AS len
+        FROM r GROUP BY o_custkey, dt - CAST(rn AS INTEGER))
+    SELECT CAST(len AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM s GROUP BY 1
+    """,
+)
+def customer_daily_streaks_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consecutive-order-day streaks per customer, as a length
+    histogram — the classic gaps-and-islands pattern as a first-class
+    relational query (the same machinery the substring-dedup run
+    recovery and VAD segmentation use internally): island anchor =
+    date − row_number days, so every maximal run of consecutive dates
+    shares one anchor.
+
+    Plan shape at 100 TB: the distinct and the row_number window both
+    partition BY CUSTOMER (state = one counter per key, fully
+    distributed); the streak agg is keyed on (customer, anchor); the
+    histogram is a ≤ max-streak-length rollup."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("dt"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dt")
+    r = d.withColumn("rn", F.row_number().over(w))
+    s = r.groupBy(
+        "o_custkey", F.date_sub(F.col("dt"), F.col("rn")).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy(F.col("len").cast("bigint").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
