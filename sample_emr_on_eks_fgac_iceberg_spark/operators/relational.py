@@ -3781,8 +3781,8 @@ def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    nb = r.count()  # scale-ok: brand cardinality scalar (≤ dozens)
-    nc = c.count()  # scale-ok: container cardinality scalar (≤ dozens)
+    nb = r.count()  # one cardinality scalar (≤ dozens of brands)
+    nc = c.count()  # one cardinality scalar (≤ dozens of types)
     return cells.agg(
         F.lit(nb).cast("bigint").alias("n_brands"),
         F.lit(nc).cast("bigint").alias("n_types"),
@@ -3898,16 +3898,23 @@ def orders_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: one (year, quarter)-keyed hash agg with
     map-side partials collapses the fact table to ≤4·|years| rows; the
-    lag window runs on that calendar-bounded frame (single partition
-    by construction and by bound — ~40 rows for a decade)."""
+    lag pairing is an equi-self-join on the previous quarter INDEX
+    (yr·4 + qt − 1), the same join-not-global-window shape as
+    orders_daily_autocorr_lag1 — no single-partition window even on
+    the calendar-bounded frame (the plan gate rejects the shape on
+    principle)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").cast("bigint").alias("yr"),
         F.quarter("o_orderdate").cast("bigint").alias("qt"),
         F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
     )
-    q = o.groupBy("yr", "qt").agg(F.sum("c").alias("c"))
-    w = Window.orderBy("yr", "qt")
-    l = q.withColumn("p", F.lag("c").over(w))
+    q = materialize_once(
+        o.groupBy("yr", "qt")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("idx", F.col("yr") * 4 + F.col("qt") - 1)
+    )
+    prev = q.select((F.col("idx") + 1).alias("idx"), F.col("c").alias("p"))
+    l = q.join(prev, "idx", "left")
     growth = F.when(F.col("p").isNull(), F.lit(None)).otherwise(
         F.when(F.col("c") >= F.col("p"), F.lit(1)).otherwise(F.lit(-1))
         * F.expr("CAST((abs(c - p) * 1000000) div p AS BIGINT)")
