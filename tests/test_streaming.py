@@ -872,3 +872,44 @@ def test_secure_stream_sees_post_start_appends(fgac_engine):
     names = {n for _, n in seen}
     assert "Pat Stream" in names and "Ohio Row" not in names
     assert len(seen) == 9  # 8 originals + exactly the new Texas row
+
+
+def test_stream_table_restores_partition_values(spark, tmp_path):
+    """Streaming a hidden-partitioned table returns the LOGICAL schema:
+    identity partition values restored from the directory layout with
+    declared types, engine-managed transform columns (ts_day) absent,
+    and the drained rows equal to the batch read row-for-row."""
+    import datetime as dt
+
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "ev",
+        "event_id bigint, ts timestamp, city string, v double",
+        partition_by=["city", "day(ts)"],
+    )
+    wh.insert_values(
+        "ev",
+        [
+            (1, dt.datetime(2024, 1, 1, 10), "austin", 1.5),
+            (2, dt.datetime(2024, 1, 2, 11), "nyc", 2.5),
+            (3, dt.datetime(2024, 1, 2, 12), "austin", 3.5),
+        ],
+    )
+    sdf = wh.stream_table("ev")
+    assert sdf.isStreaming
+    assert sdf.columns == ["event_id", "ts", "city", "v"]  # logical order
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("part_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _rows(spark.table("part_stream"))
+    batch = _rows(wh.read_table("ev").select("event_id", "ts", "city", "v"))
+    assert got == batch and len(got) == 3
