@@ -18,6 +18,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
     incremental,
     graph,
     spj,
+    sql_surface,
 )
 from sample_emr_on_eks_fgac_iceberg_spark.streaming import events as _streaming_events  # noqa: E402,F401
 

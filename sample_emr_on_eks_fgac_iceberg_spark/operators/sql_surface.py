@@ -1,0 +1,183 @@
+"""SQL-surface parity operators — QUALIFY, ASOF JOIN, GROUP BY ALL
+issued as PLAIN SQL text (SURVEY.md §2.B "scalar functions / SQL
+surface"; the reference's users hold a SQL prompt — Athena/Spark SQL —
+consumer_account_setup/consumer_emr_on_eks_setup.sh:407-418, so modern
+SQL sugar belongs in the frontend, not in a Python-only API).
+
+- ``QUALIFY`` (DuckDB/Snowflake/BigQuery's post-window filter) and
+  ``ASOF JOIN`` (DuckDB/streaming-SQL) are rewritten by the frontend
+  (sql_frontend.rewrite_qualify / _rewrite_asof_joins) into plain
+  Spark plans — the window-filter wrap and the union+window as-of
+  (temporal.asof_join_frames) respectively.
+- ``GROUP BY ALL`` is native to Spark ≥3.4 AND DuckDB: the IDENTICAL
+  statement text runs on both engines (the nation_trade_reachability
+  recursive-CTE pattern — parity by construction).
+
+The frontend queries here run over a per-(application, sf_dir) cached
+warehouse landed from the parquet test tables (the spj._spj_warehouse
+pattern: landing is setup, the measured query is the SQL itself).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+_WAREHOUSES: dict[tuple, object] = {}
+_FRONTENDS: dict[tuple, object] = {}
+
+
+def _frontend(spark: SparkSession, sf_dir: str):
+    """SqlFrontend over a cached warehouse holding the SQL-surface
+    tables: supplier as-is; events split into purchases and
+    (per-(user, ts) deduped) clicks with disjoint column names — the
+    as-of join's flat output requires collision-free sides."""
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FRONTENDS:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="sqlsurf_wh_"))
+        sup = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        wh.create_table("sq_supplier", sup.schema)
+        wh.insert_into("sq_supplier", sup)
+        ev = load_table(spark, sf_dir, "events")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy(
+                F.col("user_id").alias("click_user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .agg(F.max("event_id").alias("click_event_id"))
+        )
+        wh.create_table("sq_clicks", clicks.schema)
+        wh.insert_into("sq_clicks", clicks)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        wh.create_table("sq_purchases", purchases.schema)
+        wh.insert_into("sq_purchases", purchases)
+        _WAREHOUSES[key] = wh
+        _FRONTENDS[key] = SqlFrontend(spark, wh)
+    return _FRONTENDS[key]
+
+
+@register(
+    "qualify_top_suppliers_sql",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_name,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           row_number() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey) AS rk
+    FROM supplier
+    QUALIFY rk <= 3
+    """,
+)
+def qualify_top_suppliers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by account balance, spelled with
+    QUALIFY — the post-window filter DuckDB/Snowflake/BigQuery users
+    write daily and Spark SQL lacks. The frontend rewrites the clause
+    into a wrapped window filter (sql_frontend.rewrite_qualify); the
+    DuckDB oracle runs the SAME statement natively (names aside) —
+    semantics parity by construction.
+
+    Plan shape at 100 TB: identical to the hand-written wrap — one
+    hash partition on s_nationkey for the window, filter, no extra
+    exchange (the rewrite adds zero shuffles; plan-asserted in
+    tests/test_sql_surface.py)."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT s_nationkey, s_suppkey, s_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        FROM sq_supplier
+        QUALIFY rk <= 3
+        """
+    )
+
+
+@register(
+    "asof_sql_click_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS click_user_id, ts AS click_ts,
+               MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+    SELECT CAST(hour(ts) AS INT) AS hh,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(click_ts) AS BIGINT) AS n_attributed,
+           CAST(SUM((epoch_us(ts) - epoch_us(click_ts)) // 1000000)
+                AS BIGINT) AS sum_gap_s
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.click_user_id AND p.ts >= c.click_ts
+    GROUP BY 1
+    """,
+)
+def asof_sql_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution through SQL ``ASOF LEFT JOIN`` — the
+    DuckDB as-of grammar, rewritten by the frontend into the
+    union+window as-of plan (temporal.asof_join_frames; ONE shuffle on
+    the user key, no quadratic per-key blowup). Clicks are deduped to
+    one row per (user, ts) at landing so the as-of match is unique —
+    the oracle's CTE applies the same MAX(event_id) dedup and DuckDB's
+    native ASOF LEFT JOIN provides the semantics check. Gap seconds
+    are exact integers (microsecond difference, truncating division —
+    both gaps are non-negative, so floor == trunc).
+
+    Plan shape at 100 TB: union of the two landed tables → one hash
+    partition on user_id → per-key window → hour rollup (≤24 groups,
+    map-side partials)."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT CAST(hour(ts) AS INT) AS hh,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(click_ts) AS BIGINT) AS n_attributed,
+               CAST(SUM((unix_micros(CAST(ts AS TIMESTAMP))
+                         - unix_micros(CAST(click_ts AS TIMESTAMP)))
+                        div 1000000) AS BIGINT) AS sum_gap_s
+        FROM sq_purchases p ASOF LEFT JOIN sq_clicks c
+          ON p.user_id = c.click_user_id AND p.ts >= c.click_ts
+        GROUP BY 1
+        """
+    )
+
+
+def _gba_sql(orders_rel: str) -> str:
+    """GROUP BY ALL revenue rollup — the IDENTICAL text runs on Spark
+    (≥3.4) and DuckDB; both engines infer the grouping keys (yr,
+    o_orderstatus) from the non-aggregate select items."""
+    return f"""
+    SELECT year(o_orderdate) AS yr, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS BIGINT) AS revenue_cents
+    FROM {orders_rel} GROUP BY ALL
+    """
+
+
+@register("group_by_all_revenue", oracle=_gba_sql("orders"))
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly order-status revenue via ``GROUP BY ALL`` (Spark 3.4+ /
+    DuckDB — grouping keys inferred from the select list). The same
+    statement text runs on both engines (the recursive-CTE parity
+    pattern). Exact integer cents in DECIMAL(38,0).
+
+    Plan shape at 100 TB: one hash agg keyed on (yr, status) with
+    map-side partials — GROUP BY ALL is pure parser sugar, the plan is
+    byte-identical to the explicit GROUP BY."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
+    return spark.sql(_gba_sql("__gba_orders"))

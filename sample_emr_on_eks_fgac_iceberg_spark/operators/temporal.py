@@ -1251,3 +1251,86 @@ def events_conversion_latency_quantiles(
         F.lit(by_q[(9, 10)]).cast("bigint").alias("p90_s"),
         F.lit(by_q[(99, 100)]).cast("bigint").alias("p99_s"),
     )
+
+
+def asof_join_frames(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    op: str = ">=",
+    how: str = "inner",
+) -> DataFrame:
+    """Generic as-of join of two frames — the reusable form of the
+    union+window plan ``asof_join_click_purchase`` inlines (module
+    docstring: ONE shuffle on the key, zero row multiplication), built
+    for the SQL frontend's ``ASOF JOIN`` rewrite but callable directly.
+
+    ``on`` is the equi-key pairing [(left_col, right_col), …];
+    ``op`` is the as-of inequality ``left_ts OP right_ts`` with OP in
+    {>=, >, <=, <}: ``>=``/``>`` match the latest right row at-or-
+    before/strictly-before the left timestamp (backward as-of, the
+    default in DuckDB/pandas), ``<=``/``<`` the earliest at-or-after/
+    strictly-after (forward). ``how`` is ``inner`` or ``left``.
+
+    Determinism: among right rows tying on (key, ts) the carried row
+    is the struct-order maximum (the window order includes the right
+    struct, same tie rule as asof_join_click_purchase). Column names
+    must be disjoint across the two inputs — the SQL rewrite exposes
+    the joined relation as one flat view, so a collision would be
+    ambiguous; callers pre-rename instead.
+
+    Plan shape at 100 TB: union → one hash partition on the key →
+    per-key window. Linear in rows, AQE-skew-splittable; never the
+    quadratic per-key explosion of the naive range-join spelling."""
+    if op not in (">=", ">", "<=", "<"):
+        raise ValueError(f"asof op must be >=, >, <= or < (got {op!r})")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof how must be inner or left (got {how!r})")
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(
+            f"asof join sides share column names {overlap}; rename one side"
+        )
+    keys = [f"__k{i}" for i in range(len(on))]
+    from pyspark.sql.types import StructType
+
+    r_struct = StructType(right.schema.fields)
+    lu = left.select(
+        *[F.col(l).alias(k) for (l, _), k in zip(on, keys)],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_l"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_struct).alias("__r"),
+    )
+    ru = right.select(
+        *[F.col(r).alias(k) for (_, r), k in zip(on, keys)],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_l"),
+        F.lit(None).cast(StructType(left.schema.fields)).alias("__l"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
+    )
+    # At equal __ts the right row sorts BEFORE the left probe exactly
+    # when the bound is inclusive (>= / <=): the probe's window then
+    # contains it. Strict bounds sort the probe first, excluding ties.
+    backward = op in (">=", ">")
+    inclusive = op in (">=", "<=")
+    ts_o = F.col("__ts").asc() if backward else F.col("__ts").desc()
+    side_o = F.col("__is_l").asc() if inclusive else F.col("__is_l").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_o, side_o, F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = (
+        lu.unionByName(ru)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_l") == 1)
+    )
+    if how == "inner":
+        res = res.filter(F.col("__m").isNotNull())
+    return res.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in right.columns],
+    )

@@ -408,6 +408,183 @@ def _matching_paren(text: str, open_idx: int) -> int:
     raise ValueError(f"Unbalanced parentheses in: {text[:80]}…")
 
 
+def rewrite_qualify(query: str) -> tuple[str, bool]:
+    """Rewrite a top-level ``QUALIFY <pred>`` clause (DuckDB/Snowflake/
+    BigQuery's post-window filter — Spark has no QUALIFY) into plain
+    Spark SQL. Two shapes:
+
+    - predicate over select-list aliases (``QUALIFY rk <= 2``): wrap
+      the query and filter in an outer WHERE;
+    - predicate containing its own window function (``QUALIFY
+      row_number() OVER (…) = 1``): the predicate is INJECTED into the
+      query's own select list as a helper boolean column ``__qualify``
+      (so its window sees every FROM column, like DuckDB's QUALIFY,
+      not just the projected ones), the wrapped query filters on it,
+      and the caller drops the helper column (second return value
+      True). For SELECT DISTINCT / set-operation heads — where
+      touching the select list would change semantics — it falls back
+      to projecting over the wrapped output, which then only resolves
+      projected columns.
+
+    Top-level only — a QUALIFY inside a subquery is not rewritten and
+    fails loudly below rather than reaching Spark's parser."""
+    head, tail = _split_top_level(query, "QUALIFY")
+    if tail is None:
+        if re.search(r"\bQUALIFY\b", _strip_sql_strings(query), re.I):
+            raise ValueError(
+                "QUALIFY is supported at the top level of the statement "
+                "only — rewrite the subquery's QUALIFY as a wrapped WHERE"
+            )
+        return query, False
+    pred, suffix = tail, ""
+    for kw in ("ORDER", "LIMIT", "OFFSET"):
+        h, t = _split_top_level(pred, kw)
+        if t is not None and len(h) < len(pred):
+            pred, suffix = h, f"{kw} {t.strip()}"
+    if not re.search(r"\bOVER\s*\(", pred, re.I):
+        return (
+            f"SELECT * FROM ({head.strip()}) AS __qsrc "
+            f"WHERE ({pred.strip()}) {suffix}",
+            False,
+        )
+    set_op = any(
+        _split_top_level(head, k)[1] is not None
+        for k in ("UNION", "INTERSECT", "EXCEPT")
+    )
+    prefix, body = _split_top_level(head, "SELECT")
+    if (
+        body is not None
+        and not set_op
+        and not re.match(r"\s*DISTINCT\b", body, re.I)
+    ):
+        sel, rest = _split_top_level(body, "FROM")
+        if rest is not None:
+            inner = (
+                f"{prefix} SELECT {sel.strip()}, ({pred.strip()}) "
+                f"AS __qualify FROM {rest.strip()}"
+            )
+            return (
+                f"SELECT * FROM ({inner}) AS __qfil "
+                f"WHERE __qualify {suffix}",
+                True,
+            )
+    new = (
+        f"SELECT * FROM (SELECT __qsrc.*, ({pred.strip()}) AS __qualify "
+        f"FROM ({head.strip()}) AS __qsrc) AS __qfil "
+        f"WHERE __qualify {suffix}"
+    )
+    return new, True
+
+
+def _strip_sql_strings(text: str) -> str:
+    """Blank out single-quoted literals (with '' escaping) so keyword
+    probes can't false-positive on string contents."""
+    return re.sub(r"'(?:[^']|'')*'", "''", text)
+
+
+_SQL_KEYWORDS = {
+    "FROM", "JOIN", "WHERE", "ON", "AND", "OR", "SELECT", "USING", "AS",
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "UNION", "ALL", "BY",
+}
+
+_ASOF_RE = re.compile(
+    r"(?<![\w.`])(`?[\w.]+`?)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+    r"(`?[\w.]+`?)(?:\s+(?:AS\s+)?(\w+))?\s+ON\b",
+    re.I,
+)
+_ASOF_STOP = (
+    "WHERE",
+    "GROUP",
+    "HAVING",
+    "WINDOW",
+    "QUALIFY",
+    "ORDER",
+    "LIMIT",
+    "OFFSET",
+    "UNION",
+    "EXCEPT",
+    "INTERSECT",
+    "JOIN",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "INNER",
+    "CROSS",
+    "ASOF",
+)
+
+
+def _asof_condition_end(text: str, start: int) -> int:
+    """End index (exclusive) of the ON condition beginning at ``start``:
+    the first top-level clause keyword or unmatched ')'."""
+    depth, in_str = 0, None
+    i, n = start, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return i
+        elif depth == 0 and (ch.isalpha()) and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            m = re.match(r"[A-Za-z_]+", text[i:])
+            word = m.group(0).upper()
+            if word in _ASOF_STOP:
+                return i
+            i += len(word)
+            continue
+        i += 1
+    return n
+
+
+def parse_asof_condition(cond: str, laliases: set, raliases: set):
+    """Split an ASOF ON condition into equi-key pairs and THE single
+    as-of inequality. Returns (on_pairs, left_ts, right_ts, op) with
+    every referenced column unqualified. Conjuncts must each be
+    ``x.col OP y.col`` with exactly one side per relation."""
+    on: list[tuple[str, str]] = []
+    ineq = None
+    for term in _split_top_and(cond):
+        m = re.match(
+            r"\s*(\w+)\.`?(\w+)`?\s*(=|>=|<=|>|<)\s*(\w+)\.`?(\w+)`?\s*$",
+            term,
+        )
+        if not m:
+            raise ValueError(
+                f"Cannot parse ASOF JOIN condition term: {term!r} "
+                "(supported: alias.col OP alias.col AND …)"
+            )
+        q1, c1, op, q2, c2 = m.groups()
+        if q1.lower() in laliases and q2.lower() in raliases:
+            lcol, rcol = c1, c2
+        elif q1.lower() in raliases and q2.lower() in laliases:
+            lcol, rcol = c2, c1
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        else:
+            raise ValueError(
+                f"ASOF JOIN term {term!r} must compare the two joined "
+                "relations"
+            )
+        if op == "=":
+            on.append((lcol, rcol))
+        elif ineq is not None:
+            raise ValueError("ASOF JOIN takes exactly one inequality")
+        else:
+            ineq = (lcol, rcol, op)
+    if ineq is None:
+        raise ValueError("ASOF JOIN requires one inequality condition")
+    return on, ineq[0], ineq[1], ineq[2]
+
+
 def spj_candidate_tables(query: str, tables, layout_of) -> set:
     """Tables this query joins on their own ``bucket[N]`` keys with
     matching N — the storage-partitioned-join preconditions
@@ -1560,4 +1737,71 @@ class SqlFrontend:
                     f"`{name.replace('.', '__')}`",
                     query,
                 )
-        return scratch.sql(query)
+        query = self._rewrite_asof_joins(query, scratch)
+        query, drop_qualify = rewrite_qualify(query)
+        df = scratch.sql(query)
+        return df.drop("__qualify") if drop_qualify else df
+
+    def _rewrite_asof_joins(self, query: str, scratch: SparkSession) -> str:
+        """Rewrite ``l [a] ASOF [LEFT] JOIN r [b] ON <cond>`` (DuckDB's
+        as-of SQL — Spark has no ASOF grammar) into a materialized
+        union+window as-of view (temporal.asof_join_frames) substituted
+        as a plain relation, with the two aliases' qualifiers stripped
+        (the joined view is flat; the sides' column names are disjoint
+        by asof_join_frames' contract). Both relations must be plain
+        registered tables/views — a subquery left side fails loudly."""
+        if not re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
+            return query
+        from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
+            asof_join_frames,
+        )
+
+        count = 0
+        while True:
+            m = _ASOF_RE.search(query)
+            if not m:
+                break
+            rel1, a1, left_kw, rel2, a2 = m.groups()
+            seg_start = m.start(1)
+            rel1, rel2 = rel1.strip("`"), rel2.strip("`")
+            if rel1.upper() in _SQL_KEYWORDS and a1:
+                # the relation pattern swallowed the preceding FROM/JOIN
+                # keyword; the "alias" is the real (alias-less) relation
+                seg_start = m.start(2)
+                rel1, a1 = a1, None
+            frames = []
+            for rel, side in ((rel1, "left"), (rel2, "right")):
+                try:
+                    frames.append(scratch.table(rel))
+                except Exception:
+                    raise ValueError(
+                        f"ASOF JOIN {side} relation {rel!r} is not a "
+                        "registered table/view (subquery sides are not "
+                        "supported)"
+                    ) from None
+            cond_end = _asof_condition_end(query, m.end())
+            on, lts, rts, op = parse_asof_condition(
+                query[m.end() : cond_end],
+                {x.lower() for x in (a1, rel1) if x},
+                {x.lower() for x in (a2, rel2) if x},
+            )
+            joined = asof_join_frames(
+                frames[0], frames[1], on, lts, rts, op,
+                how="left" if left_kw else "inner",
+            )
+            view = f"__asof_{count}"
+            count += 1
+            joined.createOrReplaceTempView(view)
+            query = query[:seg_start] + f"`{view}`" + query[cond_end:]
+            for alias in {a1 or rel1, a2 or rel2}:
+                query = _sub_outside_strings(
+                    rf"(?<![\w.`])`?{re.escape(alias)}`?\s*\.", "", query,
+                    flags=re.I,
+                )
+        if re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
+            raise ValueError(
+                "Unsupported ASOF JOIN shape — supported: "
+                "table [alias] ASOF [LEFT] JOIN table [alias] ON "
+                "equi-keys AND one ts inequality"
+            )
+        return query
