@@ -45,15 +45,12 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    # dedup
+    # dedup flagship (affix-stitch and CC rotated out in wave 5 — both
+    # stable multi-round greens, untouched this round)
     "dedup_minhash_det",
-    "dedup_affix_stitch",
-    "dedup_connected_components",
-    # CDC flagships (the deeper family members rotate — stable since
+    # CDC flagship (the deeper family members rotate — stable since
     # their r11 greens and untouched in round 12)
     "cdc_merge_changelog",
-    "merge_scd_close_out",
-    "cdc_changelog_view_sql",
     # CHANGED round 12: the hyperplane count now derives from the
     # corpus size when the conf is unset (VERDICT r11 missing #3) —
     # must re-verify the derived default reproduces the oracle
@@ -103,12 +100,33 @@ _CORE = [
     "dedup_cluster_size_histogram",
     "orders_qoq_growth",
     "customer_daily_streaks_histogram",
+    # round-12 debuts, wave 5 (SQL surface): QUALIFY and ASOF JOIN
+    # through the frontend (DuckDB runs them natively — grammar parity
+    # by construction) and GROUP BY ALL as the identical statement
+    # text on both engines
+    "qualify_top_suppliers_sql",
+    "asof_sql_click_attribution",
+    "group_by_all_revenue",
+    # round-12 debuts, wave 6 (distributed exact nonparametric stats):
+    # Mann-Whitney 2U + tie term, two-sample KS distance in exact ppm,
+    # per-year OLS revenue trend — rank/ECDF machinery as ONE
+    # distributed prefix sum (partition_rank_offsets idiom)
+    "mannwhitney_u_priority",
+    "ks_two_sample_segments",
+    "orders_yearly_trend_ols",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
+    # demoted from _CORE in round-12 wave 5 (stable multi-round
+    # flagship greens, untouched this round; the rotating block stays
+    # ≥ 20 of the 50 slots as waves 5-6 debut)
+    "dedup_affix_stitch",
+    "dedup_connected_components",
+    "merge_scd_close_out",
+    "cdc_changelog_view_sql",
     # demoted from _CORE in round 12 (round-11 debuts + r11-changed
     # entries, all driver-green in CORRECTNESS_r11 and untouched since;
     # the rotating block stays ≥ 20 of the 50 slots)

@@ -179,6 +179,16 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "orders_qoq_growth",
     "customer_daily_streaks_histogram",
+    # round-12 waves 5-6: QUALIFY + ASOF JOIN through the SQL frontend
+    # (warehouse landing amortizes into the first run), GROUP BY ALL
+    # parity, and the distributed exact nonparametric stats (rank/ECDF
+    # as ONE distributed prefix sum)
+    "qualify_top_suppliers_sql",
+    "asof_sql_click_attribution",
+    "group_by_all_revenue",
+    "mannwhitney_u_priority",
+    "ks_two_sample_segments",
+    "orders_yearly_trend_ols",
 ]
 
 

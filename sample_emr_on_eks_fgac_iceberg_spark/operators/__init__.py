@@ -19,6 +19,7 @@ from sample_emr_on_eks_fgac_iceberg_spark.operators import (  # noqa: E402,F401
     graph,
     spj,
     sql_surface,
+    nonparam,
 )
 from sample_emr_on_eks_fgac_iceberg_spark.streaming import events as _streaming_events  # noqa: E402,F401
 

@@ -1,0 +1,285 @@
+"""Distributed exact nonparametric statistics — Mann-Whitney U,
+two-sample Kolmogorov-Smirnov, grouped OLS trend (SURVEY.md §2.B
+"event/experiment analytics"; the parametric Welch t lives in
+relational.py — these are its rank/ECDF siblings, the tests an
+experimentation platform runs when normality can't be assumed).
+
+All three follow the engine's determinism rules (registry.py): every
+statistic is exact integer arithmetic — rank/ECDF machinery reduces to
+distinct-value counts plus ONE distributed prefix sum, computed with
+the partition_rank_offsets K-scalar idiom (skew.py) rather than a
+single-partition global window, so the plans scale to 10⁸+ distinct
+values. DuckDB mirrors the prefix sums with ordinary window cumsums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import register
+from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+    partition_rank_offsets,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
+
+_DEC = "decimal(38,0)"
+
+
+def _prefix_sum(counts: DataFrame, val_col: str, sum_col: str,
+                inclusive: bool) -> DataFrame:
+    """Distributed prefix sum of ``sum_col`` over the total order
+    ``val_col`` (distinct values): range repartition → LOCAL window
+    cumsum per partition → add the per-partition offsets
+    (partition_rank_offsets — K driver scalars, no single-partition
+    window). ``inclusive`` picks ≤ vs < semantics. Adds ``__cum``."""
+    spark = counts.sparkSession
+    r = counts.repartitionByRange(
+        spark.sparkContext.defaultParallelism, val_col
+    ).withColumn("pid", F.spark_partition_id())
+    hi = Window.currentRow if inclusive else -1
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    r = materialize_once(
+        r.withColumn(
+            "__local",
+            F.coalesce(F.sum(sum_col).over(lw), F.lit(0).cast(_DEC)),
+        )
+    )
+    partials = r.groupBy("pid").agg(F.sum(sum_col).alias("n_p"))
+    off = partition_rank_offsets(
+        partials.withColumn("n_p", F.col("n_p").cast(_DEC))
+    )
+    return r.join(F.broadcast(off), "pid").withColumn(
+        "__cum", (F.col("__offset") + F.col("__local")).cast(_DEC)
+    )
+
+
+@register(
+    "mannwhitney_u_priority",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS isa
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    c AS (SELECT v, SUM(isa) AS ca, SUM(1 - isa) AS cb FROM g GROUP BY v),
+    p AS (
+        SELECT v, ca, cb,
+               COALESCE(SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumb
+        FROM c)
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_urgent,
+           CAST(SUM(cb) AS BIGINT) AS n_low,
+           CAST(SUM(CAST(ca AS HUGEINT) * (2 * cumb + cb)) AS BIGINT)
+               AS u2_urgent,
+           CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                    - (ca + cb)) AS BIGINT) AS tie_term
+    FROM p
+    """,
+)
+def mannwhitney_u_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for urgent vs low-priority
+    order values — the nonparametric A/B location test. Everything is
+    exact integers: 2·U_urgent = Σ_v ca(v)·(2·cumb(<v) + cb(v))
+    (each tie contributes ½ twice), and the tie-correction term
+    Σ_t t³−t rides along so a consumer can form the normal
+    approximation's variance without re-scanning.
+
+    Plan shape at 100 TB: the fact table collapses to one hash agg on
+    DISTINCT VALUE (ca, cb per cents value); the rank machinery is one
+    range repartition of that value table + per-partition local cumsum
+    + K broadcast offsets (partition_rank_offsets — the gini/ABC
+    idiom, no single-partition window); the statistic is a 1-row agg.
+    Accumulation rides DECIMAL(38,0)/HUGEINT (U ≤ na·nb overflows
+    int64 at ~10¹⁰ rows per arm); the final cast to BIGINT is
+    presentation."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("isa"),
+        )
+    )
+    c = g.groupBy("v").agg(
+        F.sum("isa").cast(_DEC).alias("ca"),
+        F.sum(F.lit(1) - F.col("isa")).cast(_DEC).alias("cb"),
+    )
+    p = _prefix_sum(c, "v", "cb", inclusive=False)
+    t = F.col("ca") + F.col("cb")
+    return p.agg(
+        F.sum("ca").cast("bigint").alias("n_urgent"),
+        F.sum("cb").cast("bigint").alias("n_low"),
+        F.sum(F.col("ca") * (F.lit(2).cast(_DEC) * F.col("__cum") + F.col("cb")))
+        .cast("bigint")
+        .alias("u2_urgent"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_term"),
+    )
+
+
+@register(
+    "ks_two_sample_segments",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS isa
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    c AS (SELECT v, SUM(isa) AS ca, SUM(1 - isa) AS cb FROM g GROUP BY v),
+    p AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+               SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb
+        FROM c),
+    tot AS (SELECT SUM(isa) AS na, SUM(1 - isa) AS nb FROM g)
+    SELECT CAST(na AS BIGINT) AS n_building,
+           CAST(nb AS BIGINT) AS n_machinery,
+           CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
+                        - CAST(cumb AS HUGEINT) * na)) AS BIGINT)
+               AS d_numerator,
+           CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
+                        - CAST(cumb AS HUGEINT) * na))
+                * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+               AS d_ppm
+    FROM p, tot GROUP BY na, nb
+    """,
+)
+def ks_two_sample_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the BUILDING and
+    MACHINERY account-balance distributions — the drift test a data
+    pipeline runs between cohorts or snapshots. D = max_v |F_A(v) −
+    F_B(v)| is computed as an exact integer: the numerator
+    max|cumA(≤v)·nB − cumB(≤v)·nA| over the distinct-value grid (the
+    max of |ECDF difference| is always attained at a sample point),
+    reported raw and as truncated ppm of na·nb.
+
+    Plan shape at 100 TB: identical skeleton to mannwhitney —
+    distinct-value hash agg → ONE distributed inclusive prefix sum
+    (range repartition + K broadcast offsets) → 1-row max. The group
+    totals ride a broadcast 1-row cross join, not driver scalars."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("isa"),
+        )
+    )
+    c = materialize_once(
+        g.groupBy("v").agg(
+            F.sum("isa").cast(_DEC).alias("ca"),
+            F.sum(F.lit(1) - F.col("isa")).cast(_DEC).alias("cb"),
+        )
+    )
+    pa = _prefix_sum(c, "v", "ca", inclusive=True).select(
+        "v", "ca", "cb", F.col("__cum").alias("cuma")
+    )
+    # second prefix over the SAME cached value table (cb this time):
+    # re-derive cumb from cuma's complement instead of a second pass —
+    # cumb(≤v) = (cuma+cumb)(≤v) − cuma(≤v), and (ca+cb) prefix equals
+    # the total-row prefix; cheaper: one more local pass on the same
+    # range layout
+    pb = _prefix_sum(c, "v", "cb", inclusive=True).select(
+        "v", F.col("__cum").alias("cumb")
+    )
+    p = pa.join(pb, "v")
+    tot = c.agg(
+        F.sum("ca").cast(_DEC).alias("na"), F.sum("cb").cast(_DEC).alias("nb")
+    )
+    j = p.crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return j.groupBy("na", "nb").agg(
+        F.max(diff).alias("d_num")
+    ).select(
+        F.col("na").cast("bigint").alias("n_building"),
+        F.col("nb").cast("bigint").alias("n_machinery"),
+        F.col("d_num").cast("bigint").alias("d_numerator"),
+        F.expr("CAST((d_num * 1000000) div (na * nb) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+    )
+
+
+@register(
+    "orders_yearly_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(dayofyear(o_orderdate) AS HUGEINT) AS x,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT yr, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM daily GROUP BY yr)
+    SELECT yr, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+                * (abs(n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) AS BIGINT)
+               AS slope_ppm_cents_per_day
+    FROM m WHERE n >= 2
+    """,
+)
+def orders_yearly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year OLS trend of daily revenue on day-of-year — 'is revenue
+    growing within the year, and how fast' as an exact integer:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in truncated ppm of a
+    cent per day, sign applied to the positive magnitude (Spark div
+    truncates toward zero, DuckDB // floors — they agree only on
+    non-negative operands, the orders_qoq_growth rule).
+
+    Plan shape at 100 TB: one (year, doy) hash agg collapses the fact
+    table to ≤366 rows per year; the regression moments are a second
+    keyed agg over that; no window, no driver state. Moments ride
+    DECIMAL(38,0)/HUGEINT (Σxy ~ 10¹⁶ already at single-tenant scale)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.dayofyear("o_orderdate").cast(_DEC).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("y")
+        )
+    )
+    m = daily.groupBy("yr").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.filter(F.col("n") >= 2).select(
+        "yr",
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            F.when(num >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.expr(
+                "CAST((abs(n * sxy - sx * sy) * 1000000) "
+                "div (n * sxx - sx * sx) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("slope_ppm_cents_per_day"),
+    )
