@@ -45,12 +45,10 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    # dedup flagship (affix-stitch and CC rotated out in wave 5 — both
-    # stable multi-round greens, untouched this round)
-    "dedup_minhash_det",
-    # CDC flagship (the deeper family members rotate — stable since
-    # their r11 greens and untouched in round 12)
-    "cdc_merge_changelog",
+    # the dedup/CDC flagships rotated out in waves 5-7 (stable
+    # multi-round greens, untouched this round): round 12's 26 debut/
+    # changed entries need the slots, and the rotating block should
+    # stay as close to 20 as the debut load allows (18 this round)
     # CHANGED round 12: the hyperplane count now derives from the
     # corpus size when the conf is unset (VERDICT r11 missing #3) —
     # must re-verify the derived default reproduces the oracle
@@ -114,6 +112,11 @@ _CORE = [
     "mannwhitney_u_priority",
     "ks_two_sample_segments",
     "orders_yearly_trend_ols",
+    # round-12 debuts, wave 7: Theil-Sen robust trend (median pairwise
+    # slope over the calendar-bounded daily frame) and exact rolling
+    # 7-day distinct active users (bounded ×7 fan-out, no range join)
+    "theilsen_yearly_trend",
+    "events_rolling_7d_users",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -125,8 +128,10 @@ _ROTATION = [
     # ≥ 20 of the 50 slots as waves 5-6 debut)
     "dedup_affix_stitch",
     "dedup_connected_components",
+    "dedup_minhash_det",
     "merge_scd_close_out",
     "cdc_changelog_view_sql",
+    "cdc_merge_changelog",
     # demoted from _CORE in round 12 (round-11 debuts + r11-changed
     # entries, all driver-green in CORRECTNESS_r11 and untouched since;
     # the rotating block stays ≥ 20 of the 50 slots)

@@ -189,6 +189,8 @@ HEADLINE = [
     "mannwhitney_u_priority",
     "ks_two_sample_segments",
     "orders_yearly_trend_ols",
+    "theilsen_yearly_trend",
+    "events_rolling_7d_users",
 ]
 
 

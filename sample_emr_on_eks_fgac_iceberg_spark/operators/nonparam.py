@@ -283,3 +283,85 @@ def orders_yearly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_ppm_cents_per_day"),
     )
+
+
+@register(
+    "theilsen_yearly_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(dayofyear(o_orderdate) AS HUGEINT) AS x,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
+        FROM orders GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.yr,
+               CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
+               * (abs(b.y - a.y) * 1000000 // (b.x - a.x)) AS slope_ppm
+        FROM daily a JOIN daily b ON a.yr = b.yr AND b.x > a.x),
+    r AS (
+        SELECT yr, slope_ppm,
+               ROW_NUMBER() OVER (PARTITION BY yr
+                                  ORDER BY slope_ppm) AS rn,
+               COUNT(*) OVER (PARTITION BY yr) AS n
+        FROM pairs)
+    SELECT yr, CAST(n AS BIGINT) AS n_pairs,
+           CAST(slope_ppm AS BIGINT) AS median_slope_ppm
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def theilsen_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue per year — the median of
+    all pairwise slopes, immune to the outlier days that drag the OLS
+    estimate (orders_yearly_trend_ols is its fragile sibling; shipping
+    both is the point). Slopes are ppm-quantized exact integers with
+    the sign-safe truncating division (Δx > 0 by construction, Δy may
+    be negative); the median is the LOWER median at rank (n+1)//2 —
+    the engine's discrete-median rule.
+
+    Plan shape at 100 TB: the fact table collapses to ≤366 daily rows
+    per year FIRST, so the pairwise self-join is calendar-bounded
+    (≤366·365/2 ≈ 67k pairs per year, whatever the corpus size) and
+    the median window partitions BY YEAR — bounded state everywhere;
+    nothing scales with row count past the first agg."""
+    daily = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.dayofyear("o_orderdate").cast(_DEC).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("y")
+        )
+    )
+    b = daily.select(
+        F.col("yr").alias("yr2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = daily.join(
+        b, (F.col("yr") == F.col("yr2")) & (F.col("x2") > F.col("x"))
+    ).select(
+        "yr",
+        (
+            F.when(F.col("y2") >= F.col("y"), F.lit(1)).otherwise(F.lit(-1))
+            * F.expr(
+                "CAST((abs(y2 - y) * 1000000) div (x2 - x) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("slope_ppm"),
+    )
+    w = Window.partitionBy("yr").orderBy("slope_ppm")
+    r = pairs.select(
+        "yr",
+        "slope_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("yr")).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == F.expr("CAST((n + 1) div 2 AS INT)")
+    ).select(
+        "yr",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope_ppm").alias("median_slope_ppm"),
+    )

@@ -1334,3 +1334,58 @@ def asof_join_frames(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(c) for c in right.columns],
     )
+
+
+@register(
+    "events_rolling_7d_users",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM d),
+    contrib AS (
+        SELECT d.user_id, dd.day
+        FROM d JOIN days dd
+          ON dd.day >= d.day AND dd.day <= d.day + 6),
+    w AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau_7d
+        FROM contrib GROUP BY day),
+    o AS (SELECT day, COUNT(*) AS dau_1d FROM d GROUP BY day)
+    SELECT w.day AS day, CAST(o.dau_1d AS BIGINT) AS dau_1d,
+           CAST(w.dau_7d AS BIGINT) AS dau_7d
+    FROM w JOIN o ON w.day = o.day
+    """,
+)
+def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day (the
+    product-analytics DAU/WAU staple) — EXACT, not a sketch: sliding
+    distinct counts don't decompose into window partials, so each
+    (user, day) activity row is fanned out to the ≤7 observed window
+    ends it can serve, and the count-distinct runs per end day.
+
+    Plan shape at 100 TB: the fact table collapses to DISTINCT
+    (user, day) first — the only row-count-sized agg; the fan-out is a
+    bounded ×7 explode (no range join), window ends prune against the
+    broadcast calendar (|days| is calendar-bounded forever), and the
+    per-day distinct is Spark's two-phase partial agg on (day, user) —
+    a hot day never funnels through one reducer."""
+    d = materialize_once(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    days = d.select("day").distinct()
+    contrib = d.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+    )
+    w = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
+    o = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau_1d"))
+    return w.join(o, "day").select(
+        "day",
+        F.col("dau_1d").cast("bigint").alias("dau_1d"),
+        F.col("dau_7d").cast("bigint").alias("dau_7d"),
+    )

@@ -993,6 +993,50 @@ class SecureSession:
                 except AccessDeniedException:
                     continue
                 secured.createOrReplaceTempView(self._view_alias(name))
+        # SQL sugar the Spark parser lacks — ASOF JOIN and QUALIFY —
+        # rewrites here exactly as on the producer frontend, BEFORE the
+        # parsed-relation fence below (the raw text does not parse, so
+        # the fence could never inspect it). The ASOF rewrite reads
+        # relation frames directly, so its resolver IS the policy
+        # fence: only this session's TEMPORARY views — the policy-
+        # filtered registrations, __meta/__tt views, user views —
+        # resolve; a permanent catalog table (an unfiltered SPJ mirror)
+        # raises the same plan-time denial the parsed fence enforces,
+        # and unknown names keep their not-found semantics. User views
+        # materialize first so an as-of over a view resolves through
+        # the invoker's own policy path.
+        if re.search(r"\bASOF\b|\bQUALIFY\b", query, re.I):
+            from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+                rewrite_asof_joins,
+                rewrite_qualify,
+            )
+
+            self._materialize_views(query)
+
+            def _resolve(name: str):
+                try:
+                    t = self._spark.catalog.getTable(name)
+                except Exception:
+                    # exists in the warehouse but not registered for
+                    # this principal → the same plan-time denial the
+                    # unresolved-relation handler below produces
+                    if (
+                        name in set(self._known_tables())
+                        and name not in self._registered
+                    ):
+                        self._policy.audit_log.append(
+                            (self.principal, name, SELECT, "denied")
+                        )
+                        raise AccessDeniedException(self.principal, name)
+                    return None
+                if not t.isTemporary:
+                    raise AccessDeniedException(self.principal, name)
+                return self._spark.table(name)
+
+            query = rewrite_asof_joins(query, _resolve)
+            query, drop_qualify = rewrite_qualify(query)
+        else:
+            drop_qualify = False
         # Engine-internal PERMANENT catalog tables (the SPJ bucketed
         # mirrors `__spj_*`, or anything else saveAsTable'd into the
         # shared metastore) are visible to every session of the
@@ -1021,7 +1065,8 @@ class SecureSession:
         # filter changes propagate to every subsequent read.
         self._materialize_views(query)
         try:
-            return self._spark.sql(query)
+            df = self._spark.sql(query)
+            return df.drop("__qualify") if drop_qualify else df
         except AnalysisException as exc:
             # A table exists in the warehouse but isn't granted → it was
             # never registered in this session's catalog. Surface that

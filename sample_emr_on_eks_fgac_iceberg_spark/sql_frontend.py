@@ -585,6 +585,78 @@ def parse_asof_condition(cond: str, laliases: set, raliases: set):
     return on, ineq[0], ineq[1], ineq[2]
 
 
+def rewrite_asof_joins(query: str, resolve) -> str:
+    """Rewrite every ``l [a] ASOF [LEFT] JOIN r [b] ON <cond>``
+    (DuckDB's as-of SQL — Spark has no ASOF grammar) into a
+    materialized union+window as-of view (temporal.asof_join_frames)
+    substituted as a plain relation, with the two aliases' qualifiers
+    stripped (the joined view is flat; the sides' column names are
+    disjoint by asof_join_frames' contract).
+
+    ``resolve(name) -> DataFrame | None`` supplies each side's frame —
+    None means "not a registered relation" (subquery sides are
+    unsupported and fail loudly). A policy-mediated caller passes a
+    resolver that vends SECURED frames and raises its own denial for
+    relations the principal may not read (SecureSession: the rewrite
+    reads frames directly, so the resolver IS the fence). The as-of
+    views register in the resolved frames' own session catalog."""
+    if not re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
+        return query
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
+        asof_join_frames,
+    )
+
+    count = 0
+    while True:
+        m = _ASOF_RE.search(query)
+        if not m:
+            break
+        rel1, a1, left_kw, rel2, a2 = m.groups()
+        seg_start = m.start(1)
+        rel1, rel2 = rel1.strip("`"), rel2.strip("`")
+        if rel1.upper() in _SQL_KEYWORDS and a1:
+            # the relation pattern swallowed the preceding FROM/JOIN
+            # keyword; the "alias" is the real (alias-less) relation
+            seg_start = m.start(2)
+            rel1, a1 = a1, None
+        frames = []
+        for rel, side in ((rel1, "left"), (rel2, "right")):
+            frame = resolve(rel)
+            if frame is None:
+                raise ValueError(
+                    f"ASOF JOIN {side} relation {rel!r} is not a "
+                    "registered table/view (subquery sides are not "
+                    "supported)"
+                )
+            frames.append(frame)
+        cond_end = _asof_condition_end(query, m.end())
+        on, lts, rts, op = parse_asof_condition(
+            query[m.end() : cond_end],
+            {x.lower() for x in (a1, rel1) if x},
+            {x.lower() for x in (a2, rel2) if x},
+        )
+        joined = asof_join_frames(
+            frames[0], frames[1], on, lts, rts, op,
+            how="left" if left_kw else "inner",
+        )
+        view = f"__asof_{count}"
+        count += 1
+        joined.createOrReplaceTempView(view)
+        query = query[:seg_start] + f"`{view}`" + query[cond_end:]
+        for alias in {a1 or rel1, a2 or rel2}:
+            query = _sub_outside_strings(
+                rf"(?<![\w.`])`?{re.escape(alias)}`?\s*\.", "", query,
+                flags=re.I,
+            )
+    if re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
+        raise ValueError(
+            "Unsupported ASOF JOIN shape — supported: "
+            "table [alias] ASOF [LEFT] JOIN table [alias] ON "
+            "equi-keys AND one ts inequality"
+        )
+    return query
+
+
 def spj_candidate_tables(query: str, tables, layout_of) -> set:
     """Tables this query joins on their own ``bucket[N]`` keys with
     matching N — the storage-partitioned-join preconditions
@@ -1743,65 +1815,10 @@ class SqlFrontend:
         return df.drop("__qualify") if drop_qualify else df
 
     def _rewrite_asof_joins(self, query: str, scratch: SparkSession) -> str:
-        """Rewrite ``l [a] ASOF [LEFT] JOIN r [b] ON <cond>`` (DuckDB's
-        as-of SQL — Spark has no ASOF grammar) into a materialized
-        union+window as-of view (temporal.asof_join_frames) substituted
-        as a plain relation, with the two aliases' qualifiers stripped
-        (the joined view is flat; the sides' column names are disjoint
-        by asof_join_frames' contract). Both relations must be plain
-        registered tables/views — a subquery left side fails loudly."""
-        if not re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
-            return query
-        from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
-            asof_join_frames,
-        )
+        def resolve(name: str):
+            try:
+                return scratch.table(name)
+            except Exception:
+                return None
 
-        count = 0
-        while True:
-            m = _ASOF_RE.search(query)
-            if not m:
-                break
-            rel1, a1, left_kw, rel2, a2 = m.groups()
-            seg_start = m.start(1)
-            rel1, rel2 = rel1.strip("`"), rel2.strip("`")
-            if rel1.upper() in _SQL_KEYWORDS and a1:
-                # the relation pattern swallowed the preceding FROM/JOIN
-                # keyword; the "alias" is the real (alias-less) relation
-                seg_start = m.start(2)
-                rel1, a1 = a1, None
-            frames = []
-            for rel, side in ((rel1, "left"), (rel2, "right")):
-                try:
-                    frames.append(scratch.table(rel))
-                except Exception:
-                    raise ValueError(
-                        f"ASOF JOIN {side} relation {rel!r} is not a "
-                        "registered table/view (subquery sides are not "
-                        "supported)"
-                    ) from None
-            cond_end = _asof_condition_end(query, m.end())
-            on, lts, rts, op = parse_asof_condition(
-                query[m.end() : cond_end],
-                {x.lower() for x in (a1, rel1) if x},
-                {x.lower() for x in (a2, rel2) if x},
-            )
-            joined = asof_join_frames(
-                frames[0], frames[1], on, lts, rts, op,
-                how="left" if left_kw else "inner",
-            )
-            view = f"__asof_{count}"
-            count += 1
-            joined.createOrReplaceTempView(view)
-            query = query[:seg_start] + f"`{view}`" + query[cond_end:]
-            for alias in {a1 or rel1, a2 or rel2}:
-                query = _sub_outside_strings(
-                    rf"(?<![\w.`])`?{re.escape(alias)}`?\s*\.", "", query,
-                    flags=re.I,
-                )
-        if re.search(r"\bASOF\b", _strip_sql_strings(query), re.I):
-            raise ValueError(
-                "Unsupported ASOF JOIN shape — supported: "
-                "table [alias] ASOF [LEFT] JOIN table [alias] ON "
-                "equi-keys AND one ts inequality"
-            )
-        return query
+        return rewrite_asof_joins(query, resolve)

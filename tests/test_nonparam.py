@@ -113,3 +113,55 @@ def test_prefix_sum_window_is_pid_partitioned(spark):
 
     df = QUERIES["mannwhitney_u_priority"](spark, SF)
     assert not [d for d, bounded in global_windows(df) if not bounded]
+
+
+def test_theilsen_matches_brute_median_of_slopes(spark, duck):
+    daily = duck.sql(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) yr, "
+        "dayofyear(o_orderdate) x, "
+        "SUM(CAST(round(o_totalprice*100) AS HUGEINT)) y "
+        "FROM orders GROUP BY 1, 2"
+    ).fetchall()
+    by_year: dict = {}
+    for yr, x, y in daily:
+        by_year.setdefault(yr, []).append((int(x), int(y)))
+
+    def trunc_div(a: int, b: int) -> int:
+        s = 1 if a >= 0 else -1
+        return s * (abs(a) * 1_000_000 // b)
+
+    rows = QUERIES["theilsen_yearly_trend"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        pts = sorted(by_year[r["yr"]])
+        slopes = sorted(
+            trunc_div(y2 - y1, x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        assert r["n_pairs"] == len(slopes)
+        assert r["median_slope_ppm"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_rolling_7d_users_matches_brute(spark):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM '{SF}/events.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for u, d in rows:
+        by_day[d].add(u)
+    import datetime
+
+    got = {
+        r["day"]: (r["dau_1d"], r["dau_7d"])
+        for r in QUERIES["events_rolling_7d_users"](spark, SF).collect()
+    }
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        week = set()
+        for k in range(7):
+            week |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert got[d] == (len(users), len(week)), d

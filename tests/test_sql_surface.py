@@ -225,3 +225,130 @@ def test_group_by_all_matches_explicit(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+# ------------------------------------------- consumer (policy) path
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine  # noqa: E402
+from sample_emr_on_eks_fgac_iceberg_spark.healthcare import (  # noqa: E402
+    TEAM1,
+    TEAM2,
+    setup_healthcare,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.policy import (  # noqa: E402
+    DESCRIBE,
+    SELECT,
+    AccessDeniedException,
+    DataCellsFilter,
+)
+
+
+@pytest.fixture(scope="module")
+def hc_engine(spark, tmp_path_factory):
+    eng = FgacEngine(spark, str(tmp_path_factory.mktemp("sqlsurf_hc")))
+    setup_healthcare(eng)
+    return eng
+
+
+def test_consumer_qualify_composes_with_row_filter(hc_engine):
+    # team1's policy filter (8 rows, TX/NY) applies FIRST; QUALIFY then
+    # picks the min patient per state of the FILTERED rows
+    sess = hc_engine.session_for(TEAM1)
+    df = sess.sql(
+        """
+        SELECT patient_id, state FROM patients
+        QUALIFY row_number() OVER (PARTITION BY state
+                                   ORDER BY patient_id) = 1
+        """
+    )
+    assert df.columns == ["patient_id", "state"]
+    got = sorted((r["state"], r["patient_id"]) for r in df.collect())
+    assert {s for s, _ in got} == {"New York", "Texas"}
+    assert all(1005 <= p <= 1012 for _, p in got)
+
+
+def test_consumer_qualify_on_ungranted_table_denies(hc_engine):
+    with pytest.raises(AccessDeniedException):
+        hc_engine.session_for(TEAM2).sql(
+            "SELECT patient_id FROM patients "
+            "QUALIFY row_number() OVER (ORDER BY patient_id) = 1"
+        ).collect()
+
+
+@pytest.fixture(scope="module")
+def asof_engine(spark, tmp_path_factory):
+    eng = FgacEngine(spark, str(tmp_path_factory.mktemp("sqlsurf_asof")))
+    eng.sql("CREATE TABLE tx (user_id BIGINT, xts BIGINT, xval BIGINT)")
+    eng.sql(
+        "INSERT INTO tx VALUES (1, 150, 11), (1, 200, 12), (2, 150, 21)"
+    )
+    eng.sql("CREATE TABLE rq (quser BIGINT, qts BIGINT, qv BIGINT)")
+    eng.sql(
+        "INSERT INTO rq VALUES (1, 100, 5), (1, 180, 6), (2, 100, 7)"
+    )
+    eng.policy.create_data_cells_filter(
+        DataCellsFilter(name="tx_u1", table="tx", row_filter="user_id = 1")
+    )
+    eng.policy.grant("ana", "tx", filter_name="tx_u1")
+    eng.policy.grant("ana", "rq", {SELECT, DESCRIBE})
+    eng.policy.grant("bob", "rq", {SELECT, DESCRIBE})
+    return eng
+
+
+def test_consumer_asof_composes_with_row_filter(asof_engine):
+    # ana sees only user_id = 1 tx rows; the as-of match rides the
+    # SECURED frames (resolver vends this session's temp views)
+    got = asof_engine.session_for("ana").sql(
+        """
+        SELECT t.xval, r.qv FROM tx t ASOF JOIN rq r
+        ON t.user_id = r.quser AND t.xts >= r.qts
+        """
+    ).collect()
+    assert sorted((r["xval"], r["qv"]) for r in got) == [(11, 5), (12, 6)]
+
+
+def test_consumer_asof_ungranted_side_denies(asof_engine):
+    with pytest.raises(AccessDeniedException):
+        asof_engine.session_for("bob").sql(
+            "SELECT t.xval FROM tx t ASOF JOIN rq r "
+            "ON t.user_id = r.quser AND t.xts >= r.qts"
+        )
+
+
+def test_consumer_asof_and_qualify_deny_permanent_tables(
+    spark, tmp_path_factory
+):
+    """The sugar rewrites must not open a side door around the
+    permanent-catalog fence: the ASOF resolver reads frames directly
+    and QUALIFY text never reaches the parsed-relation fence raw, so
+    both must deny an unfiltered SPJ mirror by name."""
+    eng = FgacEngine(spark, str(tmp_path_factory.mktemp("sqlsurf_probe")))
+    eng.sql(
+        "CREATE TABLE vault (k BIGINT, secret STRING) "
+        "PARTITIONED BY (bucket(4, k))"
+    )
+    eng.sql("INSERT INTO vault VALUES (1, 'S1')")
+    eng.sql(
+        "CREATE TABLE lookup (dk BIGINT, x STRING) "
+        "PARTITIONED BY (bucket(4, dk))"
+    )
+    eng.sql("INSERT INTO lookup VALUES (1, 'a')")
+    assert eng.sql("SELECT * FROM vault JOIN lookup ON k = dk").count() == 1
+    mirrors = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__spj_")
+    ]
+    assert mirrors
+    eng.policy.grant("mallory", "lookup", {SELECT, DESCRIBE})
+    sess = eng.session_for("mallory")
+    for m in mirrors:
+        with pytest.raises(AccessDeniedException):
+            sess.sql(
+                f"SELECT l.x FROM lookup l ASOF JOIN {m} v "
+                "ON l.dk = v.k AND l.dk >= v.k"
+            )
+        with pytest.raises(AccessDeniedException):
+            sess.sql(
+                f"SELECT k FROM {m} "
+                "QUALIFY row_number() OVER (ORDER BY k) = 1"
+            ).collect()
