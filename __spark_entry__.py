@@ -117,6 +117,15 @@ _CORE = [
     # 7-day distinct active users (bounded ×7 fan-out, no range join)
     "theilsen_yearly_trend",
     "events_rolling_7d_users",
+    # round-12 debuts, wave 8: Coleman-Liau readability (regexp-exact,
+    # centi-unit integers before aggregation), cohort LTV triangle,
+    # positional spend deciles (the gini rank machinery, 10-group
+    # rollup). Rotation block is 15 this round — 29 debut/changed
+    # entries outweigh re-verifying stable greens; restore ≥20 next
+    # round when the r12 waves demote.
+    "text_readability_cli",
+    "customer_cohort_ltv",
+    "customer_spend_deciles",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -191,6 +191,9 @@ HEADLINE = [
     "orders_yearly_trend_ols",
     "theilsen_yearly_trend",
     "events_rolling_7d_users",
+    "text_readability_cli",
+    "customer_cohort_ltv",
+    "customer_spend_deciles",
 ]
 
 

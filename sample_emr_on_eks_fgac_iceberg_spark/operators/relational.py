@@ -3976,3 +3976,123 @@ def customer_daily_streaks_histogram(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
     )
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(round(o_totalprice * 100) AS HUGEINT) AS c
+        FROM orders),
+    first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey)
+    SELECT f.m0 AS cohort_month,
+           CAST((year(o.m) * 12 + month(o.m))
+                - (year(f.m0) * 12 + month(f.m0)) AS BIGINT) AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(SUM(o.c) AS BIGINT) AS revenue_cents
+    FROM o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — customers grouped by FIRST-
+    ORDER month, revenue and active count tracked by cohort age in
+    months (the acquisition-quality readout; events_retention_cohorts
+    is its activity-based sibling). Month index is the portable
+    integer year·12+month, exact cents in DECIMAL(38,0)/HUGEINT.
+
+    Plan shape at 100 TB: one (custkey) hash agg for the cohort
+    anchor, one custkey-keyed equi-join back to the monthly rows (both
+    sides shuffle on the same key — AQE-skew-splittable, no broadcast
+    needed), then a (cohort, age) rollup whose distinct-count runs as
+    the two-phase partial agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate"), "month").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    o = materialize_once(o)
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    j = o.join(first, "o_custkey")
+    age = (F.year("m") * 12 + F.month("m")) - (
+        F.year("m0") * 12 + F.month("m0")
+    )
+    return j.groupBy(
+        F.col("m0").alias("cohort_month"),
+        age.cast("bigint").alias("age_months"),
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("active_customers"),
+        F.sum("c").cast("bigint").alias("revenue_cents"),
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM rev)
+    SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM r GROUP BY 1
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles — the 'what does each tenth of the base
+    buy' concentration table (the decile view of customers_gini_
+    revenue's single coefficient). Decile membership is POSITIONAL:
+    (rank−1)·10 div n over the strict (cents, custkey) total order, so
+    ties split deterministically and every decile holds ⌊n/10⌋ or
+    ⌈n/10⌉ customers exactly.
+
+    Plan shape at 100 TB: the global rank never funnels into one
+    partition — per-customer cents range-repartitions on (cents,
+    custkey), LOCAL row numbers + K broadcast offsets give exact
+    global ranks (partition_rank_offsets, the gini idiom), the total n
+    rides a broadcast 1-row cross join, and the decile rollup is a
+    10-group agg."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        partition_rank_offsets,
+    )
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    r = rev.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "cents", "o_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    ranked = materialize_once(r.withColumn("j", F.row_number().over(lw)))
+    partials = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n_p"))
+    off = partition_rank_offsets(partials)
+    tot = partials.agg(F.sum("n_p").cast("bigint").alias("n"))
+    g = (
+        ranked.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.col("__offset") + F.col("j"))
+    )
+    return g.groupBy(
+        F.expr("CAST(((rn - 1) * 10) div n AS BIGINT)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

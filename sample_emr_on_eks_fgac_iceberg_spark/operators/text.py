@@ -1554,3 +1554,64 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_ppm"),
     )
+
+
+@register(
+    "text_readability_cli",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               -- e0 literals force DOUBLE: DuckDB parses bare 5.88 as
+               -- DECIMAL(3,2) and the decimal evaluation order breaks
+               -- IEEE bit-parity with Spark's double expression
+               CAST(round((5.88e0 * length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g'))
+                               / len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                           - 29.6e0 * len(regexp_extract_all(text, '[.!?]+'))
+                               / len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                           - 15.8e0) * 100) AS BIGINT) AS centi_cli
+        FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(centi_cli) AS BIGINT) AS sum_centi_cli,
+           CAST(SUM(centi_cli) AS DOUBLE) / (100 * COUNT(*)) AS mean_cli
+    FROM m GROUP BY lang
+    """,
+)
+def text_readability_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman-Liau readability index per language — the quality-score
+    family's grade-level readout, chosen over Flesch-Kincaid because
+    it needs NO syllable counter: only letters, words, and sentences,
+    all exact regexp counts both engines reproduce (letters = [A-Za-z]
+    survivors, words = whitespace tokens, sentences = [.!?]+ runs).
+    CLI = 0.0588·L − 0.296·S − 15.8 with L/S per 100 words; the
+    per-document value is ONE fixed double expression (IEEE-identical
+    cross-engine) rounded to integer centi-units BEFORE aggregation,
+    so the per-language sums are exact integers (float sums are never
+    hashed — registry determinism rules).
+
+    Plan shape at 100 TB: per-row regexp work rides whole-stage
+    codegen; the rollup is a ≤|langs| hash agg with map-side partials.
+    One scan, no shuffle beyond the group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    sents = F.expr("regexp_count(text, '[.!?]+')")
+    centi = F.round(
+        (
+            F.lit(5.88) * letters / words
+            - F.lit(29.6) * sents / words
+            - F.lit(15.8)
+        )
+        * 100
+    ).cast("bigint")
+    m = d.select("lang", centi.alias("centi_cli"))
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("centi_cli").cast("bigint").alias("sum_centi_cli"),
+        (
+            F.sum("centi_cli").cast("double")
+            / (F.lit(100) * F.count(F.lit(1)))
+        ).alias("mean_cli"),
+    )
