@@ -126,6 +126,9 @@ _CORE = [
     "text_readability_cli",
     "customer_cohort_ltv",
     "customer_spend_deciles",
+    # DISTINCT ON (Postgres/DuckDB group-top-1 sugar) — same statement
+    # text runs natively on DuckDB; both SQL surfaces rewrite it
+    "distinct_on_latest_click",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -194,6 +194,7 @@ HEADLINE = [
     "text_readability_cli",
     "customer_cohort_ltv",
     "customer_spend_deciles",
+    "distinct_on_latest_click",
 ]
 
 

@@ -181,3 +181,39 @@ def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to the explicit GROUP BY."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
     return spark.sql(_gba_sql("__gba_orders"))
+
+
+@register(
+    "distinct_on_latest_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS click_user_id, ts AS click_ts,
+               MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts)
+    SELECT DISTINCT ON (click_user_id)
+           click_user_id, click_ts, click_event_id
+    FROM clicks
+    ORDER BY click_user_id, click_ts DESC, click_event_id DESC
+    """,
+)
+def distinct_on_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click per user spelled with Postgres/DuckDB ``DISTINCT
+    ON`` — the 'first row per group' idiom. The frontend rewrites it
+    into the standard row_number window filter
+    (sql_frontend.rewrite_distinct_on; ORDER BY required, arbitrary-
+    row DISTINCT ON refuses — determinism rules); DuckDB runs the SAME
+    statement natively.
+
+    Plan shape at 100 TB: one hash partition on the ON expr for the
+    window, filter, final sort — identical to the hand-written
+    top-1-per-group window."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT DISTINCT ON (click_user_id)
+               click_user_id, click_ts, click_event_id
+        FROM sq_clicks
+        ORDER BY click_user_id, click_ts DESC, click_event_id DESC
+        """
+    )

@@ -1005,9 +1005,10 @@ class SecureSession:
         # and unknown names keep their not-found semantics. User views
         # materialize first so an as-of over a view resolves through
         # the invoker's own policy path.
-        if re.search(r"\bASOF\b|\bQUALIFY\b", query, re.I):
+        if re.search(r"\bASOF\b|\bQUALIFY\b|DISTINCT\s+ON\s*\(", query, re.I):
             from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
                 rewrite_asof_joins,
+                rewrite_distinct_on,
                 rewrite_qualify,
             )
 
@@ -1035,8 +1036,9 @@ class SecureSession:
 
             query = rewrite_asof_joins(query, _resolve)
             query, drop_qualify = rewrite_qualify(query)
+            query, drop_don = rewrite_distinct_on(query)
         else:
-            drop_qualify = False
+            drop_qualify = drop_don = False
         # Engine-internal PERMANENT catalog tables (the SPJ bucketed
         # mirrors `__spj_*`, or anything else saveAsTable'd into the
         # shared metastore) are visible to every session of the
@@ -1066,7 +1068,13 @@ class SecureSession:
         self._materialize_views(query)
         try:
             df = self._spark.sql(query)
-            return df.drop("__qualify") if drop_qualify else df
+            if drop_qualify:
+                df = df.drop("__qualify")
+            if drop_don:
+                df = df.drop(
+                    "__don", *[c for c in df.columns if c.startswith("__ob")]
+                )
+            return df
         except AnalysisException as exc:
             # A table exists in the warehouse but isn't granted → it was
             # never registered in this session's catalog. Surface that

@@ -476,6 +476,72 @@ def rewrite_qualify(query: str) -> tuple[str, bool]:
     return new, True
 
 
+_DISTINCT_ON_RE = re.compile(
+    r"(\bSELECT\s+)DISTINCT\s+ON\s*\(", re.I
+)
+
+
+def rewrite_distinct_on(query: str) -> tuple[str, bool]:
+    """Rewrite Postgres/DuckDB ``SELECT DISTINCT ON (exprs) … ORDER BY
+    exprs, tiebreaks`` (Spark has no DISTINCT ON) into the standard
+    row_number window filter: partition by the ON exprs, order by the
+    statement's own ORDER BY, keep rank 1. The ORDER BY is REQUIRED —
+    without it DISTINCT ON returns an arbitrary row per group, which
+    this engine's determinism rules refuse. Top-level only, same
+    contract as rewrite_qualify. Returns (rewritten, needs_drop) —
+    the caller drops the helper ``__don`` column."""
+    m = _DISTINCT_ON_RE.search(query)
+    if not m:
+        return query, False
+    if query.count("(", 0, m.start()) != query.count(")", 0, m.start()):
+        raise ValueError(
+            "DISTINCT ON is supported at the top level of the statement only"
+        )
+    close = _matching_paren(query, m.end() - 1)
+    on_exprs = query[m.end() : close].strip()
+    rest = query[close + 1 :]
+    head, order_tail = _split_top_level(rest, "ORDER")
+    if order_tail is None:
+        raise ValueError(
+            "DISTINCT ON requires an ORDER BY (an arbitrary row per "
+            "group is not deterministic); add ORDER BY <on-exprs>, "
+            "<tie-breakers>"
+        )
+    order_by = re.sub(r"^\s*BY\b", "", order_tail, flags=re.I).strip()
+    limit_head, limit_tail = _split_top_level(order_by, "LIMIT")
+    suffix = f"LIMIT {limit_tail.strip()}" if limit_tail is not None else ""
+    order_by = limit_head.strip()
+    sel, from_tail = _split_top_level(head, "FROM")
+    if from_tail is None:
+        raise ValueError("DISTINCT ON requires a FROM clause")
+    # the final sort runs OUTSIDE the select-list projection, so each
+    # order expression is projected as a hidden __obN column (the
+    # statement may order by columns it does not select) — the caller
+    # drops __don and __ob* from the result
+    inner_extra, outer_order = [], []
+    for i, item in enumerate(_split_top_commas(order_by)):
+        om = re.match(
+            r"(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+            item,
+            re.I | re.S,
+        )
+        inner_extra.append(f"({om.group(1).strip()}) AS __ob{i}")
+        outer_order.append(
+            f"__ob{i}{om.group(2) or ''}{om.group(3) or ''}"
+        )
+    inner = (
+        f"{query[: m.start(1)]}SELECT {sel.strip()}, "
+        f"{', '.join(inner_extra)}, "
+        f"row_number() OVER (PARTITION BY {on_exprs} "
+        f"ORDER BY {order_by}) AS __don FROM {from_tail.strip()}"
+    )
+    return (
+        f"SELECT * FROM ({inner}) AS __dfil WHERE __don = 1 "
+        f"ORDER BY {', '.join(outer_order)} {suffix}",
+        True,
+    )
+
+
 def _strip_sql_strings(text: str) -> str:
     """Blank out single-quoted literals (with '' escaping) so keyword
     probes can't false-positive on string contents."""
@@ -1811,8 +1877,13 @@ class SqlFrontend:
                 )
         query = self._rewrite_asof_joins(query, scratch)
         query, drop_qualify = rewrite_qualify(query)
+        query, drop_don = rewrite_distinct_on(query)
         df = scratch.sql(query)
-        return df.drop("__qualify") if drop_qualify else df
+        if drop_qualify:
+            df = df.drop("__qualify")
+        if drop_don:
+            df = df.drop("__don", *[c for c in df.columns if c.startswith("__ob")])
+        return df
 
     def _rewrite_asof_joins(self, query: str, scratch: SparkSession) -> str:
         def resolve(name: str):

@@ -352,3 +352,76 @@ def test_consumer_asof_and_qualify_deny_permanent_tables(
                 f"SELECT k FROM {m} "
                 "QUALIFY row_number() OVER (ORDER BY k) = 1"
             ).collect()
+
+
+# ------------------------------------------------------- DISTINCT ON
+def test_distinct_on_matches_duckdb(fe):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE clicks AS SELECT * FROM (VALUES (10,100,1),"
+        "(10,200,2),(20,150,3)) t(cu,cts,click_id)"
+    )
+    sql = (
+        "SELECT DISTINCT ON (cu) cu, cts, click_id FROM clicks "
+        "ORDER BY cu, cts DESC, click_id DESC"
+    )
+    got = [tuple(r) for r in fe.execute(sql).collect()]
+    exp = con.execute(sql).fetchall()
+    assert got == exp == [(10, 200, 2), (20, 150, 3)]
+
+
+def test_distinct_on_helper_column_dropped(fe):
+    df = fe.execute(
+        "SELECT DISTINCT ON (cu) cu, click_id FROM clicks "
+        "ORDER BY cu, cts DESC"
+    )
+    assert df.columns == ["cu", "click_id"]
+
+
+def test_distinct_on_requires_order_by():
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+        rewrite_distinct_on,
+    )
+
+    with pytest.raises(ValueError, match="requires an ORDER BY"):
+        rewrite_distinct_on("SELECT DISTINCT ON (k) k, v FROM t")
+    with pytest.raises(ValueError, match="top level"):
+        rewrite_distinct_on(
+            "SELECT * FROM (SELECT DISTINCT ON (k) k FROM t ORDER BY k) x"
+        )
+
+
+def test_consumer_distinct_on_under_policy(asof_engine):
+    # ana's row filter (user_id = 1) applies before the group-top-1
+    got = asof_engine.session_for("ana").sql(
+        "SELECT DISTINCT ON (user_id) user_id, xts, xval FROM tx "
+        "ORDER BY user_id, xts DESC"
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 200, 12)]
+
+
+def test_consumer_distinct_on_denies_permanent_tables(
+    spark, tmp_path_factory
+):
+    eng = FgacEngine(spark, str(tmp_path_factory.mktemp("sqlsurf_don")))
+    eng.sql(
+        "CREATE TABLE v2 (k BIGINT, s STRING) PARTITIONED BY (bucket(4, k))"
+    )
+    eng.sql("INSERT INTO v2 VALUES (1, 'S')")
+    eng.sql(
+        "CREATE TABLE l2 (dk BIGINT, x STRING) PARTITIONED BY (bucket(4, dk))"
+    )
+    eng.sql("INSERT INTO l2 VALUES (1, 'a')")
+    assert eng.sql("SELECT * FROM v2 JOIN l2 ON k = dk").count() == 1
+    mirrors = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__spj_")
+    ]
+    assert mirrors
+    eng.policy.grant("mallory", "l2", {SELECT, DESCRIBE})
+    sess = eng.session_for("mallory")
+    with pytest.raises(AccessDeniedException):
+        sess.sql(
+            f"SELECT DISTINCT ON (k) k FROM {mirrors[0]} ORDER BY k"
+        ).collect()
