@@ -425,3 +425,73 @@ def test_consumer_distinct_on_denies_permanent_tables(
         sess.sql(
             f"SELECT DISTINCT ON (k) k FROM {mirrors[0]} ORDER BY k"
         ).collect()
+
+
+# --------------------------------------------- as-of property battery
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _brute_asof(left, right, op, how):
+    """Reference as-of: per left row, the matching right row under the
+    inequality with the greatest (backward) / least (forward) ts,
+    struct-max tie-break on the full right row (the helper's
+    documented tie rule)."""
+    import operator
+
+    cmp = {
+        ">=": operator.ge,
+        ">": operator.gt,
+        "<=": operator.le,
+        "<": operator.lt,
+    }[op]
+    out = []
+    for lk, lts, lv in left:
+        cands = [r for r in right if r[0] == lk and cmp(lts, r[1])]
+        if cands:
+            best_ts = (
+                max(c[1] for c in cands)
+                if op in (">=", ">")
+                else min(c[1] for c in cands)
+            )
+            best = max(c for c in cands if c[1] == best_ts)
+            out.append((lk, lts, lv, best[2]))
+        elif how == "left":
+            out.append((lk, lts, lv, None))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 8), st.integers(0, 99)
+        ),
+        max_size=18,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 8), st.integers(0, 99)
+        ),
+        max_size=18,
+    ),
+    op=st.sampled_from([">=", ">", "<=", "<"]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_frames_matches_brute_reference(spark, left, right, op, how):
+    ldf = spark.createDataFrame(
+        left or [(99, 99, 99)], "k int, ts int, lv int"
+    )
+    rdf = spark.createDataFrame(
+        right or [(98, 98, 98)], "rk int, rts int, rv int"
+    )
+    j = asof_join_frames(ldf, rdf, [("k", "rk")], "ts", "rts", op, how)
+    got = sorted(
+        (r["k"], r["ts"], r["lv"], r["rv"]) for r in j.collect()
+    )
+    exp = _brute_asof(left or [(99, 99, 99)], right or [(98, 98, 98)], op, how)
+    assert got == exp, (op, how, got, exp)
