@@ -329,6 +329,92 @@ class Warehouse:
             self.drop_table(t)
         os.remove(marker)
 
+    # ---------------------------------------------------------- views
+    # Producer-side persistent SQL views, stored Iceberg-view-spec
+    # style (a versioned metadata document per view: every CREATE OR
+    # REPLACE appends a version, the current pointer moves — the view
+    # spec's version history, scaled to this warehouse's JSON
+    # metadata). Consumers have their own invoker's-rights views in
+    # SecureSession; these are the trusted-surface equivalent, resolved
+    # by SqlFrontend._query at read time (always the CURRENT version).
+
+    @property
+    def _views_dir(self) -> str:
+        return os.path.join(self._meta_dir, "views")
+
+    def _view_path(self, name: str) -> str:
+        return os.path.join(self._views_dir, f"{name}.view.json")
+
+    def view_exists(self, name: str) -> bool:
+        return os.path.exists(self._view_path(name))
+
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        """Register (or version-forward) a SQL view. The name shares
+        the table namespace — a view may not shadow a table (and
+        create_table refuses view names), matching Iceberg/Glue's
+        single catalog namespace."""
+        import json
+        import time
+
+        if self.table_exists(name):
+            raise ValueError(
+                f"Cannot create view '{name}': a table with that name exists"
+            )
+        os.makedirs(self._views_dir, exist_ok=True)
+        path = self._view_path(name)
+        if os.path.exists(path):
+            if not replace:
+                raise ValueError(f"View '{name}' already exists")
+            with open(path) as f:
+                doc = json.load(f)
+        else:
+            doc = {"name": name, "versions": []}
+        vid = len(doc["versions"]) + 1
+        doc["versions"].append(
+            {
+                "version-id": vid,
+                "timestamp-ms": int(time.time() * 1000),
+                "sql": sql,
+            }
+        )
+        doc["current-version-id"] = vid
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, path)
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        path = self._view_path(name)
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise ValueError(f"View '{name}' does not exist")
+        os.remove(path)
+
+    def list_views(self) -> list[str]:
+        if not os.path.isdir(self._views_dir):
+            return []
+        return sorted(
+            f[: -len(".view.json")]
+            for f in os.listdir(self._views_dir)
+            if f.endswith(".view.json")
+        )
+
+    def view_doc(self, name: str) -> dict:
+        import json
+
+        path = self._view_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"View '{name}' does not exist")
+        with open(path) as f:
+            return json.load(f)
+
+    def view_sql(self, name: str) -> str:
+        doc = self.view_doc(name)
+        cur = doc["current-version-id"]
+        [v] = [x for x in doc["versions"] if x["version-id"] == cur]
+        return v["sql"]
+
     # --------------------------------------------------------------- DDL
     @staticmethod
     def validate_table_definition(
@@ -361,6 +447,11 @@ class Warehouse:
         """D1: CREATE TABLE … PARTITIONED BY (col)."""
         if self.table_exists(name):
             raise ValueError(f"Table '{name}' already exists")
+        if self.view_exists(name):
+            raise ValueError(
+                f"Cannot create table '{name}': a view with that name "
+                "exists (single catalog namespace)"
+            )
         schema, partition_by = self.validate_table_definition(schema, partition_by)
         meta = TableMeta(
             name=name,

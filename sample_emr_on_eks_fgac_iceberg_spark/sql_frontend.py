@@ -39,6 +39,16 @@ _CTAS_RE = re.compile(
 )
 _PARTITIONED_RE = re.compile(rf"PARTITIONED\s+BY\s*\({_SPEC_BODY}\)", re.I)
 # CREATE TABLE new LIKE src — copy schema + partition spec, no data
+_CREATE_VIEW_RE = re.compile(
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$", re.I | re.S
+)
+_DROP_VIEW_RE = re.compile(
+    r"\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I
+)
+_SHOW_VIEWS_RE = re.compile(r"\s*SHOW\s+VIEWS\s*;?\s*$", re.I)
+_SHOW_CREATE_VIEW_RE = re.compile(
+    r"\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*;?\s*$", re.I
+)
 _CREATE_LIKE_RE = re.compile(
     r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*;?\s*$",
     re.I,
@@ -838,6 +848,39 @@ class SqlFrontend:
             del self._sql_functions[name]
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
             return None
+        m = _CREATE_VIEW_RE.match(query)
+        if m:
+            replace, name = bool(m.group(1)), m.group(2)
+            body = m.group(3).rstrip().rstrip(";")
+            # validate NOW (plan only, nothing executes): syntax,
+            # missing relations, and view-cycle checks all surface at
+            # CREATE time instead of first read
+            if not replace and self.warehouse.view_exists(name):
+                raise ValueError(f"View '{name}' already exists")
+            self._query(body)
+            self.warehouse.create_view(name, body, replace=replace)
+            return None
+        m = _DROP_VIEW_RE.match(query)
+        if m:
+            self.warehouse.drop_view(m.group(2), if_exists=bool(m.group(1)))
+            return None
+        if _SHOW_VIEWS_RE.match(query):
+            rows = []
+            for v in self.warehouse.list_views():
+                doc = self.warehouse.view_doc(v)
+                rows.append(
+                    (v, doc["current-version-id"], len(doc["versions"]))
+                )
+            return self.spark.createDataFrame(
+                rows, "view_name string, current_version long, versions long"
+            )
+        m = _SHOW_CREATE_VIEW_RE.match(query)
+        if m:
+            sql = self.warehouse.view_sql(m.group(1))
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {m.group(1)} AS {sql}",)],
+                "createview_stmt string",
+            )
         m = _CREATE_LIKE_RE.match(query)
         if m:
             if_not_exists, new, src = bool(m.group(1)), m.group(2), m.group(3)
@@ -1868,12 +1911,66 @@ class SqlFrontend:
                 wh.bucketed_read(name) if name in spj else wh.read_table(name)
             )
             frame.createOrReplaceTempView(name.replace(".", "__"))
-        for name in sorted(tables, key=len, reverse=True):
-            if "." in name:
+        def _rewrite_dotted(text: str) -> str:
+            for name in sorted(tables, key=len, reverse=True):
+                if "." in name:
+                    text = _sub_outside_strings(
+                        rf"(?<![\w.`]){re.escape(name)}(?![\w.])",
+                        f"`{name.replace('.', '__')}`",
+                        text,
+                    )
+            return text
+
+        query = _rewrite_dotted(query)
+        # persistent SQL views (warehouse._views_dir, Iceberg-view-spec
+        # versioned): materialize the CURRENT version of every view the
+        # query references — bodies resolve tables, other views
+        # (recursively, cycle-guarded) and the frontend's SQL sugar
+        def _token(nm: str) -> str:
+            return rf"(?<![\w.`]){re.escape(nm)}(?![\w.])"
+
+        wh_views = self.warehouse.list_views()
+        materialized: set = set()
+
+        def _materialize_view(v: str, stack: frozenset) -> None:
+            if v in materialized:
+                return
+            if v in stack:
+                raise ValueError(
+                    f"View cycle detected through '{v}' — a REPLACE "
+                    "made these views mutually recursive"
+                )
+            if v in tables:
+                raise ValueError(
+                    f"'{v}' is both a table and a view — drop one "
+                    "(single catalog namespace)"
+                )
+            body = self.warehouse.view_sql(v)
+            for other in wh_views:
+                if other != v and re.search(_token(other), body):
+                    _materialize_view(other, stack | {v})
+            b = _rewrite_dotted(body)
+            b = self._rewrite_asof_joins(b, scratch)
+            b, dq = rewrite_qualify(b)
+            b, dd = rewrite_distinct_on(b)
+            bdf = scratch.sql(b)
+            if dq:
+                bdf = bdf.drop("__qualify")
+            if dd:
+                bdf = bdf.drop(
+                    "__don",
+                    *[c for c in bdf.columns if c.startswith("__ob")],
+                )
+            bdf.createOrReplaceTempView(v.replace(".", "__"))
+            materialized.add(v)
+
+        for v in wh_views:
+            if re.search(_token(v), query):
+                _materialize_view(v, frozenset())
+        for v in sorted(materialized, key=len, reverse=True):
+            if "." in v:
                 query = _sub_outside_strings(
-                    rf"(?<![\w.`]){re.escape(name)}(?![\w.])",
-                    f"`{name.replace('.', '__')}`",
-                    query,
+                    _token(v), f"`{v.replace('.', '__')}`", query
                 )
         query = self._rewrite_asof_joins(query, scratch)
         query, drop_qualify = rewrite_qualify(query)

@@ -1,0 +1,110 @@
+"""Producer-side persistent SQL views (warehouse views section +
+SqlFrontend CREATE/DROP/SHOW VIEW dispatch): Iceberg-view-spec-style
+versioned metadata, current-version resolution at read time, nested
+views, sugar in bodies, namespace guards."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+
+@pytest.fixture()
+def fe(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    fe = SqlFrontend(spark, wh)
+    fe.execute("CREATE TABLE t (k BIGINT, v BIGINT)")
+    fe.execute("INSERT INTO t VALUES (1, 10), (1, 20), (2, 30)")
+    return fe
+
+
+def test_view_reads_current_data(fe):
+    fe.execute("CREATE VIEW agg_v AS SELECT k, SUM(v) AS s FROM t GROUP BY k")
+    got = sorted(map(tuple, fe.execute("SELECT * FROM agg_v").collect()))
+    assert got == [(1, 30), (2, 30)]
+    # views are resolved per query — table mutations show immediately
+    fe.execute("INSERT INTO t VALUES (3, 99)")
+    got = sorted(map(tuple, fe.execute("SELECT * FROM agg_v").collect()))
+    assert got == [(1, 30), (2, 30), (3, 99)]
+
+
+def test_nested_view_with_sugar_body(fe):
+    fe.execute("CREATE VIEW agg_v AS SELECT k, SUM(v) AS s FROM t GROUP BY k")
+    fe.execute(
+        "CREATE VIEW top_v AS SELECT k FROM agg_v "
+        "QUALIFY row_number() OVER (ORDER BY s DESC, k) = 1"
+    )
+    assert [r["k"] for r in fe.execute("SELECT * FROM top_v").collect()] == [1]
+
+
+def test_or_replace_appends_version(fe):
+    fe.execute("CREATE VIEW v1 AS SELECT k FROM t")
+    fe.execute("CREATE OR REPLACE VIEW v1 AS SELECT v FROM t")
+    doc = fe.warehouse.view_doc("v1")
+    assert doc["current-version-id"] == 2
+    assert len(doc["versions"]) == 2
+    assert doc["versions"][0]["sql"] == "SELECT k FROM t"
+    assert fe.execute("SELECT * FROM v1").columns == ["v"]
+    # bare CREATE on an existing view refuses
+    with pytest.raises(ValueError, match="already exists"):
+        fe.execute("CREATE VIEW v1 AS SELECT 1")
+
+
+def test_namespace_is_shared_with_tables(fe):
+    fe.execute("CREATE VIEW nv AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="view with that name"):
+        fe.execute("CREATE TABLE nv (x INT)")
+    with pytest.raises(ValueError, match="table with that name"):
+        fe.execute("CREATE VIEW t AS SELECT 1")
+
+
+def test_create_validates_body(fe):
+    with pytest.raises(Exception):
+        fe.execute("CREATE VIEW bad AS SELECT no_such_col FROM t")
+    assert "bad" not in fe.warehouse.list_views()
+    with pytest.raises(Exception):
+        fe.execute("CREATE VIEW bad2 AS SELECT * FROM no_such_table")
+    assert "bad2" not in fe.warehouse.list_views()
+
+
+def test_replace_cycle_detected_at_read(fe):
+    fe.execute("CREATE VIEW a_v AS SELECT k FROM t")
+    fe.execute("CREATE VIEW b_v AS SELECT k FROM a_v")
+    # REPLACE a_v to read b_v: validation sees the OLD a_v inside b_v,
+    # so the cycle only exists after the swap — the read must refuse
+    # loudly, not recurse forever
+    fe.execute("CREATE OR REPLACE VIEW a_v AS SELECT k FROM b_v")
+    with pytest.raises(ValueError, match="cycle"):
+        fe.execute("SELECT * FROM a_v")
+
+
+def test_drop_and_show(fe):
+    fe.execute("CREATE VIEW sv AS SELECT k FROM t")
+    rows = fe.execute("SHOW VIEWS").collect()
+    assert [(r["view_name"], r["current_version"]) for r in rows] == [
+        ("sv", 1)
+    ]
+    stmt = fe.execute("SHOW CREATE VIEW sv").collect()[0][0]
+    assert stmt == "CREATE VIEW sv AS SELECT k FROM t"
+    fe.execute("DROP VIEW sv")
+    assert fe.warehouse.list_views() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        fe.execute("DROP VIEW sv")
+    fe.execute("DROP VIEW IF EXISTS sv")  # no error
+
+
+def test_dotted_view_name(fe):
+    fe.execute("CREATE DATABASE d1")
+    fe.execute(
+        "CREATE VIEW d1.totals AS SELECT k, SUM(v) AS s FROM t GROUP BY k"
+    )
+    got = sorted(map(tuple, fe.execute("SELECT * FROM d1.totals").collect()))
+    assert got == [(1, 30), (2, 30)]
+
+
+def test_view_over_dotted_table(fe, spark):
+    fe.execute("CREATE DATABASE d2")
+    fe.execute("CREATE TABLE d2.base (x BIGINT)")
+    fe.execute("INSERT INTO d2.base VALUES (7)")
+    fe.execute("CREATE VIEW dv AS SELECT x + 1 AS y FROM d2.base")
+    assert [r["y"] for r in fe.execute("SELECT * FROM dv").collect()] == [8]
