@@ -87,4 +87,13 @@ class FgacEngine:
             bucketed_loader=lambda s, name: Warehouse(
                 s, self.warehouse.root
             ).bucketed_read(name),
+            # producer catalog views (CREATE VIEW on the trusted SQL
+            # surface) shared into consumer sessions with INVOKER'S
+            # RIGHTS — the Athena/LF model: the stored text re-secures
+            # under the reading principal per query, so a shared view
+            # never vends rows the reader's own grants would deny
+            shared_views=lambda: {
+                v: self.warehouse.view_sql(v)
+                for v in self.warehouse.list_views()
+            },
         )

@@ -374,6 +374,7 @@ class SecureSession:
         stream_loader=None,
         bucket_layout=None,
         bucketed_loader=None,
+        shared_views=None,
     ):
         self._spark = spark.newSession()
         # The SQL surface is a principal boundary: path-based relations
@@ -434,6 +435,14 @@ class SecureSession:
         # filter edits) propagate instantly and a view is never a
         # privilege escalation channel.
         self._views = view_store
+        # () -> {name: sql} of the PRODUCER's persistent catalog views
+        # (warehouse CREATE VIEW). Shared into consumer sessions with
+        # INVOKER'S RIGHTS — the Athena/LF model: the view's stored
+        # text re-secures under the READING principal per query, so a
+        # view never vends rows its reader's own grants would deny.
+        # A consumer's own CREATE VIEW of the same name shadows it
+        # (session scope wins over catalog scope).
+        self._shared_views = shared_views
         self._views_in_progress: set[str] = set()
         self._view_registered: set[str] = set()
         self._registered: set[str] = set()
@@ -675,19 +684,25 @@ class SecureSession:
         views whose registry entry is gone — a dropped view must not
         keep serving from a stale temp copy. Rebuild cost is plan-time
         metadata only; no data materializes."""
-        for stale in self._view_registered - (
-            set(self._views) if self._views else set()
-        ):
+        shared = dict(self._shared_views()) if self._shared_views else {}
+        live = (set(self._views) if self._views else set()) | set(shared)
+        for stale in self._view_registered - live:
             self._spark.catalog.dropTempView(stale)
             self._view_registered.discard(stale)
-        if not self._views:
+        own = self._views or {}
+        # producer catalog views merge UNDER the session's own views
+        # (a consumer CREATE VIEW of the same name shadows the shared
+        # one); both re-secure through self.sql — invoker's rights
+        texts = dict(shared)
+        texts.update({n: v["text"] for n, v in own.items()})
+        if not texts:
             return
         # Scan with string literals blanked: a view name inside a
         # quoted literal ("SELECT 'states' FROM t") is data, not a
         # relation reference — materializing on it could raise a
         # spurious denial for a principal who never touched the view.
         scannable = re.sub(r"'[^']*'", "''", query)
-        for vname in list(self._views):
+        for vname, text in texts.items():
             if vname in self._views_in_progress:
                 continue  # cycle guard (self/mutual references)
             if not re.search(
@@ -696,7 +711,7 @@ class SecureSession:
                 continue
             self._views_in_progress.add(vname)
             try:
-                frame = self.sql(self._views[vname]["text"])
+                frame = self.sql(text)
             finally:
                 self._views_in_progress.discard(vname)
             frame.createOrReplaceTempView(vname)

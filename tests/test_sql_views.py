@@ -108,3 +108,85 @@ def test_view_over_dotted_table(fe, spark):
     fe.execute("INSERT INTO d2.base VALUES (7)")
     fe.execute("CREATE VIEW dv AS SELECT x + 1 AS y FROM d2.base")
     assert [r["y"] for r in fe.execute("SELECT * FROM dv").collect()] == [8]
+
+
+# --------------------------------- shared views under invoker's rights
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine  # noqa: E402
+from sample_emr_on_eks_fgac_iceberg_spark.healthcare import (  # noqa: E402
+    TEAM1,
+    TEAM2,
+    setup_healthcare,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.policy import (  # noqa: E402
+    AccessDeniedException,
+)
+
+
+@pytest.fixture()
+def hc(spark, tmp_path):
+    eng = FgacEngine(spark, str(tmp_path / "hcwh"))
+    setup_healthcare(eng)
+    eng.sql(
+        "CREATE VIEW patient_states AS "
+        "SELECT patient_id, state FROM patients"
+    )
+    return eng
+
+
+def test_shared_view_applies_readers_policy(hc):
+    # producer reads the view unfiltered; team1 gets its row filter
+    assert hc.sql("SELECT * FROM patient_states").count() > 8
+    df = hc.session_for(TEAM1).sql("SELECT * FROM patient_states")
+    rows = df.collect()
+    assert len(rows) == 8
+    assert {r.state for r in rows} == {"Texas", "New York"}
+
+
+def test_shared_view_denies_ungranted_reader(hc):
+    # team2 holds nothing on patients — the shared view must not vend
+    with pytest.raises(AccessDeniedException):
+        hc.session_for(TEAM2).sql("SELECT * FROM patient_states").collect()
+
+
+def test_shared_view_cannot_expose_hidden_columns(hc):
+    hc.sql("CREATE VIEW leaky AS SELECT patient_id, ssn FROM patients")
+    # producer sees ssn; team1's column whitelist hides it, so the
+    # invoker's-rights rebuild fails to resolve ssn — surfaced as a
+    # denial/analysis error, never data
+    assert hc.sql("SELECT * FROM leaky").count() > 0
+    with pytest.raises(Exception) as ei:
+        hc.session_for(TEAM1).sql("SELECT * FROM leaky").collect()
+    # the failure names the unresolved column, never an SSN value
+    assert "ssn" in str(ei.value)
+    assert not any(ch.isdigit() for ch in str(ei.value).split("ssn")[0][-20:])
+
+
+def test_consumer_view_shadows_shared_view(hc):
+    sess = hc.session_for(TEAM1)
+    sess.sql(
+        "CREATE VIEW patient_states AS "
+        "SELECT patient_id FROM patients WHERE state = 'Texas'"
+    )
+    df = sess.sql("SELECT * FROM patient_states")
+    assert df.columns == ["patient_id"]
+
+
+def test_shared_view_drop_propagates(hc):
+    sess = hc.session_for(TEAM1)
+    assert sess.sql("SELECT * FROM patient_states").count() == 8
+    hc.sql("DROP VIEW patient_states")
+    with pytest.raises(Exception) as ei:
+        sess.sql("SELECT * FROM patient_states").collect()
+    # the stale temp copy is swept — unknown name, not served data
+    msg = str(ei.value)
+    assert "TABLE_OR_VIEW_NOT_FOUND" in msg or "cannot be found" in msg
+
+
+def test_shared_view_replace_propagates(hc):
+    sess = hc.session_for(TEAM1)
+    assert len(sess.sql("SELECT * FROM patient_states").columns) == 2
+    hc.sql(
+        "CREATE OR REPLACE VIEW patient_states AS "
+        "SELECT patient_id FROM patients"
+    )
+    assert sess.sql("SELECT * FROM patient_states").columns == ["patient_id"]
