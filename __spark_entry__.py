@@ -129,6 +129,10 @@ _CORE = [
     # DISTINCT ON (Postgres/DuckDB group-top-1 sugar) — same statement
     # text runs natively on DuckDB; both SQL surfaces rewrite it
     "distinct_on_latest_click",
+    # round-12 debuts, wave 9 (data-quality staples): FK orphan audit
+    # across every TPC-H link, exact per-column null/distinct profile
+    "referential_integrity_audit",
+    "orders_column_profile",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -195,6 +195,8 @@ HEADLINE = [
     "customer_cohort_ltv",
     "customer_spend_deciles",
     "distinct_on_latest_click",
+    "referential_integrity_audit",
+    "orders_column_profile",
 ]
 
 

@@ -4096,3 +4096,109 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("bigint").alias("max_cents"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+_FK_LINKS = [
+    # child, child_key, parent, parent_key
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}->{p}' AS fk,
+               CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM {c}
+                     WHERE {ck} NOT IN (SELECT {pk} FROM {p}))
+                    AS BIGINT) AS n_orphans"""
+        for c, ck, p, pk in _FK_LINKS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("referential_integrity_audit", oracle=_fk_oracle())
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every TPC-H foreign-key link
+    in ONE result — the feed-trust gate a warehouse runs on landing
+    (orders_lineitem_reconciliation audits VALUES; this audits KEYS).
+    Each link reports child rows and orphans (children whose key has
+    no parent).
+
+    Plan shape at 100 TB: each link is a LEFT ANTI join on its key —
+    Catalyst broadcasts small parents (nation/region/supplier) and
+    shuffles fact-fact links on the key with AQE skew handling; the
+    per-link rollup is a count. Links evaluate independently (one
+    union of seven tiny frames)."""
+    out = None
+    for c, ck, p, pk in _FK_LINKS:
+        child = load_table(spark, sf_dir, c).select(ck)
+        parent = load_table(spark, sf_dir, p).select(pk)
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        n = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        row = (
+            n.crossJoin(orphans)
+            .select(
+                F.lit(f"{c}->{p}").alias("fk"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_PROFILE_COLS = [
+    # the synthetic orders feed (TESTDATA.md) — 6 columns, not full
+    # TPC-H (no clerk/shippriority/comment)
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("orders_column_profile", oracle=_profile_oracle())
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders feed — exact null and
+    distinct counts per column, the schema-drift / quality readout a
+    pipeline snapshots per landing (ANALYZE's stats are NDV sketches;
+    this is the exact audit).
+
+    Plan shape at 100 TB: ONE scan — Spark plans the 9 count-distincts
+    as a single expand (9× row multiplication of a projected narrow
+    frame) with two-phase partial aggregation per (column, value), so
+    no per-column rescan and no single-reducer funnel; the result is 9
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c)))
+            .cast("bigint")
+            .alias(f"n_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"d_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', n_{c}, d_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, n_nulls, n_distinct)"
+    )
