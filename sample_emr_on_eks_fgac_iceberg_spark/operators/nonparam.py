@@ -189,18 +189,39 @@ def ks_two_sample_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("isa")).cast(_DEC).alias("cb"),
         )
     )
-    pa = _prefix_sum(c, "v", "ca", inclusive=True).select(
-        "v", "ca", "cb", F.col("__cum").alias("cuma")
+    # BOTH arms' inclusive prefix sums in ONE range layout (one
+    # shuffle, one local-window pass computing two cumsums, one
+    # offsets broadcast per arm) — a per-arm _prefix_sum call would
+    # range-shuffle the value table twice for no reason
+    spark_ = c.sparkSession
+    r = c.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "v"
+    ).withColumn("pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # second prefix over the SAME cached value table (cb this time):
-    # re-derive cumb from cuma's complement instead of a second pass —
-    # cumb(≤v) = (cuma+cumb)(≤v) − cuma(≤v), and (ca+cb) prefix equals
-    # the total-row prefix; cheaper: one more local pass on the same
-    # range layout
-    pb = _prefix_sum(c, "v", "cb", inclusive=True).select(
-        "v", F.col("__cum").alias("cumb")
+    r = materialize_once(
+        r.withColumn("la", F.sum("ca").over(lw)).withColumn(
+            "lb", F.sum("cb").over(lw)
+        )
     )
-    p = pa.join(pb, "v")
+    partials = r.groupBy("pid").agg(
+        F.sum("ca").alias("pa"), F.sum("cb").alias("pb")
+    )
+    offa = partition_rank_offsets(
+        partials.select("pid", F.col("pa").alias("n_p"))
+    ).withColumnRenamed("__offset", "__offa")
+    offb = partition_rank_offsets(
+        partials.select("pid", F.col("pb").alias("n_p"))
+    ).withColumnRenamed("__offset", "__offb")
+    p = (
+        r.join(F.broadcast(offa), "pid")
+        .join(F.broadcast(offb), "pid")
+        .withColumn("cuma", (F.col("__offa") + F.col("la")).cast(_DEC))
+        .withColumn("cumb", (F.col("__offb") + F.col("lb")).cast(_DEC))
+    )
     tot = c.agg(
         F.sum("ca").cast(_DEC).alias("na"), F.sum("cb").cast(_DEC).alias("nb")
     )
