@@ -46,9 +46,11 @@ _CORE = [
     "fgac_claims_join",
     "fgac_corpus_stats",
     # the dedup/CDC flagships rotated out in waves 5-7 (stable
-    # multi-round greens, untouched this round): round 12's 26 debut/
-    # changed entries need the slots, and the rotating block should
-    # stay as close to 20 as the debut load allows (18 this round)
+    # multi-round greens, untouched this round): round 12's ~34 debut/
+    # changed entries need window slots — first-time driver
+    # verification of new operators outranks re-verifying stable
+    # greens, so the rotating block shrinks this round and recovers
+    # next round when the wave 1-9 debuts demote to rotation
     # CHANGED round 12: the hyperplane count now derives from the
     # corpus size when the conf is unset (VERDICT r11 missing #3) —
     # must re-verify the derived default reproduces the oracle
@@ -130,9 +132,12 @@ _CORE = [
     # text runs natively on DuckDB; both SQL surfaces rewrite it
     "distinct_on_latest_click",
     # round-12 debuts, wave 9 (data-quality staples): FK orphan audit
-    # across every TPC-H link, exact per-column null/distinct profile
+    # across every TPC-H link, exact per-column null/distinct profile,
+    # and the end-to-end curation funnel (quality → exact dedup →
+    # split → decontamination attrition in one report)
     "referential_integrity_audit",
     "orders_column_profile",
+    "corpus_curation_funnel",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

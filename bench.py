@@ -197,6 +197,7 @@ HEADLINE = [
     "distinct_on_latest_click",
     "referential_integrity_audit",
     "orders_column_profile",
+    "corpus_curation_funnel",
 ]
 
 

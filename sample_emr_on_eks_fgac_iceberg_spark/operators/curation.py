@@ -914,3 +914,136 @@ def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_tokens"),
         )
     )
+
+
+_FUNNEL_STOPS = "'the','a','an','and','of','to','is','in','it','that'"
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM documents),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    uni AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_cnt,
+                   SUM(CASE WHEN word IN ({_FUNNEL_STOPS})
+                            THEN 1 ELSE 0 END) AS stop_hits
+            FROM wc GROUP BY doc_id),
+    base AS (SELECT t.doc_id, t.h, u.n_words, u.top_cnt, u.stop_hits
+             FROM toks t JOIN uni u USING (doc_id)),
+    q AS (SELECT * FROM base WHERE n_words BETWEEN 50 AND 100000
+          AND stop_hits >= 2 AND 10 * top_cnt <= n_words),
+    dd AS (SELECT q.* FROM q
+           JOIN (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h) m
+             ON q.h = m.h AND q.doc_id = m.doc_id),
+    train AS (SELECT * FROM dd
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_BENCH_FLOOR}'),
+    bench AS (SELECT DISTINCT h FROM base
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{_BENCH_FLOOR}'),
+    clean AS (SELECT * FROM train WHERE h NOT IN (SELECT h FROM bench))
+    SELECT 0 AS stage_idx, 'all' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COALESCE(SUM(n_words), 0) FROM base) AS BIGINT)
+               AS n_tokens
+    UNION ALL SELECT 1, 'quality',
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(n_words), 0) FROM q) AS BIGINT)
+    UNION ALL SELECT 2, 'exact_dedup',
+           CAST((SELECT COUNT(*) FROM dd) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(n_words), 0) FROM dd) AS BIGINT)
+    UNION ALL SELECT 3, 'train_split',
+           CAST((SELECT COUNT(*) FROM train) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(n_words), 0) FROM train) AS BIGINT)
+    UNION ALL SELECT 4, 'decontaminated',
+           CAST((SELECT COUNT(*) FROM clean) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(n_words), 0) FROM clean) AS BIGINT)
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel in ONE report — how many
+    documents (and whitespace tokens) survive each stage of a training-
+    data pipeline: quality gate (three Gopher rules: length bounds,
+    ≥2 distinct-hit stopwords, top-unigram share ≤ 1/10, all integer
+    cross-multiplications) → exact dedup (min-doc_id canonical per
+    normalized-text md5) → train/benchmark split (md5(doc_id) prefix,
+    the decontaminate_ngrams convention) → document-level
+    decontamination (drop training docs whose content hash appears in
+    the benchmark split). The per-stage operators exist standalone
+    (quality_gopher_rules, dedup_exact, decontaminate_ngrams); this is
+    the composition a pipeline actually runs, with the attrition
+    visible per stage.
+
+    Plan shape at 100 TB: ONE tokenize pass feeds a (doc, word) hash
+    agg → per-doc rollup; every later stage is a filter or a keyed
+    join on the content hash (canonical pick = groupBy(h).min,
+    decontamination = hash anti-join) — no stage rescans the corpus;
+    the report is five 1-row aggs unioned."""
+    d = materialize_once(
+        fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id").select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            ).alias("w"),
+            F.md5(
+                F.regexp_replace(
+                    F.trim(F.lower(F.col("text"))), r"\s+", " "
+                )
+            ).alias("h"),
+        )
+    )
+    words = d.select("doc_id", F.explode("w").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    stops = [s.strip("'") for s in _FUNNEL_STOPS.split(",")]
+    uni = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("word").isin(stops), 1).otherwise(0)
+        ).alias("stop_hits"),
+    )
+    base = materialize_once(d.select("doc_id", "h").join(uni, "doc_id"))
+    q = materialize_once(
+        base.filter(
+            F.col("n_words").between(50, 100000)
+            & (F.col("stop_hits") >= 2)
+            & (F.lit(10) * F.col("top_cnt") <= F.col("n_words"))
+        )
+    )
+    mins = q.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dd = materialize_once(q.join(mins, ["h", "doc_id"]))
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = materialize_once(dd.filter(split < _BENCH_FLOOR))
+    bench = base.filter(split >= _BENCH_FLOOR).select("h").distinct()
+    clean = train.join(bench, "h", "left_anti")
+
+    def _stage(idx: int, name: str, frame, docs_frame=None) -> DataFrame:
+        src = docs_frame if docs_frame is not None else frame
+        n = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        t = frame.agg(
+            F.coalesce(F.sum("n_words"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        return n.crossJoin(t).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = _stage(0, "all", base, docs_frame=all_docs)
+    for idx, name, frame in (
+        (1, "quality", q),
+        (2, "exact_dedup", dd),
+        (3, "train_split", train),
+        (4, "decontaminated", clean),
+    ):
+        out = out.unionByName(_stage(idx, name, frame))
+    return out
