@@ -138,6 +138,10 @@ _CORE = [
     "referential_integrity_audit",
     "orders_column_profile",
     "corpus_curation_funnel",
+    # wave 10: Spearman rank correlation — average-tie ranks kept
+    # exact by doubling (2·avg_rank = 2·cnt_below + t + 1), rho as one
+    # fixed double expression over DECIMAL(38,0)/HUGEINT moments
+    "customers_spearman_balance_spend",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -198,6 +198,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "orders_column_profile",
     "corpus_curation_funnel",
+    "customers_spearman_balance_spend",
 ]
 
 

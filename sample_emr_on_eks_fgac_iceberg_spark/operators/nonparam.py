@@ -386,3 +386,118 @@ def theilsen_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.col("slope_ppm").alias("median_slope_ppm"),
     )
+
+
+@register(
+    "customers_spearman_balance_spend",
+    oracle="""
+    WITH xy AS (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100)
+                                      AS HUGEINT)), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal),
+    xc AS (SELECT x, COUNT(*) AS t FROM xy GROUP BY x),
+    xr AS (SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS u
+           FROM xc),
+    yc AS (SELECT y, COUNT(*) AS t FROM xy GROUP BY y),
+    yr AS (SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS v
+           FROM yc),
+    r AS (SELECT CAST(u AS HUGEINT) AS u, CAST(v AS HUGEINT) AS v
+          FROM xy JOIN xr USING (x) JOIN yr USING (y)),
+    m AS (SELECT COUNT(*) AS n, SUM(u) AS su, SUM(v) AS sv,
+                 SUM(u * v) AS suv, SUM(u * u) AS suu,
+                 SUM(v * v) AS svv
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(n * suv - su * sv AS DOUBLE)
+               / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                  * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS spearman_rho
+    FROM m
+    """,
+)
+def customers_spearman_balance_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between account balance and lifetime
+    spend — 'do rich-on-paper customers actually buy more', robust to
+    the monotone-but-nonlinear relationship Pearson misreads. Ranks
+    use AVERAGE tie handling kept exact by doubling:
+    2·avg_rank = 2·cnt_below + t + 1 (an integer); rho is then ONE
+    fixed double expression over exact DECIMAL(38,0)/HUGEINT moments
+    (+,−,×,/ and sqrt are IEEE-correctly-rounded — the registry
+    determinism rules' allowed set).
+
+    Plan shape at 100 TB: the spend rollup is one custkey-keyed agg +
+    join; each rank table is a DISTINCT-VALUE hash agg followed by the
+    distributed prefix sum (range repartition + local cumsum + K
+    broadcast offsets — the mannwhitney skeleton, never a
+    single-partition window); ranks join back by VALUE (broadcastable
+    only if the value tables are small — left as keyed joins); the
+    moments fold in a 1-row agg."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("spend")
+        )
+    )
+    xy = materialize_once(
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+            "x",
+            F.coalesce(F.col("spend"), F.lit(0).cast(_DEC))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+    def _rank2(col: str, out: str) -> DataFrame:
+        cnt = xy.groupBy(col).agg(F.count(F.lit(1)).cast(_DEC).alias("t"))
+        p = _prefix_sum(cnt, col, "t", inclusive=False)
+        return p.select(
+            col,
+            (
+                F.lit(2).cast(_DEC) * F.col("__cum")
+                + F.col("t")
+                + F.lit(1).cast(_DEC)
+            ).alias(out),
+        )
+
+    r = xy.join(_rank2("x", "u"), "x").join(_rank2("y", "v"), "y")
+    m = r.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (
+            (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+                    .cast("double")
+                )
+            )
+        ).alias("spearman_rho"),
+    )

@@ -165,3 +165,35 @@ def test_rolling_7d_users_matches_brute(spark):
         for k in range(7):
             week |= by_day.get(d - datetime.timedelta(days=k), set())
         assert got[d] == (len(users), len(week)), d
+
+
+def test_spearman_matches_brute_average_ranks(spark, duck):
+    xy = duck.sql(
+        "SELECT CAST(round(c.c_acctbal*100) AS BIGINT) x, "
+        "CAST(COALESCE(SUM(CAST(round(o.o_totalprice*100) AS HUGEINT)), 0) "
+        "AS BIGINT) y "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_acctbal"
+    ).fetchall()
+    import numpy as np
+
+    def avg_ranks(vals):
+        a = np.asarray(vals, dtype=np.int64)
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a), dtype=float)
+        sorted_a = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j < len(a) and sorted_a[j] == sorted_a[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2  # average of 1-based ranks
+            i = j
+        return ranks
+
+    rx = avg_ranks([p[0] for p in xy])
+    ry = avg_ranks([p[1] for p in xy])
+    rho = np.corrcoef(rx, ry)[0, 1]
+    [row] = QUERIES["customers_spearman_balance_spend"](spark, SF).collect()
+    assert row["n_customers"] == len(xy)
+    assert abs(row["spearman_rho"] - rho) < 1e-9, (row["spearman_rho"], rho)
