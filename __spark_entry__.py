@@ -142,6 +142,9 @@ _CORE = [
     # exact by doubling (2·avg_rank = 2·cnt_below + t + 1), rho as one
     # fixed double expression over DECIMAL(38,0)/HUGEINT moments
     "customers_spearman_balance_spend",
+    # 5%-trimmed mean by exact global position (the rank idiom + two
+    # broadcast scalars)
+    "orders_trimmed_mean_price",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -199,6 +199,7 @@ HEADLINE = [
     "orders_column_profile",
     "corpus_curation_funnel",
     "customers_spearman_balance_spend",
+    "orders_trimmed_mean_price",
 ]
 
 

@@ -501,3 +501,65 @@ def customers_spearman_balance_spend(
             )
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "orders_trimmed_mean_price",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(round(o_totalprice * 100) AS HUGEINT) AS c,
+               ROW_NUMBER() OVER (ORDER BY round(o_totalprice * 100),
+                                  o_orderkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders),
+    t AS (SELECT c, n FROM r
+          WHERE rn > n // 20 AND rn <= n - n // 20)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(c) AS BIGINT) AS kept_cents,
+           CAST(SUM(c) AS DOUBLE) / (100 * COUNT(*)) AS trimmed_mean
+    FROM t
+    """,
+)
+def orders_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value — the robust location estimate
+    (drop ⌊n/20⌋ rows at EACH tail by global position, average the
+    rest). Positional trimming needs exact global ranks; the plain
+    mean's outlier sensitivity is why a metrics pipeline ships both.
+
+    Plan shape at 100 TB: the gini/deciles rank idiom — range
+    repartition on (cents, orderkey), LOCAL row numbers + K broadcast
+    offsets give exact global ranks with no single-partition window;
+    the trim is a filter against two broadcast scalars and the mean is
+    one exact integer sum + one division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    spark_ = o.sparkSession
+    r = o.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "c", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("c", "o_orderkey")
+    ranked = materialize_once(r.withColumn("j", F.row_number().over(lw)))
+    partials = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n_p"))
+    off = partition_rank_offsets(partials)
+    tot = partials.agg(F.sum("n_p").cast("bigint").alias("n"))
+    g = (
+        ranked.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.col("__offset") + F.col("j"))
+    )
+    kept = g.filter(
+        (F.col("rn") > F.expr("n div 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return kept.agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.col("c").cast(_DEC)).cast("bigint").alias("kept_cents"),
+        (
+            F.sum(F.col("c").cast(_DEC)).cast("double")
+            / (F.lit(100) * F.count(F.lit(1)))
+        ).alias("trimmed_mean"),
+    )
