@@ -145,6 +145,9 @@ _CORE = [
     # 5%-trimmed mean by exact global position (the rank idiom + two
     # broadcast scalars)
     "orders_trimmed_mean_price",
+    # fixed-basket Laspeyres price index per ship year (truncated
+    # integer milli-cent unit prices, ppm index)
+    "lineitem_price_index_laspeyres",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -200,6 +200,7 @@ HEADLINE = [
     "corpus_curation_funnel",
     "customers_spearman_balance_spend",
     "orders_trimmed_mean_price",
+    "lineitem_price_index_laspeyres",
 ]
 
 

@@ -4202,3 +4202,89 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, n_nulls, n_distinct)"
     )
+
+
+@register(
+    "lineitem_price_index_laspeyres",
+    oracle="""
+    WITH py AS (
+        SELECT l_partkey,
+               CAST(year(l_shipdate) AS BIGINT) AS yr,
+               SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS ep,
+               SUM(CAST(round(l_quantity) AS HUGEINT)) AS q
+        FROM lineitem GROUP BY 1, 2),
+    unit AS (
+        SELECT l_partkey, yr, q,
+               (ep * 1000) // q AS millicents
+        FROM py WHERE q > 0),
+    base AS (
+        SELECT l_partkey, millicents AS p0, q AS q0 FROM unit
+        WHERE yr = (SELECT MIN(yr) FROM unit)),
+    j AS (
+        SELECT u.yr, u.millicents AS pt, b.p0, b.q0
+        FROM unit u JOIN base b USING (l_partkey))
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+           CAST((SUM(pt * q0) * 1000000) // SUM(p0 * q0) AS BIGINT)
+               AS laspeyres_ppm
+    FROM j GROUP BY yr
+    """,
+)
+def lineitem_price_index_laspeyres(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres price index per ship year — 'how much more does the
+    BASE year's basket cost now', the classic fixed-basket inflation
+    measure over the part catalog. Per (part, year) the unit price is
+    truncated integer milli-cents (EP·1000 div Q — both engines
+    truncate positives identically); the index is Σpₜ·q₀ / Σp₀·q₀ over
+    parts present in both years, in truncated ppm. Base = first ship
+    year.
+
+    Plan shape at 100 TB: one (part, year) hash agg collapses the fact
+    table; the base-year basket is a part-keyed equi-join (both sides
+    shuffle on partkey — AQE-skew-splittable); the index is a ≤|years|
+    rollup. Everything after the first agg is catalog-sized."""
+    py = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            ).alias("ep"),
+            F.sum(
+                F.round(F.col("l_quantity")).cast("decimal(38,0)")
+            ).alias("q"),
+        )
+    )
+    unit = materialize_once(
+        py.filter(F.col("q") > 0).select(
+            "l_partkey",
+            "yr",
+            "q",
+            F.expr("CAST((ep * 1000) div q AS DECIMAL(38,0))").alias(
+                "millicents"
+            ),
+        )
+    )
+    base_yr = unit.agg(F.min("yr").alias("yr0"))
+    base = (
+        unit.crossJoin(F.broadcast(base_yr))
+        .filter(F.col("yr") == F.col("yr0"))
+        .select(
+            "l_partkey",
+            F.col("millicents").alias("p0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    j = unit.join(base, "l_partkey")
+    return j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.expr(
+            "CAST((SUM(millicents * q0) * 1000000) div SUM(p0 * q0) "
+            "AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+    )
