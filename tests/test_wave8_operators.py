@@ -55,3 +55,41 @@ def test_readability_centi_units_are_integral_presum(spark):
     for r in rows:
         # mean is exactly the integer sum re-divided — no float sums
         assert abs(r["mean_cli"] - r["sum_centi_cli"] / (100 * r["n_docs"])) == 0
+
+
+def test_laspeyres_base_year_is_unity(spark):
+    rows = QUERIES["lineitem_price_index_laspeyres"](spark, SF).collect()
+    by_yr = {r["yr"]: r for r in rows}
+    base = min(by_yr)
+    # the base year prices its own basket: index exactly 10^6 ppm
+    assert by_yr[base]["laspeyres_ppm"] == 1_000_000
+    # every year shares the full base basket or a subset of it
+    assert all(
+        r["n_common_parts"] <= by_yr[base]["n_common_parts"] for r in rows
+    )
+
+
+def test_trimmed_mean_between_extremes(spark):
+    [r] = QUERIES["orders_trimmed_mean_price"](spark, SF).collect()
+    con = duckdb.connect()
+    [(lo, hi, mean)] = con.sql(
+        "SELECT MIN(o_totalprice), MAX(o_totalprice), AVG(o_totalprice) "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    assert lo < r["trimmed_mean"] < hi
+    # trims exactly floor(n/20) per tail
+    assert r["n_kept"] == r["n_orders"] - 2 * (r["n_orders"] // 20)
+
+
+def test_curation_funnel_is_monotone(spark):
+    rows = sorted(
+        QUERIES["corpus_curation_funnel"](spark, SF).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "all", "quality", "exact_dedup", "train_split", "decontaminated",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    assert rows[-1]["n_docs"] > 0
