@@ -96,4 +96,24 @@ class FgacEngine:
                 v: self.warehouse.view_sql(v)
                 for v in self.warehouse.list_views()
             },
+            # policy-mediated streaming WRITES (VERDICT r12 missing
+            # #1): trusted sink builders handed over only after
+            # SecureSession's INSERT (+DELETE for upsert) check passes
+            # at sink definition — the streaming twin of dml_executor
+            stream_sinks=self._stream_sinks(),
         )
+
+    def _stream_sinks(self) -> dict:
+        from sample_emr_on_eks_fgac_iceberg_spark.streaming.ingest import (
+            upsert_sink,
+            warehouse_sink,
+        )
+
+        return {
+            "append": lambda table, source_id: warehouse_sink(
+                self.warehouse, table, source_id
+            ),
+            "upsert": lambda table, source_id, on, keys, order_by: upsert_sink(
+                self.warehouse, table, source_id, on, keys, order_by
+            ),
+        }

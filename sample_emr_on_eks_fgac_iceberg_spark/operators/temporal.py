@@ -1281,6 +1281,20 @@ def asof_join_frames(
     the joined relation as one flat view, so a collision would be
     ambiguous; callers pre-rename instead.
 
+    NULL semantics: the ON predicate is a comparison, and a comparison
+    with NULL is never true — a right row with a NULL key or NULL
+    timestamp matches nothing, and a left probe with a NULL key or
+    NULL timestamp matches nothing (kept unmatched for how='left',
+    dropped for 'inner'). Without the explicit handling,
+    Window.partitionBy would group NULL keys TOGETHER (SQL grouping,
+    not SQL comparison), silently inventing NULL↔NULL matches
+    (ADVICE r12). DuckDB 1.0's own ASOF NULL-timestamp behavior was
+    probed and found ORDER-DEPENDENT (the same single-probe query
+    returns a match or nothing depending on sibling rows — an artifact
+    of its partitioned-sort implementation), so this engine pins the
+    principled never-match rule; its deterministic subset (a lone
+    NULL-ts probe matches nothing; NULL keys never match) agrees.
+
     Plan shape at 100 TB: union → one hash partition on the key →
     per-key window. Linear in rows, AQE-skew-splittable; never the
     quadratic per-key explosion of the naive range-join spelling."""
@@ -1311,6 +1325,13 @@ def asof_join_frames(
         F.lit(None).cast(StructType(left.schema.fields)).alias("__l"),
         F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
     )
+    # NULL-key / NULL-ts right rows can never be the match of any
+    # probe (NULL comparisons are false) — drop them before the union
+    # so last(ignorenulls) cannot carry one.
+    r_valid = F.col("__ts").isNotNull()
+    for k in keys:
+        r_valid = r_valid & F.col(k).isNotNull()
+    ru = ru.filter(r_valid)
     # At equal __ts the right row sorts BEFORE the left probe exactly
     # when the bound is inclusive (>= / <=): the probe's window then
     # contains it. Strict bounds sort the probe first, excluding ties.
@@ -1328,6 +1349,15 @@ def asof_join_frames(
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__is_l") == 1)
     )
+    # A NULL-key or NULL-ts probe never matches. NULL keys are safe by
+    # construction (the partition holds no right rows after the filter
+    # above), but a NULL-ts probe under the DESC forward order sorts
+    # LAST and its cumulative window would see every right row — null
+    # the match out explicitly.
+    l_valid = F.col("__ts").isNotNull()
+    for k in keys:
+        l_valid = l_valid & F.col(k).isNotNull()
+    res = res.withColumn("__m", F.when(l_valid, F.col("__m")))
     if how == "inner":
         res = res.filter(F.col("__m").isNotNull())
     return res.select(

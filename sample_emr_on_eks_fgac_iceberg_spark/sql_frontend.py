@@ -446,6 +446,14 @@ def rewrite_qualify(query: str) -> tuple[str, bool]:
                 "only — rewrite the subquery's QUALIFY as a wrapped WHERE"
             )
         return query, False
+    if re.search(r"__qualify\b", _strip_sql_strings(query), re.I):
+        # the rewrite introduces and then drops a __qualify helper
+        # column — a statement already referencing that name would lose
+        # its own column silently; refuse loudly instead (ADVICE r12)
+        raise ValueError(
+            "QUALIFY cannot be rewritten over a statement that already "
+            "references a __qualify column name — rename it"
+        )
     pred, suffix = tail, ""
     for kw in ("ORDER", "LIMIT", "OFFSET"):
         h, t = _split_top_level(pred, kw)
@@ -500,12 +508,27 @@ def rewrite_distinct_on(query: str) -> tuple[str, bool]:
     this engine's determinism rules refuse. Top-level only, same
     contract as rewrite_qualify. Returns (rewritten, needs_drop) —
     the caller drops the helper ``__don`` column."""
-    m = _DISTINCT_ON_RE.search(query)
+    # probe the BLANKED text (string literals spaced out, length
+    # preserved so indices map back to the raw query): a literal
+    # containing "SELECT DISTINCT ON (" must not trigger a rewrite,
+    # and the paren-balance guard must not count literal parens
+    # (ADVICE r12)
+    blanked = _blank_sql_strings(query)
+    m = _DISTINCT_ON_RE.search(blanked)
     if not m:
         return query, False
-    if query.count("(", 0, m.start()) != query.count(")", 0, m.start()):
+    if blanked.count("(", 0, m.start()) != blanked.count(")", 0, m.start()):
         raise ValueError(
             "DISTINCT ON is supported at the top level of the statement only"
+        )
+    if re.search(r"__don\b|__ob\d", blanked, re.I):
+        # the rewrite introduces __don/__obN helper columns and drops
+        # them from the result — a statement already carrying such
+        # names would have its own columns silently removed; refuse
+        # loudly instead (ADVICE r12)
+        raise ValueError(
+            "DISTINCT ON cannot be rewritten over a statement that "
+            "already references __don/__obN column names — rename them"
         )
     close = _matching_paren(query, m.end() - 1)
     on_exprs = query[m.end() : close].strip()
@@ -518,9 +541,27 @@ def rewrite_distinct_on(query: str) -> tuple[str, bool]:
             "<tie-breakers>"
         )
     order_by = re.sub(r"^\s*BY\b", "", order_tail, flags=re.I).strip()
+    # split LIMIT and OFFSET out of the order-item list (either may
+    # appear without the other — `ORDER BY … OFFSET n` is valid SQL,
+    # and leaving OFFSET inside the items would parse it as an order
+    # expression; ADVICE r12)
+    suffix_parts: list[str] = []
     limit_head, limit_tail = _split_top_level(order_by, "LIMIT")
-    suffix = f"LIMIT {limit_tail.strip()}" if limit_tail is not None else ""
-    order_by = limit_head.strip()
+    if limit_tail is not None:
+        order_by = limit_head
+        # OFFSET may trail the LIMIT clause (`LIMIT n OFFSET m`)
+        lim, off = _split_top_level(limit_tail, "OFFSET")
+        suffix_parts.append(f"LIMIT {lim.strip()}")
+        if off is not None:
+            suffix_parts.append(f"OFFSET {off.strip()}")
+    off_head, off_tail = _split_top_level(order_by, "OFFSET")
+    if off_tail is not None:
+        order_by = off_head
+        # OFFSET-first spelling (`OFFSET m LIMIT n` is not SQL; Spark
+        # and DuckDB both take LIMIT first) — off_tail is the count
+        suffix_parts.insert(0, f"OFFSET {off_tail.strip()}")
+    suffix = " ".join(suffix_parts)
+    order_by = order_by.strip()
     sel, from_tail = _split_top_level(head, "FROM")
     if from_tail is None:
         raise ValueError("DISTINCT ON requires a FROM clause")
@@ -556,6 +597,18 @@ def _strip_sql_strings(text: str) -> str:
     """Blank out single-quoted literals (with '' escaping) so keyword
     probes can't false-positive on string contents."""
     return re.sub(r"'(?:[^']|'')*'", "''", text)
+
+
+def _blank_sql_strings(text: str) -> str:
+    """Like _strip_sql_strings but LENGTH-PRESERVING (literal contents
+    become spaces): match indices computed on the blanked text stay
+    valid against the raw statement — required by probes that slice
+    the original query at a match position (rewrite_distinct_on)."""
+    return re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+        text,
+    )
 
 
 _SQL_KEYWORDS = {
@@ -720,6 +773,28 @@ def rewrite_asof_joins(query: str, resolve) -> str:
         joined.createOrReplaceTempView(view)
         query = query[:seg_start] + f"`{view}`" + query[cond_end:]
         for alias in {a1 or rel1, a2 or rel2}:
+            # The qualifier strip below runs over the WHOLE remaining
+            # statement (qualified references to the as-of columns
+            # legitimately appear in the select list, WHERE, GROUP BY
+            # …). If the SAME identifier is ALSO introduced as a
+            # relation elsewhere — a second join or subquery reusing
+            # the alias, or a table whose name equals it — the strip
+            # would corrupt that relation's qualifiers; detect the
+            # reuse on the post-substitution text and refuse loudly
+            # (ADVICE r12).
+            reuse = re.compile(
+                rf"(?:\b(?:FROM|JOIN)\s+(?:`?[\w.]+`?\s+(?:AS\s+)?)?"
+                rf"|\)\s*(?:AS\s+)?)"
+                rf"`?{re.escape(alias)}`?(?![\w.])",
+                re.I,
+            )
+            if reuse.search(_strip_sql_strings(query)):
+                raise ValueError(
+                    f"ASOF JOIN alias {alias!r} is reused as a relation "
+                    "name/alias elsewhere in the statement — rename one "
+                    "of them (the as-of rewrite strips this qualifier "
+                    "statement-wide)"
+                )
             query = _sub_outside_strings(
                 rf"(?<![\w.`])`?{re.escape(alias)}`?\s*\.", "", query,
                 flags=re.I,
@@ -852,6 +927,24 @@ class SqlFrontend:
         if m:
             replace, name = bool(m.group(1)), m.group(2)
             body = m.group(3).rstrip().rstrip(";")
+            # A view body is a QUERY, never a statement: _query hands
+            # the body to spark.sql, which EXECUTES DDL/DML eagerly —
+            # a `CREATE VIEW v AS INSERT INTO t …` body would run its
+            # side effect at validation and then again on every read.
+            # Reject non-query shapes (textual allowlist + Spark's own
+            # parsed-plan write classifier for CTE-smuggled DML) before
+            # anything touches an executor (ADVICE r12).
+            from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+                parsed_write_class,
+            )
+
+            if not re.match(
+                r"\s*(\(|(SELECT|WITH|VALUES|TABLE)\b)", body, re.I
+            ) or parsed_write_class(self.spark, body) is not None:
+                raise ValueError(
+                    f"View body must be a query (SELECT/WITH/VALUES/"
+                    f"TABLE), got: {body[:60]!r}"
+                )
             # validate NOW (plan only, nothing executes): syntax,
             # missing relations, and view-cycle checks all surface at
             # CREATE time instead of first read

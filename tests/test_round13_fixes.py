@@ -1,0 +1,271 @@
+"""Round-13 ADVICE fixes (ADVICE.md r12):
+
+1. asof_join_frames NULL semantics — NULL equi-keys / NULL timestamps
+   never match (SQL comparison semantics, matching DuckDB's ASOF),
+   instead of Window.partitionBy's NULL-groups-together behavior.
+2. rewrite_asof_joins refuses alias reuse — the qualifier strip runs
+   statement-wide, so a second relation introduced under the same
+   identifier would be corrupted silently.
+3. CREATE VIEW bodies must be queries on BOTH surfaces (a DML body
+   would execute its side effect on every read).
+4. rewrite_distinct_on probes the string-blanked statement (literals
+   can't trigger rewrites or unbalance the paren guard) and splits
+   OFFSET out of the order-item list.
+5. Helper-column collisions (__qualify / __don / __obN) refuse loudly
+   instead of silently dropping a user column.
+"""
+
+import duckdb
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.operators.temporal import (
+    asof_join_frames,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+    SqlFrontend,
+    rewrite_distinct_on,
+    rewrite_qualify,
+)
+
+
+# ---------------------------------------------- 1. asof NULL semantics
+def test_asof_null_right_key_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (None, 10, "b")], "k int, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "rnull"), (1, 5, "r1")], "rk int, rts int, rv string"
+    )
+    j = asof_join_frames(left, right, [("k", "rk")], "ts", "rts", ">=", "left")
+    got = {r["lv"]: r["rv"] for r in j.collect()}
+    # the k=1 probe matches the k=1 right row; the NULL-key probe is
+    # kept (how='left') but UNMATCHED — it must not pair with the
+    # NULL-key right row
+    assert got == {"a": "r1", "b": None}
+
+
+def test_asof_null_key_probe_dropped_for_inner(spark):
+    left = spark.createDataFrame([(None, 10, "b")], "k int, ts int, lv string")
+    right = spark.createDataFrame([(None, 5, "r")], "rk int, rts int, rv string")
+    j = asof_join_frames(left, right, [("k", "rk")], "ts", "rts", ">=", "inner")
+    assert j.count() == 0
+
+
+def test_asof_null_ts_right_row_never_carried(spark):
+    # a NULL right ts sorted FIRST under the plain backward asc order
+    # before the fix — last(__r, ignorenulls) could carry it as a
+    # spurious "match" for any probe preceding every real right row
+    left = spark.createDataFrame([(1, 10, "a")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(1, None, "rnull"), (1, 50, "rlate")], "rk int, rts int, rv string"
+    )
+    j = asof_join_frames(left, right, [("k", "rk")], "ts", "rts", ">=", "left")
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["rv"] is None
+
+
+def test_asof_null_ts_probe_never_matches_all_ops(spark):
+    # a NULL-ts probe matches nothing under every op — in particular
+    # the forward ops, whose DESC order sorts NULLs LAST where the
+    # cumulative window would otherwise see every right row
+    left = spark.createDataFrame([(1, None, "a")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, None, "rnull")], "rk int, rts int, rv string"
+    )
+    for op in (">=", ">", "<=", "<"):
+        li = asof_join_frames(left, right, [("k", "rk")], "ts", "rts", op, "left")
+        rows = li.collect()
+        assert len(rows) == 1 and rows[0]["rv"] is None, op
+        assert (
+            asof_join_frames(
+                left, right, [("k", "rk")], "ts", "rts", op, "inner"
+            ).count()
+            == 0
+        ), op
+
+
+def test_asof_null_never_match_agrees_with_duckdb_deterministic_subset():
+    # DuckDB 1.0's ASOF NULL-timestamp behavior is ORDER-DEPENDENT
+    # (probed: the same NULL-ts probe matches r3, r4 or nothing
+    # depending on sibling rows — a partitioned-sort artifact), so the
+    # engine pins the principled never-match rule. DuckDB's
+    # deterministic subset — a lone NULL-ts probe, and NULL keys —
+    # agrees with it:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k int, ts int, lv varchar)")
+    con.execute("INSERT INTO l VALUES (2, NULL, 'lnull')")
+    con.execute("CREATE TABLE r(rk int, rts int, rv varchar)")
+    con.execute("INSERT INTO r VALUES (2, 7, 'r7'), (2, 12, 'r12')")
+    assert (
+        con.execute(
+            "SELECT * FROM l ASOF JOIN r ON l.k = r.rk AND l.ts >= r.rts"
+        ).fetchall()
+        == []
+    )
+    con.execute("UPDATE l SET ts = 9, k = NULL")
+    assert (
+        con.execute(
+            "SELECT * FROM l ASOF JOIN r ON l.k = r.rk AND l.ts >= r.rts"
+        ).fetchall()
+        == []
+    )
+
+
+# ------------------------------------------------- 2. asof alias reuse
+@pytest.fixture()
+def fe(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    clicks = spark.createDataFrame(
+        [(10, 100, 1), (10, 200, 2)], "cu int, cts int, click_id int"
+    )
+    purch = spark.createDataFrame(
+        [(10, 150, 11), (10, 300, 12)], "pu int, pts int, purchase_id int"
+    )
+    wh.create_table("clicks", clicks.schema)
+    wh.insert_into("clicks", clicks)
+    wh.create_table("purch", purch.schema)
+    wh.insert_into("purch", purch)
+    other = spark.createDataFrame([(10, 7)], "ok int, ov int")
+    wh.create_table("other", other.schema)
+    wh.insert_into("other", other)
+    return SqlFrontend(spark, wh)
+
+
+def test_asof_alias_reused_by_second_join_raises(fe):
+    with pytest.raises(ValueError, match="reused"):
+        fe.execute(
+            """
+            SELECT p.purchase_id, c.click_id, c2.ov
+            FROM purch p ASOF JOIN clicks c
+              ON p.pu = c.cu AND p.pts >= c.cts
+            JOIN other c ON c.ok = pu
+            """
+        )
+
+
+def test_asof_alias_equals_other_table_name_raises(fe):
+    # alias "other" collides with the table other referenced later —
+    # the statement-wide qualifier strip would corrupt `FROM other`
+    with pytest.raises(ValueError, match="reused"):
+        fe.execute(
+            """
+            SELECT purchase_id FROM purch other ASOF JOIN clicks c
+              ON other.pu = c.cu AND other.pts >= c.cts
+            WHERE pu IN (SELECT ok FROM other)
+            """
+        )
+
+
+def test_asof_normal_statement_still_rewrites(fe):
+    got = fe.execute(
+        """
+        SELECT p.purchase_id, c.click_id FROM purch p ASOF JOIN clicks c
+        ON p.pu = c.cu AND p.pts >= c.cts
+        """
+    ).collect()
+    assert sorted((r[0], r[1]) for r in got) == [(11, 1), (12, 2)]
+
+
+# --------------------------------------- 3. CREATE VIEW body is a query
+def test_producer_create_view_rejects_dml_body(fe):
+    with pytest.raises(ValueError, match="must be a query"):
+        fe.execute("CREATE VIEW v AS INSERT INTO purch VALUES (1, 2, 3)")
+    with pytest.raises(ValueError, match="must be a query"):
+        fe.execute("CREATE VIEW v AS DROP TABLE purch")
+    # CTE-smuggled DML: textual allowlist passes, parsed class catches
+    with pytest.raises(ValueError, match="must be a query"):
+        fe.execute(
+            "CREATE VIEW v AS WITH s AS (SELECT 1 AS a) "
+            "INSERT INTO purch SELECT a, a, a FROM s"
+        )
+    # the side effect must NOT have run
+    assert fe.execute("SELECT COUNT(*) AS n FROM purch").collect()[0][0] == 2
+    assert "v" not in fe.warehouse.list_views()
+
+
+def test_consumer_create_view_rejects_cte_dml_body(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import INSERT, SELECT
+
+    eng = FgacEngine(spark, str(tmp_path / "hc"))
+    t = spark.createDataFrame([(1, "x")], "id int, v string")
+    eng.warehouse.create_table("t13", t.schema)
+    eng.warehouse.insert_into("t13", t)
+    eng.policy.grant("writer", "t13", {SELECT, INSERT})
+    sess = eng.session_for("writer")
+    with pytest.raises(ValueError, match="must be a query"):
+        sess.sql(
+            "CREATE VIEW sneak AS WITH s AS (SELECT 2 AS id, 'y' AS v) "
+            "INSERT INTO t13 SELECT * FROM s"
+        )
+    assert sess.sql("SELECT COUNT(*) AS n FROM t13").collect()[0][0] == 1
+
+
+# ------------------------------- 4. DISTINCT ON probe + OFFSET handling
+def test_distinct_on_inside_string_literal_is_data():
+    q = "SELECT 'SELECT DISTINCT ON (x)' AS s FROM t"
+    assert rewrite_distinct_on(q) == (q, False)
+
+
+def test_distinct_on_literal_parens_dont_unbalance_guard():
+    # the '(' inside the literal must not trip the top-level guard
+    q = (
+        "SELECT DISTINCT ON (k) k, v FROM t WHERE v <> '(weird' "
+        "ORDER BY k, v"
+    )
+    out, drop = rewrite_distinct_on(q)
+    assert drop and "row_number()" in out
+
+
+def test_distinct_on_offset_without_limit(spark):
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40)], "k int, v int"
+    ).createOrReplaceTempView("don_t")
+    out, drop = rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY k, v DESC OFFSET 1"
+    )
+    assert drop
+    df = spark.sql(out)
+    df = df.drop("__don", *[c for c in df.columns if c.startswith("__ob")])
+    # per-k winners are (1,20),(2,30),(3,40); OFFSET 1 skips the first
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(2, 30), (3, 40)]
+
+
+def test_distinct_on_limit_offset_combined(spark):
+    spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 40)], "k int, v int"
+    ).createOrReplaceTempView("don_t2")
+    out, _ = rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM don_t2 ORDER BY k LIMIT 1 OFFSET 1"
+    )
+    df = spark.sql(out)
+    df = df.drop("__don", *[c for c in df.columns if c.startswith("__ob")])
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(2, 30)]
+
+
+# -------------------------------------- 5. helper-column name collisions
+def test_distinct_on_refuses_user_don_column():
+    with pytest.raises(ValueError, match="__don"):
+        rewrite_distinct_on(
+            "SELECT DISTINCT ON (k) k, __don FROM t ORDER BY k"
+        )
+    with pytest.raises(ValueError, match="__ob"):
+        rewrite_distinct_on(
+            "SELECT DISTINCT ON (k) k, __ob1 FROM t ORDER BY k, __ob1"
+        )
+
+
+def test_qualify_refuses_user_qualify_column():
+    with pytest.raises(ValueError, match="__qualify"):
+        rewrite_qualify(
+            "SELECT k, __qualify FROM t QUALIFY row_number() "
+            "OVER (ORDER BY k) = 1"
+        )
+
+
+def test_qualify_literal_qualify_name_is_fine():
+    # only a rewrite-triggering statement checks the collision; the
+    # string literal spelling stays data
+    q = "SELECT '__qualify' AS s FROM t"
+    assert rewrite_qualify(q) == (q, False)
