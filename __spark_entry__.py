@@ -45,39 +45,42 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    # the dedup/CDC flagships rotated out in waves 5-7 (stable
-    # multi-round greens, untouched this round): round 12's ~34 debut/
-    # changed entries need window slots — first-time driver
-    # verification of new operators outranks re-verifying stable
-    # greens, so the rotating block shrinks this round and recovers
-    # next round when the wave 1-9 debuts demote to rotation
-    # CHANGED round 12: the hyperplane count now derives from the
-    # corpus size when the conf is unset (VERDICT r11 missing #3) —
-    # must re-verify the derived default reproduces the oracle
+    # round-13 debuts, wave 1: the policy-mediated streaming WRITE
+    # (VERDICT r12 missing #1 — INSERT authorized at sink definition,
+    # exactly-once fence, FGAC read filter composes into the landed
+    # rows) and SQL PIVOT / UNPIVOT through the frontend (VERDICT r12
+    # missing #2 — Spark parses both natively; the oracle spells the
+    # engine-agnostic FILTER-rollup / UNION ALL equivalents)
+    "fgac_stream_write_ingest",
+    "pivot_sql_status_revenue",
+    "unpivot_sql_supplier_metrics",
+    # CHANGED round 13 (ADVICE r12): asof_join_frames pins SQL NULL
+    # semantics (NULL keys/ts never match) and rewrite_asof_joins
+    # refuses alias reuse; rewrite_distinct_on probes string-blanked
+    # text and splits OFFSET; rewrite_qualify refuses __qualify
+    # collisions — re-verify the three SQL-sugar flagships that ride
+    # those rewrites
+    "asof_sql_click_attribution",
+    "distinct_on_latest_click",
+    "qualify_top_suppliers_sql",
+]
+
+# Stable, previously driver-green oracle-bearing queries; a block of
+# (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
+# window each round, advancing by that block size per round.
+_ROTATION = [
+    # demoted from _CORE in round 13 (the ~34 round-12 debuts plus the
+    # r12-changed flagships — ALL driver-green in CORRECTNESS_r12 and
+    # untouched since; the promised ≥20-slot rotation restoration,
+    # __spark_entry__ r12 note / VERDICT r12 task 3: core shrinks to
+    # 9 + r13 debuts, so the rotating block is ≥ 30 of the 50 slots)
     "similarity_knn_graph",
-    # CHANGED round 12: range fan-out follows defaultParallelism
-    # instead of a hardcoded 32 (VERDICT r11 wrong #1), and
-    # partition_rank_offsets emits decimal offsets for decimal folds
-    # (ADVICE r11) — gini/skyline/ABC all ride those helpers
     "customers_gini_revenue",
     "orders_skyline_dominators",
     "parts_abc_classification",
-    # CHANGED round 12: empty-corpus parity (ADVICE r11) — the oracle
-    # is unchanged, the Spark side now matches it on zero documents
     "text_vocab_coverage_curve",
-    # round-12 debuts, wave 1 (the two r11-verdict architectural
-    # gaps): the storage-partitioned join issued THROUGH the SQL
-    # frontend (plain SQL, zero Exchange below the join), and the
-    # policy-mediated structured stream (FGAC applies to the unbounded
-    # frame before any stateful operator; deny at stream definition)
     "spj_sql_bucketed_join",
     "fgac_stream_patients_agg",
-    # round-12 debuts, wave 2: nested VARIANT multi-path extraction
-    # (object + array element paths + schema introspection, DuckDB
-    # runs the same json-path extraction), exact-moment lag-1
-    # autocorrelation of the daily revenue series, exact per-group
-    # mode, segment-mix entropy, inter-purchase gap stats,
-    # hapax-legomena share, embedding norm histogram
     "events_variant_multipath",
     "orders_daily_autocorr_lag1",
     "lineitem_mode_shipmonth",
@@ -85,75 +88,28 @@ _CORE = [
     "customer_interpurchase_gap_stats",
     "text_hapax_ratio_by_lang",
     "embedding_norm_histogram",
-    # round-12 debuts, wave 3: Zipf log-log OLS over a DISTRIBUTED
-    # vocabulary rank, Pearson chi-square independence for the brand ×
-    # type contingency table, ISO-weekday seasonality, and robust MAD
-    # outlier fencing on exact discrete medians
     "text_zipf_slope",
     "part_brand_type_chi2",
     "orders_weekday_seasonality",
     "supplier_acctbal_mad_outliers",
-    # round-12 debuts, wave 4: near-dup cluster-size QA histogram
-    # (composes the pointer-jumping CC labeling), sign-safe exact-ppm
-    # quarter-over-quarter growth, and gaps-and-islands order-day
-    # streaks as a first-class query
     "dedup_cluster_size_histogram",
     "orders_qoq_growth",
     "customer_daily_streaks_histogram",
-    # round-12 debuts, wave 5 (SQL surface): QUALIFY and ASOF JOIN
-    # through the frontend (DuckDB runs them natively — grammar parity
-    # by construction) and GROUP BY ALL as the identical statement
-    # text on both engines
-    "qualify_top_suppliers_sql",
-    "asof_sql_click_attribution",
     "group_by_all_revenue",
-    # round-12 debuts, wave 6 (distributed exact nonparametric stats):
-    # Mann-Whitney 2U + tie term, two-sample KS distance in exact ppm,
-    # per-year OLS revenue trend — rank/ECDF machinery as ONE
-    # distributed prefix sum (partition_rank_offsets idiom)
     "mannwhitney_u_priority",
     "ks_two_sample_segments",
     "orders_yearly_trend_ols",
-    # round-12 debuts, wave 7: Theil-Sen robust trend (median pairwise
-    # slope over the calendar-bounded daily frame) and exact rolling
-    # 7-day distinct active users (bounded ×7 fan-out, no range join)
     "theilsen_yearly_trend",
     "events_rolling_7d_users",
-    # round-12 debuts, wave 8: Coleman-Liau readability (regexp-exact,
-    # centi-unit integers before aggregation), cohort LTV triangle,
-    # positional spend deciles (the gini rank machinery, 10-group
-    # rollup). Rotation block is 15 this round — 29 debut/changed
-    # entries outweigh re-verifying stable greens; restore ≥20 next
-    # round when the r12 waves demote.
     "text_readability_cli",
     "customer_cohort_ltv",
     "customer_spend_deciles",
-    # DISTINCT ON (Postgres/DuckDB group-top-1 sugar) — same statement
-    # text runs natively on DuckDB; both SQL surfaces rewrite it
-    "distinct_on_latest_click",
-    # round-12 debuts, wave 9 (data-quality staples): FK orphan audit
-    # across every TPC-H link, exact per-column null/distinct profile,
-    # and the end-to-end curation funnel (quality → exact dedup →
-    # split → decontamination attrition in one report)
     "referential_integrity_audit",
     "orders_column_profile",
     "corpus_curation_funnel",
-    # wave 10: Spearman rank correlation — average-tie ranks kept
-    # exact by doubling (2·avg_rank = 2·cnt_below + t + 1), rho as one
-    # fixed double expression over DECIMAL(38,0)/HUGEINT moments
     "customers_spearman_balance_spend",
-    # 5%-trimmed mean by exact global position (the rank idiom + two
-    # broadcast scalars)
     "orders_trimmed_mean_price",
-    # fixed-basket Laspeyres price index per ship year (truncated
-    # integer milli-cent unit prices, ppm index)
     "lineitem_price_index_laspeyres",
-]
-
-# Stable, previously driver-green oracle-bearing queries; a block of
-# (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
-# window each round, advancing by that block size per round.
-_ROTATION = [
     # demoted from _CORE in round-12 wave 5 (stable multi-round
     # flagship greens, untouched this round; the rotating block stays
     # ≥ 20 of the 50 slots as waves 5-6 debut)

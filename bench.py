@@ -201,6 +201,12 @@ HEADLINE = [
     "customers_spearman_balance_spend",
     "orders_trimmed_mean_price",
     "lineitem_price_index_laspeyres",
+    # round-13: policy-mediated streaming WRITE (sink-definition
+    # authorization + exactly-once fence; fixture landing amortizes
+    # into the first run), SQL PIVOT / UNPIVOT through the frontend
+    "fgac_stream_write_ingest",
+    "pivot_sql_status_revenue",
+    "unpivot_sql_supplier_metrics",
 ]
 
 
@@ -221,9 +227,40 @@ def _release_blocks(spark) -> None:
         pass  # diagnostics only — never fail the bench over cleanup
 
 
+def _loadavg_1m() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+# The r12 number of record was ×1.34 pure box contention (loadavg
+# 5.6-6.9 during capture; the builder's quiet-box run measured the
+# common set flat) — the per-query ×1.4 noise rule only catches
+# spikes, not uniform shifts, so gate the CAPTURE instead: wait for a
+# quiet box before timing, and when it never quiets, say so in the
+# artifact rather than let the noise become the round's number.
+LOADAVG_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    waited = 0
+    while _loadavg_1m() > LOADAVG_THRESHOLD and waited < LOADAVG_WAIT_S:
+        time.sleep(15)
+        waited += 15
+    loadavg_start = round(_loadavg_1m(), 2)
+    contended = loadavg_start > LOADAVG_THRESHOLD
+    if contended:
+        print(
+            f"bench: box still contended after {waited}s wait "
+            f"(loadavg {loadavg_start} > {LOADAVG_THRESHOLD}) — numbers "
+            "will carry a contended annotation",
+            file=sys.stderr,
+        )
     # keep console progress bars out of the driver's 2,000-char stdout
     # tail — the final compact JSON line must survive there verbatim
     spark = build_session(
@@ -321,6 +358,7 @@ def main() -> None:
     # Deterministic trim order — ascending (time, name) — so the SAME
     # queries drop every round and consumers diffing stdout dicts across
     # rounds see stable membership (VERDICT r8 task 6).
+    loadavg_end = round(_loadavg_1m(), 2)
     compact = {k: round(v, 2) for k, v in timings.items()}
     omitted_names: list[str] = []
     while True:
@@ -330,7 +368,15 @@ def main() -> None:
             "unit": "sec",
             "queries": compact,
             "sf": float(sf),
+            # capture-quality witness (VERDICT r12 task 4): start is
+            # measured AFTER the quiet-box wait; a contended flag means
+            # the wait timed out and the suite ran on a loaded host —
+            # treat the numbers as an upper bound, not a regression
+            "loadavg_start": loadavg_start,
+            "loadavg_end": loadavg_end,
         }
+        if contended:
+            payload["contended"] = True
         if omitted_names:
             payload["queries_omitted"] = len(omitted_names)
         line = json.dumps(payload, separators=(",", ":"))
@@ -372,10 +418,14 @@ def main() -> None:
                     "runs": all_runs,
                     "sf": float(sf),
                     "omitted_names": omitted_names,
-                    # box pressure at suite END — separates shared-host
-                    # contention from genuine per-query drift when a
-                    # round's numbers move with zero code change
+                    # box pressure around the suite — separates shared-
+                    # host contention from genuine per-query drift when
+                    # a round's numbers move with zero code change;
+                    # start is post-quiet-wait (bench refuses to time on
+                    # a loaded box until LOADAVG_WAIT_S elapses)
+                    "loadavg_start": loadavg_start,
                     "loadavg_end": loadavg,
+                    "contended": contended,
                 },
                 f,
                 indent=1,

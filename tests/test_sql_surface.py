@@ -495,3 +495,70 @@ def test_asof_frames_matches_brute_reference(spark, left, right, op, how):
     )
     exp = _brute_asof(left or [(99, 99, 99)], right or [(98, 98, 98)], op, how)
     assert got == exp, (op, how, got, exp)
+
+
+# ------------------------------------------- PIVOT / UNPIVOT (round 13)
+def test_pivot_sql_two_phase_agg_no_join(spark, sf_dir):
+    """PIVOT compiles to Spark's canonical two-phase pivot aggregate —
+    groupBy(yr, st) partial sums, then pivotfirst keyed on yr — i.e.
+    exactly two keyed exchanges, both with map-side partials, no join
+    and no row explosion. (The FILTER-rollup spelling would be one
+    exchange; the pivot plan trades that for never widening rows
+    before the first agg — both are fact-scan-once.)"""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    df = QUERIES["pivot_sql_status_revenue"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "pivotfirst" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_unpivot_sql_expands_aggregate_not_fact(spark, sf_dir):
+    """UNPIVOT plans as an Expand ABOVE the aggregate (×|metrics| on
+    ≤|nations| rows) — one fact scan, not the oracle's two."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    df = QUERIES["unpivot_sql_supplier_metrics"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert plan.count("Scan ") == 1, plan
+
+
+def test_consumer_pivot_composes_with_row_filter(hc_engine):
+    """PIVOT through SecureSession sees the FILTERED relation: the
+    California column is NULL (its rows never reach the pivot), and an
+    ungranted principal denies at plan time."""
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        AccessDeniedException,
+    )
+
+    s1 = hc_engine.session_for(TEAM1)
+    rows = s1.sql(
+        """
+        SELECT * FROM (SELECT state, 1 AS one FROM patients)
+        PIVOT (COUNT(one) FOR state IN
+               ('Texas' AS tx, 'New York' AS ny, 'California' AS ca))
+        """
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["tx"], rows[0]["ny"], rows[0]["ca"]) == (4, 4, None)
+    with pytest.raises(AccessDeniedException):
+        hc_engine.session_for(TEAM2).sql(
+            "SELECT * FROM (SELECT state, 1 AS one FROM patients) "
+            "PIVOT (COUNT(one) FOR state IN ('Texas' AS tx))"
+        )
+
+
+def test_consumer_unpivot_never_vends_masked_out_columns(hc_engine):
+    """UNPIVOT cannot resurrect a column the whitelist hides: listing
+    ssn in the IN clause is an unresolved column for team1, never
+    data."""
+    s1 = hc_engine.session_for(TEAM1)
+    with pytest.raises(Exception, match="ssn|UNRESOLVED|cannot be resolved"):
+        s1.sql(
+            "SELECT patient_id, metric, val FROM patients "
+            "UNPIVOT (val FOR metric IN (ssn))"
+        ).collect()
