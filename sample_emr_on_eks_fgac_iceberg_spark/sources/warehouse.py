@@ -409,11 +409,30 @@ class Warehouse:
         with open(path) as f:
             return json.load(f)
 
-    def view_sql(self, name: str) -> str:
+    def view_sql(self, name: str, version_id: int | None = None) -> str:
+        """Body text of a view version — current by default, or any
+        retained version (the Iceberg view spec keeps the full version
+        list; CREATE OR REPLACE only moves current-version-id), so
+        view evolution is auditable like table snapshots."""
+        doc = self.view_doc(name)
+        vid = doc["current-version-id"] if version_id is None else version_id
+        hits = [x for x in doc["versions"] if x["version-id"] == vid]
+        if not hits:
+            raise ValueError(
+                f"View '{name}' has no version {vid} "
+                f"(versions: 1..{len(doc['versions'])})"
+            )
+        return hits[0]["sql"]
+
+    def view_versions(self, name: str) -> list[dict]:
+        """The view's full version history, oldest first — each entry
+        {version-id, timestamp-ms, sql} plus an is_current flag."""
         doc = self.view_doc(name)
         cur = doc["current-version-id"]
-        [v] = [x for x in doc["versions"] if x["version-id"] == cur]
-        return v["sql"]
+        return [
+            {**v, "is_current": v["version-id"] == cur}
+            for v in doc["versions"]
+        ]
 
     # --------------------------------------------------------------- DDL
     @staticmethod

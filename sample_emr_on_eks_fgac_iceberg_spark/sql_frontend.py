@@ -47,7 +47,14 @@ _DROP_VIEW_RE = re.compile(
 )
 _SHOW_VIEWS_RE = re.compile(r"\s*SHOW\s+VIEWS\s*;?\s*$", re.I)
 _SHOW_CREATE_VIEW_RE = re.compile(
-    r"\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*;?\s*$", re.I
+    r"\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)"
+    r"(?:\s+(?:FOR\s+)?(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    re.I,
+)
+# Iceberg-view-spec version audit: SHOW VIEW VERSIONS v lists every
+# retained version (CREATE OR REPLACE versions forward, never erases)
+_SHOW_VIEW_VERSIONS_RE = re.compile(
+    r"\s*SHOW\s+VIEW\s+VERSIONS\s+([\w.]+)\s*;?\s*$", re.I
 )
 _CREATE_LIKE_RE = re.compile(
     r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*;?\s*$",
@@ -967,9 +974,26 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 rows, "view_name string, current_version long, versions long"
             )
+        m = _SHOW_VIEW_VERSIONS_RE.match(query)
+        if m:
+            rows = [
+                (
+                    v["version-id"],
+                    v["timestamp-ms"],
+                    v["is_current"],
+                    v["sql"],
+                )
+                for v in self.warehouse.view_versions(m.group(1))
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version_id long, timestamp_ms long, is_current boolean, "
+                "view_sql string",
+            )
         m = _SHOW_CREATE_VIEW_RE.match(query)
         if m:
-            sql = self.warehouse.view_sql(m.group(1))
+            vid = int(m.group(2)) if m.group(2) else None
+            sql = self.warehouse.view_sql(m.group(1), version_id=vid)
             return self.spark.createDataFrame(
                 [(f"CREATE VIEW {m.group(1)} AS {sql}",)],
                 "createview_stmt string",

@@ -190,3 +190,42 @@ def test_shared_view_replace_propagates(hc):
         "SELECT patient_id FROM patients"
     )
     assert sess.sql("SELECT * FROM patient_states").columns == ["patient_id"]
+
+
+# ----------------------------- view version history SQL (round 13)
+def test_show_view_versions_lists_history(spark, tmp_path):
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    wh.create_table("t", t.schema)
+    wh.insert_into("t", t)
+    fe = SqlFrontend(spark, wh)
+    fe.execute("CREATE VIEW hv AS SELECT k FROM t")
+    fe.execute("CREATE OR REPLACE VIEW hv AS SELECT k, v FROM t")
+    fe.execute("CREATE OR REPLACE VIEW hv AS SELECT v FROM t")
+    rows = fe.execute("SHOW VIEW VERSIONS hv").collect()
+    assert [r["version_id"] for r in rows] == [1, 2, 3]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+    assert rows[0]["view_sql"] == "SELECT k FROM t"
+    assert rows[2]["view_sql"] == "SELECT v FROM t"
+    assert all(r["timestamp_ms"] > 0 for r in rows)
+
+    # SHOW CREATE VIEW resolves each retained version's body text
+    cur = fe.execute("SHOW CREATE VIEW hv").collect()[0][0]
+    assert cur == "CREATE VIEW hv AS SELECT v FROM t"
+    v1 = fe.execute("SHOW CREATE VIEW hv VERSION AS OF 1").collect()[0][0]
+    assert v1 == "CREATE VIEW hv AS SELECT k FROM t"
+    v2 = fe.execute(
+        "SHOW CREATE VIEW hv FOR SYSTEM_VERSION AS OF 2"
+    ).collect()[0][0]
+    assert v2 == "CREATE VIEW hv AS SELECT k, v FROM t"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no version 9"):
+        fe.execute("SHOW CREATE VIEW hv VERSION AS OF 9")
+    # reads still resolve the CURRENT version
+    assert fe.execute("SELECT * FROM hv").columns == ["v"]

@@ -1032,3 +1032,70 @@ def test_upsert_stream_demands_insert_and_delete(write_engine, tmp_path):
     )
     # k=1 keeps ver 2 (last version per key), k=2 its only version
     assert got == [(1, "a2", 2), (2, "b", 1)]
+
+
+# ------------------------------ streaming shared views (round 13)
+def test_stream_shared_view_batch_equivalent(fgac_engine):
+    """Team 1 tails a PRODUCER view: the body re-secures under team 1
+    with streaming sources (invoker's rights) — drained rows equal the
+    batch read through the same view."""
+    fgac_engine.sql(
+        "CREATE VIEW patient_cities AS SELECT patient_id, city, state "
+        "FROM patients"
+    )
+    s1 = fgac_engine.session_for("team1")
+    sdf = s1.readStream("patient_cities")
+    assert sdf.isStreaming and sdf.columns == ["patient_id", "city", "state"]
+    out = _drain(sdf, s1, "sv_rows", "append")
+    batch = s1.sql("SELECT patient_id, city, state FROM patient_cities")
+    assert _rows(out) == _rows(batch)
+    assert out.count() == 8  # TX/NY only: team 1's own filter applied
+
+
+def test_stream_shared_view_denies_ungranted_at_definition(fgac_engine):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        AccessDeniedException,
+    )
+
+    fgac_engine.sql(
+        "CREATE VIEW patient_states_sv AS SELECT state FROM patients"
+    )
+    s2 = fgac_engine.session_for("team2")  # no patients grant
+    with pytest.raises(AccessDeniedException):
+        s2.readStream("patient_states_sv")
+
+
+def test_stream_own_view_and_nested_view(fgac_engine):
+    """A consumer's OWN view streams too, including one that references
+    a shared producer view (nested resolution, cycle-guarded)."""
+    fgac_engine.sql(
+        "CREATE VIEW sv_base AS SELECT patient_id, state FROM patients"
+    )
+    s1 = fgac_engine.session_for("team1")
+    s1.sql("CREATE VIEW sv_tx AS SELECT patient_id FROM sv_base WHERE state = 'Texas'")
+    out = _drain(s1.readStream("sv_tx"), s1, "sv_tx_rows", "append")
+    assert sorted(r["patient_id"] for r in out.collect()) == [
+        1005, 1006, 1007, 1008,
+    ]
+
+
+def test_stream_view_non_streamable_body_refuses(fgac_engine):
+    s1 = fgac_engine.session_for("team1")
+    s1.sql("CREATE VIEW sv_const AS SELECT 1 AS one")
+    with pytest.raises(ValueError, match="streamable"):
+        s1.readStream("sv_const")
+
+
+def test_stream_view_revoke_denies_next_definition(fgac_engine):
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        AccessDeniedException,
+    )
+
+    fgac_engine.sql(
+        "CREATE VIEW sv_revoke AS SELECT patient_id FROM patients"
+    )
+    s1 = fgac_engine.session_for("team1")
+    assert s1.readStream("sv_revoke").isStreaming
+    fgac_engine.policy.revoke("team1", "patients")
+    with pytest.raises(AccessDeniedException):
+        s1.readStream("sv_revoke")
