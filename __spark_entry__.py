@@ -63,6 +63,18 @@ _CORE = [
     "asof_sql_click_attribution",
     "distinct_on_latest_click",
     "qualify_top_suppliers_sql",
+    # round-13 debuts, wave 3 (exact-stats shelf): Kruskal-Wallis H
+    # (k-sample rank test — the doubled-average-rank machinery with a
+    # truncation-identical ppm statistic), Kaplan-Meier churn survival
+    # (product-limit over calendar-bounded lifetimes, ordered ln-sum so
+    # both engines add the same doubles in the same sequence), lagged
+    # click→purchase cross-correlation (bounded ×8 fan-out, one fixed
+    # Pearson expression), and dyadic-weighted smoothed revenue (EWMA
+    # with power-of-two weights — exact integers, no float recursion)
+    "kruskal_wallis_priority",
+    "customer_churn_kaplan_meier",
+    "events_click_purchase_xcorr",
+    "events_dyadic_smoothed_revenue",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -207,6 +207,11 @@ HEADLINE = [
     "fgac_stream_write_ingest",
     "pivot_sql_status_revenue",
     "unpivot_sql_supplier_metrics",
+    # round-13 wave 3: exact-stats shelf (rank/survival/xcorr/EWMA)
+    "kruskal_wallis_priority",
+    "customer_churn_kaplan_meier",
+    "events_click_purchase_xcorr",
+    "events_dyadic_smoothed_revenue",
 ]
 
 

@@ -504,6 +504,223 @@ def customers_spearman_balance_spend(
 
 
 @register(
+    "kruskal_wallis_priority",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+    cv AS (SELECT v, grp, COUNT(*) AS c FROM g GROUP BY v, grp),
+    tv AS (SELECT v, SUM(c) AS t FROM cv GROUP BY v),
+    pv AS (SELECT v, t,
+                  COALESCE(SUM(t) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+           FROM tv),
+    rg AS (SELECT cv.grp,
+                  SUM(CAST(cv.c AS HUGEINT)
+                      * (2 * pv.cb + pv.t + 1)) AS s2,
+                  SUM(cv.c) AS ng
+           FROM cv JOIN pv USING (v) GROUP BY cv.grp),
+    m AS (SELECT SUM(ng) AS n, COUNT(*) AS k,
+                 SUM((CAST(s2 AS HUGEINT) * s2) // ng) AS a
+          FROM rg),
+    tie AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tt FROM tv)
+    SELECT CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS k_groups,
+           CAST((3 * a * 1000000) // (CAST(n AS HUGEINT) * (n + 1))
+                - 3 * (n + 1) * 1000000 AS BIGINT) AS h_ppm,
+           CAST((tt * 1000000)
+                // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS tie_ppm
+    FROM m, tie
+    """,
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL five order priorities — the
+    k-sample extension of Mann-Whitney (one-way ANOVA on ranks; 'does
+    order value differ by priority at all', before pairwise tests).
+    Exact integers throughout: doubled average-tie rank sums per group
+    S2_g = Σ_v c_{v,g}·(2·cum<(v) + t_v + 1) (the Spearman doubling),
+    then H = 3/(N(N+1))·Σ S2_g²/n_g − 3(N+1) reported in truncated
+    ppm with the per-group division truncated IDENTICALLY on both
+    engines (all operands positive, Spark div ≡ DuckDB //); the tie
+    correction Σ(t³−t) rides along as tie_ppm of N³−N so a consumer
+    forms H/(1−tie) without re-scanning.
+
+    Plan shape at 100 TB: the fact table collapses to one (value,
+    group) hash agg; per-value totals are a second small agg; the rank
+    machinery is ONE distributed exclusive prefix sum over distinct
+    values (range repartition + K broadcast offsets — the mannwhitney
+    skeleton); group rank-sums and the 1-row fold are k-bounded.
+    S2_g² ≤ 4N⁴ rides DECIMAL(38,0)/HUGEINT."""
+    g = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    cv = materialize_once(
+        g.groupBy("v", "grp").agg(F.count(F.lit(1)).cast(_DEC).alias("c"))
+    )
+    tv = cv.groupBy("v").agg(F.sum("c").alias("t"))
+    pv = _prefix_sum(tv, "v", "t", inclusive=False)
+    rg = (
+        cv.join(pv.select("v", "t", F.col("__cum").alias("cb")), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (F.lit(2).cast(_DEC) * F.col("cb") + F.col("t") + F.lit(1))
+            ).alias("s2"),
+            F.sum("c").alias("ng"),
+        )
+    )
+    m = rg.agg(
+        F.sum("ng").cast(_DEC).alias("n"),
+        F.count(F.lit(1)).cast(_DEC).alias("k"),
+        F.sum(F.expr("CAST((s2 * s2) div ng AS DECIMAL(38,0))")).alias("a"),
+    )
+    tie = tv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tt")
+    )
+    return m.crossJoin(F.broadcast(tie)).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.expr(
+            "CAST((3 * a * 1000000) div (n * (n + 1)) "
+            "- 3 * (n + 1) * 1000000 AS BIGINT)"
+        ).alias("h_ppm"),
+        F.expr(
+            "CAST((tt * 1000000) div (n * n * n - n) AS BIGINT)"
+        ).alias("tie_ppm"),
+    )
+
+
+@register(
+    "customer_churn_kaplan_meier",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                   AS lifetime,
+               CASE WHEN MAX(o_orderdate) <= (SELECT md FROM maxd)
+                         - INTERVAL 90 DAY THEN 1 ELSE 0 END AS event
+        FROM orders GROUP BY o_custkey),
+    lt AS (SELECT lifetime, SUM(event) AS d,
+                  SUM(1 - event) AS cens, COUNT(*) AS m
+           FROM cust GROUP BY lifetime),
+    tot AS (SELECT SUM(m) AS n FROM lt),
+    o AS (SELECT lifetime, d, cens,
+                 CAST((SELECT n FROM tot)
+                      - COALESCE(SUM(m) OVER (ORDER BY lifetime
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM lt),
+    s AS (SELECT lifetime, d, cens, n_risk,
+                 SUM(CASE WHEN d > 0 AND d < n_risk THEN
+                         ln(CAST(n_risk - d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE))
+                     ELSE 0 END) OVER (ORDER BY lifetime
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS lsum,
+                 MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY lifetime
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS dead
+          FROM o)
+    SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_churned,
+           CAST(cens AS BIGINT) AS n_censored,
+           CAST(CASE WHEN dead = 1 THEN 0
+                ELSE round(exp(lsum) * 1000000) END AS BIGINT)
+               AS survival_ppm
+    FROM s WHERE d > 0
+    """,
+)
+def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer engagement — lifetime = days
+    between first and last order; a customer whose last order is ≥90
+    days before the corpus end is an observed churn EVENT, later ones
+    are right-CENSORED (the estimator's whole point: censored
+    customers still count in the at-risk denominator until their
+    censoring time). One row per event lifetime with the classic
+    product-limit estimate S(t) = Π(1 − dᵢ/nᵢ), computed as
+    exp(Σ ln((n−d)/n)) over the ordered event days — the cumulative
+    window fixes the summation ORDER, so both engines add the same
+    doubles in the same sequence and ppm rounding absorbs the ulp
+    (the nation_segment_entropy ln-parity precedent). A day consuming
+    the whole risk set pins survival to exactly 0.
+
+    Plan shape at 100 TB: one custkey hash agg collapses the fact
+    table; everything after is keyed on LIFETIME DAYS — calendar-
+    bounded (≤ corpus span, a few thousand rows forever), so the
+    global-order windows run over a bounded frame (the engine's
+    bounded-window rule). The at-risk count is the exclusive prefix
+    sum; no per-customer state survives the first agg."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").alias("lifetime"),
+            F.when(
+                F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("event"),
+        )
+    )
+    lt = materialize_once(
+        cust.groupBy("lifetime").agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.sum(F.lit(1) - F.col("event")).cast("bigint").alias("cens"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    tot = lt.agg(F.sum("m").alias("n"))
+    # lifetime-day frame is calendar-bounded → bounded global window
+    wx = Window.orderBy("lifetime").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("lifetime").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    o2 = lt.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (F.col("n") - F.coalesce(F.sum("m").over(wx), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    # the ln argument is spelled (n−d)/n with the SAME operation order
+    # as the oracle — 1 − d/n would round differently
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    s = o2.withColumn("lsum", F.sum(term).over(wi)).withColumn(
+        "dead",
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(wi),
+    )
+    return s.filter(F.col("d") > 0).select(
+        F.col("lifetime").cast("bigint").alias("lifetime_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("d_churned"),
+        F.col("cens").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0))
+        .otherwise(F.round(F.exp("lsum") * 1000000))
+        .cast("bigint")
+        .alias("survival_ppm"),
+    )
+
+
+@register(
     "orders_trimmed_mean_price",
     oracle="""
     WITH r AS (

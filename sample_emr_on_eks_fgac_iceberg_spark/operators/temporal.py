@@ -1419,3 +1419,159 @@ def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau_1d").cast("bigint").alias("dau_1d"),
         F.col("dau_7d").cast("bigint").alias("dau_7d"),
     )
+
+
+@register(
+    "events_click_purchase_xcorr",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    pairs AS (
+        SELECT g.lag AS lag, c.x, p.y
+        FROM c CROSS JOIN generate_series(0, 7) AS g(lag)
+        JOIN p ON p.day = c.day + CAST(g.lag AS INT)),
+    m AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xcorr
+    FROM m WHERE n >= 3
+    """,
+)
+def events_click_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click and purchase
+    series — 'how many days after a click wave does the purchase wave
+    follow', the lead-indicator scan a growth dashboard runs. For each
+    lag 0..7, Pearson r between clicks(day) and purchases(day+lag)
+    over the days where both exist, as exact DECIMAL(38,0)/HUGEINT
+    moments folded into ONE fixed double expression (the Spearman/
+    autocorr float rule — +,−,×,/ and sqrt are correctly rounded).
+
+    Plan shape at 100 TB: the fact table collapses to two daily hash
+    aggs (calendar-bounded frames); the lag fan-out is a bounded ×8
+    explode of the CLICK daily frame joined by date to the purchase
+    daily frame — never a range join, nothing scales past the first
+    aggs; moments are a ≤8-group rollup."""
+    e = load_table(spark, sf_dir, "events")
+    _dec = "decimal(38,0)"
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast(_dec).alias("x"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast(_dec).alias("y"))
+    )
+    fan = c.select(
+        "day", "x", F.explode(F.expr("sequence(0, 7)")).alias("lag")
+    ).withColumn("mday", F.expr("date_add(day, lag)"))
+    pairs = fan.join(
+        p.select(F.col("day").alias("mday"), "y"), "mday"
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(_dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.filter(F.col("n") >= 3).select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+        ).alias("r_xcorr"),
+    )
+
+
+@register(
+    "events_dyadic_smoothed_revenue",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS HUGEINT)) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    days AS (SELECT day FROM d),
+    contrib AS (
+        SELECT dd.day AS day,
+               CAST(d.cents * (1 << (9 - (dd.day - d.day))) AS HUGEINT)
+                   AS wx,
+               CAST(1 << (9 - (dd.day - d.day)) AS HUGEINT) AS w
+        FROM d JOIN days dd
+          ON dd.day >= d.day AND dd.day <= d.day + 9)
+    SELECT day, CAST(SUM(wx) AS BIGINT) AS wsum_cents,
+           CAST(SUM(w) AS BIGINT) AS wtotal,
+           CAST((SUM(wx) * 1000) // SUM(w) AS BIGINT)
+               AS smoothed_millicents
+    FROM contrib GROUP BY day
+    """,
+)
+def events_dyadic_smoothed_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponentially-weighted (dyadic) smoothed daily purchase revenue
+    — the EWMA dashboards plot, made EXACT: weights are powers of two
+    (2⁹ for today down to 2⁰ nine days back), so the weighted sum and
+    the weight total are exact integers (no float recursion, no drift)
+    and the smoothed value is one truncating division in milli-cents
+    (positive operands — Spark div ≡ DuckDB //). Missing days simply
+    contribute no weight: the weight total per day says exactly how
+    much history backs each point.
+
+    Plan shape at 100 TB: the fact table collapses to the daily hash
+    agg first; the smoothing is a bounded ×10 explode of that
+    calendar-bounded frame joined to the observed-day list (the
+    rolling-7d pattern — no range join, no window, no driver state)."""
+    _dec = "decimal(38,0)"
+    d = materialize_once(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast(_dec)).alias("cents")
+        )
+    )
+    days = d.select("day")
+    fan = d.select(
+        F.col("day").alias("src"),
+        "cents",
+        F.explode(F.expr("sequence(day, date_add(day, 9))")).alias("day"),
+    ).withColumn(
+        "w",
+        F.expr("CAST(shiftleft(1, 9 - datediff(day, src)) AS DECIMAL(38,0))"),
+    )
+    contrib = fan.join(F.broadcast(days), "day").select(
+        "day", (F.col("cents") * F.col("w")).alias("wx"), "w"
+    )
+    return contrib.groupBy("day").agg(
+        F.sum("wx").cast("bigint").alias("wsum_cents"),
+        F.sum("w").cast("bigint").alias("wtotal"),
+        F.expr(
+            "CAST((SUM(wx) * 1000) div SUM(w) AS BIGINT)"
+        ).alias("smoothed_millicents"),
+    )

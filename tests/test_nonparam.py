@@ -197,3 +197,155 @@ def test_spearman_matches_brute_average_ranks(spark, duck):
     [row] = QUERIES["customers_spearman_balance_spend"](spark, SF).collect()
     assert row["n_customers"] == len(xy)
     assert abs(row["spearman_rho"] - rho) < 1e-9, (row["spearman_rho"], rho)
+
+
+# ----------------------------------------------- round-13 additions
+def test_kruskal_wallis_matches_brute_ranks(spark, duck):
+    rows = duck.sql(
+        "SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) "
+        "FROM orders"
+    ).fetchall()
+    vals = np.array([v for _, v in rows], dtype=np.int64)
+    grps = np.array([g for g, _ in rows])
+    # brute average ranks (1-based) with ties
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), dtype=np.float64)
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # average of i+1..j
+        i = j
+    n = len(vals)
+    a_exact = 0
+    for g in np.unique(grps):
+        s2 = int(round(2 * ranks[grps == g].sum()))  # doubled ranks: int
+        ng = int((grps == g).sum())
+        a_exact += (s2 * s2) // ng
+    h_ppm = (3 * a_exact * 1_000_000) // (n * (n + 1)) - 3 * (n + 1) * 1_000_000
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(vals.tolist()).values())
+    tie_ppm = (tie * 1_000_000) // (n**3 - n)
+    [row] = QUERIES["kruskal_wallis_priority"](spark, SF).collect()
+    assert row["n_orders"] == n and row["k_groups"] == len(np.unique(grps))
+    assert row["h_ppm"] == h_ppm
+    assert row["tie_ppm"] == tie_ppm
+    # the statistic is sane: H ≥ 0-ish (truncation can only shave ppm)
+    assert row["h_ppm"] > -10
+
+
+def test_kaplan_meier_matches_brute_product_limit(spark, duck):
+    import datetime as dt
+    import math
+
+    rows = duck.sql(
+        "SELECT o_custkey, MIN(o_orderdate), MAX(o_orderdate) "
+        "FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    maxd = max(r[2] for r in rows)
+    cutoff = maxd - dt.timedelta(days=90)
+    lifetimes = [( (last - first).days, 1 if last <= cutoff else 0)
+                 for _, first, last in rows]
+    n = len(lifetimes)
+    from collections import defaultdict
+
+    by_t = defaultdict(lambda: [0, 0])
+    for t, e in lifetimes:
+        by_t[t][0] += e
+        by_t[t][1] += 1 - e
+    surv, at_risk, expect = 1.0, n, {}
+    for t in sorted(by_t):
+        d, c = by_t[t]
+        if d > 0:
+            surv *= (at_risk - d) / at_risk
+            expect[t] = (at_risk, d, c, surv)
+        at_risk -= d + c
+    got = {
+        r["lifetime_days"]: (
+            r["n_at_risk"], r["d_churned"], r["n_censored"],
+            r["survival_ppm"],
+        )
+        for r in QUERIES["customer_churn_kaplan_meier"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for t, (nr, d, c, s) in expect.items():
+        gnr, gd, gc, sppm = got[t]
+        assert (gnr, gd, gc) == (nr, d, c), t
+        # exp(Σln) vs the running float product: allow 1 ppm slack
+        assert abs(sppm - round(s * 1_000_000)) <= 1, (t, sppm, s)
+    # survival is monotone non-increasing over event times
+    ts = sorted(got)
+    sv = [got[t][3] for t in ts]
+    assert all(a >= b for a, b in zip(sv, sv[1:]))
+
+
+def test_xcorr_matches_numpy_corrcoef(spark):
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    daily = dict(
+        con.sql(
+            "SELECT CAST(ts AS DATE), COUNT(*) FROM events "
+            "WHERE event_type='click' GROUP BY 1"
+        ).fetchall()
+    )
+    pdaily = dict(
+        con.sql(
+            "SELECT CAST(ts AS DATE), COUNT(*) FROM events "
+            "WHERE event_type='purchase' GROUP BY 1"
+        ).fetchall()
+    )
+    import datetime as dt
+
+    got = {
+        r["lag_days"]: (r["n_days"], r["r_xcorr"])
+        for r in QUERIES["events_click_purchase_xcorr"](spark, SF).collect()
+    }
+    for lag in range(8):
+        xs, ys = [], []
+        for day, x in daily.items():
+            y = pdaily.get(day + dt.timedelta(days=lag))
+            if y is not None:
+                xs.append(x)
+                ys.append(y)
+        if len(xs) < 3:
+            assert lag not in got
+            continue
+        r = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[lag][0] == len(xs)
+        assert abs(got[lag][1] - r) < 1e-9, (lag, got[lag][1], r)
+
+
+def test_dyadic_smoothing_exact_brute(spark):
+    import datetime as dt
+
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    daily = dict(
+        con.sql(
+            "SELECT CAST(ts AS DATE), "
+            "SUM(CAST(round(value*100) AS HUGEINT)) FROM events "
+            "WHERE event_type='purchase' GROUP BY 1"
+        ).fetchall()
+    )
+    got = {
+        r["day"]: (r["wsum_cents"], r["wtotal"], r["smoothed_millicents"])
+        for r in QUERIES["events_dyadic_smoothed_revenue"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(daily)
+    for day in daily:
+        wsum = wtot = 0
+        for k in range(10):
+            src = day - dt.timedelta(days=k)
+            if src in daily:
+                wsum += int(daily[src]) * (1 << (9 - k))
+                wtot += 1 << (9 - k)
+        assert got[day] == (wsum, wtot, (wsum * 1000) // wtot), day
