@@ -75,6 +75,15 @@ _CORE = [
     "customer_churn_kaplan_meier",
     "events_click_purchase_xcorr",
     "events_dyadic_smoothed_revenue",
+    # round-13 debuts, wave 4: per-cluster k-means inertia (exact
+    # milli-squared SSE to the own-label fixed-point centroid — the
+    # elbow-method diagnostic), Jensen-Shannon divergence between the
+    # en/de char-unigram mixes (bounded corpus-drift metric), and the
+    # order-to-ship process-conformance matrix (priority x lag bucket
+    # with an impossible-sequence counter)
+    "embedding_cluster_inertia",
+    "text_lang_char_js_divergence",
+    "lineitem_process_conformance",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -212,6 +212,10 @@ HEADLINE = [
     "customer_churn_kaplan_meier",
     "events_click_purchase_xcorr",
     "events_dyadic_smoothed_revenue",
+    # round-13 wave 4: cluster inertia, JS divergence, conformance
+    "embedding_cluster_inertia",
+    "text_lang_char_js_divergence",
+    "lineitem_process_conformance",
 ]
 
 

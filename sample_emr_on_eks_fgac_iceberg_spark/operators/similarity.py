@@ -2031,3 +2031,80 @@ def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").cast("bigint").alias("min_sq_milli"),
         F.max("s").cast("bigint").alias("max_sq_milli"),
     )
+
+
+@register(
+    "embedding_cluster_inertia",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xi
+        FROM embeddings),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, dim),
+    d AS (
+        SELECT x.vec_id, x.label,
+               CAST(SUM((xi - c) * (xi - c)) AS BIGINT) AS dist_sq
+        FROM x JOIN cent
+          ON x.dim = cent.dim AND x.label = cent.c_label
+        GROUP BY x.vec_id, x.label)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dist_sq) AS BIGINT) AS inertia_milli2,
+           CAST(SUM(dist_sq) // COUNT(*) AS BIGINT) AS mean_dist_sq
+    FROM d GROUP BY label
+    """,
+)
+def embedding_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared distances to
+    the own-label centroid) — the k-means training diagnostic that
+    tells you which clusters are tight and which should split; the
+    scalar Σ inertia is the quantity the elbow method plots. Exact:
+    centroids are the engine's round(mean) milli-unit fixed points
+    (the embedding_centroids convention), so every distance is an
+    integer and the per-cluster mean is one truncating division.
+
+    Plan shape at 100 TB: long-form explode → (label, dim) centroid
+    agg (K×D rows — broadcast) → join back ON OWN LABEL ONLY (unlike
+    the E-step's all-centroid fan-out, this is ×1, not ×K) → one
+    (vec, label) partial agg → K-row rollup."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+    )
+    x = materialize_once(x)
+    cent = x.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    d = (
+        x.join(
+            F.broadcast(cent),
+            (x["dim"] == cent["dim"]) & (x["label"] == cent["c_label"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xi") - F.col("c")) * (F.col("xi") - F.col("c")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.col("dist_sq").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("inertia_milli2"),
+        F.expr(
+            "CAST(SUM(CAST(dist_sq AS DECIMAL(38,0))) div COUNT(*) "
+            "AS BIGINT)"
+        ).alias("mean_dist_sq"),
+    )

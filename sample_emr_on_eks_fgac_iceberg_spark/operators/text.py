@@ -1615,3 +1615,99 @@ def text_readability_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100) * F.count(F.lit(1)))
         ).alias("mean_cli"),
     )
+
+
+@register(
+    "text_lang_char_js_divergence",
+    oracle="""
+    WITH ch AS (
+        SELECT lang, unnest(regexp_extract_all(text, '.')) AS c
+        FROM documents WHERE lang IN ('en', 'de')),
+    cc AS (
+        SELECT c,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS nb
+        FROM ch GROUP BY c),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cc),
+    terms AS (
+        SELECT
+            CASE WHEN na > 0 THEN
+                (CAST(na AS DOUBLE) / ta)
+                * ln((CAST(na AS DOUBLE) / ta)
+                     / ((CAST(na AS DOUBLE) / ta
+                         + CAST(nb AS DOUBLE) / tb) / 2))
+            ELSE 0 END AS t_en,
+            CASE WHEN nb > 0 THEN
+                (CAST(nb AS DOUBLE) / tb)
+                * ln((CAST(nb AS DOUBLE) / tb)
+                     / ((CAST(na AS DOUBLE) / ta
+                         + CAST(nb AS DOUBLE) / tb) / 2))
+            ELSE 0 END AS t_de
+        FROM cc, tot)
+    SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_chars_en,
+           CAST((SELECT tb FROM tot) AS BIGINT) AS n_chars_de,
+           CAST((SELECT COUNT(*) FROM cc) AS BIGINT) AS n_char_types,
+           CAST(round((SUM(t_en) + SUM(t_de)) / 2 * 1000000) AS BIGINT)
+               AS jsd_micro_nats
+    FROM terms
+    """,
+)
+def text_lang_char_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between the English and German
+    character-unigram distributions — the bounded, symmetric corpus-
+    drift metric (0 = identical mixes, ln 2 = disjoint alphabets) a
+    pipeline tracks across snapshots or sources. Counts are exact
+    integers; JSD = ½KL(p‖m) + ½KL(q‖m) folds per-character terms
+    written as ONE identical double expression on both engines, and
+    the micro-nat rounding absorbs summation-order ulp (the
+    nation_segment_entropy ln-parity precedent).
+
+    Plan shape at 100 TB: the char explode is the tokenize-shaped
+    fan-out every text operator pays, immediately collapsed by a
+    (char) hash agg with map-side partials — the per-char table is
+    alphabet-bounded (≤ a few thousand rows forever); totals ride a
+    broadcast 1-row cross join; the statistic is a 1-row fold."""
+    ch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select(
+            "lang",
+            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("c"),
+        )
+    )
+    cc = materialize_once(
+        ch.groupBy("c").agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    tot = cc.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("ntypes"),
+    )
+    j = cc.crossJoin(F.broadcast(tot))
+    pa = F.col("na").cast("double") / F.col("ta")
+    pb = F.col("nb").cast("double") / F.col("tb")
+    m = (pa + pb) / 2
+    t_en = F.when(F.col("na") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    t_de = F.when(F.col("nb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    return (
+        j.agg(
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.max("ntypes").alias("ntypes"),
+            F.sum(t_en).alias("se"),
+            F.sum(t_de).alias("sd"),
+        )
+        .select(
+            F.col("ta").cast("bigint").alias("n_chars_en"),
+            F.col("tb").cast("bigint").alias("n_chars_de"),
+            F.col("ntypes").cast("bigint").alias("n_char_types"),
+            F.round((F.col("se") + F.col("sd")) / 2 * 1000000)
+            .cast("bigint")
+            .alias("jsd_micro_nats"),
+        )
+    )
