@@ -84,6 +84,14 @@ _CORE = [
     "embedding_cluster_inertia",
     "text_lang_char_js_divergence",
     "lineitem_process_conformance",
+    # round-13 debuts, wave 5: the streaming UPSERT through the policy
+    # surface (INSERT+DELETE at sink definition, last-version-per-key
+    # MERGE, replay-fenced), L1 gradient energy + edge density over the
+    # decoded PGM rasters (the image sharpness screen), and the session
+    # entry/exit matrix composed on gap sessionization
+    "fgac_stream_upsert_state",
+    "multimodal_image_gradient_energy",
+    "sessions_entry_exit_matrix",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -216,6 +216,10 @@ HEADLINE = [
     "embedding_cluster_inertia",
     "text_lang_char_js_divergence",
     "lineitem_process_conformance",
+    # round-13 wave 5: streaming upsert, gradient energy, entry/exit
+    "fgac_stream_upsert_state",
+    "multimodal_image_gradient_energy",
+    "sessions_entry_exit_matrix",
 ]
 
 

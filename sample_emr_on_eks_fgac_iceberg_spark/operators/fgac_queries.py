@@ -337,3 +337,69 @@ def fgac_stream_write_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM patients_landed GROUP BY state
         """
     )
+
+
+# deterministic multi-version CDC feed for the streaming upsert: three
+# keys, the last version per key (by ver) is the expected final state
+_UPSERT_FEED = [
+    (1, "alpha", 1),
+    (2, "bravo", 1),
+    (1, "alpha-v2", 2),
+    (3, "charlie", 1),
+    (2, "bravo-v2", 2),
+    (1, "alpha-v3", 3),
+]
+
+
+@register(
+    "fgac_stream_upsert_state",
+    oracle=f"""
+    WITH feed(k, v, ver) AS (VALUES
+        {", ".join(f"({k}, '{v}', {ver})" for k, v, ver in _UPSERT_FEED)}),
+    last AS (
+        SELECT k, v, ver,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        FROM feed)
+    SELECT k, v, ver FROM last WHERE rn = 1
+    """,
+)
+def fgac_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-mediated streaming UPSERT (the CDC-apply half of VERDICT
+    r12 missing #1): a granted principal streams a multi-version feed
+    through ``SecureSession.upsert_writeStream_into`` — INSERT+DELETE
+    both authorized at sink definition (an upsert rewrites matched
+    rows: the batch UPDATE/MERGE permission rule), each micro-batch
+    MERGEs last-version-per-key (order_by=ver), and replays are fenced
+    by ``txn=(source_id, batch_id)``. The final table state must equal
+    the feed's last version per key — exactly what the VALUES oracle's
+    row_number computes. Re-running the query replays fenced batch ids,
+    so the state (and the driver-checked result) is stable."""
+    import tempfile
+
+    from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+        DELETE,
+        INSERT,
+        SELECT,
+    )
+
+    eng = _engine_for(spark)
+    if not eng.warehouse.table_exists("cdc_feed"):
+        eng.warehouse.create_table("cdc_feed", "k BIGINT, v STRING, ver BIGINT")
+        eng.warehouse.insert_values("cdc_feed", _UPSERT_FEED)
+        eng.warehouse.create_table(
+            "cdc_state", "k BIGINT, v STRING, ver BIGINT"
+        )
+        eng.warehouse.set_identifier_fields("cdc_state", ["k"])
+        eng.policy.grant(TEAM1, "cdc_feed", {SELECT})
+        eng.policy.grant(TEAM1, "cdc_state", {SELECT, INSERT, DELETE})
+    sess = eng.session_for(TEAM1)
+    sess.upsert_writeStream_into(
+        sess.readStream("cdc_feed"),
+        "cdc_state",
+        "fgac-cdc-apply",
+        "t.k = s.k",
+        ["k"],
+        tempfile.mkdtemp(prefix="fgac_up_ckpt_"),
+        order_by="ver",
+    )
+    return sess.sql("SELECT k, v, ver FROM cdc_state")

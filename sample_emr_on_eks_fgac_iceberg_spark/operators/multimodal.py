@@ -810,3 +810,132 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("sum_sq").cast("bigint").alias("seg_sum_sq"),
         F.max("peak").cast("int").alias("seg_peak"),
     ).drop("island")
+
+
+_EDGE_THRESH = 32  # |Δ pixel| above this counts as an edge step
+
+
+@register(
+    "multimodal_image_gradient_energy",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len,
+                      CAST(64 + (doc_id % 16) * 8 AS INT) AS w,
+                      CAST(64 + (doc_id % 9) * 8 AS INT) AS h
+               FROM documents
+               WHERE length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
+    px AS (SELECT doc_id, text, len, w, h,
+                  unnest(range(0, CAST(w * h AS BIGINT))) AS s
+           FROM d),
+    -- pixel value at any position is text[pos mod len] (the cyclic
+    -- rpad construction), so the right/down neighbors index the SHORT
+    -- string directly — no self-join over the pixel plane
+    v AS (SELECT doc_id, w, h, s,
+                 ascii(substring(text, CAST(s % len + 1 AS BIGINT), 1))
+                     AS val,
+                 CASE WHEN s % w < w - 1 THEN
+                     ascii(substring(text,
+                         CAST((s + 1) % len + 1 AS BIGINT), 1))
+                 END AS val_r,
+                 CASE WHEN s < w * (h - 1) THEN
+                     ascii(substring(text,
+                         CAST((s + w) % len + 1 AS BIGINT), 1))
+                 END AS val_d
+          FROM px)
+    SELECT doc_id,
+           CAST(SUM(abs(val_r - val)) AS BIGINT) AS grad_h,
+           CAST(SUM(abs(val_d - val)) AS BIGINT) AS grad_v,
+           CAST(COUNT(*) FILTER (abs(val_r - val) > {_EDGE_THRESH})
+                + COUNT(*) FILTER (abs(val_d - val) > {_EDGE_THRESH})
+                AS BIGINT) AS n_edges,
+           CAST((COUNT(*) FILTER (abs(val_r - val) > {_EDGE_THRESH})
+                 + COUNT(*) FILTER (abs(val_d - val) > {_EDGE_THRESH}))
+                * 1000000
+                // (COUNT(val_r) + COUNT(val_d)) AS BIGINT)
+               AS edge_density_ppm
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_image_gradient_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gradient energy + edge density per raster — the sharpness/
+    complexity screen an image-curation pipeline runs to drop flat or
+    noise-saturated frames before expensive featurization (the visual
+    sibling of the text quality filters). Decodes the same synthetic
+    PGM payloads as `multimodal_image_stats`, then per image: total
+    |horizontal Δ| and |vertical Δ| (integer L1 gradient energy), the
+    count of steps above {_EDGE_THRESH}, and edge density in truncated
+    ppm of all neighbor comparisons. All integer-exact; the oracle
+    indexes the cyclic text directly (no pixel-plane self-join).
+
+    Scale shape: Arrow-batched mapInPandas — np.diff over the decoded
+    plane, two axis sums, no per-pixel Python; each image reduces to
+    ONE row inside the decoder (~10⁴:1 before any shuffle), and the
+    final frame is doc-count-sized."""
+    import numpy as np
+    import pandas as pd
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
+    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
+    pgm = d.filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P5\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.rpad(F.col("text"), w * h, F.col("text")),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("grad_h", T.LongType()),
+            T.StructField("grad_v", T.LongType()),
+            T.StructField("n_edges", T.LongType()),
+            T.StructField("edge_density_ppm", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        header = re.compile(rb"^P5\n(\d+) (\d+)\n255\n")
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "grad_h", "grad_v", "n_edges",
+                "edge_density_ppm",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                m = header.match(buf)
+                if m is None:
+                    continue
+                iw, ih = int(m.group(1)), int(m.group(2))
+                plane = np.frombuffer(
+                    buf, dtype=np.uint8, count=iw * ih, offset=m.end()
+                ).reshape(ih, iw).astype(np.int64)
+                dh = np.abs(np.diff(plane, axis=1))
+                dv = np.abs(np.diff(plane, axis=0))
+                n_edges = int((dh > _EDGE_THRESH).sum()) + int(
+                    (dv > _EDGE_THRESH).sum()
+                )
+                n_cmp = dh.size + dv.size
+                out["doc_id"].append(doc_id)
+                out["grad_h"].append(int(dh.sum()))
+                out["grad_v"].append(int(dv.sum()))
+                out["n_edges"].append(n_edges)
+                out["edge_density_ppm"].append(n_edges * 1_000_000 // n_cmp)
+            yield pd.DataFrame(out)
+
+    return pgm.mapInPandas(decode, out_schema)

@@ -486,3 +486,116 @@ def events_stream_stream_conversions(
         F.countDistinct("click_id").cast("bigint").alias("n_clicks_converted"),
         F.min("lat_s").cast("bigint").alias("min_latency_s"),
     )
+
+
+@register(
+    "sessions_entry_exit_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts)
+                            > {SESSION_GAP_SECONDS}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM seq),
+    numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS rn_a,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts DESC, event_id DESC)
+                      AS rn_d,
+                  COUNT(*) OVER (PARTITION BY user_id, session_seq) AS m
+        FROM numbered),
+    sess AS (
+        SELECT user_id, session_seq,
+               MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+               MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+               MAX(m) AS n_ev
+        FROM ranked GROUP BY user_id, session_seq),
+    tot AS (SELECT COUNT(*) AS n FROM sess)
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_ev = 1) AS BIGINT) AS n_single_event,
+           CAST(SUM(n_ev) AS BIGINT) AS total_events,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM sess GROUP BY entry_type, exit_type
+    """,
+)
+def sessions_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-type × exit-type session matrix — 'what do sessions start
+    and end with' (the landing/abandonment view product analytics
+    reads next to the funnel), composed on the engine's gap
+    sessionization: per session the first and last event type by
+    (ts, event_id), rolled into a ≤|types|² matrix with single-event
+    (bounce) counts and truncated-ppm shares.
+
+    Plan shape at 100 TB: ONE hash partition on user_id serves the
+    lag, the running session counter AND both per-session rank
+    windows (same key prefix — no extra exchange); the matrix rollup
+    is a tiny hash agg; the denominator rides a broadcast 1-row cross
+    join. Session state never leaves the user partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    gap_s = epoch("ts") - F.lag(epoch("ts")).over(w)
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(wrun)
+    )
+    ws = Window.partitionBy("user_id", "session_seq")
+    ranked = (
+        numbered.withColumn(
+            "rn_a", F.row_number().over(ws.orderBy("ts", "event_id"))
+        )
+        .withColumn(
+            "rn_d",
+            F.row_number().over(
+                ws.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .withColumn("m", F.count(F.lit(1)).over(ws))
+    )
+    sess = ranked.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+        F.max("m").alias("n_ev"),
+    )
+    tot = sess.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    return (
+        sess.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_single_event"),
+            F.sum("n_ev").cast("bigint").alias("total_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "entry_type",
+            "exit_type",
+            F.col("cnt").cast("bigint").alias("n_sessions"),
+            "n_single_event",
+            "total_events",
+            F.expr("CAST((cnt * 1000000) div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

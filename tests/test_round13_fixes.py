@@ -370,3 +370,64 @@ def test_process_conformance_invariants(spark):
     assert {r["priority"] for r in rows} == {
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     }
+
+
+# ------------------------------------------ round-13 wave-5 operators
+def test_gradient_energy_invariants(spark):
+    import numpy as np
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    rows = QUERIES["multimodal_image_gradient_energy"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["grad_h"] >= 0 and r["grad_v"] >= 0
+        assert 0 <= r["edge_density_ppm"] <= 1_000_000
+    # spot-check one doc against a local decode of the same synthetic PGM
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    doc_id, text = con.sql(
+        "SELECT doc_id, text FROM documents WHERE length(text) > 0 "
+        "AND octet_length(CAST(text AS BLOB)) = length(text) "
+        "ORDER BY doc_id LIMIT 1"
+    ).fetchone()
+    w, h = 64 + (doc_id % 16) * 8, 64 + (doc_id % 9) * 8
+    data = (text * (w * h // len(text) + 1))[: w * h].encode()
+    plane = np.frombuffer(data, dtype=np.uint8).reshape(h, w).astype(int)
+    dh, dv = np.abs(np.diff(plane, axis=1)), np.abs(np.diff(plane, axis=0))
+    got = {r["doc_id"]: r for r in rows}[doc_id]
+    assert got["grad_h"] == int(dh.sum())
+    assert got["grad_v"] == int(dv.sum())
+    assert got["n_edges"] == int((dh > 32).sum()) + int((dv > 32).sum())
+
+
+def test_entry_exit_matrix_reconciles_with_sessionization(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    matrix = QUERIES["sessions_entry_exit_matrix"](spark, SF).collect()
+    sessions = QUERIES["events_sessionization"](spark, SF).collect()
+    assert sum(r["n_sessions"] for r in matrix) == len(sessions)
+    assert sum(r["total_events"] for r in matrix) == sum(
+        s["n_events"] for s in sessions
+    )
+    assert sum(r["n_single_event"] for r in matrix) == sum(
+        1 for s in sessions if s["n_events"] == 1
+    )
+    s = sum(r["share_ppm"] for r in matrix)
+    assert 1_000_000 - len(matrix) <= s <= 1_000_000
+
+
+def test_stream_upsert_state_is_last_version_per_key(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    got = sorted(
+        map(tuple, QUERIES["fgac_stream_upsert_state"](spark, SF).collect())
+    )
+    assert got == [(1, "alpha-v3", 3), (2, "bravo-v2", 2), (3, "charlie", 1)]
+    # idempotent across re-runs (fenced replay)
+    again = sorted(
+        map(tuple, QUERIES["fgac_stream_upsert_state"](spark, SF).collect())
+    )
+    assert again == got
