@@ -92,6 +92,14 @@ _CORE = [
     "fgac_stream_upsert_state",
     "multimodal_image_gradient_energy",
     "sessions_entry_exit_matrix",
+    # round-13 debuts, wave 6: daily order backlog (work-in-progress
+    # series — signed cumulative over the bounded day grid), the
+    # SQL-standard named WINDOW clause through the frontend (native on
+    # both engines — identical statement text), and the time-travel
+    # snapshot diff (current EXCEPT VERSION AS OF 1, both directions)
+    "orders_daily_backlog",
+    "window_named_sql_ranks",
+    "time_travel_snapshot_diff",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

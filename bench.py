@@ -220,6 +220,10 @@ HEADLINE = [
     "fgac_stream_upsert_state",
     "multimodal_image_gradient_energy",
     "sessions_entry_exit_matrix",
+    # round-13 wave 6: backlog series, named WINDOW, snapshot diff
+    "orders_daily_backlog",
+    "window_named_sql_ranks",
+    "time_travel_snapshot_diff",
 ]
 
 

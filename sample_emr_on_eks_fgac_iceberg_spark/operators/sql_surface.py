@@ -69,9 +69,18 @@ def _frontend(spark: SparkSession, sf_dir: str):
         )
         wh.create_table("sq_orders", orders.schema)
         wh.insert_into("sq_orders", orders)
+        # two-snapshot fixture for the time-travel diff: snapshot 1 is
+        # the base batch, snapshot 2 appends the delta batch
+        wh.create_table("sq_tt", "k bigint, v string")
+        wh.insert_values("sq_tt", list(_TT_BASE))
+        wh.insert_values("sq_tt", list(_TT_DELTA))
         _WAREHOUSES[key] = wh
         _FRONTENDS[key] = SqlFrontend(spark, wh)
     return _FRONTENDS[key]
+
+
+_TT_BASE = ((1, "a"), (2, "b"), (3, "c"))
+_TT_DELTA = ((4, "d"), (5, "e"))
 
 
 @register(
@@ -302,5 +311,90 @@ def distinct_on_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                click_user_id, click_ts, click_event_id
         FROM sq_clicks
         ORDER BY click_user_id, click_ts DESC, click_event_id DESC
+        """
+    )
+
+
+@register(
+    "window_named_sql_ranks",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS DECIMAL(38,0)))
+                OVER w2 AS BIGINT) AS cum_bal_cents
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey),
+           w2 AS (PARTITION BY s_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def window_named_sql_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard named ``WINDOW`` clause through the frontend —
+    two windows defined once and referenced by alias (the dialect
+    feature analysts reach for when a statement carries 4+ window
+    functions). Native on Spark AND DuckDB: the IDENTICAL statement
+    text runs on both engines (the GROUP BY ALL parity pattern).
+    Exact integer cents; the rank order is fully tie-broken.
+
+    Plan shape at 100 TB: both windows share the same partition key
+    and order — ONE hash partition on s_nationkey serves both (one
+    exchange, one sort; plan-asserted in tests)."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT s_nationkey, s_suppkey,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS DECIMAL(38,0)))
+                    OVER w2 AS BIGINT) AS cum_bal_cents
+        FROM sq_supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey),
+               w2 AS (PARTITION BY s_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey
+                      ROWS UNBOUNDED PRECEDING)
+        """
+    )
+
+
+@register(
+    "time_travel_snapshot_diff",
+    oracle=f"""
+    WITH base(k, v) AS (VALUES
+        {", ".join(f"({k}, '{v}')" for k, v in _TT_BASE)}),
+    delta(k, v) AS (VALUES
+        {", ".join(f"({k}, '{v}')" for k, v in _TT_DELTA)}),
+    cur AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    SELECT 'added' AS change, k, v FROM cur
+    EXCEPT SELECT 'added', k, v FROM base
+    UNION ALL
+    SELECT 'removed' AS change, k, v FROM base
+    EXCEPT SELECT 'removed', k, v FROM cur
+    """,
+)
+def time_travel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot data diff spelled as PLAIN SQL time travel
+    through the frontend — ``current EXCEPT VERSION AS OF 1`` (added)
+    unioned with the reverse (removed): the audit a data steward runs
+    after an unexpected commit, needing no CDC registration (the
+    changelog surface is the manifest-planned sibling; this is the
+    set-algebra one that works on ANY pair of retained snapshots).
+    The oracle replays the two deterministic batches inline.
+
+    Plan shape at 100 TB: two scans of the SAME table at different
+    snapshots (manifest-planned file lists — the unchanged files are
+    shared, and Iceberg's incremental planning reads only the delta
+    manifests for the newer side) feeding two hash-distinct EXCEPTs;
+    each EXCEPT shuffles on the full row — fine for audit runs, and
+    the CDC changelog is the streaming-scale alternative."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT 'added' AS change, k, v FROM sq_tt
+        EXCEPT SELECT 'added', k, v FROM sq_tt VERSION AS OF 1
+        UNION ALL
+        SELECT 'removed' AS change, k, v FROM sq_tt VERSION AS OF 1
+        EXCEPT SELECT 'removed', k, v FROM sq_tt
         """
     )

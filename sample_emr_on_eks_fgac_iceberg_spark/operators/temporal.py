@@ -1575,3 +1575,80 @@ def events_dyadic_smoothed_revenue(
             "CAST((SUM(wx) * 1000) div SUM(w) AS BIGINT)"
         ).alias("smoothed_millicents"),
     )
+
+
+@register(
+    "orders_daily_backlog",
+    oracle="""
+    WITH opened AS (
+        SELECT o_orderdate AS day, COUNT(*) AS n_opened FROM orders
+        GROUP BY 1),
+    closes AS (
+        SELECT o.o_orderkey, MAX(l.l_shipdate) AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey),
+    closed AS (
+        SELECT close_day AS day, COUNT(*) AS n_closed FROM closes
+        GROUP BY 1),
+    grid AS (
+        SELECT day, COALESCE(o.n_opened, 0) AS n_opened,
+               COALESCE(c.n_closed, 0) AS n_closed
+        FROM opened o FULL OUTER JOIN closed c USING (day))
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM grid
+    """,
+)
+def orders_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order backlog — orders placed but not yet fully shipped
+    (open from o_orderdate until the LAST lineitem ship date), the
+    work-in-progress series an operations dashboard watches for
+    capacity pressure. backlog(d) = cum(opened ≤ d) − cum(closed ≤ d),
+    all exact integers; an order with no lineitems never closes and
+    stays in the backlog (honest: it IS unshipped work).
+
+    Plan shape at 100 TB: per-order close dates are one orderkey join
+    + keyed agg (AQE-skew-splittable; storage-partitioned when both
+    tables are bucket-landed); both daily series are calendar-bounded
+    hash aggs, and the cumulative window runs over the bounded
+    day grid (a few thousand rows forever) — the engine's
+    bounded-global-window rule."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    opened = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened")
+    )
+    closes = (
+        o.select("o_orderkey")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.max("l_shipdate").alias("day"))
+    )
+    closed = closes.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_closed")
+    )
+    grid = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce(F.col("n_opened"), F.lit(0)).alias("n_opened"),
+            F.coalesce(F.col("n_closed"), F.lit(0)).alias("n_closed"),
+        )
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(wc)
+        .cast("bigint")
+        .alias("backlog"),
+    )

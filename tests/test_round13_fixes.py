@@ -431,3 +431,25 @@ def test_stream_upsert_state_is_last_version_per_key(spark):
         map(tuple, QUERIES["fgac_stream_upsert_state"](spark, SF).collect())
     )
     assert again == got
+
+
+def test_daily_backlog_invariants(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    rows = sorted(
+        QUERIES["orders_daily_backlog"](spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r["n_opened"] for r in rows) == n_orders
+    # closed ≤ opened cumulatively, backlog is their running difference
+    cum = 0
+    for r in rows:
+        cum += r["n_opened"] - r["n_closed"]
+        assert r["backlog"] == cum
+        assert cum >= 0
+    # orders with no lineitems (if any) remain in the final backlog
+    assert rows[-1]["backlog"] == n_orders - sum(
+        r["n_closed"] for r in rows
+    )

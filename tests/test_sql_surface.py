@@ -562,3 +562,24 @@ def test_consumer_unpivot_never_vends_masked_out_columns(hc_engine):
             "SELECT patient_id, metric, val FROM patients "
             "UNPIVOT (val FOR metric IN (ssn))"
         ).collect()
+
+
+# --------------------------- named WINDOW + snapshot diff (round 13)
+def test_named_window_shares_one_exchange(spark, sf_dir):
+    """Both named windows share partition key and order — the plan
+    must carry exactly ONE hash exchange and one sort."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    df = QUERIES["window_named_sql_ranks"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_directions(spark, sf_dir):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
+
+    rows = sorted(
+        map(tuple, QUERIES["time_travel_snapshot_diff"](spark, sf_dir).collect())
+    )
+    assert rows == [("added", 4, "d"), ("added", 5, "e")]
