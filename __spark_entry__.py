@@ -100,6 +100,13 @@ _CORE = [
     "orders_daily_backlog",
     "window_named_sql_ranks",
     "time_travel_snapshot_diff",
+    # round-13 debuts, wave 7 (bivariate dependence): the empirical
+    # copula grid (decile-of-balance × decile-of-spend joint counts —
+    # positional ranks via the distributed rank idiom on BOTH axes)
+    # and per-nation OLS slope + Pearson r in ppm (grouped exact
+    # moments; ppm rounding absorbs the >2^53 cast ulp)
+    "customers_balance_spend_copula_grid",
+    "nations_balance_spend_pearson",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

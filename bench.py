@@ -224,6 +224,9 @@ HEADLINE = [
     "orders_daily_backlog",
     "window_named_sql_ranks",
     "time_travel_snapshot_diff",
+    # round-13 wave 7: copula grid, grouped Pearson/OLS
+    "customers_balance_spend_copula_grid",
+    "nations_balance_spend_pearson",
 ]
 
 

@@ -780,3 +780,215 @@ def orders_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100) * F.count(F.lit(1)))
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "customers_balance_spend_copula_grid",
+    oracle="""
+    WITH xy AS (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100)
+                                      AS HUGEINT)), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal),
+    rx AS (SELECT c_custkey,
+                  ROW_NUMBER() OVER (ORDER BY x, c_custkey) AS rnx
+           FROM xy),
+    ry AS (SELECT c_custkey,
+                  ROW_NUMBER() OVER (ORDER BY y, c_custkey) AS rny
+           FROM xy),
+    tot AS (SELECT COUNT(*) AS n FROM xy),
+    b AS (SELECT CAST(((rnx - 1) * 10) // n AS BIGINT) AS x_decile,
+                 CAST(((rny - 1) * 10) // n AS BIGINT) AS y_decile
+          FROM rx JOIN ry USING (c_custkey), tot)
+    SELECT x_decile, y_decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM b GROUP BY x_decile, y_decile
+    """,
+)
+def customers_balance_spend_copula_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical copula grid — the decile-of-balance × decile-of-spend
+    joint distribution (10×10 counts): the rank-space dependence view
+    that shows WHERE the association lives (corner mass = the
+    relationship is in the tails), complementing the single-number
+    Spearman rho. Deciles are positional — exact global row_number
+    with a custkey tiebreak, bucket = ⌊(rank−1)·10/n⌋ — so the grid is
+    integer-exact and each margin is balanced by construction.
+
+    Plan shape at 100 TB: the spend rollup is one keyed agg + join;
+    EACH axis's global rank is the trimmed-mean idiom (range
+    repartition + local row_number + K broadcast offsets — never a
+    single-partition window); the two rank frames join back on
+    custkey and the grid is a 100-group hash agg."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("spend")
+        )
+    )
+    xy = materialize_once(
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+            "c_custkey",
+            "x",
+            F.coalesce(F.col("spend"), F.lit(0).cast(_DEC))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    spark_ = xy.sparkSession
+
+    def _global_rank(col: str, out: str) -> DataFrame:
+        r = xy.repartitionByRange(
+            spark_.sparkContext.defaultParallelism, col, "c_custkey"
+        ).withColumn("pid", F.spark_partition_id())
+        lw = Window.partitionBy("pid").orderBy(col, "c_custkey")
+        ranked = materialize_once(
+            r.withColumn("j", F.row_number().over(lw))
+        )
+        partials = ranked.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n_p")
+        )
+        off = partition_rank_offsets(partials)
+        return ranked.join(F.broadcast(off), "pid").select(
+            "c_custkey", (F.col("__offset") + F.col("j")).alias(out)
+        )
+    tot = xy.agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    b = (
+        _global_rank("x", "rnx")
+        .join(_global_rank("y", "rny"), "c_custkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(((rnx - 1) * 10) div n AS BIGINT)").alias(
+                "x_decile"
+            ),
+            F.expr("CAST(((rny - 1) * 10) div n AS BIGINT)").alias(
+                "y_decile"
+            ),
+            "n",
+        )
+    )
+    return b.groupBy("x_decile", "y_decile", "n").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("cnt")
+    ).select(
+        "x_decile",
+        "y_decile",
+        F.col("cnt").cast("bigint").alias("n_customers"),
+        F.expr("CAST((cnt * 1000000) div n AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@register(
+    "nations_balance_spend_pearson",
+    oracle="""
+    WITH xy AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(round(c.c_acctbal * 100) AS HUGEINT) AS x,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100)
+                                      AS HUGEINT)), 0) AS HUGEINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal),
+    m AS (
+        SELECT nation, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy GROUP BY nation)
+    SELECT nation, CAST(n AS BIGINT) AS n_customers,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+                * (abs(n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) AS BIGINT)
+               AS slope_ppm,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS pearson_r_ppm
+    FROM m WHERE n >= 3 AND n * sxx - sx * sx > 0
+    """,
+)
+def nations_balance_spend_pearson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped bivariate regression — per-nation OLS slope (lifetime
+    spend on account balance, truncated ppm, sign-safe) and Pearson r
+    in rounded ppm — the spend moments exceed 2^53 here, so the exact
+    DECIMAL/HUGEINT→double casts can differ by an ulp across engines
+    and ppm rounding absorbs it (unlike the rank-moment Spearman,
+    whose moments stay double-exact): 'where does
+    paper wealth predict actual spend', the segmented-correlation
+    sweep a BI workload runs per region/cohort. The raw-value sibling
+    of the global Spearman (customers_spearman_balance_spend): rank vs
+    linear correlation per group, both exact-moment based.
+
+    Plan shape at 100 TB: one custkey agg + join builds the per-
+    customer frame, then ONE nation-keyed moment agg (map-side
+    partials; moments in DECIMAL(38,0)/HUGEINT) — no windows, no
+    driver state; the statistic row count is |nations|."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast(_DEC).alias("x"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("spend")
+        )
+    )
+    xy = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "nation",
+        "x",
+        F.coalesce(F.col("spend"), F.lit(0).cast(_DEC)).alias("y"),
+    )
+    m = xy.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.filter(
+        (F.col("n") >= 3)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    ).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (
+            F.when(num >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.expr(
+                "CAST((abs(n * sxy - sx * sy) * 1000000) "
+                "div (n * sxx - sx * sx) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("slope_ppm"),
+        F.round(
+            num.cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("pearson_r_ppm"),
+    )

@@ -349,3 +349,55 @@ def test_dyadic_smoothing_exact_brute(spark):
                 wsum += int(daily[src]) * (1 << (9 - k))
                 wtot += 1 << (9 - k)
         assert got[day] == (wsum, wtot, (wsum * 1000) // wtot), day
+
+
+def test_copula_grid_margins_balanced(spark, duck):
+    rows = QUERIES["customers_balance_spend_copula_grid"](spark, SF).collect()
+    n = duck.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n
+    lo, hi = n // 10, -(-n // 10)
+    from collections import defaultdict
+
+    xm, ym = defaultdict(int), defaultdict(int)
+    for r in rows:
+        assert 0 <= r["x_decile"] <= 9 and 0 <= r["y_decile"] <= 9
+        xm[r["x_decile"]] += r["n_customers"]
+        ym[r["y_decile"]] += r["n_customers"]
+    # positional deciles: every margin bucket holds ⌊n/10⌋..⌈n/10⌉ rows
+    assert all(lo <= v <= hi for v in xm.values()), xm
+    assert all(lo <= v <= hi for v in ym.values()), ym
+    assert len(xm) == len(ym) == 10
+
+
+def test_nation_pearson_matches_numpy(spark, duck):
+    rows = duck.sql(
+        "SELECT c.c_nationkey, CAST(round(c.c_acctbal*100) AS BIGINT), "
+        "CAST(COALESCE(SUM(CAST(round(o.o_totalprice*100) AS HUGEINT)), 0)"
+        " AS BIGINT) "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_n = defaultdict(list)
+    for nat, x, y in rows:
+        by_n[nat].append((x, y))
+    got = {
+        r["nation"]: (r["n_customers"], r["slope_ppm"], r["pearson_r_ppm"])
+        for r in QUERIES["nations_balance_spend_pearson"](spark, SF).collect()
+    }
+    for nat, pts in by_n.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        if len(pts) < 3 or np.var(xs) == 0:
+            assert nat not in got
+            continue
+        r = float(np.corrcoef(xs, ys)[0, 1])
+        slope = float(np.polyfit(xs, ys, 1)[0])
+        n, slope_ppm, r_ppm = got[nat]
+        assert n == len(pts)
+        assert abs(r_ppm - round(r * 1e6)) <= 1, (nat, r_ppm, r)
+        # truncated-ppm slope within 1 ppm + float-fit tolerance
+        assert abs(slope_ppm - slope * 1e6) <= max(2, abs(slope) * 1), (
+            nat, slope_ppm, slope,
+        )
