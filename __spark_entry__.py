@@ -107,6 +107,14 @@ _CORE = [
     # moments; ppm rounding absorbs the >2^53 cast ulp)
     "customers_balance_spend_copula_grid",
     "nations_balance_spend_pearson",
+    # round-13 debuts, wave 8: PSI drift of the order-value mix per
+    # year vs the base year (positional-decile bins from
+    # exact_order_statistics, micro-nat rounded), consumer-surface
+    # PIVOT under the row filter, and STREAMING a shared producer view
+    # with invoker's rights (VERDICT r12 missing #3 made driver-visible)
+    "orders_value_psi_yearly",
+    "fgac_pivot_state_gender",
+    "fgac_stream_view_agg",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

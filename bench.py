@@ -227,6 +227,10 @@ HEADLINE = [
     # round-13 wave 7: copula grid, grouped Pearson/OLS
     "customers_balance_spend_copula_grid",
     "nations_balance_spend_pearson",
+    # round-13 wave 8: PSI drift, consumer PIVOT, streamed shared view
+    "orders_value_psi_yearly",
+    "fgac_pivot_state_gender",
+    "fgac_stream_view_agg",
 ]
 
 

@@ -403,3 +403,83 @@ def fgac_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="ver",
     )
     return sess.sql("SELECT k, v, ver FROM cdc_state")
+
+
+@register(
+    "fgac_pivot_state_gender",
+    oracle=f"""
+    WITH {_patients_values_sql()}
+    SELECT state,
+           CAST(COUNT(*) FILTER (gender = 'M') AS BIGINT) AS m,
+           CAST(COUNT(*) FILTER (gender = 'F') AS BIGINT) AS f
+    FROM patients_src
+    WHERE state IN ('Texas', 'New York')
+    GROUP BY state
+    """,
+)
+def fgac_pivot_state_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` on the CONSUMER surface: the clause composes with
+    the DataCellsFilter — only TX/NY rows reach the pivot (a cell for
+    a filtered-out state can never appear), and listing a whitelisted-
+    out column in the IN clause is an unresolved column, never data
+    (tests/test_sql_surface.py). The oracle applies the policy
+    predicate and the engine-agnostic FILTER rollup."""
+    sess = _engine_for(spark).session_for(TEAM1)
+    return sess.sql(
+        """
+        SELECT * FROM (SELECT state, gender, 1 AS one FROM patients)
+        PIVOT (COUNT(one) FOR gender IN ('M' AS m, 'F' AS f))
+        """
+    )
+
+
+@register(
+    "fgac_stream_view_agg",
+    oracle=f"""
+    WITH {_patients_values_sql()}
+    SELECT state, CAST(COUNT(DISTINCT city) AS BIGINT) AS n_cities,
+           CAST(COUNT(*) AS BIGINT) AS n_patients
+    FROM patients_src
+    WHERE state IN ('Texas', 'New York')
+    GROUP BY state
+    """,
+)
+def fgac_stream_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING a shared producer view under policy (VERDICT r12
+    missing #3): the producer publishes `v_patient_geo`; team 1 tails
+    it with ``readStream(view)`` — the body replans over team 1's OWN
+    policy-filtered streaming source (invoker's rights: SELECT
+    authorized at stream definition, row filter + column whitelist on
+    the unbounded frame), so the streamed rollup equals the batch read
+    through the same view. Memory sink in complete mode = driver-sized
+    by design (2 groups; the production path is the warehouse sinks —
+    PLANS.md note)."""
+    import uuid
+
+    eng = _engine_for(spark)
+    if "v_patient_geo" not in eng.warehouse.list_views():
+        eng.sql(
+            "CREATE VIEW v_patient_geo AS SELECT state, city FROM patients"
+        )
+    sess = eng.session_for(TEAM1)
+    agg = (
+        sess.readStream("v_patient_geo")
+        .groupBy("state")
+        .agg(
+            # COUNT(DISTINCT) is unsupported on streaming frames —
+            # size(collect_set) is the streaming-legal exact spelling
+            # (bounded here: cities per state)
+            F.size(F.collect_set("city")).cast("bigint").alias("n_cities"),
+            F.count(F.lit(1)).cast("bigint").alias("n_patients"),
+        )
+    )
+    sink = f"fgac_svagg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sess.spark.table(sink)

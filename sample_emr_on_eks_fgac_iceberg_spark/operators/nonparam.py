@@ -62,6 +62,12 @@ def _prefix_sum(counts: DataFrame, val_col: str, sum_col: str,
     )
 
 
+# public alias: the same distributed prefix sum, reusable by other
+# operator modules (orders_daily_backlog rides it for the signed
+# cumulative; the plan gate rejects unpartitioned windows)
+distributed_prefix_sum = _prefix_sum
+
+
 @register(
     "mannwhitney_u_priority",
     oracle="""
@@ -652,10 +658,13 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: one custkey hash agg collapses the fact
     table; everything after is keyed on LIFETIME DAYS — calendar-
-    bounded (≤ corpus span, a few thousand rows forever), so the
-    global-order windows run over a bounded frame (the engine's
-    bounded-window rule). The at-risk count is the exclusive prefix
-    sum; no per-customer state survives the first agg."""
+    bounded (≤ corpus span, a few thousand rows forever) — and every
+    cumulative (at-risk exclusive Σ, ordered ln-sum, consumed flag)
+    runs as the DISTRIBUTED prefix idiom: one range repartition,
+    pid-local windows, K driver/broadcast offsets — never an
+    unpartitioned window. The offset association can differ from a
+    strict sequential float sum by an ulp; ppm rounding absorbs it
+    (same rule as the statistic itself)."""
     o = load_table(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("md"))
     cust = (
@@ -681,17 +690,34 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("m"),
         )
     )
-    tot = lt.agg(F.sum("m").alias("n"))
-    # lifetime-day frame is calendar-bounded → bounded global window
-    wx = Window.orderBy("lifetime").rowsBetween(Window.unboundedPreceding, -1)
-    wi = Window.orderBy("lifetime").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Three cumulatives over the lifetime order, all via the
+    # DISTRIBUTED prefix idiom (ONE range repartition, pid-local
+    # windows, K broadcast/driver offsets — the plan gate rejects any
+    # unpartitioned window, even over this calendar-bounded frame):
+    # exclusive Σm (at-risk), inclusive Σ ln-terms, inclusive max of
+    # the risk-set-consumed flag.
+    spark_ = lt.sparkSession
+    r = lt.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "lifetime"
+    ).withColumn("pid", F.spark_partition_id())
+    lwx = (
+        Window.partitionBy("pid")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    o2 = lt.crossJoin(F.broadcast(tot)).withColumn(
-        "n_risk",
-        (F.col("n") - F.coalesce(F.sum("m").over(wx), F.lit(0))).cast(
-            "bigint"
-        ),
+    r = materialize_once(
+        r.withColumn("lm", F.coalesce(F.sum("m").over(lwx), F.lit(0)))
+    )
+    partials = r.groupBy("pid").agg(F.sum("m").alias("n_p"))
+    off = partition_rank_offsets(partials)
+    tot = partials.agg(F.sum("n_p").alias("n"))
+    o2 = (
+        r.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("n") - (F.col("__offset") + F.col("lm"))).cast("bigint"),
+        )
     )
     # the ln argument is spelled (n−d)/n with the SAME operation order
     # as the oracle — 1 − d/n would round differently
@@ -702,11 +728,43 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_risk").cast("double")
         ),
     ).otherwise(F.lit(0.0))
-    s = o2.withColumn("lsum", F.sum(term).over(wi)).withColumn(
-        "dead",
-        F.max(
-            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-        ).over(wi),
+    lwi = (
+        Window.partitionBy("pid")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o3 = materialize_once(
+        o2.withColumn("t", term)
+        .withColumn(
+            "dflag",
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0),
+        )
+        .withColumn("lt_sum", F.sum("t").over(lwi))
+        .withColumn("ld_max", F.max("dflag").over(lwi))
+    )
+    prt = sorted(
+        o3.groupBy("pid")
+        .agg(F.sum("t").alias("t_p"), F.max("dflag").alias("d_p"))
+        .collect(),  # scale-ok: one (sum, max) pair per partition — K driver scalars
+        key=lambda row: row["pid"],
+    )
+    t_off: dict[int, float] = {}
+    d_off: dict[int, int] = {}
+    acc_t, acc_d = 0.0, 0
+    for row in prt:
+        t_off[row["pid"]] = acc_t
+        d_off[row["pid"]] = acc_d
+        acc_t += row["t_p"] or 0.0
+        acc_d = max(acc_d, row["d_p"] or 0)
+    offs2 = spark_.createDataFrame(
+        [(int(pp), t_off[pp], d_off[pp]) for pp in t_off]
+        or [(0, 0.0, 0)],
+        "pid int, t_off double, d_off int",
+    )
+    s = (
+        o3.join(F.broadcast(offs2), "pid")
+        .withColumn("lsum", F.col("t_off") + F.col("lt_sum"))
+        .withColumn("dead", F.greatest("d_off", "ld_max"))
     )
     return s.filter(F.col("d") > 0).select(
         F.col("lifetime").cast("bigint").alias("lifetime_days"),
@@ -991,4 +1049,108 @@ def nations_balance_spend_pearson(
         )
         .cast("bigint")
         .alias("pearson_r_ppm"),
+    )
+
+
+@register(
+    "orders_value_psi_yearly",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderkey
+        FROM orders),
+    base AS (SELECT * FROM v WHERE yr = (SELECT MIN(yr) FROM v)),
+    nb AS (SELECT COUNT(*) AS n FROM base),
+    cut AS (
+        SELECT v AS b, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn
+        FROM base),
+    cuts AS (
+        SELECT k, MAX(b) FILTER (rn = (k * (SELECT n FROM nb) + 9) // 10)
+                   AS b
+        FROM cut CROSS JOIN generate_series(1, 9) AS g(k)
+        GROUP BY k),
+    binned AS (
+        SELECT yr,
+               COALESCE((SELECT COUNT(*) FROM cuts WHERE cuts.b < v.v),
+                        0) AS bin
+        FROM v),
+    cnts AS (SELECT yr, bin, COUNT(*) AS cnt FROM binned GROUP BY yr, bin),
+    yt AS (SELECT yr, SUM(cnt) AS n_yr FROM cnts GROUP BY yr),
+    b0 AS (SELECT bin, cnt AS bcnt FROM cnts
+           WHERE yr = (SELECT MIN(yr) FROM v)),
+    terms AS (
+        SELECT c.yr, yt.n_yr,
+               (CAST(c.cnt AS DOUBLE) / yt.n_yr
+                - CAST(b0.bcnt AS DOUBLE) / (SELECT n FROM nb))
+               * ln((CAST(c.cnt AS DOUBLE) / yt.n_yr)
+                    / (CAST(b0.bcnt AS DOUBLE) / (SELECT n FROM nb)))
+                   AS t
+        FROM cnts c JOIN yt USING (yr) JOIN b0 USING (bin))
+    SELECT yr, CAST(MAX(n_yr) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(round(SUM(t) * 1000000) AS BIGINT) AS psi_micro_nats
+    FROM terms GROUP BY yr
+    """,
+)
+def orders_value_psi_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    each year against the FIRST year — the binned drift monitor
+    ML-ops runs on model inputs (PSI < 0.1 stable, > 0.25 shifted).
+    Bins are the base year's positional deciles (cutpoint = value at
+    global rank ⌈k·n/10⌉ over the strict (value, orderkey) order — the
+    engine's exact_order_statistics position rule, mirrored verbatim);
+    PSI = Σ (p−q)·ln(p/q) over bins present in BOTH periods, reported
+    in rounded micro-nats (the ln-parity absorb rule) with the
+    used-bin count so a consumer sees when mass fell off the grid.
+
+    Plan shape at 100 TB: the base year's 9 cutpoints come from the
+    exact_order_statistics machinery (range repartition + per-
+    partition counts → K driver scalars → ONE filter); binning is a
+    broadcast 9-way CASE over the fact scan; everything after is a
+    (year, bin) hash agg — ≤10 rows per year forever."""
+    v = materialize_once(
+        load_table(spark, sf_dir, "orders").select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            "o_orderkey",
+        )
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        exact_order_statistics,
+    )
+
+    base_yr = v.agg(F.min("yr")).collect()[0][0]  # scale-ok: one scalar, the base period id
+    base = v.filter(F.col("yr") == base_yr)
+    stats = exact_order_statistics(
+        base.select("v", "o_orderkey"), ["v", "o_orderkey"],
+        [(k, 10) for k in range(1, 10)],
+    )
+    cuts = sorted(row["v"] for _, _, row in stats)
+    bin_col = F.lit(0)
+    for b in cuts:
+        bin_col = bin_col + F.when(F.lit(b) < F.col("v"), 1).otherwise(0)
+    cnts = materialize_once(
+        v.select("yr", bin_col.alias("bin"))
+        .groupBy("yr", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    yt = cnts.groupBy("yr").agg(F.sum("cnt").alias("n_yr"))
+    b0 = cnts.filter(F.col("yr") == base_yr).select(
+        "bin", F.col("cnt").alias("bcnt")
+    )
+    nb = base.count()  # one scalar: the base-period row count
+    p = F.col("cnt").cast("double") / F.col("n_yr")
+    q = F.col("bcnt").cast("double") / F.lit(nb)
+    terms = (
+        cnts.join(yt, "yr")
+        .join(F.broadcast(b0), "bin")
+        .select("yr", "n_yr", ((p - q) * F.log(p / q)).alias("t"))
+    )
+    return terms.groupBy("yr").agg(
+        F.max("n_yr").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.round(F.sum("t") * 1000000).cast("bigint").alias(
+            "psi_micro_nats"
+        ),
     )

@@ -1613,9 +1613,10 @@ def orders_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: per-order close dates are one orderkey join
     + keyed agg (AQE-skew-splittable; storage-partitioned when both
     tables are bucket-landed); both daily series are calendar-bounded
-    hash aggs, and the cumulative window runs over the bounded
-    day grid (a few thousand rows forever) — the engine's
-    bounded-global-window rule."""
+    hash aggs, and the signed cumulative is the DISTRIBUTED prefix sum
+    (range repartition + pid-local window + K broadcast offsets — the
+    mannwhitney idiom; the plan gate rejects any unpartitioned window,
+    even over a bounded frame)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
@@ -1638,17 +1639,22 @@ def orders_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.coalesce(F.col("n_opened"), F.lit(0)).alias("n_opened"),
             F.coalesce(F.col("n_closed"), F.lit(0)).alias("n_closed"),
+            (
+                F.coalesce(F.col("n_opened"), F.lit(0))
+                - F.coalesce(F.col("n_closed"), F.lit(0))
+            )
+            .cast("decimal(38,0)")
+            .alias("delta"),
         )
     )
-    wc = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        distributed_prefix_sum,
     )
-    return grid.select(
+
+    p = distributed_prefix_sum(grid, "day", "delta", inclusive=True)
+    return p.select(
         "day",
         "n_opened",
         "n_closed",
-        F.sum(F.col("n_opened") - F.col("n_closed"))
-        .over(wc)
-        .cast("bigint")
-        .alias("backlog"),
+        F.col("__cum").cast("bigint").alias("backlog"),
     )
