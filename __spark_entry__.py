@@ -115,6 +115,15 @@ _CORE = [
     "orders_value_psi_yearly",
     "fgac_pivot_state_gender",
     "fgac_stream_view_agg",
+    # round-13 debuts, wave 9: Wilcoxon signed-rank (the PAIRED test
+    # completing the nonparametric trio; doubled average ranks, the
+    # W⁺+W⁻ = m(m+1) identity tested), Dunning G² keyness (term-level
+    # drift attribution, per-row ln — no summation-order sensitivity),
+    # and between-centroid separation (the within/between cluster-QA
+    # pair with embedding_cluster_inertia)
+    "wilcoxon_signed_rank_halves",
+    "text_keyness_loglik_en_de",
+    "embedding_centroid_separation",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -231,6 +231,10 @@ HEADLINE = [
     "orders_value_psi_yearly",
     "fgac_pivot_state_gender",
     "fgac_stream_view_agg",
+    # round-13 wave 9: Wilcoxon, keyness G2, centroid separation
+    "wilcoxon_signed_rank_halves",
+    "text_keyness_loglik_en_de",
+    "embedding_centroid_separation",
 ]
 
 

@@ -1154,3 +1154,116 @@ def orders_value_psi_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_micro_nats"
         ),
     )
+
+
+@register(
+    "wilcoxon_signed_rank_halves",
+    oracle="""
+    WITH halves AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN year(o_orderdate) < 1998 THEN
+                   CAST(round(o_totalprice * 100) AS HUGEINT)
+                   ELSE 0 END) AS early,
+               SUM(CASE WHEN year(o_orderdate) >= 1998 THEN
+                   CAST(round(o_totalprice * 100) AS HUGEINT)
+                   ELSE 0 END) AS late,
+               COUNT(*) FILTER (year(o_orderdate) < 1998) AS n_e,
+               COUNT(*) FILTER (year(o_orderdate) >= 1998) AS n_l
+        FROM orders GROUP BY o_custkey),
+    d AS (
+        SELECT late - early AS diff FROM halves
+        WHERE n_e > 0 AND n_l > 0),
+    nz AS (SELECT abs(diff) AS ad,
+                  CASE WHEN diff > 0 THEN 1 ELSE 0 END AS isp
+           FROM d WHERE diff <> 0),
+    c AS (SELECT ad, SUM(isp) AS cp, SUM(1 - isp) AS cn
+          FROM nz GROUP BY ad),
+    p AS (
+        SELECT ad, cp, cn,
+               COALESCE(SUM(cp + cn) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+        FROM c)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM d WHERE diff = 0) AS BIGINT)
+               AS n_zero,
+           CAST(COALESCE(SUM(CAST(cp AS HUGEINT)
+                             * (2 * cb + cp + cn + 1)), 0)
+                AS BIGINT) AS w2_plus,
+           CAST(COALESCE(SUM(CAST(cn AS HUGEINT)
+                             * (2 * cb + cp + cn + 1)), 0)
+                AS BIGINT) AS w2_minus,
+           CAST(COALESCE(SUM(CAST(cp + cn AS HUGEINT) * (cp + cn)
+                             * (cp + cn) - (cp + cn)), 0)
+                AS BIGINT) AS tie_term
+    FROM p
+    """,
+)
+def wilcoxon_signed_rank_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED customer spend — early era
+    (orders before 1998, the corpus midpoint) vs late era per customer, the within-subject
+    nonparametric test that completes the engine's trio (Mann-Whitney
+    for two independent samples, Kruskal-Wallis for k). Zero diffs
+    drop (the standard convention, counted in n_zero); ranks of |d|
+    use the doubled average-tie rule (2R = 2·cum< + t + 1, exact
+    integers), and 2·W⁺ / 2·W⁻ + the tie term Σ(t³−t) let a consumer
+    form the normal approximation without re-scanning. W⁺+W⁻ =
+    n(n+1)/2 exactly (the doubled identity is asserted in tests).
+
+    Plan shape at 100 TB: one custkey hash agg builds the pairs; the
+    rank machinery is the mannwhitney skeleton over DISTINCT |d|
+    values (ONE distributed exclusive prefix sum — range repartition +
+    K broadcast offsets); the statistic is a 1-row fold with
+    DECIMAL(38,0)/HUGEINT accumulation."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast(_DEC)
+    early_flag = F.year("o_orderdate") < 1998
+    halves = o.groupBy("o_custkey").agg(
+        F.sum(F.when(early_flag, cents).otherwise(F.lit(0).cast(_DEC)))
+        .alias("early"),
+        F.sum(F.when(~early_flag, cents).otherwise(F.lit(0).cast(_DEC)))
+        .alias("late"),
+        F.sum(F.when(early_flag, 1).otherwise(0)).alias("n_e"),
+        F.sum(F.when(~early_flag, 1).otherwise(0)).alias("n_l"),
+    )
+    d = materialize_once(
+        halves.filter((F.col("n_e") > 0) & (F.col("n_l") > 0)).select(
+            (F.col("late") - F.col("early")).alias("diff")
+        )
+    )
+    nz = d.filter(F.col("diff") != 0).select(
+        F.abs(F.col("diff")).alias("ad"),
+        F.when(F.col("diff") > 0, 1).otherwise(0).alias("isp"),
+    )
+    c = nz.groupBy("ad").agg(
+        F.sum("isp").cast(_DEC).alias("cp"),
+        F.sum(F.lit(1) - F.col("isp")).cast(_DEC).alias("cn"),
+    )
+    c = c.withColumn("t", F.col("cp") + F.col("cn"))
+    p = _prefix_sum(c, "ad", "t", inclusive=False)
+    totals = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("diff") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    rank2 = F.lit(2).cast(_DEC) * F.col("__cum") + F.col("t") + F.lit(1)
+    stats = p.agg(
+        F.coalesce(F.sum(F.col("cp") * rank2), F.lit(0).cast(_DEC))
+        .cast("bigint")
+        .alias("w2_plus"),
+        F.coalesce(F.sum(F.col("cn") * rank2), F.lit(0).cast(_DEC))
+        .cast("bigint")
+        .alias("w2_minus"),
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0).cast(_DEC),
+        )
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    return totals.crossJoin(F.broadcast(stats)).select(
+        "n_pairs", "n_zero", "w2_plus", "w2_minus", "tie_term"
+    )

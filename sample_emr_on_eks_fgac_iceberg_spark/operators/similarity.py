@@ -2108,3 +2108,109 @@ def embedding_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("mean_dist_sq"),
     )
+
+
+@register(
+    "embedding_centroid_separation",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xi
+        FROM embeddings),
+    cent AS (
+        SELECT label, dim,
+               CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, dim),
+    pd AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label),
+    sym AS (
+        SELECT label_a AS label, label_b AS other, dist_sq FROM pd
+        UNION ALL
+        SELECT label_b AS label, label_a AS other, dist_sq FROM pd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY dist_sq, other) AS rk
+          FROM sym)
+    SELECT label, other AS nearest_label,
+           dist_sq AS nearest_dist_sq,
+           CAST((SELECT COUNT(*) FROM sym s WHERE s.label = r.label)
+                AS BIGINT) AS n_others
+    FROM r WHERE rk = 1
+    """,
+)
+def embedding_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Between-cluster separation — each label's NEAREST other
+    centroid and the exact milli² distance to it: the companion
+    diagnostic to `embedding_cluster_inertia` (within-SSE); the ratio
+    nearest-separation / mean-within-distance is the silhouette-style
+    signal that two clusters should merge. Centroids are the engine's
+    round(mean) fixed points, so every distance is integer-exact;
+    ties break to the lower label.
+
+    Plan shape at 100 TB: centroids are K×D rows (broadcast); the
+    pairwise distance table is K²/2 rows built by a dim-keyed join of
+    the centroid table with itself — independent of corpus size; the
+    per-label argmin is a window over ≤K rows."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+    )
+    cent = materialize_once(
+        x.groupBy("label", "dim").agg(
+            F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    pd_ = (
+        cent.join(
+            b,
+            (cent["dim"] == b["dim_b"]) & (cent["label"] < b["label_b"]),
+        )
+        .groupBy("label", "label_b")
+        .agg(
+            F.sum((F.col("c") - F.col("cb")) * (F.col("c") - F.col("cb")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    sym = pd_.select(
+        F.col("label"), F.col("label_b").alias("other"), "dist_sq"
+    ).unionByName(
+        pd_.select(
+            F.col("label_b").alias("label"),
+            F.col("label").alias("other"),
+            "dist_sq",
+        )
+    )
+    w = Window.partitionBy("label").orderBy("dist_sq", "other")
+    cnt = sym.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_others")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(cnt, "label")
+        .select(
+            "label",
+            F.col("other").alias("nearest_label"),
+            F.col("dist_sq").alias("nearest_dist_sq"),
+            "n_others",
+        )
+    )

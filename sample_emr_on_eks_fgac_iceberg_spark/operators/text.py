@@ -1711,3 +1711,99 @@ def text_lang_char_js_divergence(
             .alias("jsd_micro_nats"),
         )
     )
+
+
+_KEYNESS_TOP_K = 20
+_KEYNESS_MIN_COUNT = 5
+
+
+@register(
+    "text_keyness_loglik_en_de",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS word
+        FROM documents WHERE lang IN ('en', 'de')),
+    cc AS (
+        SELECT word,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS b
+        FROM w WHERE word <> '' GROUP BY word),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM cc),
+    g2 AS (
+        SELECT word, a, b,
+               CAST(round(2 * (
+                   CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)
+                       / ((CAST(a + b AS DOUBLE) * ta) / (ta + tb)))
+                   ELSE 0 END
+                   + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
+                       / ((CAST(a + b AS DOUBLE) * tb) / (ta + tb)))
+                   ELSE 0 END) * 1000) AS BIGINT) AS g2_milli
+        FROM cc, tot
+        WHERE a + b >= {_KEYNESS_MIN_COUNT})
+    SELECT word, CAST(a AS BIGINT) AS n_en, CAST(b AS BIGINT) AS n_de,
+           g2_milli
+    FROM g2
+    ORDER BY g2_milli DESC, word
+    LIMIT {_KEYNESS_TOP_K}
+    """,
+)
+def text_keyness_loglik_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness by log-likelihood ratio (Dunning's G²) between the
+    English and German word distributions — WHICH terms drive the
+    corpus difference (the term-level attribution partner of the
+    aggregate JS divergence): G² = 2Σ obs·ln(obs/exp) with expected
+    counts from the pooled marginals, per word, top-{_KEYNESS_TOP_K}
+    by milli-rounded G² with a word tiebreak (deterministic order;
+    words below {_KEYNESS_MIN_COUNT} total occurrences are noise and
+    excluded). The per-word expression is ONE identical double formula
+    on both engines; rounding happens per row, never across a
+    summation, so there is no order sensitivity at all.
+
+    Plan shape at 100 TB: tokenize explode → (word) hash agg with
+    map-side partials (vocabulary-bounded) → broadcast 1-row totals →
+    row-local G² → global top-K (TakeOrderedAndProject — bounded
+    K-row state per partition, no global sort)."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    cc = w.groupBy("word").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("b"),
+    )
+    tot = cc.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    j = cc.filter(
+        F.col("a") + F.col("b") >= _KEYNESS_MIN_COUNT
+    ).crossJoin(F.broadcast(tot))
+    ea = (
+        (F.col("a") + F.col("b")).cast("double") * F.col("ta")
+    ) / (F.col("ta") + F.col("tb"))
+    eb = (
+        (F.col("a") + F.col("b")).cast("double") * F.col("tb")
+    ) / (F.col("ta") + F.col("tb"))
+    term_a = F.when(
+        F.col("a") > 0, F.col("a") * F.log(F.col("a").cast("double") / ea)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0, F.col("b") * F.log(F.col("b").cast("double") / eb)
+    ).otherwise(F.lit(0.0))
+    g2 = j.select(
+        "word",
+        F.col("a").cast("bigint").alias("n_en"),
+        F.col("b").cast("bigint").alias("n_de"),
+        F.round(F.lit(2) * (term_a + term_b) * 1000)
+        .cast("bigint")
+        .alias("g2_milli"),
+    )
+    return g2.orderBy(F.col("g2_milli").desc(), "word").limit(
+        _KEYNESS_TOP_K
+    )

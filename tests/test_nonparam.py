@@ -401,3 +401,102 @@ def test_nation_pearson_matches_numpy(spark, duck):
         assert abs(slope_ppm - slope * 1e6) <= max(2, abs(slope) * 1), (
             nat, slope_ppm, slope,
         )
+
+
+def test_wilcoxon_matches_brute_signed_ranks(spark, duck):
+    rows = duck.sql(
+        "SELECT o_custkey, "
+        "SUM(CASE WHEN year(o_orderdate) < 1998 THEN "
+        "CAST(round(o_totalprice*100) AS HUGEINT) ELSE 0 END), "
+        "SUM(CASE WHEN year(o_orderdate) >= 1998 THEN "
+        "CAST(round(o_totalprice*100) AS HUGEINT) ELSE 0 END), "
+        "COUNT(*) FILTER (year(o_orderdate) < 1998), "
+        "COUNT(*) FILTER (year(o_orderdate) >= 1998) "
+        "FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    diffs = [
+        int(late - early)
+        for _, early, late, ne, nl in rows
+        if ne > 0 and nl > 0
+    ]
+    nz = [d for d in diffs if d != 0]
+    # brute doubled average ranks of |d|
+    order = sorted(range(len(nz)), key=lambda i: abs(nz[i]))
+    ranks2 = [0] * len(nz)
+    i = 0
+    while i < len(nz):
+        j = i
+        while j < len(nz) and abs(nz[order[j]]) == abs(nz[order[i]]):
+            j += 1
+        for k in range(i, j):
+            ranks2[order[k]] = (i + 1) + (j)  # 2·avg of (i+1..j)
+        i = j
+    w2p = sum(r for r, d in zip(ranks2, nz) if d > 0)
+    w2m = sum(r for r, d in zip(ranks2, nz) if d < 0)
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(abs(d) for d in nz).values())
+    [row] = QUERIES["wilcoxon_signed_rank_halves"](spark, SF).collect()
+    assert row["n_pairs"] == len(diffs)
+    assert row["n_zero"] == len(diffs) - len(nz)
+    assert row["w2_plus"] == w2p and row["w2_minus"] == w2m
+    assert row["tie_term"] == tie
+    # the doubled rank-sum identity: W2+ + W2- = m(m+1)
+    m = len(nz)
+    assert row["w2_plus"] + row["w2_minus"] == m * (m + 1)
+
+
+def test_keyness_g2_matches_numpy(spark):
+    import math
+
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    rows = con.sql(
+        "SELECT lang, text FROM documents WHERE lang IN ('en','de')"
+    ).fetchall()
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for lang, text in rows:
+        toks = [w for w in text.strip().lower().split() if w]
+        (ca if lang == "en" else cb).update(toks)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    got = {
+        r["word"]: (r["n_en"], r["n_de"], r["g2_milli"])
+        for r in QUERIES["text_keyness_loglik_en_de"](spark, SF).collect()
+    }
+    assert len(got) == 20
+    for word, (a, b, g2m) in got.items():
+        assert ca.get(word, 0) == a and cb.get(word, 0) == b
+        ea = (a + b) * ta / (ta + tb)
+        eb = (a + b) * tb / (ta + tb)
+        g2 = 2 * (
+            (a * math.log(a / ea) if a else 0)
+            + (b * math.log(b / eb) if b else 0)
+        )
+        assert abs(g2m - round(g2 * 1000)) <= 1, (word, g2m, g2)
+
+
+def test_centroid_separation_consistent_with_inertia(spark):
+    # the two cluster diagnostics share the centroid definition: every
+    # label appears in both; nearest distances are symmetric-bounded
+    sep = {
+        r["label"]: r
+        for r in QUERIES["embedding_centroid_separation"](spark, SF).collect()
+    }
+    inert = {
+        r["label"]: r
+        for r in QUERIES["embedding_cluster_inertia"](spark, SF).collect()
+    }
+    assert set(sep) == set(inert)
+    k = len(sep)
+    for label, r in sep.items():
+        assert r["n_others"] == k - 1
+        assert r["nearest_label"] != label
+        assert r["nearest_dist_sq"] > 0
+        # symmetry: my nearest's distance to me is ≤ its own nearest? not
+        # necessarily — but the PAIR distance must agree in both directions
+        other = r["nearest_label"]
+        assert sep[other]["nearest_dist_sq"] <= r["nearest_dist_sq"]
