@@ -124,6 +124,18 @@ _CORE = [
     "wilcoxon_signed_rank_halves",
     "text_keyness_loglik_en_de",
     "embedding_centroid_separation",
+    # round-13 debuts, wave 10 (time-series + inequality shelf): the
+    # one-way ANOVA F (parametric companion to Kruskal-Wallis — exact
+    # integer moments, one shared double expression), Mann-Kendall
+    # trend census per year (all-integer concordant/discordant/tie
+    # split, calendar-bounded pairs), the Theil T inequality
+    # decomposition by nation (within + between, ln-parity micro
+    # rounding), and the lag-1..14 autocorrelation table (the
+    # correlogram around orders_daily_autocorr_lag1)
+    "anova_f_priority",
+    "mann_kendall_yearly_revenue",
+    "nation_revenue_theil",
+    "orders_daily_acf_table",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -1267,3 +1267,374 @@ def wilcoxon_signed_rank_halves(
     return totals.crossJoin(F.broadcast(stats)).select(
         "n_pairs", "n_zero", "w2_plus", "w2_minus", "tie_term"
     )
+
+
+@register(
+    "anova_f_priority",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(*) AS HUGEINT) AS n_g,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s_g,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS HUGEINT)) AS q_g
+        FROM orders GROUP BY o_orderpriority),
+    tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+               SUM(n_g) AS n, SUM(s_g) AS s, SUM(q_g) AS q,
+               SUM(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                   * CAST(s_g AS DOUBLE)) AS sb
+        FROM g)
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_total,
+           CAST(round((sb - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            * CAST(s AS DOUBLE))
+                      / (CAST(q AS DOUBLE) - sb)
+                      * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                      / (CAST(k AS DOUBLE) - 1.0) * 1000000)
+                AS BIGINT) AS f_ppm,
+           CAST(round((sb - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            * CAST(s AS DOUBLE))
+                      / (CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           * CAST(s AS DOUBLE)) * 1000000)
+                AS BIGINT) AS eta2_ppm
+    FROM tot
+    """,
+)
+def anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities on order value
+    — the parametric k-sample companion to Kruskal-Wallis (reference's
+    consumers run exactly this class of between-cohort screen;
+    consumer_emr_on_eks_setup.sh:407-418 models the query surface).
+    Every moment (n, Σv, Σv²) accumulates as an EXACT integer in
+    DECIMAL(38,0)/HUGEINT; only the final F and η² leave integer land,
+    via ONE identical double expression on both engines — SSB =
+    Σ s_g²/n_g − s²/n and SSW = Σ q_g − Σ s_g²/n_g spelled with the
+    same operation order, ppm rounding absorbing the ≤5-term
+    double-sum ulp (the nations_balance_spend_pearson absorb rule).
+
+    Plan shape at 100 TB: one priority-keyed hash agg with map-side
+    partials collapses the fact table to k=5 rows; the F-ratio is a
+    1-row fold. No joins, no windows, one shuffle of 5 groups."""
+    v = F.round(F.col("o_totalprice") * 100).cast(_DEC)
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("grp"), v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("n_g"),
+            F.sum("v").alias("s_g"),
+            F.sum(F.col("v") * F.col("v")).alias("q_g"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+            * F.col("s_g").cast("double")
+        ).alias("sb"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    ssb = F.col("sb") - sd / nd * sd
+    return tot.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round(
+            ssb / (qd - F.col("sb")) * (nd - kd) / (kd - F.lit(1.0))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("f_ppm"),
+        F.round(ssb / (qd - sd / nd * sd) * 1000000)
+        .cast("bigint")
+        .alias("eta2_ppm"),
+    )
+
+
+@register(
+    "mann_kendall_yearly_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               o_orderdate AS d,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS c
+        FROM orders GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.yr,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS conc,
+               CASE WHEN b.c < a.c THEN 1 ELSE 0 END AS disc
+        FROM daily a JOIN daily b ON b.yr = a.yr AND b.d > a.d),
+    nd AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY yr)
+    SELECT p.yr, nd.n_days,
+           CAST(SUM(p.conc) AS BIGINT) AS n_concordant,
+           CAST(SUM(p.disc) AS BIGINT) AS n_discordant,
+           CAST(SUM(p.conc) - SUM(p.disc) AS BIGINT) AS s_stat,
+           CAST(SUM(1 - p.conc - p.disc) AS BIGINT) AS n_ties
+    FROM pairs p JOIN nd ON nd.yr = p.yr
+    GROUP BY p.yr, nd.n_days ORDER BY p.yr
+    """,
+)
+def mann_kendall_yearly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall trend test of the daily revenue series, one
+    statistic per calendar year — the distribution-free "is revenue
+    trending?" screen (S > 0 rising, S < 0 falling; the rank cousin of
+    the already-shipped Theil-Sen slope, theilsen_yearly_trend). S =
+    Σ_{i<j} sign(x_j − x_i) plus the concordant/discordant/tie split
+    a consumer needs for the variance term — all exact integers.
+
+    Plan shape at 100 TB: the fact table collapses to ≤|calendar|
+    daily rows in one hash agg; the pairwise comparison is a
+    YEAR-equi-join whose fan-out is calendar-bounded (≤365·364/2 ≈
+    66k pairs per year FOREVER, independent of row count — the
+    theilsen_yearly_trend precedent, nonparam.py:342); the rollup is
+    a ≤|years| hash agg. AQE splits any skewed year."""
+    daily = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast(_DEC).alias("c"),
+        )
+        .groupBy("yr", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    a = daily.select("yr", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select("yr", F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = a.join(b, "yr").filter(F.col("db") > F.col("da"))
+    conc = F.when(F.col("cb") > F.col("ca"), 1).otherwise(0)
+    disc = F.when(F.col("cb") < F.col("ca"), 1).otherwise(0)
+    per_yr = pairs.groupBy("yr").agg(
+        F.sum(conc).cast("bigint").alias("n_concordant"),
+        F.sum(disc).cast("bigint").alias("n_discordant"),
+        (F.sum(conc) - F.sum(disc)).cast("bigint").alias("s_stat"),
+        F.sum(F.lit(1) - conc - disc).cast("bigint").alias("n_ties"),
+    )
+    nd = daily.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        per_yr.join(F.broadcast(nd), "yr")
+        .select(
+            "yr", "n_days", "n_concordant", "n_discordant", "s_stat",
+            "n_ties",
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "nation_revenue_theil",
+    oracle="""
+    WITH cust AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT))
+                    AS DOUBLE) AS x,
+               MAX(n.n_name) AS nation
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY o.o_custkey),
+    tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM cust),
+    means AS (
+        SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n_g, SUM(x) AS s_g
+        FROM cust GROUP BY nation),
+    grp AS (
+        SELECT c.nation, MAX(m.n_g) AS n_g, MAX(m.s_g) AS s_g,
+               SUM(c.x / (m.s_g / CAST(m.n_g AS DOUBLE))
+                   * ln(c.x / (m.s_g / CAST(m.n_g AS DOUBLE)))) AS tsum
+        FROM cust c JOIN means m ON m.nation = c.nation
+        GROUP BY c.nation)
+    SELECT nation,
+           CAST(n_g AS BIGINT) AS n_cust,
+           CAST(round(s_g / (SELECT s FROM tot) * 1000000) AS BIGINT)
+               AS income_share_ppm,
+           CAST(round(tsum / CAST(n_g AS DOUBLE) * 1000000) AS BIGINT)
+               AS theil_within_micro,
+           CAST(round(s_g / (SELECT s FROM tot)
+                      * ln(s_g / (SELECT s FROM tot)
+                           / (CAST(n_g AS DOUBLE)
+                              / CAST((SELECT n FROM tot) AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS theil_between_micro
+    FROM grp ORDER BY nation
+    """,
+)
+def nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue, decomposed into
+    within-nation and between-nation components — the additive
+    inequality decomposition (T = Σ_g s_g·T_g + Σ_g s_g·ln(s_g/p_g))
+    a marketplace runs to see WHERE revenue concentration lives. One
+    row per nation: its within-group Theil (micro-nats) and its
+    between-group term; the consumer folds the 25 rows. Per-row ln of
+    exact-integer ratios, group sums micro-rounded — the
+    nation_segment_entropy ln-parity absorb rule.
+
+    Plan shape at 100 TB: one custkey hash agg collapses the fact
+    table; customer→nation is a BROADCAST dim join; the decomposition
+    is a 25-group hash agg over exact DECIMAL sums plus one 1-row
+    broadcast total. The oracle's window-over-partition spelling and
+    this plan's two-pass agg compute the SAME group mean double."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cust = materialize_once(
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast(_DEC))
+            .cast("double")
+            .alias("x")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("nation", "x")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("s"),
+    )
+    # group mean spelled s_g / n_g exactly as the oracle's window pair
+    means = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_g"),
+        F.sum("x").alias("s_g"),
+    )
+    mu = F.col("s_g") / F.col("n_g").cast("double")
+    terms = (
+        cust.join(F.broadcast(means), "nation")
+        .select(
+            "nation", "n_g", "s_g",
+            (F.col("x") / mu * F.log(F.col("x") / mu)).alias("t"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.max("n_g").alias("n_g"),
+            F.max("s_g").alias("s_g"),
+            F.sum("t").alias("tsum"),
+        )
+    )
+    share = F.col("s_g") / F.col("s")
+    pop = F.col("n_g").cast("double") / F.col("n").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("n_g").cast("bigint").alias("n_cust"),
+            F.round(share * 1000000).cast("bigint").alias(
+                "income_share_ppm"
+            ),
+            F.round(F.col("tsum") / F.col("n_g").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("theil_within_micro"),
+            F.round(share * F.log(share / pop) * 1000000)
+            .cast("bigint")
+            .alias("theil_between_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "orders_daily_acf_table",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS c
+        FROM orders GROUP BY o_orderdate),
+    lags AS (SELECT CAST(l AS BIGINT) AS lag
+             FROM generate_series(1, 14) AS t(l)),
+    pairs AS (
+        SELECT lags.lag, a.c AS x, b.c AS y
+        FROM daily a
+        CROSS JOIN lags
+        JOIN daily b ON b.d = a.d + lags.lag * INTERVAL 1 DAY),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY lag)
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS acf_ppm
+    FROM s ORDER BY lag
+    """,
+)
+def orders_daily_acf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full autocorrelation TABLE of daily revenue at lags 1..14 —
+    the correlogram a forecaster reads before fitting anything
+    (weekly cadence shows up as a spike at lag 7; the already-shipped
+    orders_daily_autocorr_lag1 is this table's first row, and
+    orders_weekday_seasonality its explanation). Pearson at each lag
+    over exact DECIMAL/HUGEINT moments; the ratio is one identical
+    double expression, ppm-rounded.
+
+    Plan shape at 100 TB: one orderdate hash agg collapses the fact
+    table to ≤|calendar| rows; the 14-lag fan-out is a bounded ×14
+    broadcast-join explode of that TINY frame (never of the facts);
+    the pairing is an equi-join on the shifted date; the moment
+    rollup is a ≤14-group agg. Identical skeleton at any scale."""
+    daily = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast(_DEC).alias("c"),
+        )
+        .groupBy("o_orderdate")
+        .agg(F.sum("c").alias("c"))
+    )
+    lags = spark.range(1, 15).select(F.col("id").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("o_orderdate"), F.col("lag").cast("int")).alias(
+            "d"
+        ),
+        F.col("c").alias("x"),
+    )
+    b = daily.select(F.col("o_orderdate").alias("d"), F.col("c").alias("y"))
+    s = (
+        a.join(b, "d")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den * 1000000).cast("bigint").alias("acf_ppm"),
+    ).orderBy("lag")

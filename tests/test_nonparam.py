@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "nation"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 
@@ -500,3 +500,126 @@ def test_centroid_separation_consistent_with_inertia(spark):
         # necessarily — but the PAIR distance must agree in both directions
         other = r["nearest_label"]
         assert sep[other]["nearest_dist_sq"] <= r["nearest_dist_sq"]
+
+
+def test_anova_f_matches_numpy(spark, duck):
+    rows = duck.sql(
+        "SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) "
+        "FROM orders"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    arrs = [np.array(vs, dtype=np.float64) for vs in groups.values()]
+    n = sum(len(a) for a in arrs)
+    k = len(arrs)
+    grand = np.concatenate(arrs).mean()
+    ssb = sum(len(a) * (a.mean() - grand) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+    [row] = QUERIES["anova_f_priority"](spark, SF).collect()
+    assert row["k_groups"] == k
+    assert row["n_total"] == n
+    # numpy centers first (different float path) — agree to 1e-6 rel
+    assert abs(row["f_ppm"] / 1e6 - f) <= 1e-6 * max(1.0, abs(f))
+    assert abs(row["eta2_ppm"] / 1e6 - eta2) <= 1e-6
+
+
+def test_mann_kendall_matches_brute_pairs(spark, duck):
+    rows = duck.sql(
+        "SELECT year(o_orderdate), o_orderdate, "
+        "SUM(CAST(round(o_totalprice*100) AS HUGEINT)) "
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict[int, list[int]] = {}
+    for yr, _, c in rows:
+        series.setdefault(int(yr), []).append(int(c))
+    got = {
+        r["yr"]: r
+        for r in QUERIES["mann_kendall_yearly_revenue"](spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for yr, xs in series.items():
+        conc = disc = ties = 0
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                if xs[j] > xs[i]:
+                    conc += 1
+                elif xs[j] < xs[i]:
+                    disc += 1
+                else:
+                    ties += 1
+        r = got[yr]
+        assert r["n_days"] == len(xs)
+        assert r["n_concordant"] == conc
+        assert r["n_discordant"] == disc
+        assert r["s_stat"] == conc - disc
+        assert r["n_ties"] == ties
+
+
+def test_theil_decomposition_matches_numpy(spark, duck):
+    rows = duck.sql(
+        "SELECT n.n_name, CAST(SUM(CAST(round(o.o_totalprice*100) AS "
+        "HUGEINT)) AS DOUBLE) FROM orders o "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY o.o_custkey, n.n_name"
+    ).fetchall()
+    by_nation: dict[str, list[float]] = {}
+    for nm, x in rows:
+        by_nation.setdefault(nm, []).append(x)
+    allx = np.array([x for _, x in rows])
+    n_tot, s_tot = len(allx), allx.sum()
+    got = {
+        r["nation"]: r
+        for r in QUERIES["nation_revenue_theil"](spark, SF).collect()
+    }
+    assert set(got) == set(by_nation)
+    # the decomposition identity: T_total = Σ s_g·T_g + Σ between_g
+    mu = allx.mean()
+    t_total = float((allx / mu * np.log(allx / mu)).sum() / n_tot)
+    recon = 0.0
+    for nm, xs in by_nation.items():
+        a = np.array(xs)
+        mug = a.mean()
+        t_g = float((a / mug * np.log(a / mug)).sum() / len(a))
+        s_g = a.sum() / s_tot
+        r = got[nm]
+        assert r["n_cust"] == len(xs)
+        assert abs(r["income_share_ppm"] / 1e6 - s_g) <= 2e-6
+        assert abs(r["theil_within_micro"] / 1e6 - t_g) <= 2e-6
+        p_g = len(xs) / n_tot
+        between = s_g * np.log(s_g / p_g)
+        assert abs(r["theil_between_micro"] / 1e6 - between) <= 2e-6
+        recon += s_g * (r["theil_within_micro"] / 1e6) + (
+            r["theil_between_micro"] / 1e6
+        )
+    assert abs(recon - t_total) <= 5e-5
+
+
+def test_acf_table_matches_numpy(spark, duck):
+    rows = duck.sql(
+        "SELECT o_orderdate, SUM(CAST(round(o_totalprice*100) AS HUGEINT)) "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    dates = {d: int(c) for d, c in rows}
+    got = {
+        r["lag"]: r
+        for r in QUERIES["orders_daily_acf_table"](spark, SF).collect()
+    }
+    assert set(got) == set(range(1, 15))
+    import datetime
+
+    for lag in (1, 7, 14):
+        xs, ys = [], []
+        for d, c in dates.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in dates:
+                xs.append(c)
+                ys.append(dates[d2])
+        r = got[lag]
+        assert r["n_pairs"] == len(xs)
+        corr = np.corrcoef(np.array(xs, dtype=float),
+                           np.array(ys, dtype=float))[0, 1]
+        assert abs(r["acf_ppm"] / 1e6 - corr) <= 2e-6
