@@ -136,6 +136,16 @@ _CORE = [
     "mann_kendall_yearly_revenue",
     "nation_revenue_theil",
     "orders_daily_acf_table",
+    # round-13 debuts, wave 11 (SQL-sugar breadth — textual rewrites
+    # shared by both surfaces, DuckDB-native oracles): * EXCLUDE +
+    # ORDER BY ALL (identical statement both engines), FETCH FIRST n
+    # ROWS WITH TIES (scale-safe two-pass rewrite — the n-th key via
+    # TakeOrderedAndProject, never a global rank window), and
+    # quantified ALL/ANY/SOME subqueries (standard truth table
+    # brute-verified against DuckDB's native grammar)
+    "select_exclude_order_all_sql",
+    "fetch_with_ties_sql",
+    "quantified_all_any_sql",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

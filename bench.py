@@ -235,6 +235,15 @@ HEADLINE = [
     "wilcoxon_signed_rank_halves",
     "text_keyness_loglik_en_de",
     "embedding_centroid_separation",
+    # round-13 wave 10: ANOVA F, Mann-Kendall, Theil, ACF correlogram
+    "anova_f_priority",
+    "mann_kendall_yearly_revenue",
+    "nation_revenue_theil",
+    "orders_daily_acf_table",
+    # round-13 wave 11: EXCLUDE/ORDER BY ALL, WITH TIES, ALL/ANY
+    "select_exclude_order_all_sql",
+    "fetch_with_ties_sql",
+    "quantified_all_any_sql",
 ]
 
 

@@ -398,3 +398,131 @@ def time_travel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXCEPT SELECT 'removed', k, v FROM sq_tt
         """
     )
+
+
+@register(
+    "select_exclude_order_all_sql",
+    oracle="""
+    SELECT * EXCLUDE (o_orderstatus)
+    FROM (SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+          FROM orders) s
+    WHERE o_totalprice > 450000
+    ORDER BY ALL
+    """,
+)
+def select_exclude_order_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Snowflake's ``SELECT * EXCLUDE (…)`` plus ``ORDER BY
+    ALL`` issued as plain SQL through the frontend. EXCLUDE rewrites
+    textually to Spark's native ``* EXCEPT`` (sql_frontend.
+    rewrite_star_exclude — projection-position stars only, so ``a *
+    exclude_col`` multiplication survives); ORDER BY ALL is native on
+    BOTH engines, so the oracle is the IDENTICAL statement (the
+    GROUP BY ALL parity-by-construction pattern).
+
+    Plan shape at 100 TB: parser sugar only — the plan is the plain
+    3-column projection under the pushed totalprice filter plus a
+    presentation sort; EXCEPT prunes the column at the scan
+    (ReadSchema drops o_orderstatus)."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT * EXCLUDE (o_orderstatus) FROM sq_orders
+        WHERE o_totalprice > 450000
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "fetch_with_ties_sql",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey, o_orderdate,
+               rank() OVER (ORDER BY o_orderdate) AS rk
+        FROM orders)
+    SELECT o_orderkey, o_orderdate FROM k WHERE rk <= 10
+    """,
+)
+def fetch_with_ties_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ``FETCH FIRST 10 ROWS WITH TIES`` through the
+    frontend — the top-N that refuses to cut a tie group (Postgres/
+    Oracle grammar; DuckDB lacks it, so the oracle spells the rank()
+    equivalent). The rewrite (sql_frontend.rewrite_fetch_first) is the
+    SCALE-SAFE two-pass plan: the n-th key via ORDER BY … LIMIT n —
+    TakeOrderedAndProject, never a global rank window (the plan-gate
+    rule the oracle's own spelling would violate) — then ONE
+    broadcast-scalar filter at that threshold.
+
+    Plan shape at 100 TB: pass 1 is a 10-row top-K (per-partition
+    heaps + driver merge); pass 2 is a pushed filter on the scan.
+    Ties inflate the output only by the final tie group."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT o_orderkey, o_orderdate FROM sq_orders
+        ORDER BY o_orderdate
+        FETCH FIRST 10 ROWS WITH TIES
+        """
+    )
+
+
+@register(
+    "quantified_all_any_sql",
+    oracle="""
+    SELECT
+        CAST((SELECT COUNT(*) FROM supplier
+              WHERE s_acctbal > ALL (SELECT s_acctbal FROM supplier
+                                     WHERE s_nationkey = 0))
+             AS BIGINT) AS n_above_all,
+        CAST((SELECT COUNT(*) FROM supplier
+              WHERE s_acctbal > ANY (SELECT s_acctbal FROM supplier
+                                     WHERE s_nationkey = 0))
+             AS BIGINT) AS n_above_any,
+        CAST((SELECT COUNT(*) FROM supplier
+              WHERE s_acctbal = ANY (SELECT s_acctbal FROM supplier
+                                     WHERE s_nationkey = 0))
+             AS BIGINT) AS n_matching_any,
+        CAST((SELECT COUNT(*) FROM supplier
+              WHERE s_acctbal <> ALL (SELECT s_acctbal FROM supplier
+                                      WHERE s_nationkey = 0))
+             AS BIGINT) AS n_outside_all
+    """,
+)
+def quantified_all_any_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard quantified comparisons — ``> ALL``, ``> ANY``,
+    ``= ANY``, ``<> ALL`` — against the nation-0 supplier balances,
+    issued as plain SQL through the frontend. Spark's parser lacks the
+    grammar; the rewrite (sql_frontend.rewrite_quantified_subqueries)
+    reproduces the standard's empty-set/NULL truth table exactly
+    (brute-verified against DuckDB's NATIVE quantifiers across 300
+    cases in tests/test_sql_sugar.py). The oracle runs the original
+    text natively.
+
+    Plan shape at 100 TB: each quantifier costs at most three bounded
+    scalar subplans over the subquery — a COUNT, a 1-row
+    TakeOrderedAndProject extreme, and a NULLS FIRST probe — broadcast
+    as literals into the outer filter; membership forms reuse Spark's
+    IN-subquery (one build-side hash relation). Never a global
+    window, never a fan-out join."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT
+            CAST((SELECT COUNT(*) FROM sq_supplier
+                  WHERE s_acctbal > ALL (SELECT s_acctbal FROM sq_supplier
+                                         WHERE s_nationkey = 0))
+                 AS BIGINT) AS n_above_all,
+            CAST((SELECT COUNT(*) FROM sq_supplier
+                  WHERE s_acctbal > ANY (SELECT s_acctbal FROM sq_supplier
+                                         WHERE s_nationkey = 0))
+                 AS BIGINT) AS n_above_any,
+            CAST((SELECT COUNT(*) FROM sq_supplier
+                  WHERE s_acctbal = ANY (SELECT s_acctbal FROM sq_supplier
+                                         WHERE s_nationkey = 0))
+                 AS BIGINT) AS n_matching_any,
+            CAST((SELECT COUNT(*) FROM sq_supplier
+                  WHERE s_acctbal <> ALL (SELECT s_acctbal FROM sq_supplier
+                                          WHERE s_nationkey = 0))
+                 AS BIGINT) AS n_outside_all
+        """
+    )

@@ -1194,6 +1194,20 @@ class SecureSession:
         # and unknown names keep their not-found semantics. User views
         # materialize first so an as-of over a view resolves through
         # the invoker's own policy path.
+        # Purely textual sugar (EXCLUDE / FETCH FIRST / quantified
+        # ALL-ANY-SOME) rewrites BEFORE the parsed fence for the same
+        # reason as ASOF/QUALIFY below: the raw text does not parse.
+        # The rewrites introduce no new relations — every relation in
+        # the rewritten text was already in the original, so the
+        # parsed-relation authorization below still sees them all.
+        if re.search(
+            r"\bEXCLUDE\b|\bFETCH\b|\b(?:ALL|ANY|SOME)\s*\(", query, re.I
+        ):
+            from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+                rewrite_text_sugar,
+            )
+
+            query, _ = rewrite_text_sugar(query)
         if re.search(r"\bASOF\b|\bQUALIFY\b|DISTINCT\s+ON\s*\(", query, re.I):
             from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
                 rewrite_asof_joins,

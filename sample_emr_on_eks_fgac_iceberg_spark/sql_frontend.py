@@ -606,6 +606,279 @@ def _strip_sql_strings(text: str) -> str:
     return re.sub(r"'(?:[^']|'')*'", "''", text)
 
 
+def _balanced_end(text: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx`` (on blanked
+    text — literals cannot unbalance the scan); -1 if unbalanced."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+_STAR_EXCLUDE_RE = re.compile(r"\*\s*(EXCLUDE)\b", re.I)
+_SUGAR_KEYWORDS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "FETCH", "AS",
+}
+
+
+def rewrite_star_exclude(query: str) -> str:
+    """DuckDB/Snowflake's ``SELECT * EXCLUDE (a, b)`` (also the
+    paren-less single-column form) → Spark's native ``* EXCEPT (…)``.
+    Purely textual: only a ``*`` in PROJECTION position (preceded by
+    SELECT/DISTINCT, ``,``, ``(`` or an ``alias.`` qualifier) triggers;
+    ``a * exclude_col`` stays multiplication. Probes run on blanked
+    text so literals can't trigger (the rewrite_distinct_on rule)."""
+    blanked = _blank_sql_strings(query)
+    out = query
+    for m in reversed(list(_STAR_EXCLUDE_RE.finditer(blanked))):
+        star = m.start()
+        j = star - 1
+        while j >= 0 and blanked[j].isspace():
+            j -= 1
+        prev_word = re.search(r"(\w+)\s*$", blanked[: j + 1])
+        projection = (
+            j < 0
+            or blanked[j] in ",(."
+            or (
+                prev_word is not None
+                and prev_word.group(1).upper() in ("SELECT", "DISTINCT")
+            )
+        )
+        if not projection:
+            continue
+        kw_start, kw_end = m.start(1), m.end(1)
+        rest = blanked[kw_end:]
+        paren = re.match(r"\s*\(", rest)
+        if paren:
+            out = out[:kw_start] + "EXCEPT" + out[kw_end:]
+            continue
+        ident = re.match(r"\s+(`[^`]+`|[A-Za-z_][\w.]*)", rest)
+        if not ident or ident.group(1).upper() in _SUGAR_KEYWORDS:
+            raise ValueError(
+                "EXCLUDE must be followed by a column list: "
+                "* EXCLUDE (col, …) or * EXCLUDE col"
+            )
+        col = query[kw_end + ident.start(1) : kw_end + ident.end(1)]
+        out = out[:kw_start] + f"EXCEPT ({col})" + out[kw_end + ident.end(1):]
+    return out
+
+
+_FETCH_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+"
+    r"(ONLY|WITH\s+TIES)\s*;?\s*$",
+    re.I,
+)
+
+
+def rewrite_fetch_first(query: str) -> tuple[str, bool]:
+    """SQL-standard ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n`` (Spark
+    has no FETCH grammar), and ``FETCH FIRST n ROWS WITH TIES`` → the
+    scale-safe two-pass plan: the n-th key via ORDER BY … LIMIT n
+    (TakeOrderedAndProject — never a global rank window, the plan-gate
+    rule) then ONE filter at that threshold. WITH TIES requires a
+    single-key top-level ORDER BY (ASC/DESC, no NULLS override) whose
+    key is a projected column; NULL keys sort last and never tie.
+    Returns (rewritten, changed)."""
+    blanked = _blank_sql_strings(query)
+    m = _FETCH_RE.search(blanked)
+    if m is None:
+        return query, False
+    n = int(m.group(1) or 1)
+    if m.group(2).upper() == "ONLY":
+        return query[: m.start()].rstrip() + f" LIMIT {n}", True
+    # WITH TIES: locate the top-level ORDER BY feeding the fetch
+    depth = 0
+    ob_start = -1
+    for om in re.finditer(r"[()]|\bORDER\s+BY\b", blanked[: m.start()], re.I):
+        tok = om.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            ob_start = om.start()
+    if ob_start < 0:
+        raise ValueError("FETCH … WITH TIES requires a top-level ORDER BY")
+    order_items = blanked[ob_start:m.start()]
+    body = query[:ob_start].rstrip()
+    items = re.sub(r"^\s*ORDER\s+BY\s*", "", order_items, flags=re.I)
+    if re.search(r",", items) or re.search(r"\bNULLS\b", items, re.I):
+        raise ValueError(
+            "FETCH … WITH TIES supports a single ORDER BY key without a "
+            "NULLS override — rewrite multi-key ties as QUALIFY rank()"
+        )
+    km = re.match(r"\s*(.*?)\s*(ASC|DESC)?\s*$", items, re.I | re.S)
+    prefix_len = len(order_items) - len(items)
+    key = query[
+        ob_start + prefix_len + km.start(1) : ob_start + prefix_len + km.end(1)
+    ].strip()
+    desc = (km.group(2) or "ASC").upper() == "DESC"
+    direction = "DESC NULLS LAST" if desc else "ASC NULLS LAST"
+    agg = "min" if desc else "max"
+    cmp_op = ">=" if desc else "<="
+    rewritten = (
+        f"WITH __wt_src AS ({body}) SELECT * FROM __wt_src "
+        f"WHERE {key} {cmp_op} (SELECT {agg}(__wt_k) FROM "
+        f"(SELECT {key} AS __wt_k FROM __wt_src "
+        f"ORDER BY {key} {direction} LIMIT {n}) __wt_t) "
+        f"ORDER BY {key} {direction}"
+    )
+    return rewritten, True
+
+
+_QUANT_RE = re.compile(
+    r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.I
+)
+_QUANT_LHS_RE = re.compile(
+    r"(`[^`]+`|[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*|\.`[^`]+`)*|"
+    r"\d+(?:\.\d+)?|'\s*')\s*$"
+)
+
+
+def rewrite_quantified_subqueries(query: str) -> str:
+    """SQL-standard quantified comparisons — ``x > ALL (SELECT …)``,
+    ``x <= ANY/SOME (…)`` — which Spark's parser lacks. ``= ANY`` →
+    ``IN``, ``<> ALL`` → ``NOT IN`` (identical NULL semantics by
+    definition); the inequality forms become a CASE over three scalar
+    subqueries (COUNT, the relevant non-NULL extreme via ORDER BY 1 …
+    LIMIT 1, and a NULLS FIRST probe for NULL elements) that
+    reproduces the standard's empty-set and NULL truth table exactly
+    (brute-verified against DuckDB's native ALL/ANY in
+    tests/test_sql_sugar.py). The LHS must be a column reference or
+    literal (raise loudly otherwise); the subquery text is inlined up
+    to three times — Spark dedups nothing here, so quantified probes
+    over a large relation cost up to 3 bounded aggregate scans (each
+    is a COUNT or a 1-row TakeOrderedAndProject — no global windows)."""
+    while True:
+        blanked = _blank_sql_strings(query)
+        matches = list(_QUANT_RE.finditer(blanked))
+        target = None
+        for m in reversed(matches):
+            open_idx = m.end() - 1
+            close = _balanced_end(blanked, open_idx)
+            if close < 0:
+                raise ValueError("Unbalanced quantified subquery")
+            head = blanked[open_idx + 1 : close].lstrip().upper()
+            if head.startswith(("SELECT", "WITH", "VALUES")):
+                target = (m, open_idx, close)
+                break
+        if target is None:
+            return query
+        m, open_idx, close = target
+        op = {"!=": "<>"}.get(m.group(1), m.group(1))
+        quant = m.group(2).upper()
+        sq = query[open_idx + 1 : close]
+        lhs_m = _QUANT_LHS_RE.search(blanked[: m.start()])
+        if lhs_m is None:
+            raise ValueError(
+                f"Quantified {quant} supports a column or literal on "
+                f"the left-hand side only (got …{query[max(0, m.start()-20):m.start()]!r})"
+            )
+        lhs = query[lhs_m.start(1) : lhs_m.end(1)]
+        span_start = lhs_m.start(1)
+        if quant == "SOME":
+            quant = "ANY"
+        if (op == "=" and quant == "ANY") or (op == "<>" and quant == "ALL"):
+            # membership forms: IN decides the DEFINITE branch (a
+            # non-NULL match is TRUE regardless of NULL elements), but
+            # Spark's IN-subquery in PROJECTION position is not
+            # null-aware (2 IN (1, NULL) evaluates FALSE, the standard
+            # says UNKNOWN) — the CASE restores the standard's NULL
+            # truth table in every context
+            cnt = f"(SELECT COUNT(*) FROM ({sq}) __qt_c)"
+            has_null = (
+                f"(SELECT * FROM ({sq}) __qt_n "
+                f"ORDER BY 1 ASC NULLS FIRST LIMIT 1) IS NULL"
+            )
+            null_b = "CAST(NULL AS BOOLEAN)"
+            hit, miss = ("TRUE", "FALSE") if op == "=" else ("FALSE", "TRUE")
+            repl = (
+                f"(CASE WHEN {cnt} = 0 THEN {miss} "
+                f"WHEN {lhs} IN ({sq}) THEN {hit} "
+                f"WHEN {lhs} IS NULL THEN {null_b} "
+                f"WHEN {has_null} THEN {null_b} "
+                f"ELSE {miss} END)"
+            )
+        else:
+            cnt = f"(SELECT COUNT(*) FROM ({sq}) __qt_c)"
+            mx = (
+                f"(SELECT * FROM ({sq}) __qt_x "
+                f"ORDER BY 1 DESC NULLS LAST LIMIT 1)"
+            )
+            mn = (
+                f"(SELECT * FROM ({sq}) __qt_x "
+                f"ORDER BY 1 ASC NULLS LAST LIMIT 1)"
+            )
+            has_null = (
+                f"(SELECT * FROM ({sq}) __qt_n "
+                f"ORDER BY 1 ASC NULLS FIRST LIMIT 1) IS NULL"
+            )
+            null_b = "CAST(NULL AS BOOLEAN)"
+            if quant == "ALL":
+                if op == "=":
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                        f"WHEN NOT ({lhs} = {mx}) THEN FALSE "
+                        f"WHEN NOT ({lhs} = {mn}) THEN FALSE "
+                        f"WHEN {lhs} IS NULL THEN {null_b} "
+                        f"WHEN {has_null} THEN {null_b} "
+                        f"ELSE TRUE END)"
+                    )
+                else:
+                    ext = mx if op in (">", ">=") else mn
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                        f"WHEN NOT ({lhs} {op} {ext}) THEN FALSE "
+                        f"WHEN {lhs} IS NULL THEN {null_b} "
+                        f"WHEN {has_null} THEN {null_b} "
+                        f"ELSE TRUE END)"
+                    )
+            else:  # ANY
+                if op == "<>":
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                        f"WHEN {lhs} <> {mx} THEN TRUE "
+                        f"WHEN {lhs} <> {mn} THEN TRUE "
+                        f"WHEN {lhs} IS NULL THEN {null_b} "
+                        f"WHEN {has_null} THEN {null_b} "
+                        f"ELSE FALSE END)"
+                    )
+                else:
+                    ext = mn if op in (">", ">=") else mx
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                        f"WHEN {lhs} {op} {ext} THEN TRUE "
+                        f"WHEN {lhs} IS NULL THEN {null_b} "
+                        f"WHEN {has_null} THEN {null_b} "
+                        f"ELSE FALSE END)"
+                    )
+        query = query[:span_start] + repl + query[close + 1 :]
+
+
+def rewrite_text_sugar(query: str) -> tuple[str, bool]:
+    """The purely TEXTUAL SQL-sugar pass shared by both surfaces
+    (producer frontend + SecureSession): ``* EXCLUDE`` → ``* EXCEPT``,
+    ``FETCH FIRST … ONLY/WITH TIES``, and quantified ``ALL/ANY/SOME``
+    subqueries. Unlike QUALIFY/DISTINCT ON these rewrites add no
+    helper columns, so there is nothing to drop afterwards. Returns
+    (rewritten, changed)."""
+    probe = _strip_sql_strings(query)
+    out = query
+    if re.search(r"\bEXCLUDE\b", probe, re.I):
+        out = rewrite_star_exclude(out)
+    if re.search(r"\bFETCH\b", probe, re.I):
+        out, _ = rewrite_fetch_first(out)
+    if re.search(r"\b(ALL|ANY|SOME)\s*\(", _strip_sql_strings(out), re.I):
+        out = rewrite_quantified_subqueries(out)
+    return out, out != query
+
+
 def _blank_sql_strings(text: str) -> str:
     """Like _strip_sql_strings but LENGTH-PRESERVING (literal contents
     become spaces): match indices computed on the blanked text stay
@@ -2067,6 +2340,7 @@ class SqlFrontend:
                 if other != v and re.search(_token(other), body):
                     _materialize_view(other, stack | {v})
             b = _rewrite_dotted(body)
+            b, _ = rewrite_text_sugar(b)
             b = self._rewrite_asof_joins(b, scratch)
             b, dq = rewrite_qualify(b)
             b, dd = rewrite_distinct_on(b)
@@ -2089,6 +2363,7 @@ class SqlFrontend:
                 query = _sub_outside_strings(
                     _token(v), f"`{v.replace('.', '__')}`", query
                 )
+        query, _ = rewrite_text_sugar(query)
         query = self._rewrite_asof_joins(query, scratch)
         query, drop_qualify = rewrite_qualify(query)
         query, drop_don = rewrite_distinct_on(query)
