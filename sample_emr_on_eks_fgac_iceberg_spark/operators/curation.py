@@ -1047,3 +1047,74 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(_stage(idx, name, frame))
     return out
+
+
+_L_DIV = 3
+
+
+@register(
+    "customers_l_diversity",
+    oracle=f"""
+    WITH bands AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 200000.0) AS BIGINT) AS bal_band
+        FROM customer),
+    groups AS (
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT bal_band) AS l
+        FROM bands GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_below_l,
+           CAST(SUM(CASE WHEN l < {_L_DIV} THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_in_low_l_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM groups GROUP BY c_mktsegment
+    """,
+)
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity report's sibling
+    (`k_anonymity_report` counts group SIZES; this counts DISTINCT
+    SENSITIVE VALUES per quasi-identifier group). A group can satisfy
+    k yet leak: if every member shares one account-balance band, the
+    attacker learns the sensitive attribute without re-identification
+    (Machanavajjhala et al., the published l-diversity criterion —
+    PAPERS.md). Quasi-ID = (segment, nation); sensitive = $2,000
+    balance band; per segment: worst l, groups below l=3, and the rows
+    exposed in them. The band spells floor(cents / 200000.0) with ONE
+    identical double division on both engines.
+
+    Plan shape at 100 TB: two stacked hash aggregations — the
+    (QI, band) distinct-count rides Spark's partial-distinct expand
+    (state bounded by QI × band cardinality, not rows), the per-
+    segment rollup is ≤|segments| rows. No joins, no windows."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") / F.lit(200000.0)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    groups = bands.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("bal_band").alias("l"),
+    )
+    low = F.col("l") < _L_DIV
+    return groups.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias(
+            "groups_below_l"
+        ),
+        F.sum(F.when(low, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_low_l_groups"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+    )

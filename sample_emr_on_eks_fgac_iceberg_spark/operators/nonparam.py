@@ -1638,3 +1638,149 @@ def orders_daily_acf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / den * 1000000).cast("bigint").alias("acf_ppm"),
     ).orderBy("lag")
+
+
+@register(
+    "customer_churn_nelson_aalen",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                   AS lifetime,
+               CASE WHEN MAX(o_orderdate) <= (SELECT md FROM maxd)
+                         - INTERVAL 90 DAY THEN 1 ELSE 0 END AS event
+        FROM orders GROUP BY o_custkey),
+    lt AS (SELECT lifetime, SUM(event) AS d, COUNT(*) AS m
+           FROM cust GROUP BY lifetime),
+    tot AS (SELECT SUM(m) AS n FROM lt),
+    o AS (SELECT lifetime, d,
+                 CAST((SELECT n FROM tot)
+                      - COALESCE(SUM(m) OVER (ORDER BY lifetime
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM lt),
+    s AS (SELECT lifetime, d, n_risk,
+                 SUM(CASE WHEN d > 0 THEN
+                         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     ELSE 0 END) OVER (ORDER BY lifetime
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS hsum
+          FROM o)
+    SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_churned,
+           CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      * 1000000) AS BIGINT) AS hazard_micro,
+           CAST(round(hsum * 1000000) AS BIGINT) AS na_cum_micro
+    FROM s WHERE d > 0
+    """,
+)
+def customer_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the SAME
+    churn-lifetime frame as `customer_churn_kaplan_meier` — H(t) =
+    Σ_{s≤t} d_s/n_s, the additive counterpart of KM's product limit
+    (an analyst reads H's slope as the instantaneous churn rate;
+    exp(−H) is the Breslow survival cross-check against KM's S). Per
+    event day: the at-risk count, deaths, the row-local hazard d/n,
+    and the cumulative H in rounded micro-units — the cumulative
+    window fixes the summation ORDER (the KM ln-sum precedent), so
+    both engines add the same doubles in the same sequence and micro
+    rounding absorbs the distributed-offset ulp.
+
+    Plan shape at 100 TB: identical to KM — one custkey hash agg, then
+    everything keyed on calendar-bounded LIFETIME DAYS; the at-risk
+    exclusive Σ and the hazard inclusive Σ both ride the distributed
+    prefix idiom (range repartition + pid-local windows + K
+    driver/broadcast offsets; never an unpartitioned window)."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").alias("lifetime"),
+            F.when(
+                F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("event"),
+        )
+    )
+    lt = materialize_once(
+        cust.groupBy("lifetime").agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    spark_ = lt.sparkSession
+    r = lt.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "lifetime"
+    ).withColumn("pid", F.spark_partition_id())
+    lwx = (
+        Window.partitionBy("pid")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = materialize_once(
+        r.withColumn("lm", F.coalesce(F.sum("m").over(lwx), F.lit(0)))
+    )
+    partials = r.groupBy("pid").agg(F.sum("m").alias("n_p"))
+    off = partition_rank_offsets(partials)
+    tot = partials.agg(F.sum("n_p").alias("n"))
+    o2 = (
+        r.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("n") - (F.col("__offset") + F.col("lm"))).cast("bigint"),
+        )
+    )
+    # hazard spelled CAST(d)/CAST(n_risk) — identical op order to the
+    # oracle's window term
+    h = F.when(
+        F.col("d") > 0,
+        F.col("d").cast("double") / F.col("n_risk").cast("double"),
+    ).otherwise(F.lit(0.0))
+    lwi = (
+        Window.partitionBy("pid")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o3 = materialize_once(
+        o2.withColumn("h", h).withColumn("h_sum", F.sum("h").over(lwi))
+    )
+    prt = sorted(
+        o3.groupBy("pid").agg(F.sum("h").alias("h_p")).collect(),  # scale-ok: one float per partition — K driver scalars
+        key=lambda row: row["pid"],
+    )
+    h_off: dict[int, float] = {}
+    acc = 0.0
+    for row in prt:
+        h_off[row["pid"]] = acc
+        acc += row["h_p"] or 0.0
+    offs2 = spark_.createDataFrame(
+        [(int(pp), h_off[pp]) for pp in h_off] or [(0, 0.0)],
+        "pid int, h_off double",
+    )
+    s = o3.join(F.broadcast(offs2), "pid").withColumn(
+        "hsum", F.col("h_off") + F.col("h_sum")
+    )
+    return s.filter(F.col("d") > 0).select(
+        F.col("lifetime").cast("bigint").alias("lifetime_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("d_churned"),
+        F.round(
+            F.col("d").cast("double") / F.col("n_risk").cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hazard_micro"),
+        F.round(F.col("hsum") * 1000000).cast("bigint").alias(
+            "na_cum_micro"
+        ),
+    )

@@ -526,3 +526,55 @@ def quantified_all_any_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS n_outside_all
         """
     )
+
+
+@register(
+    "percentile_within_group_sql",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_cont(0.25) WITHIN GROUP
+               (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q1,
+           percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q2,
+           percentile_cont(0.75) WITHIN GROUP
+               (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q3,
+           CAST(percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS med_disc,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_within_group_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered-set aggregates — ``percentile_cont/_disc …
+    WITHIN GROUP (ORDER BY …)`` — issued as plain SQL through the
+    frontend. NATIVE grammar on Spark ≥3.4 AND DuckDB: the statement
+    text is identical on both engines (the GROUP BY ALL
+    parity-by-construction pattern), and the linear-interpolation
+    arithmetic over exact integer cents is bit-identical (probed: all
+    five priorities × three quantiles match to the last bit at both
+    SFs — interpolation is one IEEE multiply-add on the two
+    neighboring cents values).
+
+    Plan shape at 100 TB: Spark's percentile_cont is an exact
+    sort-based aggregate buffering each group's values — fine for the
+    ≤3 status groups here, but for HIGH-cardinality groups the engine
+    offers exact_order_statistics (range-repartition rank idiom) and
+    approx_percentile; PLANS.md records the choice rule."""
+    fe = _frontend(spark, sf_dir)
+    return fe.execute(
+        """
+        SELECT o_orderstatus,
+               percentile_cont(0.25) WITHIN GROUP
+                   (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q1,
+               percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q2,
+               percentile_cont(0.75) WITHIN GROUP
+                   (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS q3,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                   (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS med_disc,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM sq_orders GROUP BY o_orderstatus
+        """
+    )

@@ -623,3 +623,45 @@ def test_acf_table_matches_numpy(spark, duck):
         corr = np.corrcoef(np.array(xs, dtype=float),
                            np.array(ys, dtype=float))[0, 1]
         assert abs(r["acf_ppm"] / 1e6 - corr) <= 2e-6
+
+
+def test_nelson_aalen_matches_brute_hazard(spark, duck):
+    rows = duck.sql(
+        "WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders) "
+        "SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)), "
+        "CASE WHEN MAX(o_orderdate) <= (SELECT md FROM maxd) "
+        "- INTERVAL 90 DAY THEN 1 ELSE 0 END "
+        "FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    from collections import Counter
+
+    d_at = Counter()
+    m_at = Counter()
+    for lt, ev in rows:
+        m_at[lt] += 1
+        d_at[lt] += ev
+    got = {
+        r["lifetime_days"]: r
+        for r in QUERIES["customer_churn_nelson_aalen"](spark, SF).collect()
+    }
+    n_risk = len(rows)
+    h = 0.0
+    for lt in sorted(m_at):
+        if d_at[lt] > 0:
+            h += d_at[lt] / n_risk
+            r = got[lt]
+            assert r["n_at_risk"] == n_risk
+            assert r["d_churned"] == d_at[lt]
+            assert abs(r["hazard_micro"] / 1e6 - d_at[lt] / n_risk) <= 2e-6
+            assert abs(r["na_cum_micro"] / 1e6 - h) <= 2e-6
+        n_risk -= m_at[lt]
+    assert set(got) == {lt for lt in m_at if d_at[lt] > 0}
+    # cross-check against KM: exp(-H) ≥ S pointwise (standard bound)
+    km = {
+        r["lifetime_days"]: r["survival_ppm"] / 1e6
+        for r in QUERIES["customer_churn_kaplan_meier"](spark, SF).collect()
+    }
+    import math
+
+    for lt, r in got.items():
+        assert math.exp(-r["na_cum_micro"] / 1e6) >= km[lt] - 1e-9
