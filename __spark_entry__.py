@@ -146,6 +146,26 @@ _CORE = [
     "select_exclude_order_all_sql",
     "fetch_with_ties_sql",
     "quantified_all_any_sql",
+    # round-13 debuts, wave 12: ordered-set aggregates (percentile_
+    # cont/disc WITHIN GROUP — native grammar both engines, probed
+    # bit-identical interpolation), the l-diversity privacy audit
+    # (k-anonymity's sensitive-value sibling), Nelson-Aalen cumulative
+    # hazard (KM's additive counterpart on the same lifetime frame),
+    # and the TRY_* error-absorbing scalar family
+    "percentile_within_group_sql",
+    "customers_l_diversity",
+    "customer_churn_nelson_aalen",
+    "scalar_try_funcs",
+    # round-13 debuts, wave 13: the modern aggregate shelf (max_by/
+    # min_by ≡ arg_max/arg_min with a tie-free UNIQUE ordering key,
+    # count_if, bool_and/bool_or), SQL-standard width_bucket histogram
+    # (bucket width coprime to the count — no boundary can land on an
+    # integer cents value), and the multimodal RESIZE (nearest-
+    # neighbor 2:1 downsample with a position-weighted checksum that
+    # pins pixel placement; completes decode/feature/resize/sample)
+    "agg_modern_funcs",
+    "orders_width_bucket_histogram",
+    "multimodal_image_resize",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of

@@ -244,6 +244,15 @@ HEADLINE = [
     "select_exclude_order_all_sql",
     "fetch_with_ties_sql",
     "quantified_all_any_sql",
+    # round-13 wave 12: WITHIN GROUP, l-diversity, Nelson-Aalen, TRY_*
+    "percentile_within_group_sql",
+    "customers_l_diversity",
+    "customer_churn_nelson_aalen",
+    "scalar_try_funcs",
+    # round-13 wave 13: modern aggs, width_bucket, image resize
+    "agg_modern_funcs",
+    "orders_width_bucket_histogram",
+    "multimodal_image_resize",
 ]
 
 

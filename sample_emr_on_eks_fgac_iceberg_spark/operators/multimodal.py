@@ -939,3 +939,128 @@ def multimodal_image_gradient_energy(
             yield pd.DataFrame(out)
 
     return pgm.mapInPandas(decode, out_schema)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS len,
+                      CAST(64 + (doc_id % 16) * 8 AS BIGINT) AS w,
+                      CAST(64 + (doc_id % 9) * 8 AS BIGINT) AS h
+               FROM documents
+               WHERE length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
+    g AS (SELECT doc_id, text, len, w, h,
+                 (w + 1) // 2 AS rw, (h + 1) // 2 AS rh
+          FROM d),
+    px AS (SELECT doc_id, rw, rh, text, len, w,
+                  unnest(range(0, rw * rh)) AS s
+           FROM g),
+    -- nearest-neighbor 2:1 — resized (i, j) reads original
+    -- (2i, 2j); pixel value at any original position is
+    -- text[pos mod len] (the cyclic rpad construction)
+    v AS (SELECT doc_id, rw, rh, s,
+                 ascii(substring(text,
+                     CAST((2 * (s // rw) * w + 2 * (s % rw)) % len + 1
+                          AS BIGINT), 1)) AS val
+          FROM px)
+    SELECT doc_id,
+           CAST(MAX(rw) AS BIGINT) AS rw,
+           CAST(MAX(rh) AS BIGINT) AS rh,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val,
+           CAST(SUM(val * (s + 1)) AS BIGINT) AS pos_checksum
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2:1 DOWNSAMPLE of the decoded PGM rasters —
+    the thumbnail/preprocess step every vision-training pipeline runs
+    before featurization (SURVEY.md §2.B multimodal: decode /
+    feature-extract / RESIZE / frame-sample; this is the resize).
+    Each image decodes once, downsamples with a strided numpy view
+    (plane[::2, ::2] — no interpolation arithmetic, bit-exact pixel
+    copies), and reduces to stats that PIN THE PIXEL PLACEMENT: the
+    position-weighted checksum Σ val·(s+1) over the resized row-major
+    order catches any off-by-one in stride or dimension that plain
+    sums would miss. The oracle indexes the cyclic source text
+    directly at (2i·w + 2j) mod len — no pixel-plane self-join.
+
+    Scale shape: Arrow-batched mapInPandas; each image reduces to ONE
+    row inside the decoder (the gradient-energy pattern — ~10⁴:1
+    before any shuffle); the output frame is doc-count-sized. A real
+    resize-for-training would emit the resized binary column the same
+    way (payload out instead of stats); the stats form keeps the
+    driver-gate schema scalar-only."""
+    import numpy as np
+    import pandas as pd
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
+    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
+    pgm = d.filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P5\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.rpad(F.col("text"), w * h, F.col("text")),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rw", T.LongType()),
+            T.StructField("rh", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("min_val", T.LongType()),
+            T.StructField("max_val", T.LongType()),
+            T.StructField("pos_checksum", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        header = re.compile(rb"^P5\n(\d+) (\d+)\n255\n")
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "rw", "rh", "n_px", "sum_val", "min_val",
+                "max_val", "pos_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                m = header.match(buf)
+                if m is None:
+                    continue
+                iw, ih = int(m.group(1)), int(m.group(2))
+                plane = np.frombuffer(
+                    buf, dtype=np.uint8, count=iw * ih, offset=m.end()
+                ).reshape(ih, iw)
+                small = plane[::2, ::2].astype(np.int64)
+                flat = small.ravel()
+                out["doc_id"].append(doc_id)
+                out["rw"].append(small.shape[1])
+                out["rh"].append(small.shape[0])
+                out["n_px"].append(flat.size)
+                out["sum_val"].append(int(flat.sum()))
+                out["min_val"].append(int(flat.min()))
+                out["max_val"].append(int(flat.max()))
+                out["pos_checksum"].append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return pgm.mapInPandas(decode, out_schema)

@@ -4362,3 +4362,168 @@ def lineitem_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                   AS prio_digit,
+               TRY_CAST(o_orderstatus AS INT) AS bad_status,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                         / (o_orderkey % 2) END AS div_guarded,
+               CASE WHEN o_orderkey >= 0 AND o_orderkey <= 1
+                    THEN o_orderkey * 4611686018427387904
+                    ELSE NULL END AS mul_guarded,
+               CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) <= 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         + 9223372036854775807
+                    ELSE NULL END AS add_guarded
+        FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(prio_digit) AS BIGINT) AS n_prio_parsed,
+           CAST(SUM(prio_digit) AS BIGINT) AS sum_prio_digits,
+           CAST(COUNT(*) - COUNT(bad_status) AS BIGINT)
+               AS n_status_parse_null,
+           CAST(COUNT(div_guarded) AS BIGINT) AS n_div_ok,
+           CAST(COUNT(mul_guarded) AS BIGINT) AS n_mul_ok,
+           CAST(COUNT(add_guarded) AS BIGINT) AS n_add_ok
+    FROM s
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRY_* error-absorbing scalar family — try_cast (ANSI-safe
+    parsing: the clerk id digits parse, an order-status letter does
+    not), try_divide (÷0 → NULL, never an exception — o_shippriority
+    is the zero column), try_multiply / try_add (int64 overflow →
+    NULL; only o_orderkey = 1 survives ×2⁶², no cents value survives
+    +MAX_BIGINT). The ingestion-hardening idiom: a malformed value
+    costs a NULL, not a failed 100-TB job. DuckDB has TRY_CAST but no
+    TRY arithmetic, so the oracle spells the arithmetic guards as
+    range-checked CASEs — semantically the same NULL contract.
+
+    Plan shape at 100 TB: all row-local codegen expressions feeding a
+    single 1-row aggregate with map-side partials; no shuffle beyond
+    the final fold."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s = o.select(
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_digit"
+        ),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_status"),
+        F.try_divide(cents, F.col("o_orderkey") % 2).alias("div_guarded"),
+        F.try_multiply(
+            F.col("o_orderkey"), F.lit(4611686018427387904)
+        ).alias("mul_guarded"),
+        F.try_add(cents, F.lit(9223372036854775807)).alias("add_guarded"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("prio_digit").cast("bigint").alias("n_prio_parsed"),
+        F.sum("prio_digit").cast("bigint").alias("sum_prio_digits"),
+        (F.count(F.lit(1)) - F.count("bad_status"))
+        .cast("bigint")
+        .alias("n_status_parse_null"),
+        F.count("div_guarded").cast("bigint").alias("n_div_ok"),
+        F.count("mul_guarded").cast("bigint").alias("n_mul_ok"),
+        F.count("add_guarded").cast("bigint").alias("n_add_ok"),
+    )
+
+
+@register(
+    "agg_modern_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderdate, o_orderkey) AS latest_key_date,
+           arg_min(o_orderdate, o_orderkey) AS first_key_date,
+           CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_jumbo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_modern_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate shelf — ``max_by``/``min_by`` (Spark) ≡
+    ``arg_max``/``arg_min`` (DuckDB), ``count_if``, ``bool_and``,
+    ``bool_or`` — per order priority. The argmax ORDERING key is the
+    UNIQUE o_orderkey, so ties are impossible by construction and the
+    result is deterministic on any engine at any scale (an argmax
+    over a non-unique key is nondeterministic under ties — the
+    scale-correct form is max_by(x, struct(key, tiebreak)), which
+    DuckDB's arg_max cannot spell; this query pins the tie-free
+    contract instead).
+
+    Plan shape at 100 TB: ONE hash aggregate with map-side partials —
+    every one of these aggregates carries O(1) state per group (a
+    running (key, value) pair or a counter); k=5 groups forever."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderdate", "o_orderkey").alias("latest_key_date"),
+        F.min_by("o_orderdate", "o_orderkey").alias("first_key_date"),
+        F.count_if(F.col("o_totalprice") > 300000)
+        .cast("bigint")
+        .alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_jumbo"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "orders_width_bucket_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 0
+                    THEN 0
+                    WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         >= 61234567 THEN 13
+                    ELSE CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              * 12 // 61234567 AS BIGINT) + 1
+               END AS bucket,
+               CAST(round(o_totalprice * 100) AS HUGEINT) AS c
+        FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS bucket_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def orders_width_bucket_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-width histogram of order value via SQL-standard
+    ``width_bucket`` (12 buckets over [0, 612345.67), plus the two
+    overflow buckets 0 and n+1). DuckDB lacks width_bucket, so the
+    oracle spells the exact integer arithmetic — and the bucket WIDTH
+    is deliberately coprime to the bucket count (61234567 vs 12,
+    gcd 1, and 61234567·m/12 is never an integer below the ceiling),
+    so no integer cents value can sit on a boundary and the double
+    division inside Spark's width_bucket cannot disagree with integer
+    floor division. Probed 0 mismatches over every order at sf0.01.
+
+    Plan shape at 100 TB: one row-local codegen expression + a
+    ≤14-group hash agg with map-side partials; HUGEINT/DECIMAL cents
+    sums stay exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(
+            F.width_bucket(cents, F.lit(0), F.lit(61234567), F.lit(12))
+            .cast("bigint")
+            .alias("bucket"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("bucket_cents"),
+        )
+        .orderBy("bucket")
+    )
