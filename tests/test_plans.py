@@ -609,3 +609,39 @@ def test_pagerank_rank_join_is_size_gated(spark, sf_dir):
     assert plan_big.count("BroadcastHashJoin") < plan.count(
         "BroadcastHashJoin"
     ), (plan, plan_big)
+
+
+# ---------------------------------------- round-13 late-wave sugar plans
+def test_fetch_with_ties_is_two_pass_take_ordered(spark, sf_dir):
+    """PLANS.md wave-11 claim: WITH TIES = TakeOrderedAndProject for
+    the n-th key + a scalar-subquery threshold filter — never a global
+    rank window (the naive spelling the plan gate rejects)."""
+    plan = explain_str(QUERIES["fetch_with_ties_sql"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_exclude_prunes_scan_schema(spark, sf_dir):
+    """PLANS.md wave-11 claim: * EXCLUDE → * EXCEPT prunes the excluded
+    column at the parquet scan (ReadSchema drops o_orderstatus)."""
+    import re
+
+    plan = explain_str(
+        QUERIES["select_exclude_order_all_sql"](spark, sf_dir), "formatted"
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "o_orderstatus" not in s, plan
+
+
+def test_quantified_no_global_window_no_fanout_join(spark, sf_dir):
+    """PLANS.md wave-11 claim: each quantifier is ≤3 bounded scalar
+    subplans (COUNT / 1-row TakeOrderedAndProject / NULLS FIRST probe)
+    — no window anywhere, and the only joins are broadcast-hash (the
+    IN-subquery build sides), never a sort-merge fan-out."""
+    plan = explain_str(
+        QUERIES["quantified_all_any_sql"](spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
