@@ -242,3 +242,21 @@ def test_consumer_fetch_ties_under_row_filter(hc_engine):
     # team1 sees NY+TX only; 'New York' sorts first — ALL its rows tie
     assert {r["state"] for r in got} == {"New York"}
     assert len(got) >= 2
+
+
+def test_consumer_view_body_with_sugar(hc_engine):
+    # a consumer view whose BODY uses EXCLUDE + WITH TIES resolves
+    # through the invoker's-rights path (policy._materialize_views →
+    # self.sql → rewrite_text_sugar), composing with the row filter
+    sess = hc_engine.session_for(TEAM1)
+    sess.sql(
+        "CREATE VIEW sugar_v AS "
+        "SELECT * EXCLUDE (city) FROM patients "
+        "ORDER BY state FETCH FIRST 1 ROWS WITH TIES"
+    )
+    got = sess.sql("SELECT patient_id, state FROM sugar_v").collect()
+    assert {r["state"] for r in got} == {"New York"}
+    assert len(got) >= 2
+    cols = sess.sql("SELECT * FROM sugar_v").columns
+    assert "city" not in cols and "ssn" not in cols
+    sess.sql("DROP VIEW sugar_v")
