@@ -713,6 +713,11 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
             "FETCH … WITH TIES supports a single ORDER BY key without a "
             "NULLS override — rewrite multi-key ties as QUALIFY rank()"
         )
+    if re.search(r"\bOFFSET\b", items, re.I):
+        raise ValueError(
+            "FETCH … WITH TIES cannot combine with OFFSET — apply the "
+            "offset in an outer query over the tied result"
+        )
     km = re.match(r"\s*(.*?)\s*(ASC|DESC)?\s*$", items, re.I | re.S)
     prefix_len = len(order_items) - len(items)
     key = query[

@@ -260,3 +260,11 @@ def test_consumer_view_body_with_sugar(hc_engine):
     cols = sess.sql("SELECT * FROM sugar_v").columns
     assert "city" not in cols and "ssn" not in cols
     sess.sql("DROP VIEW sugar_v")
+
+
+def test_fetch_with_ties_refuses_offset():
+    with pytest.raises(ValueError, match="OFFSET"):
+        rewrite_fetch_first(
+            "SELECT id FROM t ORDER BY x OFFSET 5 ROWS "
+            "FETCH FIRST 2 ROWS WITH TIES"
+        )
