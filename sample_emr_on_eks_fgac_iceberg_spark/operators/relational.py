@@ -4371,66 +4371,75 @@ def lineitem_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
                    AS prio_digit,
-               TRY_CAST(o_orderstatus AS INT) AS bad_status,
-               CASE WHEN o_orderkey % 2 = 0 THEN NULL
-                    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
-                         / (o_orderkey % 2) END AS div_guarded,
-               CASE WHEN o_orderkey >= 0 AND o_orderkey <= 1
-                    THEN o_orderkey * 4611686018427387904
-                    ELSE NULL END AS mul_guarded,
-               CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) <= 0
-                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
-                         + 9223372036854775807
-                    ELSE NULL END AS add_guarded
+               TRY_CAST(CASE WHEN o_orderkey % 128 = 0
+                             THEN o_orderstatus ELSE '7' END AS INT)
+                   AS sparse_status,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 1 END
+                   AS div_ok,
+               CASE WHEN abs(CAST(round(o_totalprice * 100) AS BIGINT)
+                             - 27000000) <= 27127564 THEN 1 END
+                   AS mul_ok,
+               CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         <= 55000000 THEN 1 END AS add_ok
         FROM orders)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(prio_digit) AS BIGINT) AS n_prio_parsed,
            CAST(SUM(prio_digit) AS BIGINT) AS sum_prio_digits,
-           CAST(COUNT(*) - COUNT(bad_status) AS BIGINT)
+           CAST(COUNT(*) - COUNT(sparse_status) AS BIGINT)
                AS n_status_parse_null,
-           CAST(COUNT(div_guarded) AS BIGINT) AS n_div_ok,
-           CAST(COUNT(mul_guarded) AS BIGINT) AS n_mul_ok,
-           CAST(COUNT(add_guarded) AS BIGINT) AS n_add_ok
+           CAST(COUNT(div_ok) AS BIGINT) AS n_div_ok,
+           CAST(COUNT(mul_ok) AS BIGINT) AS n_mul_ok,
+           CAST(COUNT(add_ok) AS BIGINT) AS n_add_ok
     FROM s
     """,
 )
 def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TRY_* error-absorbing scalar family — try_cast (ANSI-safe
-    parsing: the clerk id digits parse, an order-status letter does
-    not), try_divide (÷0 → NULL, never an exception — o_shippriority
-    is the zero column), try_multiply / try_add (int64 overflow →
-    NULL; only o_orderkey = 1 survives ×2⁶², no cents value survives
-    +MAX_BIGINT). The ingestion-hardening idiom: a malformed value
-    costs a NULL, not a failed 100-TB job. DuckDB has TRY_CAST but no
-    TRY arithmetic, so the oracle spells the arithmetic guards as
-    range-checked CASEs — semantically the same NULL contract.
+    """The TRY_* error-absorbing scalar family — try_cast (the
+    priority\'s leading digit parses everywhere; a 1/128 slice of
+    order-status letters does not), try_divide (every even orderkey
+    divides by zero → NULL, never an exception), try_multiply and
+    try_add (int64 overflow → NULL on the value tails). The
+    ingestion-hardening idiom: a malformed value costs a NULL, not a
+    failed 100-TB job. DuckDB has TRY_CAST but no TRY arithmetic, so
+    the oracle spells the arithmetic guards as range-checked CASEs —
+    the same NULL contract.
 
     Plan shape at 100 TB: all row-local codegen expressions feeding a
-    single 1-row aggregate with map-side partials; no shuffle beyond
-    the final fold."""
+    single 1-row aggregate with map-side partials. CRITICALLY, the
+    failure paths are RARE BY DESIGN: Spark absorbs each TRY_* failure
+    via a caught per-row JVM exception, so a column that overflows on
+    EVERY row costs ~5× the whole scan (measured 7.7 s vs 1.5 s peers
+    at sf0.1 before this shape) — the realistic profile (rare bad
+    rows) is also the fast path, and that anti-pattern note lives in
+    PLANS.md."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     s = o.select(
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
             "prio_digit"
         ),
-        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_status"),
-        F.try_divide(cents, F.col("o_orderkey") % 2).alias("div_guarded"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 128 = 0 "
+            "THEN o_orderstatus ELSE '7' END AS INT)"
+        ).alias("sparse_status"),
+        F.try_divide(F.lit(1), F.col("o_orderkey") % 2).alias("div_ok"),
         F.try_multiply(
-            F.col("o_orderkey"), F.lit(4611686018427387904)
-        ).alias("mul_guarded"),
-        F.try_add(cents, F.lit(9223372036854775807)).alias("add_guarded"),
+            cents - F.lit(27000000), F.lit(340000000000)
+        ).alias("mul_ok"),
+        F.try_add(
+            cents, F.lit(9223372036854775807 - 55000000)
+        ).alias("add_ok"),
     )
     return s.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count("prio_digit").cast("bigint").alias("n_prio_parsed"),
         F.sum("prio_digit").cast("bigint").alias("sum_prio_digits"),
-        (F.count(F.lit(1)) - F.count("bad_status"))
+        (F.count(F.lit(1)) - F.count("sparse_status"))
         .cast("bigint")
         .alias("n_status_parse_null"),
-        F.count("div_guarded").cast("bigint").alias("n_div_ok"),
-        F.count("mul_guarded").cast("bigint").alias("n_mul_ok"),
-        F.count("add_guarded").cast("bigint").alias("n_add_ok"),
+        F.count("div_ok").cast("bigint").alias("n_div_ok"),
+        F.count("mul_ok").cast("bigint").alias("n_mul_ok"),
+        F.count("add_ok").cast("bigint").alias("n_add_ok"),
     )
 
 
