@@ -268,3 +268,35 @@ def test_fetch_with_ties_refuses_offset():
             "SELECT id FROM t ORDER BY x OFFSET 5 ROWS "
             "FETCH FIRST 2 ROWS WITH TIES"
         )
+
+
+def test_fetch_with_ties_randomized_matches_rank(spark):
+    """Seeded randomized equivalence: WITH TIES over heavy-tie data ≡
+    rank() <= n (DuckDB computes the rank spelling natively)."""
+    import random
+
+    rng = random.Random(1313)
+    con = duckdb.connect()
+    for trial in range(12):
+        rows = [(i, rng.randint(0, 4)) for i in range(rng.randint(1, 25))]
+        n = rng.randint(1, 6)
+        desc = rng.random() < 0.5
+        d = "DESC" if desc else ""
+        spark.createDataFrame(rows, "id int, x int").createOrReplaceTempView(
+            "__wt_rand"
+        )
+        q, changed = rewrite_fetch_first(
+            f"SELECT id, x FROM __wt_rand ORDER BY x {d} "
+            f"FETCH FIRST {n} ROWS WITH TIES"
+        )
+        assert changed
+        got = sorted((r["id"], r["x"]) for r in spark.sql(q).collect())
+        vals = ", ".join(f"({i}, {x})" for i, x in rows)
+        exp = sorted(
+            con.sql(
+                f"WITH s(id, x) AS (VALUES {vals}), "
+                f"k AS (SELECT id, x, rank() OVER (ORDER BY x {d}) rk FROM s) "
+                f"SELECT id, x FROM k WHERE rk <= {n}"
+            ).fetchall()
+        )
+        assert got == exp, (trial, n, d, rows, got, exp)
