@@ -300,3 +300,27 @@ def test_fetch_with_ties_randomized_matches_rank(spark):
             ).fetchall()
         )
         assert got == exp, (trial, n, d, rows, got, exp)
+
+
+def test_exclude_projection_position_fuzz():
+    """The projection-position heuristic must rewrite stars after
+    SELECT/DISTINCT/','/'('/alias-dot and leave multiplication alone,
+    regardless of surrounding identifier noise."""
+    cases_rewrite = [
+        "SELECT * EXCLUDE (a) FROM t",
+        "SELECT DISTINCT * EXCLUDE (a) FROM t",
+        "SELECT t.* EXCLUDE (a) FROM t",
+        "SELECT x, * EXCLUDE (a) FROM t",
+        "SELECT count(1), (SELECT * EXCLUDE (a) FROM u LIMIT 1) FROM t",
+    ]
+    cases_preserve = [
+        "SELECT a * exclude_col FROM t",
+        "SELECT price * exclude FROM t",
+        "SELECT 3 * exclude(a) FROM t",
+        "SELECT f(a) * exclude_b FROM t",
+    ]
+    for q in cases_rewrite:
+        out = rewrite_star_exclude(q)
+        assert "EXCEPT (" in out and "EXCLUDE" not in out.upper(), q
+    for q in cases_preserve:
+        assert rewrite_star_exclude(q) == q, q
