@@ -143,19 +143,22 @@ _ROTATION = [
     # r12-changed flagships — ALL driver-green in CORRECTNESS_r12 and
     # untouched since; the ≥20-slot rotation restoration promised at
     # the r12 note / VERDICT r12 task 3)
-    "similarity_knn_graph",
     # round-13 debuts PARKED INTO THIS ROUND'S ROTATION BLOCK: the
     # round-13 gate runs with offset = 12 artifacts on disk (verified
     # against CORRECTNESS_r12, which reproduces only with offset 11 =
-    # prior-artifact count) and slots = 50 − 30 core = 20, so
-    # k = (12·20) mod 239 = 1 and the block is pool[1:21] — these
-    # FOURTEEN sit at positions 1-14, so they ride the window and get
-    # their first driver check as rotation entries. Window = 30 core
-    # + 20 rotation (the ≥20 floor of VERDICT r12 task 3) while every
-    # one of the 38 r13 debuts is still driver-checked this round;
-    # positions 15-20 of the block are genuinely stale entries
-    # re-verifying round-robin. All 14 are mirror-green at sf0.001
-    # AND sf0.01 via tests/test_oracle_parity.py.
+    # prior-artifact count) and slots = 50 − 30 core = 20. With the
+    # six wave-14/15 additions the pool is 245 names, so
+    # k = (12·20) mod 245 = 240 and the block WRAPS:
+    # pool[240:245] + pool[0:15] — the five tail entries (wave-14/15
+    # debuts, see the pool end) plus these FOURTEEN parked wave-1..13
+    # debuts at positions 0-13 and lineitem_corr_matrix at 14. Every
+    # one of the 44 r13 debuts is driver-checked this round and the
+    # window still carries 30 core + 20 rotation entries (the ≥20
+    # floor of VERDICT r12 task 3); the cost is that this round's
+    # block holds no purely-stale re-verification — the 237-case
+    # local mirror (tests/test_oracle_parity.py, run at sf0.001 AND
+    # sf0.01 in round 13) covers regression of everything parked
+    # outside. All are mirror-green at both SFs.
     "events_dyadic_smoothed_revenue",
     "text_lang_char_js_divergence",
     "lineitem_process_conformance",
@@ -170,6 +173,15 @@ _ROTATION = [
     "scalar_try_funcs",
     "agg_modern_funcs",
     "orders_width_bucket_histogram",
+    # round-13 debut, wave 14 (see the wave-14/15 note at the END of
+    # this pool): the one-scan Pearson correlation matrix sits at
+    # position 14 so the pool[0:15] head of this round's wrapped block
+    # covers it
+    "lineitem_corr_matrix",
+    # stable multi-round green, moved out of position 0 in round 13 to
+    # make head room for the wave-14/15 block coverage; re-verifies
+    # round-robin from here
+    "similarity_knn_graph",
     "customers_gini_revenue",
     "orders_skyline_dominators",
     "parts_abc_classification",
@@ -422,6 +434,19 @@ _ROTATION = [
     "percentile_order_prices",
     "stats_exact_corr",
     "map_ops_event_profile",
+    # round-13 debuts, waves 14-15 (exact-stats, profiling, graph):
+    # appended at the pool TAIL because this round's block WRAPS —
+    # pool = 245 names, slots = 50 − 30 core = 20, offset = 12
+    # artifacts, so k = (12·20) mod 245 = 240 and the block is
+    # pool[240:245] + pool[0:15]: these five tail entries, the
+    # fourteen parked wave-1..13 debuts (0-13), and
+    # lineitem_corr_matrix (14). See the parked-block note above for
+    # the full arithmetic.
+    "runs_test_daily_revenue",
+    "customers_atkinson_index",
+    "events_fano_dispersion",
+    "customer_mahalanobis_outliers",
+    "part_supplier_degree_assortativity",
 ]
 
 # rows-only by honest design (each with an oracle-checked

@@ -253,6 +253,14 @@ HEADLINE = [
     "agg_modern_funcs",
     "orders_width_bucket_histogram",
     "multimodal_image_resize",
+    # round-13 wave 14: corr matrix, runs test, Atkinson, Fano
+    "lineitem_corr_matrix",
+    "runs_test_daily_revenue",
+    "customers_atkinson_index",
+    "events_fano_dispersion",
+    # round-13 wave 15: Mahalanobis top-10, bipartite assortativity
+    "customer_mahalanobis_outliers",
+    "part_supplier_degree_assortativity",
 ]
 
 

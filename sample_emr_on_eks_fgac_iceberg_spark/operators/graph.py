@@ -254,3 +254,107 @@ def nation_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "part_supplier_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pd AS (SELECT p, CAST(COUNT(*) AS HUGEINT) AS dp
+           FROM edges GROUP BY p),
+    sd AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS ds
+           FROM edges GROUP BY s),
+    e AS (
+        SELECT pd.dp, sd.ds
+        FROM edges JOIN pd ON pd.p = edges.p JOIN sd ON sd.s = edges.s),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(dp) AS sx, SUM(ds) AS sy,
+               SUM(dp * dp) AS sxx, SUM(ds * ds) AS syy,
+               SUM(dp * ds) AS sxy
+        FROM e)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pd) AS n_parts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS n_suppliers,
+           CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1000)
+                AS BIGINT) AS mean_part_degree_milli,
+           CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000)
+                AS BIGINT) AS mean_supplier_degree_milli,
+           CAST(round(
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+               * 1000000) AS BIGINT) AS assortativity_ppm
+    FROM m
+    """,
+)
+def part_supplier_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the part–supplier bipartite graph (the
+    supply network implied by lineitem): Pearson correlation between
+    the part's degree and the supplier's degree across all DISTINCT
+    edges. Negative assortativity = high-fan parts source from
+    low-fan (specialist) suppliers — the supply-concentration
+    structure a resilience audit looks for; completes the graph shelf
+    (PageRank = importance, triangles = clustering, reachability =
+    connectivity, assortativity = MIXING).
+
+    Plan shape at 100 TB: the fact table collapses to DISTINCT edges
+    in one hash agg (map-side partial dedup); the two degree tables
+    are hash aggs on that same edge frame; degrees join back on their
+    own keys (supplier side broadcasts — |suppliers| ≪ |edges|; the
+    part side is a key-colocated shuffle join AQE can skew-split);
+    the Pearson fold is ONE 1-row aggregate of exact integer moments
+    with the shared double spelling, ppm-rounded. Never all-pairs,
+    no windows."""
+    edges = materialize_once(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    pd_ = edges.groupBy("p").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("dp")
+    )
+    sd = edges.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ds")
+    )
+    e = edges.join(pd_, "p").join(F.broadcast(sd), "s")
+    m = e.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("dp").alias("sx"),
+        F.sum("ds").alias("sy"),
+        F.sum(F.col("dp") * F.col("dp")).alias("sxx"),
+        F.sum(F.col("ds") * F.col("ds")).alias("syy"),
+        F.sum(F.col("dp") * F.col("ds")).alias("sxy"),
+    )
+    np_ = pd_.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    ns = sd.agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        m.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            n.cast("bigint").alias("n_edges"),
+            "n_parts",
+            "n_suppliers",
+            F.round(sx.cast("double") / n.cast("double") * 1000)
+            .cast("bigint")
+            .alias("mean_part_degree_milli"),
+            F.round(sy.cast("double") / n.cast("double") * 1000)
+            .cast("bigint")
+            .alias("mean_supplier_degree_milli"),
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / F.sqrt((n * sxx - sx * sx).cast("double"))
+                / F.sqrt((n * syy - sy * sy).cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("assortativity_ppm"),
+        )
+    )

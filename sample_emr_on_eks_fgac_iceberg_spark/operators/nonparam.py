@@ -1784,3 +1784,382 @@ def customer_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na_cum_micro"
         ),
     )
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS c
+        FROM orders GROUP BY o_orderdate),
+    med AS (
+        SELECT c AS mc FROM daily ORDER BY c, d
+        LIMIT 1 OFFSET (SELECT CAST(ceil(COUNT(*) / 2.0) AS BIGINT) - 1
+                        FROM daily)),
+    kept AS (
+        SELECT d, CASE WHEN c > (SELECT mc FROM med) THEN 1 ELSE 0 END AS s
+        FROM daily WHERE c <> (SELECT mc FROM med)),
+    seq AS (SELECT s, lag(s) OVER (ORDER BY d) AS sp FROM kept),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n2
+        FROM seq)
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           CAST(round(
+               (CAST(r AS DOUBLE)
+                - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+               / sqrt(2.0 * n1 * n2
+                      * (2.0 * n1 * n2 - (n1 + n2))
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * (n1 + n2) * (n1 + n2 - 1)))
+               * 1000000) AS BIGINT) AS z_ppm
+    FROM agg
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median sequence RANDOM, or does it clump (trend /
+    regime persistence → too few runs, z < 0) or oscillate (negative
+    autocorrelation → too many runs, z > 0)? The distribution-free
+    companion to orders_daily_acf_table: the ACF measures HOW MUCH
+    adjacent days co-move, the runs test asks whether the binary
+    above/below pattern could be i.i.d. at all. Classical recipe:
+    split at the (lower) median, DROP days equal to it, count maximal
+    same-sign runs R; z = (R − μ)/σ with μ = 2n₁n₂/n + 1 and
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)).
+
+    Plan shape at 100 TB: the fact table collapses to ≤|calendar|
+    daily rows in ONE hash agg; the median is an exact order
+    statistic (exact_order_statistics — range repartition + K
+    per-partition counts, never a global sort); run counting needs
+    only ADJACENT-day sign pairs, so days get exact positional
+    indexes via the distributed rank idiom (range repartition + local
+    row_number + partition_rank_offsets) and ONE self-join on
+    idx = idx+1 counts sign changes — no single-partition window
+    anywhere. The z fold is a 1-row aggregate of exact integers;
+    ppm rounding absorbs the shared-double ulp."""
+    daily = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast(_DEC).alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("c"))
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        exact_order_statistics,
+    )
+
+    [(_, _, med_row)] = exact_order_statistics(daily, ["c", "d"], [(1, 2)])
+    mc = int(med_row["c"])
+    kept = daily.filter(F.col("c") != mc).select(
+        "d",
+        F.when(F.col("c") > mc, 1).otherwise(0).alias("s"),
+    )
+    r = kept.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "d"
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("d")
+    r = materialize_once(r.withColumn("lrn", F.row_number().over(lw)))
+    off = partition_rank_offsets(
+        r.groupBy("pid").agg(F.count(F.lit(1)).cast(_DEC).alias("n_p"))
+    )
+    idx = r.join(F.broadcast(off), "pid").select(
+        (F.col("__offset").cast("bigint") + F.col("lrn")).alias("i"), "s"
+    )
+    idx = materialize_once(idx)
+    prev = idx.select((F.col("i") + 1).alias("i"), F.col("s").alias("sp"))
+    changes = (
+        idx.join(prev, "i")
+        .agg(
+            F.sum(
+                F.when(F.col("s") != F.col("sp"), 1).otherwise(0)
+            ).alias("chg")
+        )
+    )
+    counts = idx.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    runs = (F.coalesce(F.col("chg"), F.lit(0)) + 1).cast("bigint")
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return counts.crossJoin(F.broadcast(changes)).select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        runs.alias("n_runs"),
+        F.round((runs.cast("double") - mu) / F.sqrt(var) * 1000000)
+        .cast("bigint")
+        .alias("z_ppm"),
+    )
+
+
+@register(
+    "customers_atkinson_index",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS DOUBLE) AS x
+        FROM orders GROUP BY o_custkey),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(ln(x)) AS sln
+        FROM cust)
+    SELECT CAST(n AS BIGINT) AS n_cust,
+           CAST(round(
+               (ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                - sln / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS mld_micro,
+           CAST(round(
+               (1.0 - exp(sln / CAST(n AS DOUBLE))
+                      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS atkinson_ppm
+    FROM agg
+    """,
+)
+def customers_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 1) of customer revenue —
+    A = 1 − gmean/mean — plus the mean log deviation (Theil L,
+    MLD = ln(mean) − mean(ln x)) it exponentiates. Completes the
+    inequality shelf: Gini (customers_gini_revenue) weights by rank,
+    Theil T (nation_revenue_theil) weights by income share, Atkinson/
+    MLD weights every person equally — the welfare-theoretic member
+    with an explicit aversion parameter. One row.
+
+    Plan shape at 100 TB: ONE custkey hash agg collapses the fact
+    table (map-side partials), then ONE 1-row aggregate carrying
+    three accumulators — exact HUGEINT/DECIMAL n and Σx plus the
+    order-dependent Σln(x) double whose ulp noise the micro/ppm
+    rounding absorbs (the nation_revenue_theil ln-parity rule;
+    exp(Σln/n) amplifies a ~1e-12 sum ulp to ~1e-10 relative — six
+    orders below the ppm grid). No joins, no windows, no shuffle
+    beyond the two hash aggs."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast(_DEC))
+            .alias("xc")
+        )
+        .select(F.col("xc").cast("double").alias("x"), F.col("xc"))
+    )
+    agg = cust.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.log("x")).alias("sln"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n_d
+    mean_ln = F.col("sln") / n_d
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_cust"),
+        F.round((F.log(mean) - mean_ln) * 1000000)
+        .cast("bigint")
+        .alias("mld_micro"),
+        F.round((F.lit(1.0) - F.exp(mean_ln) / mean) * 1000000)
+        .cast("bigint")
+        .alias("atkinson_ppm"),
+    )
+
+
+@register(
+    "events_fano_dispersion",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    per AS (
+        SELECT event_type,
+               CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS HUGEINT)
+                   AS n_span,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               SUM(x) AS sx, SUM(x * x) AS sxx
+        FROM daily GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_span AS BIGINT) AS n_days_span,
+           n_active AS n_days_active,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(round(
+               CAST(n_span * sxx - sx * sx AS DOUBLE)
+               / (CAST(n_span AS DOUBLE) * (CAST(n_span AS DOUBLE) - 1.0))
+               / (CAST(sx AS DOUBLE) / CAST(n_span AS DOUBLE))
+               * 1000000) AS BIGINT) AS fano_ppm
+    FROM per ORDER BY event_type
+    """,
+)
+def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the daily event count
+    per event type — the overdispersion screen: a Poisson arrival
+    stream has F ≈ 1, bursty/clumped traffic F ≫ 1, a rate-limited or
+    quota'd stream F < 1. The day grid is each type's OBSERVED
+    calendar span (min..max event date); days inside the span with no
+    events count as exact zeros without ever materializing a row —
+    zero days contribute nothing to Σx or Σx², so only the span
+    length enters the moments. Sample variance over the span,
+    var = (n·Σx² − (Σx)²)/(n·(n−1)), F = var/mean, in ppm.
+
+    Plan shape at 100 TB: ONE (type, day) hash agg collapses the
+    event stream (map-side partials), then a ≤|event types| hash agg
+    folds exact integer moments; the Fano expression is one shared
+    double formula over those integers — ppm absorbs the cast ulp.
+    Two aggs, zero joins, zero windows, calendar-bounded group
+    count."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("x"))
+    )
+    per = daily.groupBy("event_type").agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast(_DEC).alias("n_span"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_span_d = F.col("n_span").cast("double")
+    var = (
+        (F.col("n_span") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / (n_span_d * (n_span_d - F.lit(1.0)))
+    )
+    mean = F.col("sx").cast("double") / n_span_d
+    return per.select(
+        "event_type",
+        F.col("n_span").cast("bigint").alias("n_days_span"),
+        F.col("n_active").alias("n_days_active"),
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.round(var / mean * 1000000).cast("bigint").alias("fano_ppm"),
+    ).orderBy("event_type")
+
+
+@register(
+    "customer_mahalanobis_outliers",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_custkey AS k,
+               CAST(CAST(round(c.c_acctbal * 100) AS HUGEINT) AS DOUBLE)
+                   AS x,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT))
+                    AS DOUBLE) AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                    AS DOUBLE) AS sxy
+        FROM pts),
+    d AS (
+        SELECT k,
+               ((x - sx / n) * (x - sx / n)
+                    / ((n * sxx - sx * sx) / (n * (n - 1)))
+                - 2 * ((n * sxy - sx * sy)
+                       / sqrt(n * sxx - sx * sx)
+                       / sqrt(n * syy - sy * sy))
+                    * (x - sx / n) * (y - sy / n)
+                    / sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+                    / sqrt((n * syy - sy * sy) / (n * (n - 1)))
+                + (y - sy / n) * (y - sy / n)
+                    / ((n * syy - sy * sy) / (n * (n - 1))))
+               / (1 - ((n * sxy - sx * sy)
+                       / sqrt(n * sxx - sx * sx)
+                       / sqrt(n * syy - sy * sy))
+                    * ((n * sxy - sx * sy)
+                       / sqrt(n * sxx - sx * sx)
+                       / sqrt(n * syy - sy * sy))) AS d2
+        FROM pts CROSS JOIN m)
+    SELECT k AS c_custkey,
+           CAST(round(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM d ORDER BY d2 DESC, k LIMIT 10
+    """,
+)
+def customer_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 bivariate Mahalanobis outliers over (account balance,
+    lifetime spend) — the multivariate outlier screen an ML-prep
+    pipeline runs before fitting on tabular features: a customer can
+    be unremarkable on each axis yet far from the joint distribution
+    (high balance + low spend). Sample covariance from exact integer
+    moments, closed-form 2×2 inverse:
+    d² = (z_x² − 2ρ·z_x·z_y + z_y²)/(1 − ρ²).
+
+    Plan shape at 100 TB: ONE custkey hash agg collapses the fact
+    table (map-side partials) and joins the customer dim on the same
+    key; the six moments fold in ONE 1-row aggregate of exact
+    DECIMAL(38,0); every per-row d² is row-local IEEE arithmetic over
+    the BROADCAST 1-row moment frame — identical doubles on any
+    engine since the inputs are exact integers cast once — and the
+    top-10 is a TakeOrderedAndProject with the (d², custkey)
+    tie-break. No windows, one shuffle, K=10 driver rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast(_DEC).alias("xc"),
+    )
+    pts = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast(_DEC))
+            .alias("yc")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("xc").cast("double").alias("x"),
+            F.col("yc").cast("double").alias("y"),
+            "xc",
+            "yc",
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    dx = F.col("x") - sx / n
+    dy = F.col("y") - sy / n
+    varx = (n * sxx - sx * sx) / (n * (n - 1))
+    vary = (n * syy - sy * sy) / (n * (n - 1))
+    rho = (
+        (n * sxy - sx * sy)
+        / F.sqrt(n * sxx - sx * sx)
+        / F.sqrt(n * syy - sy * sy)
+    )
+    d2 = (
+        dx * dx / varx
+        - F.lit(2) * rho * dx * dy / F.sqrt(varx) / F.sqrt(vary)
+        + dy * dy / vary
+    ) / (F.lit(1) - rho * rho)
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .select(F.col("k").alias("c_custkey"), d2.alias("d2"))
+        .orderBy(F.col("d2").desc(), "c_custkey")
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round(F.col("d2") * 1000000).cast("bigint").alias("d2_micro"),
+        )
+    )

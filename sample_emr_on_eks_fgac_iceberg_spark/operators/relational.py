@@ -4536,3 +4536,102 @@ def orders_width_bucket_histogram(
         )
         .orderBy("bucket")
     )
+
+
+_DEC38 = "decimal(38,0)"
+_CORR_COLS = ["discount", "extendedprice", "quantity", "tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    """Build the 6-pair UNION ALL oracle from one shared moment CTE —
+    the same (nΣxy − ΣxΣy)/√((nΣxx − Σx²)(nΣyy − Σy²)) spelling the
+    Spark side computes, so both engines share every double."""
+    pair_sql = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            num = f"CAST(n * s_{a}{b} - s_{a} * s_{b} AS DOUBLE)"
+            da = f"CAST(n * s_{a}{a} - s_{a} * s_{a} AS DOUBLE)"
+            db = f"CAST(n * s_{b}{b} - s_{b} * s_{b} AS DOUBLE)"
+            pair_sql.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n_rows,"
+                f" CAST(round({num} / sqrt({da}) / sqrt({db})"
+                f" * 1000000) AS BIGINT) AS corr_ppm FROM m"
+            )
+    sums = ", ".join(
+        f"SUM(v_{a} * v_{b}) AS s_{a}{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    )
+    firsts = ", ".join(f"SUM(v_{c}) AS s_{c}" for c in _CORR_COLS)
+    return f"""
+    WITH v AS (
+        SELECT CAST(round(l_discount * 100) AS HUGEINT) AS v_discount,
+               CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   AS v_extendedprice,
+               CAST(round(l_quantity * 100) AS HUGEINT) AS v_quantity,
+               CAST(round(l_tax * 100) AS HUGEINT) AS v_tax
+        FROM lineitem),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, {firsts}, {sums}
+        FROM v)
+    SELECT * FROM ({" UNION ALL ".join(pair_sql)})
+    ORDER BY col_x, col_y
+    """
+
+
+@register("lineitem_corr_matrix", oracle=_corr_matrix_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation MATRIX over the four lineitem measures
+    (discount, extendedprice, quantity, tax) — all six pairs from ONE
+    scan: the multivariate sibling of stats_exact_corr (one pair) and
+    the numeric half of orders_column_profile. A feature-engineering
+    pipeline runs exactly this screen before model training to drop
+    collinear inputs.
+
+    Plan shape at 100 TB: ONE hash aggregate computes all 15 exact
+    integer moments (n, 4 sums, 10 cross/square sums) with map-side
+    partials — 15 accumulators of DECIMAL(38,0) cents products (row
+    product ≤ 10¹⁴, corpus sum ≪ 10³⁸ at any SF); the 6 output rows
+    are a row-local explode of the 1-row frame. The correlation
+    expression casts each exact moment to double ONCE and shares the
+    (nΣxy − ΣxΣy)/√(..)√(..) spelling with the oracle — moments above
+    2⁵³ round identically in both engines and the ppm grid absorbs
+    the ulp. One scan, one shuffle (the 1-row agg), zero joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        *[
+            F.round(F.col(f"l_{c}") * 100).cast(_DEC38).alias(f"v_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast(_DEC38).alias("n")]
+    aggs += [F.sum(f"v_{c}").alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum(F.col(f"v_{a}") * F.col(f"v_{b}")).alias(f"s_{a}{b}")
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    ]
+    m = v.agg(*aggs)
+    pairs = []
+    n = F.col("n")
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            num = (n * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+            da = (n * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+            db = (n * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    n.cast("bigint").alias("n_rows"),
+                    F.round(num / F.sqrt(da) / F.sqrt(db) * 1000000)
+                    .cast("bigint")
+                    .alias("corr_ppm"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.n_rows", "p.corr_ppm")
+        .orderBy("col_x", "col_y")
+    )

@@ -665,3 +665,142 @@ def test_nelson_aalen_matches_brute_hazard(spark, duck):
 
     for lt, r in got.items():
         assert math.exp(-r["na_cum_micro"] / 1e6) >= km[lt] - 1e-9
+
+
+def test_runs_test_matches_brute_sequence(spark, duck):
+    """Wald-Wolfowitz on the daily series: brute-force the run count
+    and z from the sorted numpy sequence (split at the LOWER median,
+    ties-to-median dropped)."""
+    rows = duck.sql(
+        "SELECT o_orderdate, SUM(CAST(round(o_totalprice*100) AS HUGEINT))"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    c = np.array([int(v) for _, v in rows])
+    n = len(c)
+    med = np.sort(c, kind="stable")[int(np.ceil(n / 2)) - 1]
+    s = (c[c != med] > med).astype(int)
+    runs = 1 + int(np.sum(s[1:] != s[:-1]))
+    n1, n2 = int(s.sum()), int(len(s) - s.sum())
+    m = n1 + n2
+    mu = 2.0 * n1 * n2 / m + 1.0
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - m) / (m * m * (m - 1.0))
+    z = (runs - mu) / np.sqrt(var)
+    got = QUERIES["runs_test_daily_revenue"](spark, SF).collect()[0]
+    assert got["n_above"] == n1
+    assert got["n_below"] == n2
+    assert got["n_runs"] == runs
+    assert abs(got["z_ppm"] - round(z * 1e6)) <= 1
+
+
+def test_atkinson_matches_numpy(spark, duck):
+    """Atkinson(ε=1) = 1 − gmean/mean and MLD over per-customer
+    revenue, brute-forced with numpy logs."""
+    x = np.array(
+        [
+            float(int(v))
+            for (v,) in duck.sql(
+                "SELECT SUM(CAST(round(o_totalprice*100) AS HUGEINT))"
+                " FROM orders GROUP BY o_custkey"
+            ).fetchall()
+        ]
+    )
+    mld = np.log(x.mean()) - np.log(x).mean()
+    atk = 1.0 - np.exp(np.log(x).mean()) / x.mean()
+    got = QUERIES["customers_atkinson_index"](spark, SF).collect()[0]
+    assert got["n_cust"] == len(x)
+    assert abs(got["mld_micro"] - round(mld * 1e6)) <= 1
+    assert abs(got["atkinson_ppm"] - round(atk * 1e6)) <= 1
+
+
+def test_fano_matches_numpy_over_span(spark):
+    """Fano factor per event type: rebuild the zero-filled daily
+    count vector over each type's min..max span and compare the
+    sample var/mean ratio."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    ev["d"] = ev["ts"].dt.normalize()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_fano_dispersion"](spark, SF).collect()
+    }
+    assert set(got) == set(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("d").size()
+        span = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        x = daily.reindex(span, fill_value=0).to_numpy(dtype=float)
+        fano = x.var(ddof=1) / x.mean()
+        row = got[et]
+        assert row["n_days_span"] == len(span)
+        assert row["n_days_active"] == int((x > 0).sum())
+        assert row["n_events"] == int(x.sum())
+        assert abs(row["fano_ppm"] - round(fano * 1e6)) <= 1
+
+
+def test_corr_matrix_matches_numpy_corrcoef(spark):
+    """All six Pearson pairs vs np.corrcoef over the cents-scaled
+    lineitem measures."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+    )
+    cols = ["discount", "extendedprice", "quantity", "tax"]
+    mat = np.corrcoef(
+        np.stack(
+            [np.round(li[f"l_{c}"].to_numpy() * 100) for c in cols]
+        )
+    )
+    rows = QUERIES["lineitem_corr_matrix"](spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        i, j = cols.index(r["col_x"]), cols.index(r["col_y"])
+        assert i < j
+        assert r["n_rows"] == len(li)
+        assert abs(r["corr_ppm"] - round(mat[i, j] * 1e6)) <= 1
+
+
+def test_mahalanobis_matches_numpy_inverse(spark, duck):
+    """Top-10 Mahalanobis d² vs numpy's explicit covariance inverse
+    (the closed-form 2×2 path must agree with linalg.inv)."""
+    rows = duck.sql(
+        "SELECT CAST(round(c.c_acctbal*100) AS HUGEINT),"
+        " SUM(CAST(round(o.o_totalprice*100) AS HUGEINT)), c.c_custkey"
+        " FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"
+        " GROUP BY c.c_custkey, c.c_acctbal"
+    ).fetchall()
+    x = np.array([float(int(a)) for a, _, _ in rows])
+    y = np.array([float(int(b)) for _, b, _ in rows])
+    keys = np.array([int(k) for _, _, k in rows])
+    pts = np.stack([x, y])
+    cov = np.cov(pts, ddof=1)
+    inv = np.linalg.inv(cov)
+    cen = pts - pts.mean(axis=1, keepdims=True)
+    d2 = np.einsum("in,ij,jn->n", cen, inv, cen)
+    order = np.lexsort((keys, -d2))[:10]
+    got = QUERIES["customer_mahalanobis_outliers"](spark, SF).collect()
+    assert [r["c_custkey"] for r in got] == [int(keys[i]) for i in order]
+    for r, i in zip(got, order):
+        assert abs(r["d2_micro"] - round(d2[i] * 1e6)) <= 1
+
+
+def test_assortativity_matches_numpy_over_edges(spark):
+    """Bipartite degree assortativity vs a pandas/numpy brute force
+    over the distinct edge list."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).drop_duplicates()
+    dp = li.groupby("l_partkey")["l_suppkey"].size()
+    ds = li.groupby("l_suppkey")["l_partkey"].size()
+    a = dp.loc[li["l_partkey"]].to_numpy(dtype=float)
+    b = ds.loc[li["l_suppkey"]].to_numpy(dtype=float)
+    r = np.corrcoef(a, b)[0, 1]
+    got = QUERIES["part_supplier_degree_assortativity"](spark, SF).collect()[0]
+    assert got["n_edges"] == len(li)
+    assert got["n_parts"] == len(dp)
+    assert got["n_suppliers"] == len(ds)
+    assert abs(got["mean_part_degree_milli"] - round(a.mean() * 1000)) <= 1
+    assert abs(got["assortativity_ppm"] - round(r * 1e6)) <= 1
