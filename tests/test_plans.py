@@ -645,3 +645,36 @@ def test_quantified_no_global_window_no_fanout_join(spark, sf_dir):
     )
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_corr_matrix_single_scan_no_join(spark, sf_dir):
+    """lineitem_corr_matrix: the 15 moments fold in ONE aggregate —
+    the plan must contain no Join node and exactly one lineitem
+    scan."""
+    plan = explain_str(QUERIES["lineitem_corr_matrix"](spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 1
+
+
+def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
+    """customer_mahalanobis_outliers: the top-10 must plan as
+    TakeOrderedAndProject (never a global sort), and the 1-row moment
+    frame must broadcast."""
+    plan = explain_str(
+        QUERIES["customer_mahalanobis_outliers"](spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "Sort [d2" not in plan
+
+
+def test_assortativity_supplier_degree_broadcasts(spark, sf_dir):
+    """part_supplier_degree_assortativity: the supplier-degree join
+    must be a broadcast (|suppliers| << |edges|); no cartesian product
+    on the data path (the two 1-row count attaches are broadcast
+    nested loops by construction)."""
+    plan = explain_str(
+        QUERIES["part_supplier_degree_assortativity"](spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
