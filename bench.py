@@ -302,6 +302,21 @@ LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # JIT headroom for a 180+-query suite in ONE JVM: the default
+    # 240 MB ReservedCodeCacheSize fills with WholeStageCodegen
+    # classes (~4 timed repeats × 184 distinct plans) and the sweeper
+    # then flushes HOT methods, so late-positioned queries creep to
+    # ×1.3-1.4 their fresh-JVM cost (measured: full suite 193 s →
+    # 135 s with 1g; a fresh-JVM half-suite reproduced the same
+    # queries at 0.79× their full-suite times). Set via
+    # SPARK_SUBMIT_OPTS BEFORE the gateway launches the JVM —
+    # spark.driver.extraJavaOptions would be too late under an
+    # already-running gateway.
+    jit_opts = "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=3g"
+    if "ReservedCodeCacheSize" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            os.environ.get("SPARK_SUBMIT_OPTS", "") + " " + jit_opts
+        ).strip()
     waited = 0
     while _loadavg_1m() > LOADAVG_THRESHOLD and waited < LOADAVG_WAIT_S:
         time.sleep(15)
