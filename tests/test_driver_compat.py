@@ -102,3 +102,31 @@ def test_driver_window_layout():
     # queries() and oracle_sql() agree on ordering of shared keys
     oo = [n for n in q if n in o]
     assert oo == [n for n in m.oracle_sql() if n in set(q)]
+
+
+def test_round13_debuts_all_in_window():
+    """Round-13 invariant: every r13 debut — core waves 1-13 plus the
+    fourteen parked entries and the six wave-14/15 additions riding
+    this round's WRAPPED rotation block (pool[240:245] + pool[0:15]
+    at offset 12) — sits inside the 50-slot driver window, and the
+    window still carries >= 20 rotation entries (VERDICT r12 task 3)."""
+    m = _entry_module()
+    win = set(list(m.queries())[: m.DRIVER_WINDOW])
+    parked = [
+        "events_dyadic_smoothed_revenue", "text_lang_char_js_divergence",
+        "lineitem_process_conformance", "sessions_entry_exit_matrix",
+        "orders_daily_backlog", "window_named_sql_ranks",
+        "time_travel_snapshot_diff", "nations_balance_spend_pearson",
+        "embedding_centroid_separation", "select_exclude_order_all_sql",
+        "percentile_within_group_sql", "scalar_try_funcs",
+        "agg_modern_funcs", "orders_width_bucket_histogram",
+    ]
+    wave_14_15 = [
+        "lineitem_corr_matrix", "runs_test_daily_revenue",
+        "customers_atkinson_index", "events_fano_dispersion",
+        "customer_mahalanobis_outliers",
+        "part_supplier_degree_assortativity",
+    ]
+    missing = [n for n in parked + wave_14_15 + m._CORE if n not in win]
+    assert not missing, missing
+    assert len(win & set(m._ROTATION)) >= 20
