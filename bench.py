@@ -312,11 +312,14 @@ def main() -> None:
     # SPARK_SUBMIT_OPTS BEFORE the gateway launches the JVM —
     # spark.driver.extraJavaOptions would be too late under an
     # already-running gateway.
-    jit_opts = "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=3g"
-    if "ReservedCodeCacheSize" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
-        os.environ["SPARK_SUBMIT_OPTS"] = (
-            os.environ.get("SPARK_SUBMIT_OPTS", "") + " " + jit_opts
-        ).strip()
+    # per-flag presence checks: a caller's explicit setting of EITHER
+    # knob must survive (JVM last-flag-wins would otherwise silently
+    # downgrade it)
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    for flag in ("-XX:ReservedCodeCacheSize=1g", "-XX:MaxMetaspaceSize=3g"):
+        if flag.split("=")[0] not in opts:
+            opts = (opts + " " + flag).strip()
+    os.environ["SPARK_SUBMIT_OPTS"] = opts
     waited = 0
     while _loadavg_1m() > LOADAVG_THRESHOLD and waited < LOADAVG_WAIT_S:
         time.sleep(15)

@@ -1908,13 +1908,12 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT))
-                    AS DOUBLE) AS x
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS xc
         FROM orders GROUP BY o_custkey),
     agg AS (
         SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-               SUM(CAST(x AS HUGEINT)) AS s,
-               SUM(ln(x)) AS sln
+               SUM(xc) AS s,
+               SUM(ln(CAST(xc AS DOUBLE))) AS sln
         FROM cust)
     SELECT CAST(n AS BIGINT) AS n_cust,
            CAST(round(
@@ -1991,11 +1990,11 @@ def customers_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_span AS BIGINT) AS n_days_span,
            n_active AS n_days_active,
            CAST(sx AS BIGINT) AS n_events,
-           CAST(round(
+           CASE WHEN n_span > 1 THEN CAST(round(
                CAST(n_span * sxx - sx * sx AS DOUBLE)
                / (CAST(n_span AS DOUBLE) * (CAST(n_span AS DOUBLE) - 1.0))
                / (CAST(sx AS DOUBLE) / CAST(n_span AS DOUBLE))
-               * 1000000) AS BIGINT) AS fano_ppm
+               * 1000000) AS BIGINT) END AS fano_ppm
     FROM per ORDER BY event_type
     """,
 )
@@ -2040,7 +2039,13 @@ def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_span").cast("bigint").alias("n_days_span"),
         F.col("n_active").alias("n_days_active"),
         F.col("sx").cast("bigint").alias("n_events"),
-        F.round(var / mean * 1000000).cast("bigint").alias("fano_ppm"),
+        # a type whose events all land on ONE day has n_span = 1 →
+        # 0/0; emit NULL on both engines instead of a NaN the oracle
+        # canonicalizer would diverge on
+        F.when(
+            F.col("n_span") > 1,
+            F.round(var / mean * 1000000).cast("bigint"),
+        ).alias("fano_ppm"),
     ).orderBy("event_type")
 
 
@@ -2049,6 +2054,8 @@ def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
         SELECT c.c_custkey AS k,
+               CAST(round(c.c_acctbal * 100) AS HUGEINT) AS xc,
+               SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS yc,
                CAST(CAST(round(c.c_acctbal * 100) AS HUGEINT) AS DOUBLE)
                    AS x,
                CAST(SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT))
@@ -2057,14 +2064,11 @@ def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_custkey, c.c_acctbal),
     m AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
-                    AS DOUBLE) AS syy,
-               CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
-                    AS DOUBLE) AS sxy
+               CAST(SUM(xc) AS DOUBLE) AS sx,
+               CAST(SUM(yc) AS DOUBLE) AS sy,
+               CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+               CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+               CAST(SUM(xc * yc) AS DOUBLE) AS sxy
         FROM pts),
     d AS (
         SELECT k,

@@ -104,13 +104,19 @@ def test_driver_window_layout():
     assert oo == [n for n in m.oracle_sql() if n in set(q)]
 
 
-def test_round13_debuts_all_in_window():
+def test_round13_debuts_all_in_window(monkeypatch):
     """Round-13 invariant: every r13 debut — core waves 1-13 plus the
     fourteen parked entries and the six wave-14/15 additions riding
     this round's WRAPPED rotation block (pool[240:245] + pool[0:15]
     at offset 12) — sits inside the 50-slot driver window, and the
-    window still carries >= 20 rotation entries (VERDICT r12 task 3)."""
+    window still carries >= 20 rotation entries (VERDICT r12 task 3).
+
+    The offset is PINNED to 12 (the artifact count AT the r13 gate) so
+    this test stays meaningful after CORRECTNESS_r13.json lands on
+    disk and the live rotation advances — it asserts the layout AS OF
+    this round's gate, not whatever block a later round rotates to."""
     m = _entry_module()
+    monkeypatch.setattr(m, "_rotation_offset", lambda: 12)
     win = set(list(m.queries())[: m.DRIVER_WINDOW])
     parked = [
         "events_dyadic_smoothed_revenue", "text_lang_char_js_divergence",

@@ -803,4 +803,46 @@ def test_assortativity_matches_numpy_over_edges(spark):
     assert got["n_parts"] == len(dp)
     assert got["n_suppliers"] == len(ds)
     assert abs(got["mean_part_degree_milli"] - round(a.mean() * 1000)) <= 1
+    assert abs(got["mean_supplier_degree_milli"] - round(b.mean() * 1000)) <= 1
     assert abs(got["assortativity_ppm"] - round(r * 1e6)) <= 1
+
+
+def test_fano_single_day_type_yields_null(spark, tmp_path):
+    """A type whose events all land on ONE calendar day has span 1 →
+    0/0; both the Spark side and the DuckDB oracle must emit NULL
+    (not NaN) so the gate canonicalizer cannot diverge."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators import ORACLE
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 03:00", "2024-01-01 17:00",
+                 "2024-02-01 00:00", "2024-02-03 00:00"]
+            ),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["oneday", "oneday", "spread", "spread"],
+            "value": [1.0, 1.0, 1.0, 1.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_fano_dispersion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["oneday"]["fano_ppm"] is None
+    assert got["oneday"]["n_days_span"] == 1
+    assert got["spread"]["fano_ppm"] is not None
+    con = _duck.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    orc = {r[0]: r for r in con.sql(ORACLE["events_fano_dispersion"]).fetchall()}
+    assert orc["oneday"][4] is None
+    assert orc["spread"][4] == got["spread"]["fano_ppm"]

@@ -653,7 +653,7 @@ def test_corr_matrix_single_scan_no_join(spark, sf_dir):
     scan."""
     plan = explain_str(QUERIES["lineitem_corr_matrix"](spark, sf_dir), "simple")
     assert "Join" not in plan
-    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 1
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
@@ -665,7 +665,8 @@ def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan or "Sort [d2" not in plan
+    # the top-10 must never plan a global Sort on the distance column
+    assert "Sort [d2" not in plan
 
 
 def test_assortativity_supplier_degree_broadcasts(spark, sf_dir):
