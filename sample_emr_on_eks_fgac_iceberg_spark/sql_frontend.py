@@ -691,7 +691,22 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
         return query, False
     n = int(m.group(1) or 1)
     if m.group(2).upper() == "ONLY":
-        return query[: m.start()].rstrip() + f" LIMIT {n}", True
+        body = query[: m.start()].rstrip()
+        # ISO pagination puts OFFSET m ROWS *before* FETCH; Spark only
+        # parses LIMIT n OFFSET m, so lift a trailing standard OFFSET
+        # into that spelling instead of emitting unparseable text
+        om = re.search(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\s*$",
+            _blank_sql_strings(body),
+            re.I,
+        )
+        if om:
+            return (
+                body[: om.start()].rstrip()
+                + f" LIMIT {n} OFFSET {om.group(1)}",
+                True,
+            )
+        return body + f" LIMIT {n}", True
     # WITH TIES: locate the top-level ORDER BY feeding the fetch
     depth = 0
     ob_start = -1
@@ -718,7 +733,10 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
             "FETCH … WITH TIES cannot combine with OFFSET — apply the "
             "offset in an outer query over the tied result"
         )
-    km = re.match(r"\s*(.*?)\s*(ASC|DESC)?\s*$", items, re.I | re.S)
+    # whitespace REQUIRED before the direction keyword, or an
+    # identifier ending in asc/desc ('salesasc') would be silently
+    # truncated to a different column
+    km = re.match(r"\s*(.*?)(?:\s+(ASC|DESC))?\s*$", items, re.I | re.S)
     prefix_len = len(order_items) - len(items)
     key = query[
         ob_start + prefix_len + km.start(1) : ob_start + prefix_len + km.end(1)
@@ -727,11 +745,22 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
     direction = "DESC NULLS LAST" if desc else "ASC NULLS LAST"
     agg = "min" if desc else "max"
     cmp_op = ">=" if desc else "<="
+    # NULL keys sort LAST; when the top-n reaches into them (n exceeds
+    # the non-null count, or every key is NULL) the NULL rows all tie
+    # at the boundary rank, so rank() <= n admits them — the second
+    # disjunct probes the BOUNDED top-n frame for a NULL and then
+    # admits the NULL-key rows, keeping the rewrite ≡ rank() <= n on
+    # every input (the first disjunct alone would drop them: NULL
+    # comparisons are never true)
+    topn = (
+        f"SELECT {key} AS __wt_k FROM __wt_src "
+        f"ORDER BY {key} {direction} LIMIT {n}"
+    )
     rewritten = (
         f"WITH __wt_src AS ({body}) SELECT * FROM __wt_src "
-        f"WHERE {key} {cmp_op} (SELECT {agg}(__wt_k) FROM "
-        f"(SELECT {key} AS __wt_k FROM __wt_src "
-        f"ORDER BY {key} {direction} LIMIT {n}) __wt_t) "
+        f"WHERE {key} {cmp_op} (SELECT {agg}(__wt_k) FROM ({topn}) __wt_t) "
+        f"OR ({key} IS NULL AND EXISTS (SELECT 1 FROM ({topn}) __wt_n "
+        f"WHERE __wt_k IS NULL)) "
         f"ORDER BY {key} {direction}"
     )
     return rewritten, True
@@ -1067,13 +1096,31 @@ def rewrite_asof_joins(query: str, resolve) -> str:
             # would corrupt that relation's qualifiers; detect the
             # reuse on the post-substitution text and refuse loudly
             # (ADVICE r12).
-            reuse = re.compile(
-                rf"(?:\b(?:FROM|JOIN)\s+(?:`?[\w.]+`?\s+(?:AS\s+)?)?"
-                rf"|\)\s*(?:AS\s+)?)"
+            stripped = _strip_sql_strings(query)
+            named = re.compile(
+                rf"\b(?:FROM|JOIN)\s+(?:`?[\w.]+`?\s+(?:AS\s+)?)?"
                 rf"`?{re.escape(alias)}`?(?![\w.])",
                 re.I,
             )
-            if reuse.search(_strip_sql_strings(query)):
+            # the `(subquery) alias` form only introduces a relation
+            # inside a FROM clause — scan from the first TOP-LEVEL
+            # FROM onward so a parenthesized select-list expression
+            # aliased to the same name (`(price * 2) a, …`) does not
+            # trigger a spurious refusal
+            depth, from_at = 0, len(stripped)
+            for tm in re.finditer(r"[()]|\bFROM\b", stripped, re.I):
+                t = tm.group(0)
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0:
+                    from_at = tm.start()
+                    break
+            paren = re.compile(
+                rf"\)\s*(?:AS\s+)?`?{re.escape(alias)}`?(?![\w.])", re.I
+            )
+            if named.search(stripped) or paren.search(stripped[from_at:]):
                 raise ValueError(
                     f"ASOF JOIN alias {alias!r} is reused as a relation "
                     "name/alias elsewhere in the statement — rename one "

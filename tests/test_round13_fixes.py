@@ -453,3 +453,31 @@ def test_daily_backlog_invariants(spark):
     assert rows[-1]["backlog"] == n_orders - sum(
         r["n_closed"] for r in rows
     )
+
+
+def test_asof_paren_select_expression_alias_not_refused(fe):
+    """A parenthesized SELECT-LIST expression aliased to the join
+    alias's name introduces no relation — the reuse guard must not
+    refuse it (its `) alias` probe scans FROM-onward only)."""
+    # the adversarial form: a parenthesized expression aliased to the
+    # SAME name as the asof join alias
+    got = fe.execute(
+        """
+        SELECT (a.purchase_id * 2) a, c.click_id
+        FROM purch a ASOF JOIN clicks c
+          ON a.pu = c.cu AND a.pts >= c.cts
+        """
+    ).collect()
+    assert sorted((r[0], r[1]) for r in got) == [(22, 1), (24, 2)]
+
+
+def test_asof_subquery_alias_reuse_still_refused(fe):
+    """`FROM (subquery) a` after the join still trips the guard."""
+    with pytest.raises(ValueError, match="reused"):
+        fe.execute(
+            """
+            SELECT purchase_id FROM purch a ASOF JOIN clicks c
+              ON a.pu = c.cu AND a.pts >= c.cts
+            WHERE pu IN (SELECT ok FROM (SELECT ok FROM other) a)
+            """
+        )

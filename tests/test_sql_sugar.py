@@ -324,3 +324,62 @@ def test_exclude_projection_position_fuzz():
         assert "EXCEPT (" in out and "EXCLUDE" not in out.upper(), q
     for q in cases_preserve:
         assert rewrite_star_exclude(q) == q, q
+
+
+def test_fetch_with_ties_key_ending_in_desc_not_truncated():
+    out, changed = rewrite_fetch_first(
+        "SELECT * FROM t ORDER BY salesasc FETCH FIRST 2 ROWS WITH TIES"
+    )
+    assert changed
+    assert "salesasc <=" in out and "ORDER BY salesasc ASC" in out
+    out, _ = rewrite_fetch_first(
+        "SELECT * FROM t ORDER BY price_desc FETCH FIRST 2 ROWS WITH TIES"
+    )
+    assert "price_desc <=" in out and "ORDER BY price_desc ASC" in out
+
+
+def test_fetch_only_lifts_standard_offset(fe):
+    got = fe.execute(
+        "SELECT id FROM t ORDER BY id OFFSET 2 ROWS "
+        "FETCH FIRST 3 ROWS ONLY"
+    ).collect()
+    assert [r["id"] for r in got] == [3, 4, 5]
+
+
+def test_fetch_with_ties_null_keys_match_rank(spark, tmp_path):
+    """NULLS LAST contract vs rank(): below the NULL boundary the
+    NULL-key rows are excluded; once n reaches into them they all tie
+    in; an all-NULL key returns every row."""
+    wh = Warehouse(spark, str(tmp_path / "whnul"))
+    t = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, None)], "id int, x int"
+    )
+    wh.create_table("tn", t.schema)
+    wh.insert_into("tn", t)
+    fe2 = SqlFrontend(spark, wh)
+
+    def ids(n):
+        got = fe2.execute(
+            f"SELECT id, x FROM tn ORDER BY x FETCH FIRST {n} ROWS WITH TIES"
+        ).collect()
+        return sorted(r["id"] for r in got)
+
+    def rank_ids(n):
+        rows = spark.sql(
+            "SELECT id FROM (SELECT id, rank() OVER "
+            "(ORDER BY x ASC NULLS LAST) rk FROM "
+            "(VALUES (1, 10), (2, 20), (3, NULL), (4, NULL)) v(id, x)) "
+            f"WHERE rk <= {n}"
+        ).collect()
+        return sorted(r["id"] for r in rows)
+
+    for n in (1, 2, 3, 4):
+        assert ids(n) == rank_ids(n), n
+    # all-NULL key: every row ties at rank 1
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id int, x int")
+    wh.create_table("tan", allnull.schema)
+    wh.insert_into("tan", allnull)
+    got = fe2.execute(
+        "SELECT id, x FROM tan ORDER BY x FETCH FIRST 1 ROWS WITH TIES"
+    ).collect()
+    assert sorted(r["id"] for r in got) == [1, 2]
