@@ -41,6 +41,40 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pgm_frames(d):
+    """(doc_id, payload) frame of synthetic binary PGM (P5) rasters —
+    the shared fixture every image operator decodes: dimensions are
+    doc_id-derived (w = 64 + (doc_id%16)*8, h = 64 + (doc_id%9)*8) and
+    the pixel plane is the document text repeated cyclically (rpad).
+    ASCII-only guard: the plane is BYTES (numpy frombuffer) while the
+    oracles' rpad/ascii work in CODE POINTS — identical only when
+    every character is one byte, so multi-byte docs are excluded on
+    BOTH sides rather than silently diverging; a real deployment
+    feeds actual binary payloads and drops the guard. Each image
+    oracle mirrors this construction textually — a change here must
+    land in those oracle CTEs too (the checksum tests pin them)."""
+    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
+    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
+    return d.filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P5\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.rpad(F.col("text"), w * h, F.col("text")),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+
 @register(
     "multimodal_catalog",
     oracle="""
@@ -275,30 +309,7 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
-    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
-    # ASCII-only guard: the pixel plane is BYTES (numpy frombuffer)
-    # while the oracle's rpad/ascii work in CODE POINTS — identical
-    # only when every character is one byte. Multi-byte docs are
-    # excluded on BOTH sides rather than silently diverging; a real
-    # deployment feeds actual binary payloads and drops the guard.
-    pgm = d.filter(
-        (F.length("text") > 0)
-        & (F.octet_length("text") == F.length("text"))
-    ).select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("P5\n"),
-                w.cast("string"),
-                F.lit(" "),
-                h.cast("string"),
-                F.lit("\n255\n"),
-                F.rpad(F.col("text"), w * h, F.col("text")),
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    pgm = _pgm_frames(d)
 
     out_schema = T.StructType(
         [
@@ -643,24 +654,7 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
-    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
-    pgm = d.filter(
-        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
-    ).select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("P5\n"),
-                w.cast("string"),
-                F.lit(" "),
-                h.cast("string"),
-                F.lit("\n255\n"),
-                F.rpad(F.col("text"), w * h, F.col("text")),
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    pgm = _pgm_frames(d)
 
     out_schema = T.StructType(
         [
@@ -877,25 +871,7 @@ def multimodal_image_gradient_energy(
     import pandas as pd
 
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
-    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
-    pgm = d.filter(
-        (F.length("text") > 0)
-        & (F.octet_length("text") == F.length("text"))
-    ).select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("P5\n"),
-                w.cast("string"),
-                F.lit(" "),
-                h.cast("string"),
-                F.lit("\n255\n"),
-                F.rpad(F.col("text"), w * h, F.col("text")),
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    pgm = _pgm_frames(d)
 
     out_schema = T.StructType(
         [
@@ -998,25 +974,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    w = (64 + (F.col("doc_id") % 16) * 8).cast("int")
-    h = (64 + (F.col("doc_id") % 9) * 8).cast("int")
-    pgm = d.filter(
-        (F.length("text") > 0)
-        & (F.octet_length("text") == F.length("text"))
-    ).select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("P5\n"),
-                w.cast("string"),
-                F.lit(" "),
-                h.cast("string"),
-                F.lit("\n255\n"),
-                F.rpad(F.col("text"), w * h, F.col("text")),
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    pgm = _pgm_frames(d)
 
     out_schema = T.StructType(
         [

@@ -598,6 +598,71 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tie_ppm"),
     )
 
+def _churn_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared survival-analysis skeleton under customer_churn_
+    kaplan_meier AND customer_churn_nelson_aalen: per-customer
+    engagement lifetime (days between first and last order; a last
+    order ≥90 days before the corpus end is an observed churn EVENT,
+    later ones right-CENSORED), collapsed to one row per lifetime day
+    with (d = events, cens = censored, m = total) and the at-risk
+    count n_risk = n − Σ_{s<t} m_s computed via the distributed
+    prefix idiom (ONE range repartition, pid-local exclusive window,
+    K broadcast/driver offsets — never an unpartitioned window). The
+    returned frame keeps pid/lm/__offset/n so each estimator can run
+    its own inclusive cumulative on the same partitioning.
+
+    Plan shape at 100 TB: one custkey hash agg collapses the fact
+    table; everything after is keyed on LIFETIME DAYS — calendar-
+    bounded (≤ corpus span, a few thousand rows forever)."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").alias("lifetime"),
+            F.when(
+                F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("event"),
+        )
+    )
+    lt = materialize_once(
+        cust.groupBy("lifetime").agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.sum(F.lit(1) - F.col("event")).cast("bigint").alias("cens"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    spark_ = lt.sparkSession
+    r = lt.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "lifetime"
+    ).withColumn("pid", F.spark_partition_id())
+    lwx = (
+        Window.partitionBy("pid")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = materialize_once(
+        r.withColumn("lm", F.coalesce(F.sum("m").over(lwx), F.lit(0)))
+    )
+    partials = r.groupBy("pid").agg(F.sum("m").alias("n_p"))
+    off = partition_rank_offsets(partials)
+    tot = partials.agg(F.sum("n_p").alias("n"))
+    return (
+        r.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("n") - (F.col("__offset") + F.col("lm"))).cast("bigint"),
+        )
+    )
+
 
 @register(
     "customer_churn_kaplan_meier",
@@ -665,60 +730,8 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window. The offset association can differ from a
     strict sequential float sum by an ulp; ppm rounding absorbs it
     (same rule as the statistic itself)."""
-    o = load_table(spark, sf_dir, "orders")
-    maxd = o.agg(F.max("o_orderdate").alias("md"))
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.min("o_orderdate").alias("first_d"),
-            F.max("o_orderdate").alias("last_d"),
-        )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            F.datediff("last_d", "first_d").alias("lifetime"),
-            F.when(
-                F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1)
-            )
-            .otherwise(F.lit(0))
-            .alias("event"),
-        )
-    )
-    lt = materialize_once(
-        cust.groupBy("lifetime").agg(
-            F.sum("event").cast("bigint").alias("d"),
-            F.sum(F.lit(1) - F.col("event")).cast("bigint").alias("cens"),
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-        )
-    )
-    # Three cumulatives over the lifetime order, all via the
-    # DISTRIBUTED prefix idiom (ONE range repartition, pid-local
-    # windows, K broadcast/driver offsets — the plan gate rejects any
-    # unpartitioned window, even over this calendar-bounded frame):
-    # exclusive Σm (at-risk), inclusive Σ ln-terms, inclusive max of
-    # the risk-set-consumed flag.
-    spark_ = lt.sparkSession
-    r = lt.repartitionByRange(
-        spark_.sparkContext.defaultParallelism, "lifetime"
-    ).withColumn("pid", F.spark_partition_id())
-    lwx = (
-        Window.partitionBy("pid")
-        .orderBy("lifetime")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = materialize_once(
-        r.withColumn("lm", F.coalesce(F.sum("m").over(lwx), F.lit(0)))
-    )
-    partials = r.groupBy("pid").agg(F.sum("m").alias("n_p"))
-    off = partition_rank_offsets(partials)
-    tot = partials.agg(F.sum("n_p").alias("n"))
-    o2 = (
-        r.join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "n_risk",
-            (F.col("n") - (F.col("__offset") + F.col("lm"))).cast("bigint"),
-        )
-    )
+    o2 = _churn_at_risk(spark, sf_dir)
+    spark_ = o2.sparkSession
     # the ln argument is spelled (n−d)/n with the SAME operation order
     # as the oracle — 1 − d/n would round differently
     term = F.when(
@@ -1693,53 +1706,8 @@ def customer_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive Σ and the hazard inclusive Σ both ride the distributed
     prefix idiom (range repartition + pid-local windows + K
     driver/broadcast offsets; never an unpartitioned window)."""
-    o = load_table(spark, sf_dir, "orders")
-    maxd = o.agg(F.max("o_orderdate").alias("md"))
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.min("o_orderdate").alias("first_d"),
-            F.max("o_orderdate").alias("last_d"),
-        )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            F.datediff("last_d", "first_d").alias("lifetime"),
-            F.when(
-                F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1)
-            )
-            .otherwise(F.lit(0))
-            .alias("event"),
-        )
-    )
-    lt = materialize_once(
-        cust.groupBy("lifetime").agg(
-            F.sum("event").cast("bigint").alias("d"),
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-        )
-    )
-    spark_ = lt.sparkSession
-    r = lt.repartitionByRange(
-        spark_.sparkContext.defaultParallelism, "lifetime"
-    ).withColumn("pid", F.spark_partition_id())
-    lwx = (
-        Window.partitionBy("pid")
-        .orderBy("lifetime")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = materialize_once(
-        r.withColumn("lm", F.coalesce(F.sum("m").over(lwx), F.lit(0)))
-    )
-    partials = r.groupBy("pid").agg(F.sum("m").alias("n_p"))
-    off = partition_rank_offsets(partials)
-    tot = partials.agg(F.sum("n_p").alias("n"))
-    o2 = (
-        r.join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "n_risk",
-            (F.col("n") - (F.col("__offset") + F.col("lm"))).cast("bigint"),
-        )
-    )
+    o2 = _churn_at_risk(spark, sf_dir)
+    spark_ = o2.sparkSession
     # hazard spelled CAST(d)/CAST(n_risk) — identical op order to the
     # oracle's window term
     h = F.when(
