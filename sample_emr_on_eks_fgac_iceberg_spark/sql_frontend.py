@@ -748,19 +748,24 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
     # NULL keys sort LAST; when the top-n reaches into them (n exceeds
     # the non-null count, or every key is NULL) the NULL rows all tie
     # at the boundary rank, so rank() <= n admits them — the second
-    # disjunct probes the BOUNDED top-n frame for a NULL and then
-    # admits the NULL-key rows, keeping the rewrite ≡ rank() <= n on
-    # every input (the first disjunct alone would drop them: NULL
-    # comparisons are never true)
+    # disjunct admits the NULL-key rows exactly then, keeping the
+    # rewrite ≡ rank() <= n on every input (the first disjunct alone
+    # would drop them: NULL comparisons are never true). A NULL is in
+    # the NULLS-LAST top-n iff FEWER THAN n non-null keys exist, so
+    # the probe is an early-exit LocalLimit count — no second sorted
+    # pass over the source.
     topn = (
         f"SELECT {key} AS __wt_k FROM __wt_src "
         f"ORDER BY {key} {direction} LIMIT {n}"
     )
+    nn_probe = (
+        f"(SELECT count(1) FROM (SELECT 1 AS __wt_one FROM __wt_src "
+        f"WHERE {key} IS NOT NULL LIMIT {n}) __wt_c) < {n}"
+    )
     rewritten = (
         f"WITH __wt_src AS ({body}) SELECT * FROM __wt_src "
         f"WHERE {key} {cmp_op} (SELECT {agg}(__wt_k) FROM ({topn}) __wt_t) "
-        f"OR ({key} IS NULL AND EXISTS (SELECT 1 FROM ({topn}) __wt_n "
-        f"WHERE __wt_k IS NULL)) "
+        f"OR ({key} IS NULL AND {nn_probe}) "
         f"ORDER BY {key} {direction}"
     )
     return rewritten, True
