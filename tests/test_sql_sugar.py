@@ -383,3 +383,40 @@ def test_fetch_with_ties_null_keys_match_rank(spark, tmp_path):
         "SELECT id, x FROM tan ORDER BY x FETCH FIRST 1 ROWS WITH TIES"
     ).collect()
     assert sorted(r["id"] for r in got) == [1, 2]
+
+
+def test_fetch_with_ties_randomized_with_nulls_matches_rank(spark):
+    """Seeded randomized equivalence INCLUDING NULL keys: WITH TIES ≡
+    rank() OVER (ORDER BY key [DESC] NULLS LAST) <= n — the contract
+    the NULLS-LAST rewrite pins (Spark rank is computed directly so
+    the engine defines its own NULL ordering explicitly)."""
+    import random
+
+    rng = random.Random(4242)
+    for trial in range(12):
+        rows = [
+            (i, rng.choice([None, 0, 1, 2, 3]))
+            for i in range(rng.randint(1, 20))
+        ]
+        n = rng.randint(1, 6)
+        d = "DESC" if rng.random() < 0.5 else ""
+        spark.createDataFrame(rows, "id int, x int").createOrReplaceTempView(
+            "__wt_rnul"
+        )
+        q, changed = rewrite_fetch_first(
+            f"SELECT id, x FROM __wt_rnul ORDER BY x {d} "
+            f"FETCH FIRST {n} ROWS WITH TIES"
+        )
+        assert changed
+        got = sorted(
+            (r["id"], r["x"]) for r in spark.sql(q).collect()
+        )
+        exp = sorted(
+            (r["id"], r["x"])
+            for r in spark.sql(
+                f"SELECT id, x FROM (SELECT id, x, rank() OVER "
+                f"(ORDER BY x {d} NULLS LAST) rk FROM __wt_rnul) "
+                f"WHERE rk <= {n}"
+            ).collect()
+        )
+        assert got == exp, (trial, n, d, rows, got, exp)
