@@ -239,6 +239,53 @@ def fgac_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOV_LANGS_SQL = ", ".join(f"'{lg}'" for lg in _GOV_LANGS)
+
+
+@register(
+    "fgac_udtf_corpus_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+        WHERE lang IN ({_GOV_LANGS_SQL})),
+    spans AS (
+        SELECT doc_id, lang, (i - 1) // 16 AS span_idx, COUNT(*) AS n_tok
+        FROM toks GROUP BY doc_id, lang, (i - 1) // 16)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM spans GROUP BY lang
+    """,
+)
+def fgac_udtf_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF on the CONSUMER surface (VERDICT r13 #1's FGAC
+    probe): the analyst lateral-explodes the governed corpus through
+    the ``word_spans`` table function. The UDTF runs OVER the policy
+    view — the row filter (lang ∈ en/de) applies before the explode,
+    so UDTF output can never resurrect filtered rows: the oracle
+    counts spans from the filtered corpus only, and a doc outside the
+    whitelist contributing even one span would break n_spans/n_docs.
+    The UDTF registers into the analyst's ISOLATED session registry
+    (engine-provided function library, session-scoped — no cross-
+    principal leakage through the function registry)."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    sess = _gov_engine_for(spark, sf_dir).session_for(_ANALYST)
+    register_udtfs(sess.spark)
+    return sess.sql(
+        """
+        SELECT lang, COUNT(*) AS n_spans,
+               SUM(s.n_tokens) AS n_tokens,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents_gov d, LATERAL word_spans(d.text, 16) s
+        GROUP BY lang
+        """
+    )
+
+
 @register(
     "fgac_stream_patients_agg",
     oracle=f"""

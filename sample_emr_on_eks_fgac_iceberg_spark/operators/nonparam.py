@@ -1855,7 +1855,12 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     n = n1 + n2
-    runs = (F.coalesce(F.col("chg"), F.lit(0)) + 1).cast("bigint")
+    # degenerate input (every day equals the median → kept is empty):
+    # the oracle's SUM over an empty set is NULL, so n_runs must be
+    # NULL too, not coalesce(chg,0)+1 = 1 (ADVICE r13)
+    runs = (
+        F.when(n > 0, F.coalesce(F.col("chg"), F.lit(0)) + 1).cast("bigint")
+    )
     mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
     var = (
         F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)

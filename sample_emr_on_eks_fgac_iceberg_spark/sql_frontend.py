@@ -600,10 +600,72 @@ def rewrite_distinct_on(query: str) -> tuple[str, bool]:
     )
 
 
+def _blank_sql_noise(text: str) -> str:
+    """Length-preserving blanking of single-quoted literals (contents →
+    spaces, outer quotes kept, '' escapes blanked) AND SQL comments —
+    ``--`` to end-of-line and bracketed ``/* */`` including Spark's
+    nesting — in ONE left-to-right scan, so a quote inside a comment
+    (``-- don't``) can't corrupt string state and a ``--`` inside a
+    literal can't start a phantom comment (ADVICE r13: comment text
+    containing parens / FETCH / EXCLUDE / quantifier keywords was
+    visible to the positional scans). Newlines inside comments are
+    kept so line-oriented probes stay aligned; double-quoted strings
+    and backtick identifiers pass through unblanked (pre-existing
+    probe behavior) but shield any comment markers inside them."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        out[j] = out[j + 1] = " "
+                        j += 2
+                        continue
+                    break
+                if text[j] != "\n":
+                    out[j] = " "
+                j += 1
+            i = j + 1
+        elif ch in ('"', "`"):
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            i = j + 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif ch == "/" and i + 1 < n and text[i + 1] == "*":
+            depth = 0
+            while i < n:
+                if text[i] == "/" and i + 1 < n and text[i + 1] == "*":
+                    depth += 1
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                elif text[i] == "*" and i + 1 < n and text[i + 1] == "/":
+                    depth -= 1
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                    if depth == 0:
+                        break
+                else:
+                    if text[i] != "\n":
+                        out[i] = " "
+                    i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _strip_sql_strings(text: str) -> str:
-    """Blank out single-quoted literals (with '' escaping) so keyword
-    probes can't false-positive on string contents."""
-    return re.sub(r"'(?:[^']|'')*'", "''", text)
+    """Blank out single-quoted literals (with '' escaping) AND SQL
+    comments so keyword probes can't false-positive on either. Not
+    length-preserving (literals collapse to ``''``) — positional
+    probes use _blank_sql_strings instead."""
+    return re.sub(r"'[^']*'", "''", _blank_sql_noise(text))
 
 
 def _balanced_end(text: str, open_idx: int) -> int:
@@ -675,6 +737,119 @@ _FETCH_RE = re.compile(
     re.I,
 )
 
+_TIES_IDENT_RE = re.compile(
+    r"^(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_]\w*|`[^`]+`))*$"
+)
+_TIES_EXPR_KEYWORDS = {
+    "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE", "END", "NULL",
+    "TRUE", "FALSE", "IS", "IN", "LIKE", "BETWEEN", "CAST", "AS",
+    "INTERVAL", "DISTINCT", "FROM", "OVER", "DOUBLE", "INT", "BIGINT",
+    "STRING", "DATE", "TIMESTAMP", "DECIMAL", "BOOLEAN", "FLOAT",
+}
+
+
+def _ties_select_items(body: str) -> list[str] | None:
+    """Top-level select-list items of ``body`` (the first depth-0
+    SELECT — a leading WITH clause keeps its CTE bodies inside parens,
+    so the scan lands on the main query; a top-level set operation's
+    FIRST branch names the output columns, which is the correct branch
+    to check). None when the list can't be located textually."""
+    blanked = _blank_sql_strings(body)
+    depth, sel_end = 0, -1
+    for m in re.finditer(r"[()]|\bSELECT\b", blanked, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            sel_end = m.end()
+            break
+    if sel_end < 0:
+        return None
+    head, _ = _split_top_level(blanked[sel_end:], "FROM")
+    head = re.sub(r"^\s*(DISTINCT|ALL)\b", "", head, flags=re.I)
+    return _split_top_commas(head)
+
+
+def _ties_outer_key(body: str, key: str) -> str:
+    """The spelling of the WITH TIES ORDER BY key valid AGAINST the
+    ``__wt_src`` CTE (whose columns are the body's projection): a
+    qualified identifier drops its qualifier, an expression matching
+    an aliased select item becomes the alias. Raises the explanatory
+    ValueError (same pattern as the multi-key/OFFSET refusals) when
+    the key is not derivable from the projected columns — previously
+    a confusing downstream unresolved-column failure (ADVICE r13)."""
+    refusal = ValueError(
+        "FETCH … WITH TIES requires the ORDER BY key to be available "
+        "from the query's projected columns — project the key (or "
+        "alias the expression) in the select list"
+    )
+    blanked_key = _blank_sql_strings(key).strip()
+    norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
+    unq = lambda s: s.strip().strip("`").lower()  # noqa: E731
+    items = _ties_select_items(body)
+    if items is None:
+        # unlocatable select list: permissive fallback (Spark's own
+        # analyzer reports any genuinely unresolved column)
+        return key
+    # star forms: *, alias.*, and * EXCEPT/EXCLUDE (cols) — the except
+    # list REMOVES columns from the projection, so a key named there
+    # is not available downstream
+    has_star, starred_out = False, set()
+    for it in items:
+        sm = re.match(
+            r"(?:\w+\s*\.\s*)?\*\s*(?:(?:EXCEPT|EXCLUDE)\s*\(([^)]*)\))?\s*$",
+            it,
+            re.I,
+        )
+        if sm:
+            has_star = True
+            if sm.group(1):
+                starred_out |= {unq(c) for c in sm.group(1).split(",")}
+    exposed: set[str] = set()
+    aliased: list[tuple[str, str]] = []  # (normalized expr, alias)
+    for it in items:
+        # explicit AS first — a greedy single pattern would swallow the
+        # AS into the expression group and break verbatim alias matching
+        am = re.match(
+            r"(.*\S)\s+AS\s+([A-Za-z_]\w*|`[^`]+`)\s*$", it, re.I | re.S
+        ) or re.match(r"(.*\S)\s+([A-Za-z_]\w*|`[^`]+`)\s*$", it, re.I | re.S)
+        if am and am.group(2).upper() not in _TIES_EXPR_KEYWORDS and not (
+            _TIES_IDENT_RE.match(it)  # a bare (dotted) identifier has no alias
+        ):
+            exposed.add(unq(am.group(2)))
+            aliased.append((norm(am.group(1)), am.group(2)))
+        elif _TIES_IDENT_RE.match(it):
+            exposed.add(unq(re.split(r"\s*\.\s*", it)[-1]))
+    if _TIES_IDENT_RE.match(blanked_key):
+        # identifier key: unqualify (the CTE's output column carries
+        # only the last component) and require it projected
+        parts = re.split(r"\s*\.\s*", key.strip())
+        if unq(parts[-1]) in exposed or (
+            has_star and unq(parts[-1]) not in starred_out
+        ):
+            return parts[-1]
+        raise refusal
+    # expression key: an aliased verbatim match orders by the alias
+    for expr_n, alias in aliased:
+        if expr_n == norm(blanked_key):
+            return alias
+    if has_star:
+        return key
+    # recomputable iff every referenced column is projected; qualified
+    # refs inside the expression can never resolve against the CTE
+    if re.search(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_`]", blanked_key):
+        raise refusal
+    for tm in re.finditer(r"\b([A-Za-z_]\w*)\b(\s*\()?", blanked_key):
+        if tm.group(2):
+            continue  # function call
+        tok = tm.group(1)
+        if tok.upper() in _TIES_EXPR_KEYWORDS or tok.lower() in exposed:
+            continue
+        raise refusal
+    return key
+
 
 def rewrite_fetch_first(query: str) -> tuple[str, bool]:
     """SQL-standard ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n`` (Spark
@@ -723,7 +898,9 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
     order_items = blanked[ob_start:m.start()]
     body = query[:ob_start].rstrip()
     items = re.sub(r"^\s*ORDER\s+BY\s*", "", order_items, flags=re.I)
-    if re.search(r",", items) or re.search(r"\bNULLS\b", items, re.I):
+    # depth-aware comma scan (ADVICE r13): a single key containing
+    # commas inside parens — coalesce(a, b) — is one key, not multi-key
+    if len(_split_top_commas(items)) > 1 or re.search(r"\bNULLS\b", items, re.I):
         raise ValueError(
             "FETCH … WITH TIES supports a single ORDER BY key without a "
             "NULLS override — rewrite multi-key ties as QUALIFY rank()"
@@ -745,6 +922,11 @@ def rewrite_fetch_first(query: str) -> tuple[str, bool]:
     direction = "DESC NULLS LAST" if desc else "ASC NULLS LAST"
     agg = "min" if desc else "max"
     cmp_op = ">=" if desc else "<="
+    # every reference below runs AGAINST the __wt_src CTE, so the key
+    # must be respelled for the body's projection (qualifier dropped,
+    # aliased expression → alias) — or refused explanatorily when the
+    # projection can't supply it (ADVICE r13)
+    key = _ties_outer_key(body, key)
     # NULL keys sort LAST; when the top-n reaches into them (n exceeds
     # the non-null count, or every key is NULL) the NULL rows all tie
     # at the boundary rank, so rank() <= n admits them — the second
@@ -831,9 +1013,12 @@ def rewrite_quantified_subqueries(query: str) -> str:
             # says UNKNOWN) — the CASE restores the standard's NULL
             # truth table in every context
             cnt = f"(SELECT COUNT(*) FROM ({sq}) __qt_c)"
+            # probes order by the ALIASED column (AS __qt_n(__qt_v)) —
+            # never ORDER BY 1, which silently becomes a constant sort
+            # if a session disables spark.sql.orderByOrdinal (ADVICE r13)
             has_null = (
-                f"(SELECT * FROM ({sq}) __qt_n "
-                f"ORDER BY 1 ASC NULLS FIRST LIMIT 1) IS NULL"
+                f"(SELECT __qt_v FROM ({sq}) AS __qt_n(__qt_v) "
+                f"ORDER BY __qt_v ASC NULLS FIRST LIMIT 1) IS NULL"
             )
             null_b = "CAST(NULL AS BOOLEAN)"
             hit, miss = ("TRUE", "FALSE") if op == "=" else ("FALSE", "TRUE")
@@ -846,17 +1031,20 @@ def rewrite_quantified_subqueries(query: str) -> str:
             )
         else:
             cnt = f"(SELECT COUNT(*) FROM ({sq}) __qt_c)"
+            # extreme/NULL probes order by the ALIASED column — never
+            # ORDER BY 1, which becomes a constant sort (arbitrary row)
+            # if a session disables spark.sql.orderByOrdinal (ADVICE r13)
             mx = (
-                f"(SELECT * FROM ({sq}) __qt_x "
-                f"ORDER BY 1 DESC NULLS LAST LIMIT 1)"
+                f"(SELECT __qt_v FROM ({sq}) AS __qt_x(__qt_v) "
+                f"ORDER BY __qt_v DESC NULLS LAST LIMIT 1)"
             )
             mn = (
-                f"(SELECT * FROM ({sq}) __qt_x "
-                f"ORDER BY 1 ASC NULLS LAST LIMIT 1)"
+                f"(SELECT __qt_v FROM ({sq}) AS __qt_x(__qt_v) "
+                f"ORDER BY __qt_v ASC NULLS LAST LIMIT 1)"
             )
             has_null = (
-                f"(SELECT * FROM ({sq}) __qt_n "
-                f"ORDER BY 1 ASC NULLS FIRST LIMIT 1) IS NULL"
+                f"(SELECT __qt_v FROM ({sq}) AS __qt_n(__qt_v) "
+                f"ORDER BY __qt_v ASC NULLS FIRST LIMIT 1) IS NULL"
             )
             null_b = "CAST(NULL AS BOOLEAN)"
             if quant == "ALL":
@@ -920,14 +1108,11 @@ def rewrite_text_sugar(query: str) -> tuple[str, bool]:
 
 def _blank_sql_strings(text: str) -> str:
     """Like _strip_sql_strings but LENGTH-PRESERVING (literal contents
-    become spaces): match indices computed on the blanked text stay
-    valid against the raw statement — required by probes that slice
-    the original query at a match position (rewrite_distinct_on)."""
-    return re.sub(
-        r"'(?:[^']|'')*'",
-        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-        text,
-    )
+    and comments become spaces): match indices computed on the blanked
+    text stay valid against the raw statement — required by probes
+    that slice the original query at a match position
+    (rewrite_distinct_on, rewrite_fetch_first, the quantifier scan)."""
+    return _blank_sql_noise(text)
 
 
 _SQL_KEYWORDS = {

@@ -1,0 +1,280 @@
+"""Round-14 changes: Python UDTFs (the third leg of SURVEY §2.B
+"UDF/UDAF/UDTF"), and the four ADVICE r13 fixes — comment-aware SQL
+probes, orderByOrdinal-independent quantified probes, WITH TIES
+function keys / targeted unprojected-key refusal, and the runs-test
+empty-frame NULL guard."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import (
+    SqlFrontend,
+    _blank_sql_strings,
+    _strip_sql_strings,
+    rewrite_fetch_first,
+    rewrite_quantified_subqueries,
+    rewrite_text_sugar,
+)
+from sample_emr_on_eks_fgac_iceberg_spark.sources.warehouse import Warehouse
+
+
+# ------------------------------------------------------------ UDTFs
+def test_word_spans_explodes_fixed_schema(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a b c d e'), (2,'x') AS t(id, txt)"
+    ).createOrReplaceTempView("__r14_docs")
+    rows = spark.sql(
+        "SELECT d.id, s.span_idx, s.span_text, s.n_tokens "
+        "FROM __r14_docs d, LATERAL word_spans(d.txt, 2) s "
+        "ORDER BY d.id, s.span_idx"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 0, "a b", 2),
+        (1, 1, "c d", 2),
+        (1, 2, "e", 1),
+        (2, 0, "x", 1),
+    ]
+
+
+def test_word_spans_null_and_empty_text(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS STRING)), (2, '') AS t(id, txt)"
+    ).createOrReplaceTempView("__r14_nulldocs")
+    rows = spark.sql(
+        "SELECT d.id, s.n_tokens, s.span_text "
+        "FROM __r14_nulldocs d, LATERAL word_spans(d.txt, 4) s"
+    ).collect()
+    # NULL text yields no rows; '' splits to one empty token (the
+    # string_split(text, ' ') contract the oracle shares)
+    assert [tuple(r) for r in rows] == [(2, 1, "")]
+
+
+def test_top_tokens_analyze_derives_schema(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1,'c a b') AS t(id, txt)"
+    ).createOrReplaceTempView("__r14_tt")
+    df = spark.sql(
+        "SELECT s.* FROM __r14_tt d, LATERAL top_tokens(d.txt, 2) s"
+    )
+    assert df.columns == ["tok1", "tok2", "n_toks"]
+    assert [tuple(r) for r in df.collect()] == [("a", "b", 3)]
+
+
+def test_top_tokens_rejects_nonpositive_constant(spark):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.sql("SELECT 'a' AS txt").createOrReplaceTempView("__r14_tt0")
+    with pytest.raises(Exception, match="positive constant"):
+        spark.sql(
+            "SELECT s.* FROM __r14_tt0 d, LATERAL top_tokens(d.txt, 0) s"
+        ).collect()
+
+
+def test_fgac_udtf_cannot_resurrect_filtered_rows(spark, sf_dir):
+    """The consumer-path probe: lateral UDTF output over the governed
+    corpus carries ONLY whitelisted languages — the row filter applies
+    before the explode."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.fgac_queries import (
+        _ANALYST,
+        _GOV_LANGS,
+        _gov_engine_for,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    sess = _gov_engine_for(spark, sf_dir).session_for(_ANALYST)
+    register_udtfs(sess.spark)
+    langs = {
+        r["lang"]
+        for r in sess.sql(
+            "SELECT DISTINCT lang FROM documents_gov d, "
+            "LATERAL word_spans(d.text, 16) s"
+        ).collect()
+    }
+    assert langs <= set(_GOV_LANGS)
+    # and the corpus genuinely contains other languages to resurrect
+    all_langs = {
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert not (all_langs <= set(_GOV_LANGS))
+
+
+def test_udtf_registration_is_session_scoped(spark, sf_dir):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.fgac_queries import (
+        _ANALYST,
+        _gov_engine_for,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.udfs import register_udtfs
+
+    eng = _gov_engine_for(spark, sf_dir)
+    sess_a = eng.session_for(_ANALYST)
+    register_udtfs(sess_a.spark)
+    sess_b = eng.session_for(_ANALYST)  # fresh newSession
+    with pytest.raises(Exception, match="(?i)could not resolve|unresolvable"):
+        sess_b.sql(
+            "SELECT * FROM documents_gov d, LATERAL word_spans(d.text, 16) s"
+        ).collect()
+
+
+# ----------------------------------------- comment-aware SQL probes
+def test_blank_sql_strings_blanks_comments_length_preserving():
+    q = "SELECT a -- FETCH FIRST ( EXCLUDE\nFROM t /* ALL ( */ WHERE b = 1"
+    out = _blank_sql_strings(q)
+    assert len(out) == len(q)
+    assert "FETCH" not in out and "EXCLUDE" not in out and "ALL" not in out
+    assert "(" not in out  # comment parens can't unbalance scans
+    assert "\n" in out  # newlines kept for positional probes
+
+
+def test_strip_sql_strings_blanks_comments_and_literals():
+    q = "SELECT 'keep -- not a comment', x -- real comment with 'quote\nFROM t"
+    out = _strip_sql_strings(q)
+    assert "not a comment" not in out
+    assert "real comment" not in out and "quote" not in out
+    # the literal's '--' must NOT have started a comment: FROM survives
+    assert "FROM t" in out
+
+
+def test_comment_does_not_trigger_sugar_rewrites():
+    q = "SELECT a FROM t -- FETCH FIRST 5 ROWS ONLY"
+    out, changed = rewrite_text_sugar(q)
+    assert not changed and out == q
+    q2 = "SELECT a FROM t /* x > ALL (SELECT v FROM r) */ WHERE a = 1"
+    out2, changed2 = rewrite_text_sugar(q2)
+    assert not changed2 and out2 == q2
+
+
+def test_trailing_comment_no_longer_blocks_fetch_anchor(fe14):
+    # pre-fix, the end-of-statement anchor failed on a trailing comment
+    df = fe14.execute("SELECT id FROM t ORDER BY id FETCH FIRST 2 ROWS ONLY -- top2")
+    assert [r["id"] for r in df.collect()] == [1, 2]
+
+
+def test_nested_block_comment_blanked():
+    q = "SELECT a /* outer /* inner */ still comment */ FROM t"
+    out = _blank_sql_strings(q)
+    assert "comment" not in out and "inner" not in out
+    assert out.endswith(" FROM t")
+
+
+# ------------------------------- quantified probes without ordinals
+def test_quantified_all_survives_orderByOrdinal_off(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (5), (1), (9) AS t(v)"
+    ).createOrReplaceTempView("__r14_q")
+    q = rewrite_quantified_subqueries(
+        "SELECT 6 > ALL (SELECT v FROM __r14_q WHERE v < 6) AS ok, "
+        "6 > ALL (SELECT v FROM __r14_q) AS no"
+    )
+    assert "ORDER BY 1" not in q  # the ordinal form is gone
+    old = spark.conf.get("spark.sql.orderByOrdinal")
+    try:
+        spark.conf.set("spark.sql.orderByOrdinal", "false")
+        row = spark.sql(q).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.orderByOrdinal", old)
+    assert row["ok"] is True and row["no"] is False
+
+
+# --------------------------------------------- WITH TIES (ADVICE r13)
+@pytest.fixture()
+def fe14(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh14"))
+    t = spark.createDataFrame(
+        [(1, 10, None, "a"), (2, 20, 20, "b"), (3, 20, None, "c"),
+         (4, 30, 25, "d"), (5, 30, 30, "e"), (6, 30, None, "f")],
+        "id int, x int, y int, s string",
+    )
+    wh.create_table("t", t.schema)
+    wh.insert_into("t", t)
+    return SqlFrontend(spark, wh)
+
+
+def test_with_ties_function_key_single(fe14):
+    # coalesce(y, x) has a top-level comma inside parens — one key
+    df = fe14.execute(
+        "SELECT id, coalesce(y, x) AS ky FROM t "
+        "ORDER BY coalesce(y, x) DESC FETCH FIRST 2 ROWS WITH TIES"
+    )
+    got = sorted((r["id"], r["ky"]) for r in df.collect())
+    # keys: 10,20,20,25,30,30 desc → top2 = 30,30 (ids 5 and 6)
+    assert got == [(5, 30), (6, 30)]
+
+
+def test_with_ties_unprojected_key_targeted_refusal():
+    with pytest.raises(ValueError, match="projected columns"):
+        rewrite_fetch_first(
+            "SELECT id FROM t ORDER BY x FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+def test_with_ties_qualified_key_unqualified_for_cte(fe14):
+    df = fe14.execute(
+        "SELECT o.id, o.x FROM t o "
+        "ORDER BY o.x DESC FETCH FIRST 1 ROWS WITH TIES"
+    )
+    assert sorted(r["id"] for r in df.collect()) == [4, 5, 6]
+
+
+def test_with_ties_aliased_expression_uses_alias():
+    out, changed = rewrite_fetch_first(
+        "SELECT id, x + 1 AS xp FROM t "
+        "ORDER BY x + 1 DESC FETCH FIRST 2 ROWS WITH TIES"
+    )
+    assert changed and "xp >=" in out
+
+
+def test_with_ties_multi_key_still_refused():
+    with pytest.raises(ValueError, match="single ORDER BY key"):
+        rewrite_fetch_first(
+            "SELECT id, x, s FROM t ORDER BY x, s "
+            "FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+def test_with_ties_star_except_excluded_key_refused():
+    with pytest.raises(ValueError, match="projected columns"):
+        rewrite_fetch_first(
+            "SELECT * EXCEPT (x) FROM t ORDER BY x "
+            "FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+# --------------------------------------- runs test degenerate input
+def test_runs_test_all_days_equal_median_yields_null(spark, tmp_path):
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        runs_test_daily_revenue,
+    )
+
+    d = str(tmp_path / "sfdeg")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01", "1995-01-02", "1995-01-03"]
+            ).date,
+            "o_totalprice": [100.0, 100.0, 100.0],
+        }
+    ).to_parquet(f"{d}/orders.parquet")
+    row = runs_test_daily_revenue(spark, d).collect()[0]
+    # every day equals the median → kept frame empty → SQL empty-agg
+    # NULLs, matching the oracle (ADVICE r13)
+    assert row["n_runs"] is None and row["z_ppm"] is None
+    assert row["n_above"] is None and row["n_below"] is None
