@@ -1118,3 +1118,164 @@ def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_in_low_l_groups"),
         F.sum("group_size").cast("bigint").alias("n_rows"),
     )
+
+
+_T_CLOSE_PPM = 200000  # t = 0.2 — the canonical worked-example threshold
+
+
+@register(
+    "customers_t_closeness",
+    oracle=f"""
+    WITH bands AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 200000.0) AS BIGINT) AS bal_band
+        FROM customer),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   COUNT(DISTINCT bal_band) AS m FROM bands),
+    bcnt AS (SELECT bal_band, CAST(COUNT(*) AS HUGEINT) AS corpus_cnt
+             FROM bands GROUP BY bal_band),
+    gsz AS (SELECT c_mktsegment, c_nationkey,
+                   CAST(COUNT(*) AS HUGEINT) AS group_size
+            FROM bands GROUP BY c_mktsegment, c_nationkey),
+    gcnt AS (SELECT c_mktsegment, c_nationkey, bal_band,
+                    CAST(COUNT(*) AS HUGEINT) AS cnt
+             FROM bands GROUP BY c_mktsegment, c_nationkey, bal_band),
+    grid AS (SELECT g.c_mktsegment, g.c_nationkey, g.group_size,
+                    b.bal_band, b.corpus_cnt, COALESCE(gc.cnt, 0) AS cnt
+             FROM gsz g CROSS JOIN bcnt b
+             LEFT JOIN gcnt gc
+               ON gc.c_mktsegment = g.c_mktsegment
+              AND gc.c_nationkey = g.c_nationkey
+              AND gc.bal_band = b.bal_band),
+    pref AS (SELECT c_mktsegment, c_nationkey, group_size,
+                    SUM(cnt * (SELECT n FROM tot)
+                        - corpus_cnt * group_size)
+                        OVER (PARTITION BY c_mktsegment, c_nationkey
+                              ORDER BY bal_band
+                              ROWS UNBOUNDED PRECEDING) AS p
+             FROM grid),
+    emd AS (SELECT c_mktsegment, c_nationkey, group_size,
+                   SUM(ABS(p)) AS s
+            FROM pref GROUP BY c_mktsegment, c_nationkey, group_size),
+    scored AS (SELECT c_mktsegment, c_nationkey, group_size,
+                      CASE WHEN (SELECT m FROM tot) > 1
+                           THEN (1000000 * s) // (group_size
+                                * (SELECT n FROM tot)
+                                * ((SELECT m FROM tot) - 1))
+                           ELSE 0 END AS emd_ppm
+               FROM emd)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(emd_ppm) AS BIGINT) AS max_emd_ppm,
+           CAST(SUM(CASE WHEN emd_ppm > {_T_CLOSE_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_above_t,
+           CAST(SUM(CASE WHEN emd_ppm > {_T_CLOSE_PPM} THEN group_size
+                         ELSE 0 END) AS BIGINT) AS rows_above_t,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM scored GROUP BY c_mktsegment
+    """,
+)
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy trio
+    (k-anonymity → l-diversity → t-closeness, Li/Li/Venkatasubramanian
+    2007): a group can satisfy both k and l yet still leak when its
+    sensitive-value DISTRIBUTION skews far from the corpus's (all
+    members in the two lowest balance bands reveals near-certain
+    poverty). Distance is the ordered-attribute Earth Mover's Distance
+    in its discrete prefix-sum form: EMD = Σ|Σ_{{b≤j}}(P_b − Q_b)| /
+    (m−1) over the m ordered bands. Exact integers throughout — the
+    per-band deviation is cnt·N − corpus_cnt·group_size over the
+    common denominator group_size·N, so both engines fold identical
+    bigints and the ppm score is one truncating division. Same QI
+    (segment, nation) and sensitive band as `customers_l_diversity`.
+
+    Plan shape at 100 TB: three hash aggregates collapse the fact
+    table (corpus band counts — bounded, broadcast; QI group sizes;
+    QI×band counts); the grid is QI-groups × m rows (m = band count,
+    bounded), built by a broadcast cross of the band table; the prefix
+    sum is a window PARTITIONED per QI group ordered by band (≤ m rows
+    per partition, never data-sized); products ride DECIMAL(38,0)
+    because cnt·N overflows int64 at corpus scale — on the bounded
+    grid frame, not the fact table, so the off-codegen decimal cost is
+    O(groups × m)."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") / F.lit(200000.0)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    bands = materialize_once(bands)
+    tot = bands.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.countDistinct("bal_band").cast("bigint").alias("m"),
+    )
+    bcnt = bands.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("corpus_cnt")
+    )
+    gsz = bands.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("group_size")
+    )
+    gcnt = bands.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    grid = (
+        gsz.crossJoin(F.broadcast(bcnt))
+        .join(gcnt, ["c_mktsegment", "c_nationkey", "bal_band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "group_size",
+            "bal_band",
+            "n",
+            "m",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0).cast("decimal(38,0)"))
+                * F.col("n")
+                - F.col("corpus_cnt") * F.col("group_size")
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = grid.withColumn("p", F.sum("diff").over(w))
+    emd = pref.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum(F.abs(F.col("p"))).alias("s"),
+        F.first("group_size").alias("group_size"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+    )
+    scored = emd.select(
+        "c_mktsegment",
+        "group_size",
+        F.when(
+            F.col("m") > 1,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * s) div "
+                "(group_size * n * CAST(m - 1 AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("emd_ppm"),
+    )
+    loose = F.col("emd_ppm") > _T_CLOSE_PPM
+    return scored.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("emd_ppm").cast("bigint").alias("max_emd_ppm"),
+        F.sum(F.when(loose, 1).otherwise(0)).cast("bigint").alias(
+            "groups_above_t"
+        ),
+        F.sum(F.when(loose, F.col("group_size")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_above_t"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+    )
