@@ -31,6 +31,13 @@ def _norm_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+# Document-frequency bound for candidate shingles (override via
+# spark_graft.dedup.shingle_df_cap): shingles in more docs than this
+# are dropped from pair generation — see dedup_ngram_jaccard's
+# hot-shingle note. Chosen to never bind at driver/bench SFs.
+_SHINGLE_DF_CAP = 4096
+
+
 def _shingles(tokens_col: str):
     """Distinct word trigrams from a token-array column (guarded by the
     caller for size >= SHINGLE_N)."""
@@ -115,7 +122,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (measured ~40% faster at sf0.1, and proportionally less
     shuffle I/O at scale). A 64-bit collision would need two distinct
     trigrams in the same corpus hashing equal (~n²/2⁶⁵) before it
-    could perturb a single pair's shared-count by one."""
+    could perturb a single pair's shared-count by one.
+
+    Hot-shingle bound (the r14 sf1 scale probe, SCALE.md): a shingle
+    present in f docs generates f(f−1)/2 candidate pairs, so the pair
+    count grows QUADRATICALLY wherever document frequency grows with
+    the corpus (boilerplate phrases; a fixed-vocabulary corpus like
+    the synthetic testdata). ``spark_graft.dedup.shingle_df_cap``
+    (default {_SHINGLE_DF_CAP}) drops shingles above that document
+    frequency from candidate generation AND the shared count: a
+    shingle in >cap docs is non-discriminative for near-dup anyway,
+    and with the cap total candidate pairs are ≤ cap/2 · Σf — LINEAR
+    in corpus size. Set sizes (the Jaccard denominator) keep counting
+    every shingle, so the capped score is a LOWER bound of the exact
+    one — a binding cap can only drop pairs, never invent them. The
+    default never binds below ~160× the bench SF (max df is 25 at
+    sf0.1 and grows ∝ corpus), so driver/oracle results are unchanged
+    at every tested SF; the heavy-hitter frame is ≤ Σf/cap rows —
+    broadcast by construction."""
     d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
     exploded = (
@@ -131,8 +155,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier: build the shingle index once at full parallelism; both
     # join sides read it (see sources.tables.materialize_once)
     exploded = materialize_once(exploded)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    cap = int(
+        spark.conf.get("spark_graft.dedup.shingle_df_cap", str(_SHINGLE_DF_CAP))
+    )
+    # heavy hitters: shingles in more than `cap` docs (shingles are
+    # per-doc distinct, so COUNT(*) per hash IS document frequency);
+    # ≤ total-instances/cap rows by construction — broadcastable
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("h")
+    )
+    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     pair_shared = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

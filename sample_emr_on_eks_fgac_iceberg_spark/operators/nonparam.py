@@ -2140,3 +2140,169 @@ def customer_mahalanobis_outliers(
             F.round(F.col("d2") * 1000000).cast("bigint").alias("d2_micro"),
         )
     )
+
+
+@register(
+    "customer_churn_logrank_segment",
+    oracle="""
+    WITH md AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    cust AS (
+        SELECT date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+                   AS lifetime,
+               CASE WHEN MAX(o.o_orderdate) <= (SELECT md FROM md)
+                                               - INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS event,
+               CASE WHEN MAX(c.c_mktsegment) = 'BUILDING'
+                    THEN 1 ELSE 0 END AS g
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey),
+    lt AS (SELECT lifetime, g, CAST(SUM(event) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS m
+           FROM cust GROUP BY lifetime, g),
+    grid AS (
+        SELECT t.lifetime, gg.g,
+               COALESCE(lt.d, 0) AS d, COALESCE(lt.m, 0) AS m
+        FROM (SELECT DISTINCT lifetime FROM lt) t
+        CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+        LEFT JOIN lt ON lt.lifetime = t.lifetime AND lt.g = gg.g),
+    risk AS (
+        SELECT lifetime, g, d, m,
+               SUM(m) OVER (PARTITION BY g) -
+               COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY lifetime
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS n_risk
+        FROM grid),
+    per_t AS (
+        SELECT lifetime,
+               SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+               SUM(d) AS dt,
+               SUM(CASE WHEN g = 1 THEN n_risk ELSE 0 END) AS n1,
+               SUM(n_risk) AS nt
+        FROM risk GROUP BY lifetime),
+    agg AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               SUM(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / CAST(nt AS DOUBLE)) AS e1,
+               SUM(CASE WHEN nt > 1
+                   THEN CAST(dt AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(nt - n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(nt - dt AS DOUBLE)
+                           / CAST(nt - 1 AS DOUBLE))
+                   ELSE 0e0 END) AS v
+        FROM per_t WHERE nt > 0)
+    SELECT o1 AS observed_building,
+           CAST(round(e1 * 1000000) AS BIGINT) AS expected_micro,
+           CAST(round(v * 1000000) AS BIGINT) AS variance_micro,
+           CAST(round((CAST(o1 AS DOUBLE) - e1)
+                      * (CAST(o1 AS DOUBLE) - e1) / v * 1000000)
+                AS BIGINT) AS chi2_ppm
+    FROM agg
+    """,
+)
+def customer_churn_logrank_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test (Mantel-Cox) comparing churn survival between the
+    BUILDING segment and everyone else — the inference leg of the
+    survival shelf (Kaplan-Meier/Nelson-Aalen ESTIMATE per-group
+    curves; log-rank answers "are the two curves the SAME?"). Same
+    lifetime/event convention as `customer_churn_kaplan_meier` (last
+    order ≥90 days before corpus end = observed churn). At each
+    lifetime day: O−E for group 1 under the hypergeometric null
+    (E = d_t·n1_t/n_t) and its variance; χ² = (ΣO−ΣE)²/ΣV with 1 df.
+    Counts stay integers until ONE identical double fold on both
+    engines; micro/ppm rounding absorbs ulp.
+
+    Plan shape at 100 TB: one (custkey) hash agg + a custkey-keyed
+    join to customer collapse the fact tables; everything after is
+    keyed on LIFETIME DAYS × 2 groups — calendar-bounded (≤ corpus
+    span rows per group FOREVER), so the per-group running at-risk
+    window is a bounded-partition window (partitioned by group; never
+    data-sized — the partition holds at most one row per calendar
+    day)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").alias("lifetime"),
+            F.when(F.col("last_d") <= F.date_sub(F.col("md"), 90), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("event"),
+            "g",
+        )
+    )
+    lt = materialize_once(
+        cust.groupBy("lifetime", "g").agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    both_g = lt.sparkSession.createDataFrame([(0,), (1,)], "g int")
+    grid = (
+        lt.select("lifetime")
+        .distinct()
+        .crossJoin(F.broadcast(both_g))
+        .join(lt, ["lifetime", "g"], "left")
+        .select(
+            "lifetime",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+        )
+    )
+    w_tot = Window.partitionBy("g")
+    w_prior = (
+        Window.partitionBy("g")
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.withColumn(
+        "n_risk",
+        F.sum("m").over(w_tot)
+        - F.coalesce(F.sum("m").over(w_prior), F.lit(0)),
+    )
+    per_t = risk.groupBy("lifetime").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("dt"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum("n_risk").alias("nt"),
+    )
+    dt, n1, nt = (F.col(x).cast("double") for x in ("dt", "n1", "nt"))
+    agg = per_t.filter(F.col("nt") > 0).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(dt * n1 / nt).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                dt
+                * (n1 / nt)
+                * ((nt - n1) / nt)
+                * ((nt - dt) / (nt - F.lit(1.0))),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    o1d = F.col("o1").cast("double")
+    return agg.select(
+        F.col("o1").alias("observed_building"),
+        F.round(F.col("e1") * 1000000).cast("bigint").alias("expected_micro"),
+        F.round(F.col("v") * 1000000).cast("bigint").alias("variance_micro"),
+        F.round((o1d - F.col("e1")) * (o1d - F.col("e1")) / F.col("v") * 1000000)
+        .cast("bigint")
+        .alias("chi2_ppm"),
+    )

@@ -355,3 +355,127 @@ def test_t_closeness_uniform_subset_scores_zero(spark, tmp_path):
     res = customers_t_closeness(spark, sfd).collect()
     assert len(res) == 1
     assert res[0]["max_emd_ppm"] == 0 and res[0]["groups_above_t"] == 0
+
+
+# ------------------------------------------- shingle DF cap (dedup)
+def test_shingle_df_cap_drops_hot_shingles(spark, tmp_path):
+    """A binding cap removes non-discriminative shingles from candidate
+    generation and the shared count, while set sizes keep counting —
+    the capped Jaccard is a lower bound that can only drop pairs."""
+    import os
+
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    # three docs: a 6-token boilerplate prefix shared by ALL (its
+    # trigrams have df=3); docs 1 and 2 additionally share a df=2
+    # tail; doc 3's tail is unique
+    boiler = "alpha beta gamma delta epsilon zeta"
+    tail12 = "one two three four five six seven eight nine ten"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{boiler} {tail12}",
+                f"{boiler} {tail12}",
+                f"{boiler} moon star cloud rain snow wind fog hail mist dew",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 1, 1],
+        }
+    )
+    sfd = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(os.path.join(sfd, "documents.parquet"))
+    uncapped = {
+        (r["a_id"], r["b_id"]): (r["shared"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sfd).collect()
+    }
+    # uncapped: 1-2 share boilerplate+tail trigrams; 1-3 and 2-3 share
+    # only boilerplate (jaccard below threshold at these sizes)
+    assert (1, 2) in uncapped
+    spark.conf.set("spark_graft.dedup.shingle_df_cap", "2")
+    try:
+        capped = {
+            (r["a_id"], r["b_id"]): (r["shared"], r["jaccard"])
+            for r in dedup_ngram_jaccard(spark, sfd).collect()
+        }
+    finally:
+        spark.conf.unset("spark_graft.dedup.shingle_df_cap")
+    # the df=3 boilerplate trigrams are gone from shared counts...
+    assert capped[(1, 2)][0] < uncapped[(1, 2)][0]
+    # ...but the denominator still counts them: score strictly drops
+    assert capped[(1, 2)][1] < uncapped[(1, 2)][1]
+    # capped pair set is a subset (a cap can only drop pairs)
+    assert set(capped) <= set(uncapped)
+
+
+def test_shingle_df_cap_default_not_binding(spark, sf_dir):
+    """At driver SFs the default cap must be a no-op: identical pair
+    set with the cap forced effectively infinite."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    default = sorted(
+        map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect())
+    )
+    spark.conf.set("spark_graft.dedup.shingle_df_cap", str(1 << 40))
+    try:
+        unbounded = sorted(
+            map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.unset("spark_graft.dedup.shingle_df_cap")
+    assert default == unbounded
+
+
+# -------------------------------------------------- log-rank (survival)
+def test_logrank_matches_brute_mantel_cox(spark, sf_dir):
+    """Brute Mantel-Cox in pandas: per distinct lifetime, O-E and the
+    hypergeometric variance, summed — against the distributed plan."""
+    import numpy as np
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        customer_churn_logrank_segment,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    o["o_orderdate"] = pd.to_datetime(o["o_orderdate"])
+    md = o["o_orderdate"].max()
+    g = o.groupby("o_custkey")["o_orderdate"].agg(["min", "max"]).reset_index()
+    g = g.merge(
+        c[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    g["lifetime"] = (g["max"] - g["min"]).dt.days
+    g["event"] = (g["max"] <= md - pd.Timedelta(days=90)).astype(int)
+    g["grp"] = (g["c_mktsegment"] == "BUILDING").astype(int)
+    times = np.sort(g["lifetime"].unique())
+    o1 = int(g.loc[g["grp"] == 1, "event"].sum())
+    e1 = v = 0.0
+    for t in times:
+        at = g[g["lifetime"] >= t]
+        ev = g[g["lifetime"] == t]
+        n1, nt = int((at["grp"] == 1).sum()), len(at)
+        d1, dt = int(ev.loc[ev["grp"] == 1, "event"].sum()), int(
+            ev["event"].sum()
+        )
+        if nt == 0:
+            continue
+        e1 += dt * n1 / nt
+        if nt > 1:
+            v += dt * (n1 / nt) * ((nt - n1) / nt) * ((nt - dt) / (nt - 1))
+    row = customer_churn_logrank_segment(spark, sf_dir).collect()[0]
+    assert row["observed_building"] == o1
+    assert abs(row["expected_micro"] - round(e1 * 1e6)) <= 2
+    assert abs(row["variance_micro"] - round(v * 1e6)) <= 2
+    chi2 = (o1 - e1) ** 2 / v
+    assert abs(row["chi2_ppm"] - round(chi2 * 1e6)) <= 10
