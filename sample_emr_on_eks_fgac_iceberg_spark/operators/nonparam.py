@@ -2306,3 +2306,117 @@ def customer_churn_logrank_segment(
         .cast("bigint")
         .alias("chi2_ppm"),
     )
+
+
+@register(
+    "friedman_priority_by_year",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               o_orderpriority AS trt,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS v
+        FROM orders GROUP BY yr, trt),
+    kk AS (SELECT COUNT(DISTINCT trt) AS k FROM obs),
+    blocks AS (SELECT yr FROM obs GROUP BY yr
+               HAVING COUNT(*) = (SELECT k FROM kk)),
+    ranked AS (
+        SELECT o.yr, o.trt,
+               2 * RANK() OVER (PARTITION BY o.yr ORDER BY o.v)
+               + COUNT(*) OVER (PARTITION BY o.yr, o.v) - 1 AS dr
+        FROM obs o JOIN blocks b ON b.yr = o.yr),
+    nn AS (SELECT CAST(COUNT(DISTINCT yr) AS HUGEINT) AS n,
+                  CAST((SELECT k FROM kk) AS HUGEINT) AS k,
+                  SUM(CAST(dr AS HUGEINT) * dr) AS q2
+           FROM ranked),
+    rsum AS (SELECT trt, CAST(SUM(dr) AS HUGEINT) AS r2 FROM ranked
+             GROUP BY trt),
+    s AS (SELECT SUM((r2 - (SELECT n * (k + 1) FROM nn))
+                     * (r2 - (SELECT n * (k + 1) FROM nn))) AS s2
+          FROM rsum)
+    SELECT r.trt AS o_orderpriority,
+           CAST(r.r2 AS BIGINT) AS rank_sum_doubled,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_blocks,
+           CAST(((SELECT k FROM nn) - 1) * 1000000 * (SELECT s2 FROM s)
+                // ((SELECT q2 FROM nn)
+                    - (SELECT n * k * (k + 1) * (k + 1) FROM nn))
+                AS BIGINT) AS q_ppm
+    FROM rsum r
+    """,
+)
+def friedman_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the k-related-samples rank test that completes
+    the nonparametric family (Mann-Whitney: 2 independent samples;
+    Kruskal-Wallis: k independent; Wilcoxon: 2 paired; Friedman: k
+    paired/blocked). Blocks are order YEARS, treatments the five
+    priorities, observations the year×priority revenue; within each
+    block the treatments are ranked and Q asks whether some priority
+    systematically out-ranks the others across years. Doubled
+    average-tie ranks keep everything integer (the spearman idiom:
+    dr = 2·rank + ties − 1); the tie-corrected statistic
+    Q = (k−1)·Σ_j(2R_j − n(k+1))² / (Σ(dr²) − nk(k+1)²) is one exact
+    integer division to ppm — identical floors on both engines.
+    Incomplete blocks (a year missing a priority) are excluded, the
+    standard complete-block requirement.
+
+    Plan shape at 100 TB: ONE (year, priority) hash agg with map-side
+    partials collapses the fact table to ≤ years×k rows; ranking is a
+    window over ≤k rows per block; the fold is a k-row aggregate. No
+    joins against facts, one shuffle."""
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("o_orderpriority").alias("trt"),
+            F.round(F.col("o_totalprice") * 100).cast(_DEC).alias("cents"),
+        )
+        .groupBy("yr", "trt")
+        .agg(F.sum("cents").alias("v"))
+    )
+    obs = materialize_once(obs)
+    kk = obs.agg(F.countDistinct("trt").cast("bigint").alias("k"))
+    blocks = (
+        obs.crossJoin(F.broadcast(kk))
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("nt"), F.first("k").alias("k"))
+        .filter(F.col("nt") == F.col("k"))
+        .select("yr")
+    )
+    w_rank = Window.partitionBy("yr").orderBy("v")
+    w_tie = Window.partitionBy("yr", "v")
+    ranked = (
+        obs.join(F.broadcast(blocks), "yr")
+        .withColumn(
+            "dr",
+            (
+                F.lit(2) * F.rank().over(w_rank)
+                + F.count(F.lit(1)).over(w_tie)
+                - F.lit(1)
+            ).cast(_DEC),
+        )
+    )
+    nn = ranked.agg(
+        F.countDistinct("yr").cast(_DEC).alias("n"),
+        F.sum(F.col("dr") * F.col("dr")).alias("q2"),
+    ).crossJoin(F.broadcast(kk.select(F.col("k").cast(_DEC).alias("k"))))
+    rsum = ranked.groupBy("trt").agg(F.sum("dr").alias("r2"))
+    s = rsum.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            (F.col("r2") - F.col("n") * (F.col("k") + 1))
+            * (F.col("r2") - F.col("n") * (F.col("k") + 1))
+        ).alias("s2"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.first("q2").alias("q2"),
+    )
+    return (
+        rsum.crossJoin(F.broadcast(s))
+        .select(
+            F.col("trt").alias("o_orderpriority"),
+            F.col("r2").cast("bigint").alias("rank_sum_doubled"),
+            F.col("n").cast("bigint").alias("n_blocks"),
+            F.expr(
+                "CAST((k - 1) * 1000000 * s2 div "
+                "(q2 - n * k * (k + 1) * (k + 1)) AS BIGINT)"
+            ).alias("q_ppm"),
+        )
+    )

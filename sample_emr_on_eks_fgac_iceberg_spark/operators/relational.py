@@ -4640,3 +4640,81 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.col_x", "p.col_y", "p.n_rows", "p.corr_ppm")
         .orderBy("col_x", "col_y")
     )
+
+
+@register(
+    "customers_segment_nation_mi",
+    oracle="""
+    WITH joint AS (
+        SELECT c_nationkey AS x, c_mktsegment AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+    mx AS (SELECT x, SUM(n) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(n) AS ny FROM joint GROUP BY y),
+    f AS (SELECT (SELECT SUM(n) FROM joint) AS nn,
+                 (SELECT SUM(n * ln(CAST(n AS DOUBLE))) FROM joint) AS sj,
+                 (SELECT SUM(nx * ln(CAST(nx AS DOUBLE))) FROM mx) AS sx,
+                 (SELECT SUM(ny * ln(CAST(ny AS DOUBLE))) FROM my) AS sy)
+    SELECT CAST(nn AS BIGINT) AS n_customers,
+           CAST(round((ln(CAST(nn AS DOUBLE))
+                       - sx / CAST(nn AS DOUBLE)) * 1000000)
+                AS BIGINT) AS h_nation_ppm,
+           CAST(round((ln(CAST(nn AS DOUBLE))
+                       - sy / CAST(nn AS DOUBLE)) * 1000000)
+                AS BIGINT) AS h_segment_ppm,
+           CAST(round((ln(CAST(nn AS DOUBLE))
+                       - sj / CAST(nn AS DOUBLE)) * 1000000)
+                AS BIGINT) AS h_joint_ppm,
+           CAST(round(((sj - sx - sy) / CAST(nn AS DOUBLE)
+                       + ln(CAST(nn AS DOUBLE))) * 1000000)
+                AS BIGINT) AS mi_ppm
+    FROM f
+    """,
+)
+def customers_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between nation and market segment — the
+    information-theoretic association readout (0 nats = independent;
+    the categorical companion to the χ² screen that also QUANTIFIES
+    the dependence): MI = H(X) + H(Y) − H(X,Y), each entropy in the
+    ln N − Σn·ln n/N decomposition (the nation_segment_entropy idiom),
+    so the only float work is three Σ n·ln n folds over the BOUNDED
+    joint-count frame; ppm rounding absorbs ulp drift. Marginals
+    derive from the joint frame — the fact table is touched once.
+
+    Plan shape at 100 TB: ONE (nation, segment) hash agg with
+    map-side partials collapses the fact table to ≤ |nations|×
+    |segments| rows; marginals and the fold are aggregates over that
+    bounded frame. One fact shuffle, no joins, no windows."""
+    joint = materialize_once(
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("x"), F.col("c_mktsegment").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    nln = lambda c: F.sum(F.col(c) * F.log(F.col(c).cast("double")))  # noqa: E731
+    sj = joint.agg(
+        F.sum("n").alias("nn"), nln("n").alias("sj")
+    )
+    sx = (
+        joint.groupBy("x")
+        .agg(F.sum("n").alias("nx"))
+        .agg(nln("nx").alias("sx"))
+    )
+    sy = (
+        joint.groupBy("y")
+        .agg(F.sum("n").alias("ny"))
+        .agg(nln("ny").alias("sy"))
+    )
+    f = sj.crossJoin(F.broadcast(sx)).crossJoin(F.broadcast(sy))
+    nd = F.col("nn").cast("double")
+    ppm = lambda e: F.round(e * 1000000).cast("bigint")  # noqa: E731
+    return f.select(
+        F.col("nn").cast("bigint").alias("n_customers"),
+        ppm(F.log(nd) - F.col("sx") / nd).alias("h_nation_ppm"),
+        ppm(F.log(nd) - F.col("sy") / nd).alias("h_segment_ppm"),
+        ppm(F.log(nd) - F.col("sj") / nd).alias("h_joint_ppm"),
+        ppm((F.col("sj") - F.col("sx") - F.col("sy")) / nd + F.log(nd)).alias(
+            "mi_ppm"
+        ),
+    )

@@ -1807,3 +1807,99 @@ def text_keyness_loglik_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g2.orderBy(F.col("g2_milli").desc(), "word").limit(
         _KEYNESS_TOP_K
     )
+
+
+@register(
+    "text_vocab_richness",
+    oracle=r"""
+    WITH words AS (
+        SELECT lang,
+               unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS word
+        FROM documents),
+    counts AS (
+        SELECT lang, word, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM words GROUP BY lang, word)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS f1,
+           CAST(COUNT(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS f2,
+           CAST(1000 * COUNT(*)
+                + CASE WHEN COUNT(CASE WHEN n = 2 THEN 1 END) > 0
+                  THEN (1000
+                        * COUNT(CASE WHEN n = 1 THEN 1 END)
+                        * COUNT(CASE WHEN n = 1 THEN 1 END))
+                       // (2 * COUNT(CASE WHEN n = 2 THEN 1 END))
+                  ELSE (1000
+                        * COUNT(CASE WHEN n = 1 THEN 1 END)
+                        * (COUNT(CASE WHEN n = 1 THEN 1 END) - 1)) // 2
+                  END AS BIGINT) AS chao1_milli,
+           CAST(1000000
+                - (COUNT(CASE WHEN n = 1 THEN 1 END) * 1000000) // SUM(n)
+                AS BIGINT) AS gt_coverage_ppm
+    FROM counts GROUP BY lang
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness estimators per language — how much
+    vocabulary the corpus has NOT seen yet, the question behind
+    "is more data worth scraping": Chao1 (Chao 1984, the abundance
+    lower bound V + f1²/2f2 from the hapax/dis-legomena counts, with
+    the bias-corrected f2=0 fallback f1(f1−1)/2) and the Good-Turing
+    coverage estimate 1 − f1/N (probability the NEXT token is a seen
+    word). Both are pure functions of the frequency-of-frequencies, so
+    everything is exact-integer: chao1 in milli via one truncating
+    division, coverage in ppm.
+
+    Plan shape at 100 TB: the same (lang, word) wordcount hash agg
+    every text op rides (map-side partials bound shuffle volume by
+    per-partition distinct words), then a lang-keyed fold of
+    vocabulary-bounded rows. No joins, no windows, two shuffles."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    counts = (
+        d.select("lang", F.explode(toks).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    )
+    f1 = F.count(F.when(F.col("n") == 1, 1)).cast("decimal(38,0)")
+    f2 = F.count(F.when(F.col("n") == 2, 1)).cast("decimal(38,0)")
+    v = F.count(F.lit(1)).cast("decimal(38,0)")
+    ntok = F.sum("n")
+    return counts.groupBy("lang").agg(
+        ntok.cast("bigint").alias("n_tokens"),
+        v.cast("bigint").alias("vocab"),
+        f1.cast("bigint").alias("f1"),
+        f2.cast("bigint").alias("f2"),
+        (
+            F.lit(1000).cast("decimal(38,0)") * v
+            + F.when(
+                f2 > 0,
+                F.expr(
+                    "CAST(1000 AS DECIMAL(38,0))"
+                    " * COUNT(CASE WHEN n = 1 THEN 1 END)"
+                    " * COUNT(CASE WHEN n = 1 THEN 1 END)"
+                    " div (2 * COUNT(CASE WHEN n = 2 THEN 1 END))"
+                ),
+            ).otherwise(
+                F.expr(
+                    "CAST(1000 AS DECIMAL(38,0))"
+                    " * COUNT(CASE WHEN n = 1 THEN 1 END)"
+                    " * (COUNT(CASE WHEN n = 1 THEN 1 END) - 1) div 2"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("chao1_milli"),
+        (
+            F.lit(1000000)
+            - F.expr(
+                "CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS DECIMAL(38,0))"
+                " * 1000000 div SUM(n)"
+            )
+        )
+        .cast("bigint")
+        .alias("gt_coverage_ppm"),
+    )

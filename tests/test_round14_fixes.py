@@ -479,3 +479,127 @@ def test_logrank_matches_brute_mantel_cox(spark, sf_dir):
     assert abs(row["variance_micro"] - round(v * 1e6)) <= 2
     chi2 = (o1 - e1) ** 2 / v
     assert abs(row["chi2_ppm"] - round(chi2 * 1e6)) <= 10
+
+
+# --------------------------------------------- round-14 operator wave
+def test_friedman_matches_brute_ranks(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        friedman_priority_by_year,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["yr"] = pd.to_datetime(o["o_orderdate"]).dt.year
+    o["cents"] = np.round(o["o_totalprice"].astype(float) * 100).astype(int)
+    obs = o.groupby(["yr", "o_orderpriority"])["cents"].sum().reset_index()
+    k = obs["o_orderpriority"].nunique()
+    complete = obs.groupby("yr").size()
+    obs = obs[obs["yr"].isin(complete[complete == k].index)]
+    obs["r"] = obs.groupby("yr")["cents"].rank(method="average")
+    n = obs["yr"].nunique()
+    r2 = (2 * obs.groupby("o_orderpriority")["r"].sum()).astype(int)
+    s2 = int(((r2 - n * (k + 1)) ** 2).sum())
+    q2 = int((4 * obs["r"] ** 2).sum())
+    d2 = q2 - n * k * (k + 1) ** 2
+    q_ppm = (k - 1) * 1000000 * s2 // d2
+    got = {
+        r["o_orderpriority"]: (r["rank_sum_doubled"], r["n_blocks"], r["q_ppm"])
+        for r in friedman_priority_by_year(spark, sf_dir).collect()
+    }
+    assert got == {p: (int(r2[p]), n, q_ppm) for p in r2.index}
+
+
+def test_fuzzy_name_pairs_match_brute_levenshtein(spark):
+    """Brute all-pairs Levenshtein over the sf0.001 customers equals
+    the symmetric-delete blocked join (completeness: blocking must not
+    lose any distance-1 pair)."""
+    import itertools
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        fuzzy_name_edit_pairs,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", "c_name")
+        .collect()
+    )
+    names = {r.c_custkey: r.c_name for r in rows}
+    per_pos = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        na, nb = names[a], names[b]
+        if len(na) == len(nb):
+            diff = [i for i, (x, y) in enumerate(zip(na, nb)) if x != y]
+            if len(diff) == 1:  # substitution distance exactly 1
+                pos = diff[0] + 1
+                cnt, mn = per_pos.get(pos, (0, a))
+                per_pos[pos] = (cnt + 1, min(mn, a))
+    got = {
+        r["pos"]: (r["n_pairs"], r["min_a_key"])
+        for r in fuzzy_name_edit_pairs(spark, sf).collect()
+    }
+    assert got == per_pos
+
+
+def test_vocab_richness_matches_brute_counter(spark, sf_dir):
+    import collections
+    import re
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.text import (
+        text_vocab_richness,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    by_lang = {}
+    for r in d:
+        c = by_lang.setdefault(r.lang, collections.Counter())
+        c.update(w for w in re.split(r"\s+", r.text.strip().lower()) if w)
+    for row in text_vocab_richness(spark, sf_dir).collect():
+        c = by_lang[row["lang"]]
+        ntok, v = sum(c.values()), len(c)
+        f1 = sum(1 for x in c.values() if x == 1)
+        f2 = sum(1 for x in c.values() if x == 2)
+        chao1 = 1000 * v + (
+            (1000 * f1 * f1) // (2 * f2) if f2 else (1000 * f1 * (f1 - 1)) // 2
+        )
+        assert (row["n_tokens"], row["vocab"], row["f1"], row["f2"]) == (
+            ntok, v, f1, f2,
+        )
+        assert row["chao1_milli"] == chao1
+        assert row["gt_coverage_ppm"] == 1000000 - (f1 * 1000000) // ntok
+
+
+def test_mi_matches_brute_numpy(spark, sf_dir):
+    import numpy as np
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.relational import (
+        customers_segment_nation_mi,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "customer").toPandas()
+    joint = pdf.groupby(["c_nationkey", "c_mktsegment"]).size()
+    n = len(pdf)
+    p = joint / n
+    px = pdf.groupby("c_nationkey").size() / n
+    py = pdf.groupby("c_mktsegment").size() / n
+    mi = sum(
+        pv * np.log(pv / (px[x] * py[y])) for (x, y), pv in p.items()
+    )
+    row = customers_segment_nation_mi(spark, sf_dir).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["mi_ppm"] - round(mi * 1e6)) <= 2
+    # identity: MI = H(X) + H(Y) - H(XY) on the emitted ppm values
+    assert (
+        abs(
+            row["h_nation_ppm"] + row["h_segment_ppm"] - row["h_joint_ppm"]
+            - row["mi_ppm"]
+        )
+        <= 2
+    )
