@@ -4718,3 +4718,235 @@ def customers_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_ppm"
         ),
     )
+
+
+@register(
+    "part_brand_type_residuals",
+    oracle="""
+    WITH o AS (
+        SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM part GROUP BY 1, 2),
+    r AS (SELECT p_brand, SUM(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT p_type, SUM(obs) AS ct FROM o GROUP BY 1),
+    t AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+        SELECT o.p_brand, o.p_type, o.obs,
+               CAST(o.obs AS DOUBLE) AS od,
+               CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS e,
+               (1.0 - CAST(r.rt AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (1.0 - CAST(c.ct AS DOUBLE) / CAST(t.n AS DOUBLE)) AS adj
+        FROM o JOIN r USING (p_brand) JOIN c USING (p_type)
+               CROSS JOIN t),
+    chi AS (SELECT SUM((od - e) * (od - e) / e) AS chi2 FROM cells),
+    v AS (SELECT CAST(round(sqrt((SELECT chi2 FROM chi)
+                    / (CAST((SELECT n FROM t) AS DOUBLE)
+                       * (least((SELECT COUNT(*) FROM r),
+                                (SELECT COUNT(*) FROM c)) - 1)))
+                    * 1000000) AS BIGINT) AS cramers_v_ppm)
+    SELECT p_brand, p_type, obs,
+           CAST(round(e * 1000) AS BIGINT) AS expected_milli,
+           CAST(round((od - e) / sqrt(e) * 1000) AS BIGINT)
+               AS std_resid_milli,
+           CAST(round((od - e) / sqrt(e * adj) * 1000) AS BIGINT)
+               AS adj_resid_milli,
+           (SELECT cramers_v_ppm FROM v) AS cramers_v_ppm
+    FROM cells
+    ORDER BY abs((od - e) / sqrt(e * adj)) DESC, p_brand, p_type
+    LIMIT 10
+    """,
+)
+def part_brand_type_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-level companion to `part_brand_type_chi2`: a
+    significant χ² says the table is dependent; the STANDARDIZED and
+    ADJUSTED Pearson residuals say WHICH cells drive it (|adjusted|
+    ≳ 2 flags a cell under the normal approximation) — plus Cramér's
+    V = sqrt(χ²/(N·(min(r,c)−1))), the [0,1] effect size that makes
+    χ² comparable across table shapes. Top-10 cells by |adjusted
+    residual|; identical double expressions and milli/ppm rounding on
+    both engines. Same OBSERVED-cell semantic as part_brand_type_chi2:
+    zero-count cells never enter the table, the χ², or the ranking.
+
+    Plan shape at 100 TB: identical to the χ² — one fact hash agg to
+    the bounded cell table, broadcast marginals, a 1-row χ² fold
+    broadcast back, and a 10-row TakeOrderedAndProject over the cell
+    frame. Nothing rescans facts."""
+    p = load_table(spark, sf_dir, "part").select("p_brand", "p_type")
+    o = materialize_once(
+        p.groupBy("p_brand", "p_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("obs")
+        )
+    )
+    r = o.groupBy("p_brand").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("p_type").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("n"))
+    nd = F.col("n").cast("double")
+    cells = materialize_once(
+        o.join(F.broadcast(r), "p_brand")
+        .join(F.broadcast(c), "p_type")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "p_brand",
+            "p_type",
+            "obs",
+            F.col("obs").cast("double").alias("od"),
+            (F.col("rt").cast("double") * F.col("ct").cast("double") / nd)
+            .alias("e"),
+            (
+                (F.lit(1.0) - F.col("rt").cast("double") / nd)
+                * (F.lit(1.0) - F.col("ct").cast("double") / nd)
+            ).alias("adj"),
+            F.col("n"),
+        )
+    )
+    nb = r.count()  # cardinality scalar (≤ dozens of brands)
+    nc = c.count()  # cardinality scalar (≤ dozens of types)
+    chi = cells.agg(
+        F.sum(
+            (F.col("od") - F.col("e")) * (F.col("od") - F.col("e")) / F.col("e")
+        ).alias("chi2"),
+        F.first("n").alias("n"),
+    ).select(
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n").cast("double") * F.lit(min(nb, nc) - 1))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("cramers_v_ppm")
+    )
+    resid = (F.col("od") - F.col("e")) / F.sqrt(F.col("e"))
+    adj_resid = (F.col("od") - F.col("e")) / F.sqrt(F.col("e") * F.col("adj"))
+    return (
+        cells.crossJoin(F.broadcast(chi))
+        .select(
+            "p_brand",
+            "p_type",
+            "obs",
+            F.round(F.col("e") * 1000).cast("bigint").alias("expected_milli"),
+            F.round(resid * 1000).cast("bigint").alias("std_resid_milli"),
+            F.round(adj_resid * 1000).cast("bigint").alias("adj_resid_milli"),
+            "cramers_v_ppm",
+            F.abs(adj_resid).alias("__ord"),
+        )
+        .orderBy(F.col("__ord").desc(), "p_brand", "p_type")
+        .limit(10)
+        .drop("__ord")
+    )
+
+
+_STUMP_WIDTH = 4100001  # cents per grid cell — coprime to the
+# ~[1e5, 5e7] value range's round numbers, so no boundary collision
+
+
+@register(
+    "orders_value_stump_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                   // {_STUMP_WIDTH} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nn, SUM(pos) AS pp,
+                   MAX(bucket) AS mx FROM b),
+    cum AS (
+        SELECT t.bucket AS t, SUM(b.n) AS nl, SUM(b.pos) AS pl
+        FROM (SELECT DISTINCT bucket FROM b) t
+        JOIN b ON b.bucket <= t.bucket
+        GROUP BY t.bucket),
+    s AS (
+        SELECT t, nl, pl,
+               (SELECT nn FROM tot) - nl AS nr,
+               (SELECT pp FROM tot) - pl AS pr
+        FROM cum WHERE t < (SELECT mx FROM tot))
+    SELECT CAST((t + 1) * {_STUMP_WIDTH} AS BIGINT) AS threshold_cents,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(pl AS BIGINT) AS pos_left,
+           CAST(round((CAST(nl AS DOUBLE)
+                       * (2e0 * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                          * (1e0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+                       + CAST(nr AS DOUBLE)
+                       * (2e0 * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * (1e0 - CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))))
+                      / CAST((SELECT nn FROM tot) AS DOUBLE) * 1000000)
+                AS BIGINT) AS weighted_gini_ppm
+    FROM s
+    """,
+)
+def orders_value_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split scan — the quantity a tree learner
+    evaluates at every node: for each candidate threshold on order
+    value, the weighted binary Gini impurity of predicting
+    status = 'F' from value < threshold (lower = better split; the
+    argmin row is the stump a depth-1 tree would pick). Candidate
+    thresholds are the boundaries of a fixed value grid (width
+    {_STUMP_WIDTH} cents, coprime to round values so no edge
+    collisions), so the scan is deterministic and engine-agnostic;
+    class counts stay integers until one identical double Gini
+    expression, ppm-rounded.
+
+    Plan shape at 100 TB: ONE hash agg collapses the fact table to
+    ≤ range/width bucket rows; the cumulative left-split counts come
+    from a bounded triangular self-join of that bucket table (never a
+    global window — the plan-gate rule); the Gini fold is per-row
+    arithmetic on the bounded frame."""
+    b = materialize_once(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) div {_STUMP_WIDTH}"
+            ).alias("bucket"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").alias("nn"),
+        F.sum("pos").alias("pp"),
+        F.max("bucket").alias("mx"),
+    )
+    t = b.select(F.col("bucket").alias("t")).distinct()
+    cum = (
+        t.join(b, b["bucket"] <= t["t"])
+        .groupBy("t")
+        .agg(F.sum("n").alias("nl"), F.sum("pos").alias("pl"))
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("mx"))
+        .select(
+            "t",
+            "nl",
+            "pl",
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+            "nn",
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = lambda p, n: F.lit(2.0) * (p / n) * (F.lit(1.0) - p / n)  # noqa: E731
+    return s.select(
+        ((F.col("t") + 1) * _STUMP_WIDTH).cast("bigint").alias(
+            "threshold_cents"
+        ),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        F.round(
+            (
+                d("nl") * gini(d("pl"), d("nl"))
+                + d("nr") * gini(d("pr"), d("nr"))
+            )
+            / d("nn")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("weighted_gini_ppm"),
+    )

@@ -603,3 +603,70 @@ def test_mi_matches_brute_numpy(spark, sf_dir):
         )
         <= 2
     )
+
+
+def test_residuals_match_brute_scipy_free(spark, sf_dir):
+    """Brute standardized/adjusted residuals + Cramér's V in numpy."""
+    import numpy as np
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.relational import (
+        part_brand_type_residuals,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "part").toPandas()
+    counts = pdf.groupby(["p_brand", "p_type"]).size()
+    tab = counts.unstack(fill_value=0)
+    n = tab.values.sum()
+    e = np.outer(tab.sum(1), tab.sum(0)) / n
+    observed = tab.values > 0  # the documented observed-cell semantic
+    # (shared with part_brand_type_chi2: zero cells never enter)
+    chi2 = ((tab.values - e) ** 2 / e)[observed].sum()
+    v = np.sqrt(chi2 / (n * (min(tab.shape) - 1)))
+    adj = np.outer(1 - tab.sum(1) / n, 1 - tab.sum(0) / n)
+    adj_resid = np.where(
+        observed, (tab.values - e) / np.sqrt(e * adj), 0.0
+    )
+    rows = part_brand_type_residuals(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # global Cramér's V repeated on every row
+    assert all(abs(r["cramers_v_ppm"] - round(v * 1e6)) <= 2 for r in rows)
+    # the top row is the max |adjusted residual| among observed cells
+    top = rows[0]
+    i = list(tab.index).index(top["p_brand"])
+    j = list(tab.columns).index(top["p_type"])
+    assert abs(np.abs(adj_resid).max() - abs(adj_resid[i, j])) < 1e-9
+    assert abs(top["adj_resid_milli"] - round(adj_resid[i, j] * 1e3)) <= 2
+
+
+def test_stump_split_matches_brute_gini(spark, sf_dir):
+    import numpy as np
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.relational import (
+        _STUMP_WIDTH,
+        orders_value_stump_split,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "orders").toPandas()
+    cents = np.round(pdf["o_totalprice"].astype(float) * 100).astype(np.int64)
+    y = (pdf["o_orderstatus"] == "F").to_numpy().astype(int)
+    bucket = cents // _STUMP_WIDTH
+    got = {
+        r["threshold_cents"]: (r["n_left"], r["pos_left"], r["weighted_gini_ppm"])
+        for r in orders_value_stump_split(spark, sf_dir).collect()
+    }
+    n, p_tot = len(y), int(y.sum())
+    for t in sorted(set(bucket)):
+        if t == bucket.max():
+            continue
+        left = bucket <= t
+        nl, pl = int(left.sum()), int(y[left].sum())
+        nr, pr = n - nl, p_tot - pl
+        g = lambda p, m: 2 * (p / m) * (1 - p / m)
+        w = (nl * g(pl, nl) + nr * g(pr, nr)) / n
+        thr = (t + 1) * _STUMP_WIDTH
+        assert got[thr][:2] == (nl, pl)
+        assert abs(got[thr][2] - round(w * 1e6)) <= 1
+    # the scan covers every non-terminal grid boundary
+    assert len(got) == len(set(bucket)) - 1
