@@ -1627,3 +1627,89 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("a_k").cast("bigint").alias("min_a_key"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(
+                   range(len(t) - {SHINGLE_N - 1}),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+        FROM toks WHERE len(t) >= {SHINGLE_N}),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY source),
+    pair AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT p.src_a, p.src_b, p.shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(p.shared * 1000000
+                // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+    FROM pair p
+      JOIN sizes sa ON sa.source = p.src_a
+      JOIN sizes sb ON sb.source = p.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source n-gram overlap matrix — the provenance screen a
+    corpus audit runs before weighting sources: which sources share
+    trigram vocabulary (mirrors, scrapes of the same upstream,
+    boilerplate families). Shingles collapse to DISTINCT
+    (source, trigram) pairs FIRST, so each source contributes one row
+    per shingle no matter how many docs repeat it, and the pair count
+    is the exact set intersection; containment = |A∩B|/min(|A|,|B|)
+    in exact integer ppm.
+
+    Plan shape at 100 TB: the (source, shingle) distinct is one hash
+    agg whose output is bounded by sources × vocabulary (NOT corpus
+    rows); the self-join fan-out per shingle is ≤ |sources| rows, so
+    pairs per shingle are ≤ |sources|²/2 — a constant, no df cap
+    needed (contrast dedup_ngram_jaccard's per-document join,
+    SCALE.md). Output is the ≤ |sources|²/2 pair matrix."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select(
+        "source", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    sh = (
+        toks.filter(F.size("t") >= SHINGLE_N)
+        .select("source", F.explode(_shingles("t")).alias("s"))
+        .select("source", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sh = materialize_once(sh)
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(shared * 1000000 div least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
