@@ -45,120 +45,68 @@ _CORE = [
     "fgac_patients_scan",
     "fgac_claims_join",
     "fgac_corpus_stats",
-    # round-13 debuts, wave 1: the policy-mediated streaming WRITE
-    # (VERDICT r12 missing #1 — INSERT authorized at sink definition,
-    # exactly-once fence, FGAC read filter composes into the landed
-    # rows) and SQL PIVOT / UNPIVOT through the frontend (VERDICT r12
-    # missing #2 — Spark parses both natively; the oracle spells the
-    # engine-agnostic FILTER-rollup / UNION ALL equivalents)
-    "fgac_stream_write_ingest",
-    "pivot_sql_status_revenue",
-    "unpivot_sql_supplier_metrics",
-    # CHANGED round 13 (ADVICE r12): asof_join_frames pins SQL NULL
-    # semantics (NULL keys/ts never match) and rewrite_asof_joins
-    # refuses alias reuse; rewrite_distinct_on probes string-blanked
-    # text and splits OFFSET; rewrite_qualify refuses __qualify
-    # collisions — re-verify the three SQL-sugar flagships that ride
-    # those rewrites
-    "asof_sql_click_attribution",
-    "distinct_on_latest_click",
-    "qualify_top_suppliers_sql",
-    # round-13 debuts, wave 3 (exact-stats shelf): Kruskal-Wallis H
-    # (k-sample rank test), Kaplan-Meier churn survival (ordered
-    # ln-sum product limit), lagged click→purchase cross-correlation
-    # (wave siblings events_dyadic_smoothed_revenue et al. ride this
-    # round's rotation block below)
-    "kruskal_wallis_priority",
-    "customer_churn_kaplan_meier",
-    "events_click_purchase_xcorr",
-    # round-13 debuts, wave 4: per-cluster k-means inertia (exact
-    # milli-squared SSE — the elbow diagnostic; the JS-divergence and
-    # process-conformance siblings ride the rotation block)
-    "embedding_cluster_inertia",
-    # round-13 debuts, wave 5: the streaming UPSERT through the policy
-    # surface (INSERT+DELETE at sink definition, replay-fenced) and L1
-    # gradient energy over the decoded PGM rasters (sessions_entry_
-    # exit_matrix rides the rotation block)
-    "fgac_stream_upsert_state",
-    "multimodal_image_gradient_energy",
-    # (wave 6 — backlog, named WINDOW, snapshot diff — rides the
-    # rotation block in full)
-    # round-13 debuts, wave 7 (bivariate dependence): the empirical
-    # copula grid (positional ranks via the distributed rank idiom on
-    # BOTH axes; the per-nation Pearson sibling rides the rotation
-    # block)
-    "customers_balance_spend_copula_grid",
-    # round-13 debuts, wave 8: PSI drift of the order-value mix per
-    # year vs the base year (positional-decile bins from
-    # exact_order_statistics, micro-nat rounded), consumer-surface
-    # PIVOT under the row filter, and STREAMING a shared producer view
-    # with invoker's rights (VERDICT r12 missing #3 made driver-visible)
-    "orders_value_psi_yearly",
-    "fgac_pivot_state_gender",
-    "fgac_stream_view_agg",
-    # round-13 debuts, wave 9: Wilcoxon signed-rank (the PAIRED test
-    # completing the nonparametric trio) and Dunning G² keyness
-    # (embedding_centroid_separation rides the rotation block)
-    "wilcoxon_signed_rank_halves",
-    "text_keyness_loglik_en_de",
-    # round-13 debuts, wave 10 (time-series + inequality shelf): the
-    # one-way ANOVA F (parametric companion to Kruskal-Wallis — exact
-    # integer moments, one shared double expression), Mann-Kendall
-    # trend census per year (all-integer concordant/discordant/tie
-    # split, calendar-bounded pairs), the Theil T inequality
-    # decomposition by nation (within + between, ln-parity micro
-    # rounding), and the lag-1..14 autocorrelation table (the
-    # correlogram around orders_daily_autocorr_lag1)
-    "anova_f_priority",
-    "mann_kendall_yearly_revenue",
-    "nation_revenue_theil",
-    "orders_daily_acf_table",
-    # round-13 debuts, wave 11 (SQL-sugar breadth — textual rewrites
-    # shared by both surfaces): FETCH FIRST n ROWS WITH TIES (scale-
-    # safe two-pass rewrite, never a global rank window) and
-    # quantified ALL/ANY/SOME subqueries (truth table brute-verified
-    # against DuckDB's native grammar; * EXCLUDE + ORDER BY ALL rides
-    # the rotation block)
+    # CHANGED round 14 — re-verify in-window:
+    # similarity_knn_graph: per-block GEMM dispatch rewritten from
+    # groupBy().applyInPandas to repartition+sort+mapInPandas
+    # run-grouping (bit-identical edges, VERDICT r13 wrong #2)
+    "similarity_knn_graph",
+    # the jaccard chain gained the hot-shingle df cap (SCALE.md) —
+    # default non-binding, but the plan changed (df agg + anti-join)
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_histogram",
+    # runs_test: empty-kept-frame now yields NULL n_runs (ADVICE r13)
+    "runs_test_daily_revenue",
+    # WITH TIES: function keys admitted, unprojected keys refused,
+    # qualified/aliased keys respelled; quantifier probes no longer
+    # depend on spark.sql.orderByOrdinal (ADVICE r13)
     "fetch_with_ties_sql",
     "quantified_all_any_sql",
-    # round-13 debuts, wave 12: the l-diversity privacy audit
-    # (k-anonymity's sensitive-value sibling) and Nelson-Aalen
-    # cumulative hazard (KM's additive counterpart; the WITHIN GROUP
-    # percentiles and TRY_* family ride the rotation block)
-    "customers_l_diversity",
-    "customer_churn_nelson_aalen",
-    # round-13 debuts, wave 13: the multimodal RESIZE (nearest-
-    # neighbor 2:1 downsample, position-weighted checksum pinning
-    # pixel placement — completes decode/feature/resize/sample; the
-    # modern-aggregate shelf and width_bucket histogram ride the
-    # rotation block)
-    "multimodal_image_resize",
+    # round-14 debuts, wave 1: Python UDTFs (VERDICT r13 missing #1 —
+    # the third leg of UDF/UDAF/UDTF) + the consumer-path FGAC probe
+    "udtf_word_spans_rollup",
+    "fgac_udtf_corpus_spans",
+    # round-14 debuts, wave 2: TABLESAMPLE on both surfaces (rows form
+    # deterministic via LIMIT semantics; md5 hash-fraction as SQL) and
+    # t-closeness (completes the k-anonymity/l-diversity/t-closeness
+    # privacy trio — ordered-EMD prefix sums)
+    "tablesample_rows_sql",
+    "tablesample_hash_sql",
+    "customers_t_closeness",
+    # round-14 debuts, wave 3 (inference + entity resolution):
+    # log-rank two-group survival comparison, Friedman k-related-
+    # samples rank test, symmetric-delete edit-distance-1 pairs,
+    # Chao1/Good-Turing vocabulary richness, nation×segment mutual
+    # information
+    "customer_churn_logrank_segment",
+    "friedman_priority_by_year",
+    "fuzzy_name_edit_pairs",
+    "text_vocab_richness",
+    "customers_segment_nation_mi",
+    # round-14 debuts, wave 4: χ² cell residuals + Cramér's V,
+    # decision-stump Gini split scan, source×source n-gram overlap
+    "part_brand_type_residuals",
+    "orders_value_stump_split",
+    "source_overlap_matrix",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
 # (DRIVER_WINDOW - len(core) - len(new)) of these rides inside the
 # window each round, advancing by that block size per round.
 _ROTATION = [
-    # demoted from _CORE in round 13 (the ~34 round-12 debuts plus the
-    # r12-changed flagships — ALL driver-green in CORRECTNESS_r12 and
-    # untouched since; the ≥20-slot rotation restoration promised at
-    # the r12 note / VERDICT r12 task 3)
-    # round-13 debuts PARKED INTO THIS ROUND'S ROTATION BLOCK: the
-    # round-13 gate runs with offset = 12 artifacts on disk (verified
-    # against CORRECTNESS_r12, which reproduces only with offset 11 =
-    # prior-artifact count) and slots = 50 − 30 core = 20. With the
-    # six wave-14/15 additions the pool is 245 names, so
-    # k = (12·20) mod 245 = 240 and the block WRAPS:
-    # pool[240:245] + pool[0:15] — the five tail entries (wave-14/15
-    # debuts, see the pool end) plus these FOURTEEN parked wave-1..13
-    # debuts at positions 0-13 and lineitem_corr_matrix at 14. Every
-    # one of the 44 r13 debuts is driver-checked this round and the
-    # window still carries 30 core + 20 rotation entries (the ≥20
-    # floor of VERDICT r12 task 3); the cost is that this round's
-    # block holds no purely-stale re-verification — the 237-case
-    # local mirror (tests/test_oracle_parity.py, run at sf0.001 AND
-    # sf0.01 in round 13) covers regression of everything parked
-    # outside. All are mirror-green at both SFs.
+    # ROUND-14 LAYOUT (VERDICT r13 task 2 — a genuinely-stale block):
+    # the r14 gate runs with offset = 13 artifacts on disk (offset =
+    # PRIOR artifact count; r13's window reproduced only with 12).
+    # core = 10 (3 flagships + 7 r14-changed), debuts = 13 (all r14,
+    # none parked), so slots = 50 − 10 − 13 = 27 and
+    # k = (13·27) mod 265 = 86: the block is pool[86:113] — ALL
+    # demoted in rounds 8-11 and last driver-checked in r12 or
+    # earlier; it touches neither this head block (driver-checked in
+    # r13) nor the r13-core demotions at the pool tail. Re-simulate
+    # this arithmetic after ANY queries() change.
+    # head: r13 wave-1..13 debuts parked into the r13 wrapped block
+    # (driver-green in CORRECTNESS_r13); they re-verify round-robin
+    # from here.
     "events_dyadic_smoothed_revenue",
     "text_lang_char_js_divergence",
     "lineitem_process_conformance",
@@ -181,7 +129,6 @@ _ROTATION = [
     # stable multi-round green, moved out of position 0 in round 13 to
     # make head room for the wave-14/15 block coverage; re-verifies
     # round-robin from here
-    "similarity_knn_graph",
     "customers_gini_revenue",
     "orders_skyline_dominators",
     "parts_abc_classification",
@@ -199,7 +146,6 @@ _ROTATION = [
     "part_brand_type_chi2",
     "orders_weekday_seasonality",
     "supplier_acctbal_mad_outliers",
-    "dedup_cluster_size_histogram",
     "orders_qoq_growth",
     "customer_daily_streaks_histogram",
     "group_by_all_revenue",
@@ -221,7 +167,6 @@ _ROTATION = [
     # flagship greens, untouched this round; the rotating block stays
     # ≥ 20 of the 50 slots as waves 5-6 debut)
     "dedup_affix_stitch",
-    "dedup_connected_components",
     "dedup_minhash_det",
     "merge_scd_close_out",
     "cdc_changelog_view_sql",
@@ -349,7 +294,6 @@ _ROTATION = [
     "udaf_weighted_discount",
     "pii_mask_customers",
     "doc_ngram_novelty",
-    "dedup_ngram_jaccard",
     "text_quality_scores",
     "text_lang_id",
     "dedup_exact",
@@ -434,19 +378,42 @@ _ROTATION = [
     "percentile_order_prices",
     "stats_exact_corr",
     "map_ops_event_profile",
-    # round-13 debuts, waves 14-15 (exact-stats, profiling, graph):
-    # appended at the pool TAIL because this round's block WRAPS —
-    # pool = 245 names, slots = 50 − 30 core = 20, offset = 12
-    # artifacts, so k = (12·20) mod 245 = 240 and the block is
-    # pool[240:245] + pool[0:15]: these five tail entries, the
-    # fourteen parked wave-1..13 debuts (0-13), and
-    # lineitem_corr_matrix (14). See the parked-block note above for
-    # the full arithmetic.
-    "runs_test_daily_revenue",
+    # round-13 debuts, waves 14-15 (exact-stats, profiling, graph) —
+    # rode the r13 wrapped block (driver-green in CORRECTNESS_r13);
+    # stable since
     "customers_atkinson_index",
     "events_fano_dispersion",
     "customer_mahalanobis_outliers",
     "part_supplier_degree_assortativity",
+    # demoted from _CORE in round 14 (round-13 debuts + the three
+    # r13-changed sugar flagships - all driver-green in
+    # CORRECTNESS_r13 and untouched since; they re-verify
+    # round-robin from the pool tail)
+    "fgac_stream_write_ingest",
+    "pivot_sql_status_revenue",
+    "unpivot_sql_supplier_metrics",
+    "asof_sql_click_attribution",
+    "distinct_on_latest_click",
+    "qualify_top_suppliers_sql",
+    "kruskal_wallis_priority",
+    "customer_churn_kaplan_meier",
+    "events_click_purchase_xcorr",
+    "embedding_cluster_inertia",
+    "fgac_stream_upsert_state",
+    "multimodal_image_gradient_energy",
+    "customers_balance_spend_copula_grid",
+    "orders_value_psi_yearly",
+    "fgac_pivot_state_gender",
+    "fgac_stream_view_agg",
+    "wilcoxon_signed_rank_halves",
+    "text_keyness_loglik_en_de",
+    "anova_f_priority",
+    "mann_kendall_yearly_revenue",
+    "nation_revenue_theil",
+    "orders_daily_acf_table",
+    "customers_l_diversity",
+    "customer_churn_nelson_aalen",
+    "multimodal_image_resize",
 ]
 
 # rows-only by honest design (each with an oracle-checked

@@ -104,35 +104,37 @@ def test_driver_window_layout():
     assert oo == [n for n in m.oracle_sql() if n in set(q)]
 
 
-def test_round13_debuts_all_in_window(monkeypatch):
-    """Round-13 invariant: every r13 debut — core waves 1-13 plus the
-    fourteen parked entries and the six wave-14/15 additions riding
-    this round's WRAPPED rotation block (pool[240:245] + pool[0:15]
-    at offset 12) — sits inside the 50-slot driver window, and the
-    window still carries >= 20 rotation entries (VERDICT r12 task 3).
+def test_round14_layout_stale_rotation_block(monkeypatch):
+    """Round-14 invariant (VERDICT r13 task 2): the window holds the
+    10-entry core (flagships + r14-changed), every r14 debut, and a
+    rotation block of >= 20 GENUINELY STALE entries — previously
+    driver-green queries last checked in r12 or earlier, touching
+    neither the r13-parked pool head nor the r13-core demotions at the
+    pool tail.
 
-    The offset is PINNED to 12 (the artifact count AT the r13 gate) so
-    this test stays meaningful after CORRECTNESS_r13.json lands on
-    disk and the live rotation advances — it asserts the layout AS OF
-    this round's gate, not whatever block a later round rotates to."""
+    The offset is PINNED to 13 (the artifact count AT the r14 gate) so
+    the test stays meaningful after CORRECTNESS_r14.json lands and the
+    live rotation advances."""
     m = _entry_module()
-    monkeypatch.setattr(m, "_rotation_offset", lambda: 12)
-    win = set(list(m.queries())[: m.DRIVER_WINDOW])
-    parked = [
-        "events_dyadic_smoothed_revenue", "text_lang_char_js_divergence",
-        "lineitem_process_conformance", "sessions_entry_exit_matrix",
-        "orders_daily_backlog", "window_named_sql_ranks",
-        "time_travel_snapshot_diff", "nations_balance_spend_pearson",
-        "embedding_centroid_separation", "select_exclude_order_all_sql",
-        "percentile_within_group_sql", "scalar_try_funcs",
-        "agg_modern_funcs", "orders_width_bucket_histogram",
+    monkeypatch.setattr(m, "_rotation_offset", lambda: 13)
+    q = list(m.queries())
+    win = set(q[: m.DRIVER_WINDOW])
+    reg = set(q)
+    core = [n for n in m._CORE if n in reg]
+    pool = [n for n in m._ROTATION if n in reg]
+    debuts = [
+        n
+        for n in reg
+        if n not in set(core) | set(pool) | set(m._ROWS_ONLY)
     ]
-    wave_14_15 = [
-        "lineitem_corr_matrix", "runs_test_daily_revenue",
-        "customers_atkinson_index", "events_fano_dispersion",
-        "customer_mahalanobis_outliers",
-        "part_supplier_degree_assortativity",
-    ]
-    missing = [n for n in parked + wave_14_15 + m._CORE if n not in win]
-    assert not missing, missing
-    assert len(win & set(m._ROTATION)) >= 20
+    # every r14 debut and every core (changed) entry is in-window
+    assert set(core) <= win and set(debuts) <= win
+    block = win - set(core) - set(debuts)
+    assert len(block) >= 20
+    # the block is genuinely stale: it avoids the r13-checked pool
+    # head (parked wave-1..13 debuts + their wave-14/15 tail, now the
+    # head block) and the r14-demoted r13 core at the pool tail
+    r13_head = set(pool[:15])
+    r13_tail = set(pool[-25:])
+    assert not (block & r13_head), sorted(block & r13_head)
+    assert not (block & r13_tail), sorted(block & r13_tail)
