@@ -88,6 +88,11 @@ _CORE = [
     "part_brand_type_residuals",
     "orders_value_stump_split",
     "source_overlap_matrix",
+    # round-14 debuts, wave 5: Cochran-Mantel-Haenszel stratified
+    # association (the Simpson's-paradox-proof χ²) and classifier
+    # precision/recall/F1 over the kNN vote predictions
+    "lineitem_cmh_discount_returns",
+    "knn_vote_quality",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -97,13 +102,13 @@ _ROTATION = [
     # ROUND-14 LAYOUT (VERDICT r13 task 2 — a genuinely-stale block):
     # the r14 gate runs with offset = 13 artifacts on disk (offset =
     # PRIOR artifact count; r13's window reproduced only with 12).
-    # core = 10 (3 flagships + 7 r14-changed), debuts = 13 (all r14,
-    # none parked), so slots = 50 − 10 − 13 = 27 and
-    # k = (13·27) mod 265 = 86: the block is pool[86:113] — ALL
-    # demoted in rounds 8-11 and last driver-checked in r12 or
-    # earlier; it touches neither this head block (driver-checked in
-    # r13) nor the r13-core demotions at the pool tail. Re-simulate
-    # this arithmetic after ANY queries() change.
+    # core = 25 (3 flagships + 7 r14-changed + 15 r14 debuts, all
+    # triaged into _CORE — none parked in the block), so
+    # slots = 50 − 25 = 25 and k = (13·25) mod 265 = 60: the block is
+    # pool[60:85] — ALL demoted in rounds 8-12 and last driver-checked
+    # in r12 or earlier; it touches neither this head block
+    # (driver-checked in r13) nor the r13-core demotions at the pool
+    # tail. Re-simulate this arithmetic after ANY queries() change.
     # head: r13 wave-1..13 debuts parked into the r13 wrapped block
     # (driver-green in CORRECTNESS_r13); they re-verify round-robin
     # from here.

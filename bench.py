@@ -261,6 +261,23 @@ HEADLINE = [
     # round-13 wave 15: Mahalanobis top-10, bipartite assortativity
     "customer_mahalanobis_outliers",
     "part_supplier_degree_assortativity",
+    # round-14: UDTFs, TABLESAMPLE, privacy/survival/nonparametric
+    # completions, entity resolution, corpus diagnostics, ML screens
+    "udtf_word_spans_rollup",
+    "fgac_udtf_corpus_spans",
+    "tablesample_rows_sql",
+    "tablesample_hash_sql",
+    "customers_t_closeness",
+    "customer_churn_logrank_segment",
+    "friedman_priority_by_year",
+    "fuzzy_name_edit_pairs",
+    "text_vocab_richness",
+    "customers_segment_nation_mi",
+    "part_brand_type_residuals",
+    "orders_value_stump_split",
+    "source_overlap_matrix",
+    "lineitem_cmh_discount_returns",
+    "knn_vote_quality",
 ]
 
 

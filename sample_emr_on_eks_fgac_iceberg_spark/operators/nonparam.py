@@ -2420,3 +2420,105 @@ def friedman_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_ppm"),
         )
     )
+
+
+@register(
+    "lineitem_cmh_discount_returns",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_discount < 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_discount >= 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_discount < 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lineitem GROUP BY yr),
+    f AS (
+        SELECT COUNT(*) AS k,
+               SUM(a) AS sum_a,
+               SUM(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)) AS e,
+               SUM(CASE WHEN a + b + c + d > 1
+                   THEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                        / (CAST(a + b + c + d AS DOUBLE)
+                           * CAST(a + b + c + d AS DOUBLE)
+                           * CAST(a + b + c + d - 1 AS DOUBLE))
+                   ELSE 0e0 END) AS v,
+               SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)) AS r,
+               SUM(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)) AS ss
+        FROM s)
+    SELECT CAST(k AS BIGINT) AS k_strata,
+           CAST(sum_a AS BIGINT) AS sum_a,
+           CAST(round(e * 1000000) AS BIGINT) AS expected_micro,
+           CAST(round(v * 1000000) AS BIGINT) AS variance_micro,
+           CAST(round((CAST(sum_a AS DOUBLE) - e)
+                      * (CAST(sum_a AS DOUBLE) - e) / v * 1000000)
+                AS BIGINT) AS cmh_ppm,
+           CAST(round(r / ss * 1000) AS BIGINT) AS or_mh_milli
+    FROM f
+    """,
+)
+def lineitem_cmh_discount_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association — does a deep
+    discount (≥5%) associate with returns AFTER conditioning on ship
+    year? The χ² independence test pools strata and falls for
+    Simpson's paradox; CMH sums the per-stratum hypergeometric O−E and
+    variance (the SAME machinery as the log-rank test — log-rank IS
+    CMH over event-time strata) and adds the Mantel-Haenszel common
+    odds ratio Σ(a·d/n)/Σ(b·c/n). All 2×2×K cell counts are exact
+    integers from ONE hash agg; the fold is identical doubles both
+    engines, micro/ppm/milli rounded.
+
+    Plan shape at 100 TB: ONE (year) hash agg with four conditional
+    sums collapses the fact table to K calendar-bounded stratum rows;
+    the statistic is a 1-row fold. No joins, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    dis = F.col("l_discount") >= 0.05
+    cell = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    s = li.groupBy(F.year("l_shipdate").cast("bigint").alias("yr")).agg(
+        cell(ret & dis).alias("a"),
+        cell(ret & ~dis).alias("b"),
+        cell(~ret & dis).alias("c"),
+        cell(~ret & ~dis).alias("d"),
+    )
+    d_ = lambda e: e.cast("double")  # noqa: E731
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    f = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(
+            d_(F.col("a") + F.col("b")) * d_(F.col("a") + F.col("c")) / d_(n)
+        ).alias("e"),
+        F.sum(
+            F.when(
+                n > 1,
+                d_(F.col("a") + F.col("b"))
+                * d_(F.col("c") + F.col("d"))
+                * d_(F.col("a") + F.col("c"))
+                * d_(F.col("b") + F.col("d"))
+                / (d_(n) * d_(n) * d_(n - 1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+        F.sum(d_(F.col("a")) * d_(F.col("d")) / d_(n)).alias("r"),
+        F.sum(d_(F.col("b")) * d_(F.col("c")) / d_(n)).alias("ss"),
+    )
+    oe = F.col("sum_a").cast("double") - F.col("e")
+    return f.select(
+        F.col("k").alias("k_strata"),
+        F.col("sum_a"),
+        F.round(F.col("e") * 1000000).cast("bigint").alias("expected_micro"),
+        F.round(F.col("v") * 1000000).cast("bigint").alias("variance_micro"),
+        F.round(oe * oe / F.col("v") * 1000000).cast("bigint").alias("cmh_ppm"),
+        F.round(F.col("r") / F.col("ss") * 1000)
+        .cast("bigint")
+        .alias("or_mh_milli"),
+    )

@@ -2250,3 +2250,92 @@ def embedding_centroid_separation(
             "n_others",
         )
     )
+
+
+def _vote_quality_oracle() -> str:
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.registry import ORACLE
+
+    return f"""
+    WITH pred AS ({ORACLE["knn_label_vote"]}),
+    t AS (SELECT true_label AS label,
+                 CAST(COUNT(*) AS BIGINT) AS n_true,
+                 CAST(SUM(CASE WHEN predicted_label = true_label
+                               THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          FROM pred GROUP BY true_label),
+    p AS (SELECT predicted_label AS label,
+                 CAST(COUNT(*) AS BIGINT) AS n_pred
+          FROM pred GROUP BY predicted_label)
+    SELECT COALESCE(t.label, p.label) AS label,
+           COALESCE(t.n_true, 0) AS n_true,
+           COALESCE(p.n_pred, 0) AS n_pred,
+           COALESCE(t.tp, 0) AS tp,
+           CASE WHEN COALESCE(p.n_pred, 0) > 0
+                THEN CAST(COALESCE(t.tp, 0) * 1000000
+                          // p.n_pred AS BIGINT) ELSE 0 END
+               AS precision_ppm,
+           CASE WHEN COALESCE(t.n_true, 0) > 0
+                THEN CAST(COALESCE(t.tp, 0) * 1000000
+                          // t.n_true AS BIGINT) ELSE 0 END AS recall_ppm,
+           CASE WHEN COALESCE(t.n_true, 0) + COALESCE(p.n_pred, 0) > 0
+                THEN CAST(2 * COALESCE(t.tp, 0) * 1000000
+                          // (COALESCE(t.n_true, 0) + COALESCE(p.n_pred, 0))
+                          AS BIGINT) ELSE 0 END AS f1_ppm
+    FROM t FULL OUTER JOIN p ON p.label = t.label
+    """
+
+
+@register("knn_vote_quality", oracle=_vote_quality_oracle())
+def knn_vote_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation metrics over `knn_label_vote`'s
+    predictions — the per-label precision / recall / F1 report a
+    weak-supervision pipeline reads before trusting propagated labels.
+    Everything is exact-integer: precision = tp/pred, recall =
+    tp/true, and F1 collapses to the single division 2·tp/(true+pred)
+    (identical truncating ppm on both engines — no floating
+    harmonic-mean step). Labels that are never predicted (or never
+    true) still appear via the full-outer combine with zero metrics.
+
+    Plan shape at 100 TB: the prediction frame is query-set-sized
+    (bounded); two label-keyed aggregates of it and one |labels|-row
+    outer join. The expensive part is the upstream vote (see
+    knn_label_vote's plan note) — this adds only bounded work."""
+    pred = knn_label_vote(spark, sf_dir)
+    hit = F.col("predicted_label") == F.col("true_label")
+    t = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("tp"),
+    )
+    p = pred.groupBy(F.col("predicted_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    j = t.join(p, "label", "full_outer").select(
+        "label",
+        F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+    )
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr("CAST(tp * 1000000 div n_pred AS BIGINT)"),
+        )
+        .otherwise(z)
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("CAST(tp * 1000000 div n_true AS BIGINT)"),
+        )
+        .otherwise(z)
+        .alias("recall_ppm"),
+        F.when(
+            F.col("n_true") + F.col("n_pred") > 0,
+            F.expr("CAST(2 * tp * 1000000 div (n_true + n_pred) AS BIGINT)"),
+        )
+        .otherwise(z)
+        .alias("f1_ppm"),
+    )

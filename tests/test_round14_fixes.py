@@ -670,3 +670,65 @@ def test_stump_split_matches_brute_gini(spark, sf_dir):
         assert abs(got[thr][2] - round(w * 1e6)) <= 1
     # the scan covers every non-terminal grid boundary
     assert len(got) == len(set(bucket)) - 1
+
+
+def test_cmh_matches_brute_stratified(spark, sf_dir):
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        lineitem_cmh_discount_returns,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["yr"] = pd.to_datetime(li["l_shipdate"]).dt.year
+    li["x"] = li["l_returnflag"] == "R"
+    li["y"] = li["l_discount"].astype(float) >= 0.05
+    sum_a = e = v = r = s_ = 0.0
+    for _, g in li.groupby("yr"):
+        a = int((g["x"] & g["y"]).sum())
+        b = int((g["x"] & ~g["y"]).sum())
+        c = int((~g["x"] & g["y"]).sum())
+        d = int((~g["x"] & ~g["y"]).sum())
+        n = a + b + c + d
+        sum_a += a
+        e += (a + b) * (a + c) / n
+        if n > 1:
+            v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        r += a * d / n
+        s_ += b * c / n
+    row = lineitem_cmh_discount_returns(spark, sf_dir).collect()[0]
+    assert row["sum_a"] == int(sum_a)
+    assert abs(row["expected_micro"] - round(e * 1e6)) <= 2
+    assert abs(row["variance_micro"] - round(v * 1e6)) <= 2
+    assert abs(row["cmh_ppm"] - round((sum_a - e) ** 2 / v * 1e6)) <= 10
+    assert abs(row["or_mh_milli"] - round(r / s_ * 1e3)) <= 1
+
+
+def test_vote_quality_matches_brute_confusion(spark, sf_dir):
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        knn_label_vote,
+        knn_vote_quality,
+    )
+
+    pred = [
+        (r["true_label"], r["predicted_label"])
+        for r in knn_label_vote(spark, sf_dir).collect()
+    ]
+    labels = {t for t, _ in pred} | {p for _, p in pred}
+    got = {
+        r["label"]: (
+            r["n_true"], r["n_pred"], r["tp"],
+            r["precision_ppm"], r["recall_ppm"], r["f1_ppm"],
+        )
+        for r in knn_vote_quality(spark, sf_dir).collect()
+    }
+    assert set(got) == labels
+    for lbl in labels:
+        n_true = sum(1 for t, _ in pred if t == lbl)
+        n_pred = sum(1 for _, p in pred if p == lbl)
+        tp = sum(1 for t, p in pred if t == lbl and p == lbl)
+        prec = tp * 1000000 // n_pred if n_pred else 0
+        rec = tp * 1000000 // n_true if n_true else 0
+        f1 = 2 * tp * 1000000 // (n_true + n_pred) if n_true + n_pred else 0
+        assert got[lbl] == (n_true, n_pred, tp, prec, rec, f1)
