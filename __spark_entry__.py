@@ -93,6 +93,13 @@ _CORE = [
     # precision/recall/F1 over the kNN vote predictions
     "lineitem_cmh_discount_returns",
     "knn_vote_quality",
+    # round-14 debuts, wave 6: score-level classifier evaluation
+    # (one-vs-rest ROC-AUC + reliability/Brier table over the kNN vote
+    # scores, 100-example eval split) and the Benjamini-Hochberg FDR
+    # screen (A&S erfc p-values, integer step-up over 25 nations)
+    "knn_vote_auc",
+    "knn_vote_calibration",
+    "nation_return_fdr",
 ]
 
 # Stable, previously driver-green oracle-bearing queries; a block of
@@ -102,13 +109,15 @@ _ROTATION = [
     # ROUND-14 LAYOUT (VERDICT r13 task 2 — a genuinely-stale block):
     # the r14 gate runs with offset = 13 artifacts on disk (offset =
     # PRIOR artifact count; r13's window reproduced only with 12).
-    # core = 25 (3 flagships + 7 r14-changed + 15 r14 debuts, all
+    # core = 28 (3 flagships + 7 r14-changed + 18 r14 debuts, all
     # triaged into _CORE — none parked in the block), so
-    # slots = 50 − 25 = 25 and k = (13·25) mod 265 = 60: the block is
-    # pool[60:85] — ALL demoted in rounds 8-12 and last driver-checked
-    # in r12 or earlier; it touches neither this head block
-    # (driver-checked in r13) nor the r13-core demotions at the pool
-    # tail. Re-simulate this arithmetic after ANY queries() change.
+    # slots = 50 − 28 = 22 and k = (13·22) mod 265 = 21: the block is
+    # pool[21:43] — ALL demoted in rounds 8-13 as multi-round stable
+    # greens and last driver-checked in r12 or earlier (verified
+    # against the union of CORRECTNESS_r01..r13); it touches neither
+    # the r13-checked pool head (positions 0-15) nor the r13-core
+    # demotions at the pool tail. Re-simulate this arithmetic after
+    # ANY queries() change.
     # head: r13 wave-1..13 debuts parked into the r13 wrapped block
     # (driver-green in CORRECTNESS_r13); they re-verify round-robin
     # from here.

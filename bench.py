@@ -278,6 +278,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "lineitem_cmh_discount_returns",
     "knn_vote_quality",
+    "knn_vote_auc",
+    "knn_vote_calibration",
+    "nation_return_fdr",
 ]
 
 

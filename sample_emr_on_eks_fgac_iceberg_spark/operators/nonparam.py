@@ -2522,3 +2522,227 @@ def lineitem_cmh_discount_returns(
         .cast("bigint")
         .alias("or_mh_milli"),
     )
+
+
+@register(
+    "nation_return_fdr",
+    oracle="""
+    WITH base AS (
+        SELECT n.n_name AS nation,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    per AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(ret) AS BIGINT) AS n_returned
+        FROM base GROUP BY nation),
+    tot AS (
+        SELECT CAST(SUM(n_items) AS BIGINT) AS n_tot,
+               CAST(SUM(n_returned) AS BIGINT) AS x_tot,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM per),
+    zp AS (
+        SELECT p.nation, p.n_items, p.n_returned, t.m,
+               (CAST(p.n_returned AS DOUBLE) / p.n_items
+                - CAST(t.x_tot - p.n_returned AS DOUBLE)
+                  / (t.n_tot - p.n_items))
+               / sqrt((CAST(t.x_tot AS DOUBLE) / t.n_tot)
+                      * (1.0 - CAST(t.x_tot AS DOUBLE) / t.n_tot)
+                      * (1.0 / p.n_items
+                         + 1.0 / (t.n_tot - p.n_items))) AS z
+        FROM per p CROSS JOIN tot t
+        WHERE t.n_tot - p.n_items > 0
+          AND t.x_tot > 0 AND t.x_tot < t.n_tot),
+    pv AS (
+        SELECT nation, n_items, n_returned, m,
+               CAST(round(z * 1000000) AS BIGINT) AS z_micro,
+               CAST(round(
+                   (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                   * (0.254829592
+                      + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                        * (-0.284496736
+                           + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                             * (1.421413741
+                                + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                                  * (-1.453152027
+                                     + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                                       * 1.061405429))))
+                   * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))
+                   * 1000000) AS BIGINT) AS p_ppm
+        FROM zp),
+    rk AS (
+        SELECT a.nation, MIN(a.n_items) AS n_items,
+               MIN(a.n_returned) AS n_returned, MIN(a.m) AS m,
+               MIN(a.z_micro) AS z_micro, MIN(a.p_ppm) AS p_ppm,
+               CAST(SUM(CASE WHEN b.p_ppm < a.p_ppm
+                             OR (b.p_ppm = a.p_ppm
+                                 AND b.nation <= a.nation)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p_rank
+        FROM pv a CROSS JOIN pv b
+        GROUP BY a.nation),
+    raw AS (
+        SELECT *, LEAST(1000000,
+                        CAST(p_ppm * m // p_rank AS BIGINT)) AS raw_adj
+        FROM rk)
+    SELECT a.nation, MIN(a.n_items) AS n_items,
+           MIN(a.n_returned) AS n_returned,
+           MIN(a.z_micro) AS z_micro, MIN(a.p_ppm) AS p_ppm,
+           MIN(a.p_rank) AS p_rank,
+           CAST(MIN(b.raw_adj) AS BIGINT) AS bh_adj_ppm,
+           CAST(MIN(b.raw_adj) <= 50000 AS BOOLEAN) AS significant_q05
+    FROM raw a JOIN raw b ON b.p_rank >= a.p_rank
+    GROUP BY a.nation
+    """,
+)
+def nation_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over per-nation return rates —
+    the multiple-testing correction a data-quality sweep applies when
+    it tests every segment at once (25 nations → 25 hypotheses; raw
+    p < 0.05 would false-flag ~1 nation by chance alone). Per nation:
+    the two-proportion pooled z vs the rest of the corpus, the
+    two-sided normal p-value via the Abramowitz-Stegun 7.1.26 erfc
+    polynomial (|err| ≤ 1.5e-7 — the same closed form evaluated on
+    both engines; exp/sqrt ulp absorbed by ppm rounding), then the BH
+    step-up computed ENTIRELY in integers on the ppm p-values:
+    rank by (p_ppm, nation), raw_j = min(1e6, p_ppm_j·m div rank_j),
+    adj_i = min over rank_j ≥ rank_i — so the adjusted values and the
+    q=0.05 flags are engine-exact.
+
+    Plan shape at 100 TB: one fact-collapse hash agg behind broadcast
+    dim joins (the theil/pearson idiom); everything after is a
+    ≤|nations|-row frame — rank and step-up are bounded triangular
+    self-joins, never a global window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = materialize_once(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_items").cast("bigint").alias("n_tot"),
+        F.sum("n_returned").cast("bigint").alias("x_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    zp = (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n_tot") - F.col("n_items") > 0)
+            & (F.col("x_tot") > 0)
+            & (F.col("x_tot") < F.col("n_tot"))
+        )
+        .withColumn(
+            "z",
+            (
+                F.col("n_returned").cast("double") / F.col("n_items")
+                - (F.col("x_tot") - F.col("n_returned")).cast("double")
+                / (F.col("n_tot") - F.col("n_items"))
+            )
+            / F.sqrt(
+                (F.col("x_tot").cast("double") / F.col("n_tot"))
+                * (F.lit(1.0) - F.col("x_tot").cast("double") / F.col("n_tot"))
+                * (
+                    F.lit(1.0) / F.col("n_items")
+                    + F.lit(1.0) / (F.col("n_tot") - F.col("n_items"))
+                )
+            ),
+        )
+    )
+    # A&S 7.1.26: erfc(x) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·e^(−x²),
+    # t = 1/(1 + 0.3275911·x); two-sided p = erfc(|z|/√2). Spelled with
+    # the SAME nesting as the oracle so both engines run the identical
+    # IEEE-754 op sequence.
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    pv = materialize_once(
+        zp.select(
+            "nation",
+            "n_items",
+            "n_returned",
+            "m",
+            F.round(F.col("z") * 1000000).cast("bigint").alias("z_micro"),
+            F.round(poly * F.exp(-x * x) * 1000000)
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )
+    b = pv.select(
+        F.col("nation").alias("nation_b"),
+        F.col("p_ppm").alias("p_ppm_b"),
+    )
+    rk = (
+        pv.crossJoin(F.broadcast(b))
+        .groupBy("nation")
+        .agg(
+            F.min("n_items").alias("n_items"),
+            F.min("n_returned").alias("n_returned"),
+            F.min("m").alias("m"),
+            F.min("z_micro").alias("z_micro"),
+            F.min("p_ppm").alias("p_ppm"),
+            F.sum(
+                F.when(
+                    (F.col("p_ppm_b") < F.col("p_ppm"))
+                    | (
+                        (F.col("p_ppm_b") == F.col("p_ppm"))
+                        & (F.col("nation_b") <= F.col("nation"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p_rank"),
+        )
+    )
+    raw = rk.withColumn(
+        "raw_adj",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr("CAST(p_ppm * m div p_rank AS BIGINT)"),
+        ),
+    )
+    rb = raw.select(
+        F.col("p_rank").alias("rank_b"), F.col("raw_adj").alias("adj_b")
+    )
+    return (
+        raw.join(F.broadcast(rb), F.col("rank_b") >= F.col("p_rank"))
+        .groupBy("nation")
+        .agg(
+            F.min("n_items").alias("n_items"),
+            F.min("n_returned").alias("n_returned"),
+            F.min("z_micro").alias("z_micro"),
+            F.min("p_ppm").alias("p_ppm"),
+            F.min("p_rank").alias("p_rank"),
+            F.min("adj_b").cast("bigint").alias("bh_adj_ppm"),
+            (F.min("adj_b") <= F.lit(50000)).alias("significant_q05"),
+        )
+    )

@@ -2339,3 +2339,238 @@ def knn_vote_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(z)
         .alias("f1_ppm"),
     )
+
+
+# --- classifier-eval shelf, wave 6 (round 14) -----------------------
+# `knn_vote_quality` reports threshold metrics (precision/recall/F1)
+# over the 10-query vote winners; the two operators below evaluate the
+# vote SCORES themselves — ROC-AUC and calibration — over a larger
+# 100-example eval split so the distributions are non-degenerate.
+
+EVAL_N = 100  # vec_id < EVAL_N are the held-out eval examples
+
+
+def _eval_vote_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(example, label) kNN vote counts, zero-filled over the full
+    label set: (q_id, true_label, label, votes) with votes in 0..TOP_K.
+    The one-vs-rest score for class c on example q is votes/TOP_K —
+    the standard probability estimate a kNN classifier emits.
+
+    Same exact-integer quantization and tie-break as knn_label_vote;
+    the eval split is vec_id < EVAL_N (electorate = the rest), kept
+    separate from N_QUERIES so the flagship vote query is untouched.
+
+    Plan shape at 100 TB: identical to ann_cosine_topk — broadcast the
+    bounded eval set, ONE streaming pass over the electorate, top-k
+    window over the bounded pair set; the zero-fill grid is
+    EVAL_N × |labels| rows (bounded), built from two broadcasts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(e.filter(F.col("vec_id") < EVAL_N), "q")
+    truth = e.filter(F.col("vec_id") < EVAL_N).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    cand = fan_out(e.filter(F.col("vec_id") >= EVAL_N), spark, "vec_id")
+    cv = _quantized(F.col("embedding"))
+    c = cand.select(
+        F.col("vec_id").alias("c_id"), cv.alias("c_v"), "label"
+    ).withColumn(
+        "c_norm", F.sqrt(_dot(F.col("c_v"), F.col("c_v")).cast("double"))
+    )
+    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            "label",
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = nn.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+    labels = e.select("label").distinct()
+    grid = F.broadcast(truth).crossJoin(F.broadcast(labels))
+    return grid.join(votes, ["q_id", "label"], "left").select(
+        "q_id",
+        "true_label",
+        "label",
+        F.coalesce(F.col("votes"), F.lit(0)).cast("bigint").alias("votes"),
+    )
+
+
+_EVAL_GRID_ORACLE = f"""
+    {_ORACLE_NORMS},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*c.v[i+1])) AS DOUBLE)
+                   / (q.nrm * c.nrm) AS cosine
+        FROM norms q JOIN norms c ON c.vec_id >= {EVAL_N}
+        WHERE q.vec_id < {EVAL_N}),
+    nn AS (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs),
+    vts AS (
+        SELECT n.q_id, l.label, COUNT(*) AS votes
+        FROM nn n JOIN lbl l ON l.vec_id = n.neighbor_id
+        WHERE n.rank <= {TOP_K}
+        GROUP BY n.q_id, l.label),
+    grid AS (
+        SELECT t.vec_id AS q_id, t.label AS true_label, d.label,
+               CAST(COALESCE(v.votes, 0) AS BIGINT) AS votes
+        FROM lbl t
+        CROSS JOIN (SELECT DISTINCT label FROM lbl) d
+        LEFT JOIN vts v ON v.q_id = t.vec_id AND v.label = d.label
+        WHERE t.vec_id < {EVAL_N})
+"""
+
+
+@register(
+    "knn_vote_auc",
+    oracle=f"""
+    WITH {_EVAL_GRID_ORACLE},
+    sd AS (
+        SELECT label, votes,
+               SUM(CASE WHEN true_label = label THEN 1 ELSE 0 END) AS m_s,
+               SUM(CASE WHEN true_label = label THEN 0 ELSE 1 END) AS n_s
+        FROM grid GROUP BY label, votes),
+    bel AS (
+        SELECT s.label, s.votes, MIN(s.m_s) AS m_s, MIN(s.n_s) AS n_s,
+               COALESCE(SUM(b.n_s), 0) AS neg_below
+        FROM sd s LEFT JOIN sd b
+          ON b.label = s.label AND b.votes < s.votes
+        GROUP BY s.label, s.votes)
+    SELECT label,
+           CAST(SUM(m_s) AS BIGINT) AS n_pos,
+           CAST(SUM(n_s) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(m_s) > 0 AND SUM(n_s) > 0
+                THEN CAST(SUM(2 * m_s * neg_below + m_s * n_s) * 1000000
+                          // (2 * SUM(m_s) * SUM(n_s)) AS BIGINT)
+                ELSE NULL END AS auc_ppm
+    FROM bel GROUP BY label
+    """,
+)
+def knn_vote_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC-AUC per label over the kNN vote scores — the
+    ranking-quality metric (threshold-free, unlike precision/recall)
+    a weak-supervision pipeline reads before picking a vote cutoff.
+    Tie-corrected rank formulation: with the score distribution
+    grouped by level s (m_s positives, n_s negatives), 2·m·n·AUC =
+    Σ_s (2·m_s·negBelow_s + m_s·n_s) — every quantity an exact
+    integer, so auc_ppm is a truncating integer division identical on
+    both engines. Labels with no positives (or no negatives) in the
+    eval split report NULL.
+
+    Plan shape at 100 TB: the score distribution has ≤ |labels| ×
+    (TOP_K+1) rows regardless of corpus size — the cumulative
+    negatives-below is a bounded triangular self-join on that frame,
+    never a global window; upstream cost is the one electorate scan
+    (see _eval_vote_grid)."""
+    g = _eval_vote_grid(spark, sf_dir)
+    pos = F.when(F.col("true_label") == F.col("label"), 1).otherwise(0)
+    sd = g.groupBy("label", "votes").agg(
+        F.sum(pos).cast("bigint").alias("m_s"),
+        F.sum(1 - pos).cast("bigint").alias("n_s"),
+    )
+    b = sd.select(
+        F.col("label").alias("label_b"),
+        F.col("votes").alias("votes_b"),
+        F.col("n_s").alias("n_b"),
+    )
+    bel = (
+        sd.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("votes_b") < F.col("votes")),
+            "left",
+        )
+        .groupBy("label", "votes")
+        .agg(
+            F.min("m_s").alias("m_s"),
+            F.min("n_s").alias("n_s"),
+            F.coalesce(F.sum("n_b"), F.lit(0)).cast("bigint").alias("neg_below"),
+        )
+    )
+    agg = bel.groupBy("label").agg(
+        F.sum("m_s").cast("bigint").alias("n_pos"),
+        F.sum("n_s").cast("bigint").alias("n_neg"),
+        F.sum(
+            2 * F.col("m_s") * F.col("neg_below") + F.col("m_s") * F.col("n_s")
+        )
+        .cast("bigint")
+        .alias("num2"),
+    )
+    return agg.select(
+        "label",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("CAST(num2 * 1000000 div (2 * n_pos * n_neg) AS BIGINT)"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("auc_ppm"),
+    )
+
+
+@register(
+    "knn_vote_calibration",
+    oracle=f"""
+    WITH {_EVAL_GRID_ORACLE}
+    SELECT label, votes AS votes_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN true_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           CAST(votes * 1000000 // {TOP_K} AS BIGINT) AS pred_ppm,
+           CAST(SUM(CASE WHEN true_label = label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS obs_ppm,
+           CAST(SUM((votes - CASE WHEN true_label = label
+                                  THEN {TOP_K} ELSE 0 END)
+                    * (votes - CASE WHEN true_label = label
+                                    THEN {TOP_K} ELSE 0 END))
+                AS BIGINT) AS sq_err
+    FROM grid GROUP BY label, votes
+    """,
+)
+def knn_vote_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + Brier mass for the kNN vote scores — per
+    (label, vote-level) bin: predicted probability votes/TOP_K vs the
+    observed positive frequency, and the exact integer squared-error
+    mass Σ(votes − TOP_K·y)². The per-label Brier score is
+    Σ sq_err / (TOP_K² · N_bin_total) — the consumer folds it from
+    these rows; a calibrated classifier has pred_ppm ≈ obs_ppm down
+    each bin. The vote level IS the bin (votes ∈ 0..TOP_K), so binning
+    is exact and engine-independent; all ppm are truncating integer
+    divisions.
+
+    Plan shape at 100 TB: ONE hash aggregation of the bounded
+    EVAL_N × |labels| grid into ≤ |labels| × (TOP_K+1) rows; upstream
+    cost is the one electorate scan (see _eval_vote_grid)."""
+    g = _eval_vote_grid(spark, sf_dir)
+    y = F.when(F.col("true_label") == F.col("label"), 1).otherwise(0)
+    err = F.col("votes") - F.lit(TOP_K) * y
+    agg = g.groupBy("label", F.col("votes").alias("votes_bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("n_pos"),
+        F.sum(err * err).cast("bigint").alias("sq_err"),
+    )
+    return agg.select(
+        "label",
+        "votes_bin",
+        "n",
+        "n_pos",
+        F.expr(f"CAST(votes_bin * 1000000 div {TOP_K} AS BIGINT)").alias(
+            "pred_ppm"
+        ),
+        F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("obs_ppm"),
+        "sq_err",
+    )

@@ -106,7 +106,7 @@ def test_driver_window_layout():
 
 def test_round14_layout_stale_rotation_block(monkeypatch):
     """Round-14 invariant (VERDICT r13 task 2): the window holds the
-    10-entry core (flagships + r14-changed), every r14 debut, and a
+    core (flagships + r14-changed + r14 debuts), and a
     rotation block of >= 20 GENUINELY STALE entries — previously
     driver-green queries last checked in r12 or earlier, touching
     neither the r13-parked pool head nor the r13-core demotions at the

@@ -732,3 +732,124 @@ def test_vote_quality_matches_brute_confusion(spark, sf_dir):
         rec = tp * 1000000 // n_true if n_true else 0
         f1 = 2 * tp * 1000000 // (n_true + n_pred) if n_true + n_pred else 0
         assert got[lbl] == (n_true, n_pred, tp, prec, rec, f1)
+
+
+def test_knn_vote_auc_matches_brute(spark, sf_dir):
+    """Tie-corrected one-vs-rest AUC vs the O(n²) pair count."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        _eval_vote_grid,
+        knn_vote_auc,
+    )
+
+    grid = _eval_vote_grid(spark, sf_dir).toPandas()
+    got = {
+        r["label"]: r
+        for r in (row.asDict() for row in knn_vote_auc(spark, sf_dir).collect())
+    }
+    assert set(got) == set(grid["label"].unique())
+    for lbl, g in grid.groupby("label"):
+        pos = g[g["true_label"] == lbl]["votes"].to_numpy()
+        neg = g[g["true_label"] != lbl]["votes"].to_numpy()
+        r = got[lbl]
+        assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+        if len(pos) == 0 or len(neg) == 0:
+            assert r["auc_ppm"] is None
+            continue
+        wins = sum(int((p > neg).sum()) for p in pos)
+        ties = sum(int((p == neg).sum()) for p in pos)
+        num2 = 2 * wins + ties
+        assert r["auc_ppm"] == num2 * 1000000 // (2 * len(pos) * len(neg))
+
+
+def test_knn_vote_calibration_matches_brute(spark, sf_dir):
+    """Reliability bins and Brier mass vs a pandas recomputation; the
+    per-label bin masses must cover the whole eval split."""
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.similarity import (
+        EVAL_N,
+        TOP_K,
+        _eval_vote_grid,
+        knn_vote_calibration,
+    )
+
+    grid = _eval_vote_grid(spark, sf_dir).toPandas()
+    rows = [r.asDict() for r in knn_vote_calibration(spark, sf_dir).collect()]
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for lbl, rs in by_label.items():
+        assert sum(r["n"] for r in rs) == EVAL_N
+        g = grid[grid["label"] == lbl]
+        for r in rs:
+            b = g[g["votes"] == r["votes_bin"]]
+            y = (b["true_label"] == lbl).astype(int)
+            assert r["n"] == len(b)
+            assert r["n_pos"] == int(y.sum())
+            assert r["pred_ppm"] == r["votes_bin"] * 1000000 // TOP_K
+            assert r["obs_ppm"] == r["n_pos"] * 1000000 // r["n"]
+            assert r["sq_err"] == int(
+                ((b["votes"] - TOP_K * y) ** 2).sum()
+            )
+
+
+def test_nation_return_fdr_matches_brute(spark, sf_dir):
+    """z and erfc p-values vs math.erfc; the BH step-up vs a direct
+    numpy implementation over the op's own ppm p-values."""
+    import math
+
+    import numpy as np
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        nation_return_fdr,
+    )
+    from sample_emr_on_eks_fgac_iceberg_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    n = load_table(spark, sf_dir, "nation").toPandas()
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    per = j.groupby("n_name").agg(
+        n_items=("l_returnflag", "size"),
+        n_returned=("l_returnflag", lambda s: int((s == "R").sum())),
+    )
+    n_tot, x_tot = int(per["n_items"].sum()), int(per["n_returned"].sum())
+    rows = sorted(
+        (r.asDict() for r in nation_return_fdr(spark, sf_dir).collect()),
+        key=lambda r: r["nation"],
+    )
+    assert len(rows) == len(per)
+    m = len(rows)
+    for r in rows:
+        b = per.loc[r["nation"]]
+        assert r["n_items"] == b["n_items"]
+        assert r["n_returned"] == b["n_returned"]
+        p1 = b["n_returned"] / b["n_items"]
+        p2 = (x_tot - b["n_returned"]) / (n_tot - b["n_items"])
+        pp = x_tot / n_tot
+        z = (p1 - p2) / math.sqrt(
+            pp * (1 - pp) * (1 / b["n_items"] + 1 / (n_tot - b["n_items"]))
+        )
+        assert abs(r["z_micro"] - round(z * 1e6)) <= 1
+        # A&S 7.1.26 is a 1.5e-7-accurate approximation of erfc — allow
+        # that approximation error on top of ppm rounding.
+        p_true = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(r["p_ppm"] - round(p_true * 1e6)) <= 2
+    # BH step-up recomputed from the op's own ppm p-values
+    p_ppm = np.array([r["p_ppm"] for r in rows])
+    names = np.array([r["nation"] for r in rows])
+    order = np.lexsort((names, p_ppm))
+    rank = np.empty(m, dtype=int)
+    rank[order] = np.arange(1, m + 1)
+    raw = np.minimum(1000000, p_ppm * m // rank)
+    adj = np.empty(m, dtype=int)
+    for i in range(m):
+        adj[i] = raw[rank >= rank[i]].min()
+    for i, r in enumerate(rows):
+        assert r["p_rank"] == rank[i]
+        assert r["bh_adj_ppm"] == adj[i]
+        assert r["significant_q05"] == (adj[i] <= 50000)
+        assert r["bh_adj_ppm"] >= r["p_ppm"] * m // m  # adj ≥ p/1 scaling
