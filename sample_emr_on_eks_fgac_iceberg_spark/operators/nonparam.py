@@ -2541,23 +2541,23 @@ def lineitem_cmh_discount_returns(
         FROM base GROUP BY nation),
     tot AS (
         SELECT CAST(SUM(n_items) AS BIGINT) AS n_tot,
-               CAST(SUM(n_returned) AS BIGINT) AS x_tot,
-               CAST(COUNT(*) AS BIGINT) AS m
+               CAST(SUM(n_returned) AS BIGINT) AS x_tot
         FROM per),
     zp AS (
-        SELECT p.nation, p.n_items, p.n_returned, t.m,
-               (CAST(p.n_returned AS DOUBLE) / p.n_items
-                - CAST(t.x_tot - p.n_returned AS DOUBLE)
-                  / (t.n_tot - p.n_items))
-               / sqrt((CAST(t.x_tot AS DOUBLE) / t.n_tot)
-                      * (1.0 - CAST(t.x_tot AS DOUBLE) / t.n_tot)
-                      * (1.0 / p.n_items
-                         + 1.0 / (t.n_tot - p.n_items))) AS z
-        FROM per p CROSS JOIN tot t
-        WHERE t.n_tot - p.n_items > 0
-          AND t.x_tot > 0 AND t.x_tot < t.n_tot),
+        SELECT p.nation, p.n_items, p.n_returned,
+               CASE WHEN t.n_tot - p.n_items > 0
+                         AND t.x_tot > 0 AND t.x_tot < t.n_tot
+                    THEN (CAST(p.n_returned AS DOUBLE) / p.n_items
+                          - CAST(t.x_tot - p.n_returned AS DOUBLE)
+                            / (t.n_tot - p.n_items))
+                         / sqrt((CAST(t.x_tot AS DOUBLE) / t.n_tot)
+                                * (1.0 - CAST(t.x_tot AS DOUBLE) / t.n_tot)
+                                * (1.0 / p.n_items
+                                   + 1.0 / (t.n_tot - p.n_items)))
+                    ELSE NULL END AS z
+        FROM per p CROSS JOIN tot t),
     pv AS (
-        SELECT nation, n_items, n_returned, m,
+        SELECT nation, n_items, n_returned,
                CAST(round(z * 1000000) AS BIGINT) AS z_micro,
                CAST(round(
                    (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
@@ -2573,19 +2573,25 @@ def lineitem_cmh_discount_returns(
                    * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))
                    * 1000000) AS BIGINT) AS p_ppm
         FROM zp),
+    mt AS (SELECT CAST(COUNT(p_ppm) AS BIGINT) AS m FROM pv),
     rk AS (
         SELECT a.nation, MIN(a.n_items) AS n_items,
-               MIN(a.n_returned) AS n_returned, MIN(a.m) AS m,
+               MIN(a.n_returned) AS n_returned, MIN(mt.m) AS m,
                MIN(a.z_micro) AS z_micro, MIN(a.p_ppm) AS p_ppm,
-               CAST(SUM(CASE WHEN b.p_ppm < a.p_ppm
-                             OR (b.p_ppm = a.p_ppm
-                                 AND b.nation <= a.nation)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS p_rank
-        FROM pv a CROSS JOIN pv b
+               CASE WHEN MIN(a.p_ppm) IS NULL THEN NULL
+                    ELSE CAST(SUM(CASE WHEN b.p_ppm IS NOT NULL
+                                       AND (b.p_ppm < a.p_ppm
+                                            OR (b.p_ppm = a.p_ppm
+                                                AND b.nation <= a.nation))
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+               END AS p_rank
+        FROM pv a CROSS JOIN pv b CROSS JOIN mt
         GROUP BY a.nation),
     raw AS (
-        SELECT *, LEAST(1000000,
-                        CAST(p_ppm * m // p_rank AS BIGINT)) AS raw_adj
+        SELECT *, CASE WHEN p_rank IS NULL THEN NULL
+                       ELSE LEAST(1000000,
+                                  CAST(p_ppm * m // p_rank AS BIGINT))
+                  END AS raw_adj
         FROM rk)
     SELECT a.nation, MIN(a.n_items) AS n_items,
            MIN(a.n_returned) AS n_returned,
@@ -2593,7 +2599,7 @@ def lineitem_cmh_discount_returns(
            MIN(a.p_rank) AS p_rank,
            CAST(MIN(b.raw_adj) AS BIGINT) AS bh_adj_ppm,
            CAST(MIN(b.raw_adj) <= 50000 AS BOOLEAN) AS significant_q05
-    FROM raw a JOIN raw b ON b.p_rank >= a.p_rank
+    FROM raw a LEFT JOIN raw b ON b.p_rank >= a.p_rank
     GROUP BY a.nation
     """,
 )
@@ -2609,12 +2615,16 @@ def nation_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up computed ENTIRELY in integers on the ppm p-values:
     rank by (p_ppm, nation), raw_j = min(1e6, p_ppm_j·m div rank_j),
     adj_i = min over rank_j ≥ rank_i — so the adjusted values and the
-    q=0.05 flags are engine-exact.
+    q=0.05 flags are engine-exact. The output is TOTAL over nations:
+    a degenerate test (a nation holding the whole corpus, or a corpus
+    with zero/all returns) keeps its row with NULL z/p/rank/adjusted
+    columns, and the BH divisor m counts only the testable
+    hypotheses.
 
     Plan shape at 100 TB: one fact-collapse hash agg behind broadcast
     dim joins (the theil/pearson idiom); everything after is a
-    ≤|nations|-row frame — rank and step-up are bounded triangular
-    self-joins, never a global window."""
+    ≤|nations|-row frame — rank and the step-up suffix-min are
+    bounded broadcast triangular self-joins, never a global window."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag"
     )
@@ -2640,36 +2650,31 @@ def nation_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("n_items").cast("bigint").alias("n_tot"),
         F.sum("n_returned").cast("bigint").alias("x_tot"),
-        F.count(F.lit(1)).cast("bigint").alias("m"),
     )
-    zp = (
-        per.crossJoin(F.broadcast(tot))
-        .filter(
-            (F.col("n_tot") - F.col("n_items") > 0)
-            & (F.col("x_tot") > 0)
-            & (F.col("x_tot") < F.col("n_tot"))
+    testable = (
+        (F.col("n_tot") - F.col("n_items") > 0)
+        & (F.col("x_tot") > 0)
+        & (F.col("x_tot") < F.col("n_tot"))
+    )
+    zf = (
+        F.col("n_returned").cast("double") / F.col("n_items")
+        - (F.col("x_tot") - F.col("n_returned")).cast("double")
+        / (F.col("n_tot") - F.col("n_items"))
+    ) / F.sqrt(
+        (F.col("x_tot").cast("double") / F.col("n_tot"))
+        * (F.lit(1.0) - F.col("x_tot").cast("double") / F.col("n_tot"))
+        * (
+            F.lit(1.0) / F.col("n_items")
+            + F.lit(1.0) / (F.col("n_tot") - F.col("n_items"))
         )
-        .withColumn(
-            "z",
-            (
-                F.col("n_returned").cast("double") / F.col("n_items")
-                - (F.col("x_tot") - F.col("n_returned")).cast("double")
-                / (F.col("n_tot") - F.col("n_items"))
-            )
-            / F.sqrt(
-                (F.col("x_tot").cast("double") / F.col("n_tot"))
-                * (F.lit(1.0) - F.col("x_tot").cast("double") / F.col("n_tot"))
-                * (
-                    F.lit(1.0) / F.col("n_items")
-                    + F.lit(1.0) / (F.col("n_tot") - F.col("n_items"))
-                )
-            ),
-        )
+    )
+    zp = per.crossJoin(F.broadcast(tot)).withColumn(
+        "z", F.when(testable, zf)
     )
     # A&S 7.1.26: erfc(x) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·e^(−x²),
     # t = 1/(1 + 0.3275911·x); two-sided p = erfc(|z|/√2). Spelled with
     # the SAME nesting as the oracle so both engines run the identical
-    # IEEE-754 op sequence.
+    # IEEE-754 op sequence; NULL z propagates to NULL p.
     x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
     poly = t * (
@@ -2689,19 +2694,37 @@ def nation_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
             "n_items",
             "n_returned",
-            "m",
             F.round(F.col("z") * 1000000).cast("bigint").alias("z_micro"),
             F.round(poly * F.exp(-x * x) * 1000000)
             .cast("bigint")
             .alias("p_ppm"),
         )
     )
+    # m counts only the testable hypotheses (COUNT skips NULL p)
+    mt = pv.agg(F.count("p_ppm").cast("bigint").alias("m"))
     b = pv.select(
         F.col("nation").alias("nation_b"),
         F.col("p_ppm").alias("p_ppm_b"),
     )
+    rank_sum = (
+        F.sum(
+            F.when(
+                F.col("p_ppm_b").isNotNull()
+                & (
+                    (F.col("p_ppm_b") < F.col("p_ppm"))
+                    | (
+                        (F.col("p_ppm_b") == F.col("p_ppm"))
+                        & (F.col("nation_b") <= F.col("nation"))
+                    )
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+    )
     rk = (
         pv.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(mt))
         .groupBy("nation")
         .agg(
             F.min("n_items").alias("n_items"),
@@ -2709,32 +2732,28 @@ def nation_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("m").alias("m"),
             F.min("z_micro").alias("z_micro"),
             F.min("p_ppm").alias("p_ppm"),
-            F.sum(
-                F.when(
-                    (F.col("p_ppm_b") < F.col("p_ppm"))
-                    | (
-                        (F.col("p_ppm_b") == F.col("p_ppm"))
-                        & (F.col("nation_b") <= F.col("nation"))
-                    ),
-                    1,
-                ).otherwise(0)
+            F.when(
+                F.min("p_ppm").isNull(), F.lit(None).cast("bigint")
             )
-            .cast("bigint")
+            .otherwise(rank_sum)
             .alias("p_rank"),
         )
     )
     raw = rk.withColumn(
         "raw_adj",
-        F.least(
-            F.lit(1000000).cast("bigint"),
-            F.expr("CAST(p_ppm * m div p_rank AS BIGINT)"),
+        F.when(
+            F.col("p_rank").isNotNull(),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("CAST(p_ppm * m div p_rank AS BIGINT)"),
+            ),
         ),
     )
     rb = raw.select(
         F.col("p_rank").alias("rank_b"), F.col("raw_adj").alias("adj_b")
     )
     return (
-        raw.join(F.broadcast(rb), F.col("rank_b") >= F.col("p_rank"))
+        raw.join(F.broadcast(rb), F.col("rank_b") >= F.col("p_rank"), "left")
         .groupBy("nation")
         .agg(
             F.min("n_items").alias("n_items"),

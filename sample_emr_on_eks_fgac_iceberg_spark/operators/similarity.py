@@ -669,30 +669,78 @@ def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_label_vote",
-    oracle=f"""
-    WITH {_ORACLE_NORMS},
+def _vote_counts(spark: SparkSession, sf_dir: str, split: int) -> DataFrame:
+    """(q_id, label, votes) — per-query label counts over the
+    top-TOP_K cosine neighbors, for every query vec_id < ``split``
+    (electorate = the rest). The ONE place the kNN-vote quantization,
+    cosine spelling, and (cosine DESC, neighbor_id) tie-break live:
+    knn_label_vote consumes it at split=N_QUERIES, the classifier-eval
+    shelf at split=EVAL_N — fixing either semantics here fixes both.
+
+    Plan shape at 100 TB: identical to ann_cosine_topk — broadcast the
+    bounded query block, ONE streaming pass over the electorate (the
+    label rides the same scan), per-query top-k via window over the
+    bounded pair set, then a bounded vote aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(e.filter(F.col("vec_id") < split), "q")
+    cand = fan_out(e.filter(F.col("vec_id") >= split), spark, "vec_id")
+    cv = _quantized(F.col("embedding"))
+    c = cand.select(
+        F.col("vec_id").alias("c_id"), cv.alias("c_v"), "label"
+    ).withColumn(
+        "c_norm", F.sqrt(_dot(F.col("c_v"), F.col("c_v")).cast("double"))
+    )
+    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            "label",
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+
+
+def _vote_counts_cte(split: int) -> str:
+    """DuckDB CTE chain ending in ``vts`` (q_id, label, votes) — the
+    oracle spelling of _vote_counts, parameterized by the same split
+    bound; also defines ``lbl`` for true-label joins downstream."""
+    return f"""{_ORACLE_NORMS},
     lbl AS (SELECT vec_id, label FROM embeddings),
     pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*c.v[i+1])) AS DOUBLE)
                    / (q.nrm * c.nrm) AS cosine
-        FROM norms q JOIN norms c ON c.vec_id >= {N_QUERIES}
-        WHERE q.vec_id < {N_QUERIES}),
+        FROM norms q JOIN norms c ON c.vec_id >= {split}
+        WHERE q.vec_id < {split}),
     nn AS (
         SELECT q_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM pairs),
-    votes AS (
+    vts AS (
         SELECT n.q_id, l.label, COUNT(*) AS votes
         FROM nn n JOIN lbl l ON l.vec_id = n.neighbor_id
         WHERE n.rank <= {TOP_K}
-        GROUP BY n.q_id, l.label),
+        GROUP BY n.q_id, l.label)"""
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH {_vote_counts_cte(N_QUERIES)},
     best AS (
         SELECT q_id, label AS predicted_label, votes,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
-        FROM votes)
+        FROM vts)
     SELECT b.q_id, t.label AS true_label, b.predicted_label, b.votes
     FROM best b JOIN lbl t ON t.vec_id = b.q_id
     WHERE b.vr = 1
@@ -711,36 +759,15 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded query set, ONE streaming pass over the candidates (the
     label rides the same scan; no second join against the big table),
     per-query top-k via window over the tiny pair set, then a
-    few-hundred-row vote aggregation. Nothing data-sized shuffles or
-    lands on the driver."""
+    few-hundred-row vote aggregation (_vote_counts). Nothing
+    data-sized shuffles or lands on the driver."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "q")
     true_lbl = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
         )
     )
-    cand = fan_out(e.filter(F.col("vec_id") >= N_QUERIES), spark, "vec_id")
-    cv = _quantized(F.col("embedding"))
-    c = cand.select(
-        F.col("vec_id").alias("c_id"), cv.alias("c_v"), "label"
-    ).withColumn("c_norm", F.sqrt(_dot(F.col("c_v"), F.col("c_v")).cast("double")))
-    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    nn = (
-        c.crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            F.col("c_id").alias("neighbor_id"),
-            "label",
-            sim.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
-    votes = nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    votes = _vote_counts(spark, sf_dir, N_QUERIES)
     vw = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label"))
     return (
         votes.withColumn("vr", F.row_number().over(vw))
@@ -2356,46 +2383,19 @@ def _eval_vote_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one-vs-rest score for class c on example q is votes/TOP_K —
     the standard probability estimate a kNN classifier emits.
 
-    Same exact-integer quantization and tie-break as knn_label_vote;
-    the eval split is vec_id < EVAL_N (electorate = the rest), kept
-    separate from N_QUERIES so the flagship vote query is untouched.
+    Shares _vote_counts with knn_label_vote (same exact-integer
+    quantization and tie-break, one definition); the eval split is
+    vec_id < EVAL_N (electorate = the rest), kept separate from
+    N_QUERIES so the flagship vote query is untouched.
 
-    Plan shape at 100 TB: identical to ann_cosine_topk — broadcast the
-    bounded eval set, ONE streaming pass over the electorate, top-k
-    window over the bounded pair set; the zero-fill grid is
-    EVAL_N × |labels| rows (bounded), built from two broadcasts."""
+    Plan shape at 100 TB: the one electorate scan of _vote_counts;
+    the zero-fill grid is EVAL_N × |labels| rows (bounded), built
+    from two broadcasts."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = _with_norm(e.filter(F.col("vec_id") < EVAL_N), "q")
     truth = e.filter(F.col("vec_id") < EVAL_N).select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
     )
-    cand = fan_out(e.filter(F.col("vec_id") >= EVAL_N), spark, "vec_id")
-    cv = _quantized(F.col("embedding"))
-    c = cand.select(
-        F.col("vec_id").alias("c_id"), cv.alias("c_v"), "label"
-    ).withColumn(
-        "c_norm", F.sqrt(_dot(F.col("c_v"), F.col("c_v")).cast("double"))
-    )
-    sim = _dot(F.col("q_v"), F.col("c_v")).cast("double") / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    nn = (
-        c.crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            F.col("c_id").alias("neighbor_id"),
-            "label",
-            sim.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
-    votes = nn.groupBy("q_id", "label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("votes")
-    )
+    votes = _vote_counts(spark, sf_dir, EVAL_N)
     labels = e.select("label").distinct()
     grid = F.broadcast(truth).crossJoin(F.broadcast(labels))
     return grid.join(votes, ["q_id", "label"], "left").select(
@@ -2407,23 +2407,7 @@ def _eval_vote_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVAL_GRID_ORACLE = f"""
-    {_ORACLE_NORMS},
-    lbl AS (SELECT vec_id, label FROM embeddings),
-    pairs AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-               CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*c.v[i+1])) AS DOUBLE)
-                   / (q.nrm * c.nrm) AS cosine
-        FROM norms q JOIN norms c ON c.vec_id >= {EVAL_N}
-        WHERE q.vec_id < {EVAL_N}),
-    nn AS (
-        SELECT q_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM pairs),
-    vts AS (
-        SELECT n.q_id, l.label, COUNT(*) AS votes
-        FROM nn n JOIN lbl l ON l.vec_id = n.neighbor_id
-        WHERE n.rank <= {TOP_K}
-        GROUP BY n.q_id, l.label),
+    {_vote_counts_cte(EVAL_N)},
     grid AS (
         SELECT t.vec_id AS q_id, t.label AS true_label, d.label,
                CAST(COALESCE(v.votes, 0) AS BIGINT) AS votes
@@ -2477,9 +2461,14 @@ def knn_vote_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _eval_vote_grid)."""
     g = _eval_vote_grid(spark, sf_dir)
     pos = F.when(F.col("true_label") == F.col("label"), 1).otherwise(0)
-    sd = g.groupBy("label", "votes").agg(
-        F.sum(pos).cast("bigint").alias("m_s"),
-        F.sum(1 - pos).cast("bigint").alias("n_s"),
+    # materialize: sd feeds BOTH sides of the triangular self-join —
+    # without the checkpoint the whole upstream kNN eval pipeline
+    # (electorate scan + top-k window) would execute twice
+    sd = materialize_once(
+        g.groupBy("label", "votes").agg(
+            F.sum(pos).cast("bigint").alias("m_s"),
+            F.sum(1 - pos).cast("bigint").alias("n_s"),
+        )
     )
     b = sd.select(
         F.col("label").alias("label_b"),

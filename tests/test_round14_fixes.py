@@ -776,6 +776,7 @@ def test_knn_vote_calibration_matches_brute(spark, sf_dir):
     by_label = {}
     for r in rows:
         by_label.setdefault(r["label"], []).append(r)
+    assert set(by_label) == set(grid["label"].unique())
     for lbl, rs in by_label.items():
         assert sum(r["n"] for r in rs) == EVAL_N
         g = grid[grid["label"] == lbl]
@@ -853,3 +854,46 @@ def test_nation_return_fdr_matches_brute(spark, sf_dir):
         assert r["bh_adj_ppm"] == adj[i]
         assert r["significant_q05"] == (adj[i] <= 50000)
         assert r["bh_adj_ppm"] >= r["p_ppm"] * m // m  # adj ≥ p/1 scaling
+
+
+def test_nation_return_fdr_total_on_degenerate_corpus(spark, tmp_path):
+    """A corpus with ZERO returns makes every per-nation test
+    degenerate: the output must still hold one row per nation, with
+    NULL z/p/rank/adjusted/significance (not drop the rows)."""
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.nonparam import (
+        nation_return_fdr,
+    )
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"]}
+    ).to_parquet(f"{d}/nation.parquet")
+    pd.DataFrame(
+        {"c_custkey": [1, 2], "c_nationkey": [0, 1]}
+    ).to_parquet(f"{d}/customer.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2]}
+    ).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [10, 10, 11, 12, 12],
+            "l_returnflag": ["N", "N", "A", "N", "A"],
+        }
+    ).to_parquet(f"{d}/lineitem.parquet")
+    rows = {
+        r["nation"]: r.asDict()
+        for r in nation_return_fdr(spark, d).collect()
+    }
+    assert set(rows) == {"ALPHA", "BETA"}
+    for r in rows.values():
+        assert r["n_items"] > 0
+        for col in (
+            "z_micro",
+            "p_ppm",
+            "p_rank",
+            "bh_adj_ppm",
+            "significant_q05",
+        ):
+            assert r[col] is None, (r["nation"], col, r[col])
