@@ -1560,35 +1560,52 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.pos, a.k AS a_k, b.k AS b_k,
                a.c_name AS an, b.c_name AS bn
         FROM dv a JOIN dv b
-          ON a.pos = b.pos AND a.var = b.var AND a.k < b.k)
+          ON a.pos = b.pos AND a.var = b.var AND a.k < b.k),
+    nm AS (SELECT c_custkey AS k, c_name FROM customer),
+    delc AS (
+        SELECT a.pos, a.k AS lk, b.k AS sk
+        FROM dv a JOIN nm b
+          ON a.var = b.c_name AND a.k <> b.k),
+    delp AS (
+        SELECT LEAST(lk, sk) AS a_k, GREATEST(lk, sk) AS b_k,
+               MIN(pos) AS pos
+        FROM delc GROUP BY LEAST(lk, sk), GREATEST(lk, sk)),
+    pairs AS (
+        SELECT pos, a_k FROM cand WHERE levenshtein(an, bn) = 1
+        UNION ALL
+        SELECT pos, a_k FROM delp)
     SELECT CAST(pos AS BIGINT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(MIN(a_k) AS BIGINT) AS min_a_key
-    FROM cand WHERE levenshtein(an, bn) = 1
+    FROM pairs
     GROUP BY pos
     """,
 )
 def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 entity pairs by SYMMETRIC-DELETE blocking (the
-    SymSpell idea as a join): every name explodes into its length(L)
-    one-character-deletion variants; two equal-length names at
-    substitution distance 1 share EXACTLY the variant at the differing
-    position, so the (position, variant) equi-join generates each true
-    pair once and only once — never the all-pairs product, and never a
-    similarity scan. Candidates are verified with the exact
-    levenshtein (native on BOTH engines), which also discards the rare
-    shifted-character coincidences the blocking admits (distance-2
-    delete/insert pairs). Output: per differing-position pair census —
+    SymSpell idea as a join), COMPLETE over both lev-1 shapes:
+    (a) SUBSTITUTION — two equal-length names at substitution distance
+    1 share exactly the deletion variant at the differing position, so
+    the (position, variant) equi-join generates each such pair once,
+    verified with the exact levenshtein (native on BOTH engines) to
+    discard the rare shifted-character coincidences the blocking
+    admits; (b) INSERT/DELETE — the shorter name IS a deletion variant
+    of the longer, caught by joining variants against the raw names
+    (lev = 1 by construction: lengths differ by 1 and the deletion
+    equals the other name), deduped to the SMALLEST deleted position
+    per unordered pair ('aab'/'ab' matches at positions 1 and 2 —
+    counted once at 1). Output: per differing-position pair census —
     which key positions actually vary among near-identical entities,
     the signal an entity-resolution pipeline reads before choosing
     canonicalization rules.
 
     Plan shape at 100 TB: the variant explode is map-side ×L (L =
-    name length, a constant); the join shuffles on (pos, variant)
-    whose block size is bounded by the ALPHABET (names agreeing
-    everywhere but one position — ≤ ~10 digits here, ≤ |charset| in
-    general), so pairs grow LINEARLY in corpus size; the verify is a
-    per-row codegen levenshtein on candidates only. Contrast
+    name length, a constant); both joins shuffle on bounded-block
+    keys — (pos, variant) blocks are bounded by the ALPHABET (names
+    agreeing everywhere but one position), and a name matches at most
+    |charset|·(L+1) single-insert longer names — so pairs grow
+    LINEARLY in corpus size; the verify is a per-row codegen
+    levenshtein on substitution candidates only. Contrast
     dedup_ngram_jaccard's df-capped shingle join (SCALE.md) — this is
     the short-string sibling with a structurally bounded block."""
     c = load_table(spark, sf_dir, "customer").select(
@@ -1619,8 +1636,26 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c_name").alias("an"),
         F.col("b.c_name").alias("bn"),
     )
+    sub_pairs = cand.filter(F.levenshtein("an", "bn") == 1).select(
+        "pos", "a_k"
+    )
+    # insert/delete lev-1 pairs: a deletion variant equal to ANOTHER
+    # raw name (lengths differ by 1 → lev = 1 by construction);
+    # smallest deleted position per unordered pair
+    nm = c.select(F.col("k").alias("k2"), F.col("c_name").alias("n2"))
+    del_pairs = (
+        dv.join(
+            nm, (F.col("var") == F.col("n2")) & (F.col("k") != F.col("k2"))
+        )
+        .groupBy(
+            F.least(F.col("k"), F.col("k2")).alias("a_k"),
+            F.greatest(F.col("k"), F.col("k2")).alias("b_k"),
+        )
+        .agg(F.min("pos").alias("pos"))
+        .select("pos", "a_k")
+    )
     return (
-        cand.filter(F.levenshtein("an", "bn") == 1)
+        sub_pairs.unionByName(del_pairs)
         .groupBy(F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

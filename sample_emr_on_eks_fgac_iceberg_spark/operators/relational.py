@@ -4799,18 +4799,24 @@ def part_brand_type_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n"),
         )
     )
-    nb = r.count()  # cardinality scalar (≤ dozens of brands)
-    nc = c.count()  # cardinality scalar (≤ dozens of types)
+    # min(r,c) derived IN-PLAN from the cached cell frame (every
+    # observed brand/type appears in some cell) — no eager .count()
+    # driver actions; the whole query stays one lazy plan
     chi = cells.agg(
         F.sum(
             (F.col("od") - F.col("e")) * (F.col("od") - F.col("e")) / F.col("e")
         ).alias("chi2"),
         F.first("n").alias("n"),
+        F.countDistinct("p_brand").alias("nb"),
+        F.countDistinct("p_type").alias("nc"),
     ).select(
         F.round(
             F.sqrt(
                 F.col("chi2")
-                / (F.col("n").cast("double") * F.lit(min(nb, nc) - 1))
+                / (
+                    F.col("n").cast("double")
+                    * (F.least(F.col("nb"), F.col("nc")) - 1).cast("double")
+                )
             )
             * 1000000
         )

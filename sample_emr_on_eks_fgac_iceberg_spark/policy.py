@@ -1142,7 +1142,16 @@ class SecureSession:
         if m:
             db = m.group(1)
             self._policy.authorize_database(self.principal, db, DESCRIBE)
-            n = sum(1 for t in self._known_tables() if database_of(t) == db)
+            # same non-disclosure posture as SHOW TABLES: the count
+            # covers only tables the caller holds a table-level grant
+            # on — a database DESCRIBE alone must not reveal how many
+            # ungranted tables exist (or when one is added)
+            n = sum(
+                1
+                for t in self._known_tables()
+                if database_of(t) == db
+                and self._policy.grant_for(self.principal, t) is not None
+            )
             return self._spark.createDataFrame(
                 [("Database Name", db), ("Table Count", str(n))],
                 "info_name string, info_value string",

@@ -831,9 +831,15 @@ def _ties_outer_key(body: str, key: str) -> str:
     for it in items:
         # explicit AS first — a greedy single pattern would swallow the
         # AS into the expression group and break verbatim alias matching
+        # the implicit-alias fallback requires the expression to END in
+        # an identifier/paren/literal character — otherwise a binary
+        # operator's bare right operand ("a - b", "p || q") would be
+        # misparsed as an alias of the truncated expression
         am = re.match(
             r"(.*\S)\s+AS\s+([A-Za-z_]\w*|`[^`]+`)\s*$", it, re.I | re.S
-        ) or re.match(r"(.*\S)\s+([A-Za-z_]\w*|`[^`]+`)\s*$", it, re.I | re.S)
+        ) or re.match(
+            r"(.*[\w)\]`'\"])\s+([A-Za-z_]\w*|`[^`]+`)\s*$", it, re.I | re.S
+        )
         if am and am.group(2).upper() not in _TIES_EXPR_KEYWORDS and not (
             _TIES_IDENT_RE.match(it)  # a bare (dotted) identifier has no alias
         ):
@@ -845,9 +851,26 @@ def _ties_outer_key(body: str, key: str) -> str:
         # identifier key: unqualify (the CTE's output column carries
         # only the last component) and require it projected
         parts = re.split(r"\s*\.\s*", key.strip())
-        if unq(parts[-1]) in exposed or (
-            has_star and unq(parts[-1]) not in starred_out
-        ):
+        tail = unq(parts[-1])
+        if len(parts) > 1:
+            # a QUALIFIED key must not silently bind to a select-list
+            # alias of a DIFFERENT expression once its qualifier drops
+            # (`SELECT b AS a … ORDER BY o.a` — the CTE exposes alias
+            # a = column b, not o's column a): refuse loudly instead
+            # of returning a different top-n row set
+            for expr_n, alias in aliased:
+                if unq(alias) == tail and expr_n not in (
+                    norm(blanked_key),
+                    tail,
+                ):
+                    raise ValueError(
+                        "FETCH … WITH TIES cannot order by the "
+                        f"qualified key {key.strip()!r}: dropping its "
+                        f"qualifier collides with the select-list "
+                        f"alias {alias!r} of a different expression — "
+                        "project the source column or rename the alias"
+                    )
+        if tail in exposed or (has_star and tail not in starred_out):
             return parts[-1]
         raise refusal
     # expression key: an aliased verbatim match orders by the alias

@@ -62,11 +62,21 @@ def test_describe_database_denies_without_grant(eng):
 
 
 def test_describe_database_with_grant(eng):
+    """Table Count follows the SHOW TABLES non-disclosure posture:
+    only tables the caller holds a table-level grant on are counted —
+    a database DESCRIBE alone must not reveal how many ungranted
+    tables exist (or when the producer adds one)."""
     eng.policy.grant_database("ana", "analytics", {DESCRIBE})
     rows = eng.session_for("ana").sql("DESCRIBE DATABASE analytics").collect()
     info = {r.info_name: r.info_value for r in rows}
     assert info["Database Name"] == "analytics"
-    assert info["Table Count"] == "2"
+    assert info["Table Count"] == "0"
+    # granting one of the two tables raises the visible count to 1;
+    # the ungranted analytics.secrets stays uncounted
+    eng.policy.grant("ana", "analytics.orders", {SELECT})
+    rows2 = eng.session_for("ana").sql("DESCRIBE DATABASE analytics").collect()
+    info2 = {r.info_name: r.info_value for r in rows2}
+    assert info2["Table Count"] == "1"
 
 
 def test_consumer_create_table_denied_without_grant(eng):

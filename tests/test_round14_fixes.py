@@ -532,18 +532,60 @@ def test_fuzzy_name_pairs_match_brute_levenshtein(spark):
     names = {r.c_custkey: r.c_name for r in rows}
     per_pos = {}
     for a, b in itertools.combinations(sorted(names), 2):
-        na, nb = names[a], names[b]
-        if len(na) == len(nb):
-            diff = [i for i, (x, y) in enumerate(zip(na, nb)) if x != y]
-            if len(diff) == 1:  # substitution distance exactly 1
-                pos = diff[0] + 1
-                cnt, mn = per_pos.get(pos, (0, a))
-                per_pos[pos] = (cnt + 1, min(mn, a))
+        pos = _brute_lev1_pos(names[a], names[b])
+        if pos is not None:
+            cnt, mn = per_pos.get(pos, (0, a))
+            per_pos[pos] = (cnt + 1, min(mn, a))
     got = {
         r["pos"]: (r["n_pairs"], r["min_a_key"])
         for r in fuzzy_name_edit_pairs(spark, sf).collect()
     }
     assert got == per_pos
+
+
+def _brute_lev1_pos(na, nb):
+    """1-based census position if levenshtein(na, nb) == 1 else None:
+    the differing position for a substitution, the SMALLEST deleted
+    position in the longer name for an insert/delete (the operator's
+    dedupe rule)."""
+    if len(na) == len(nb):
+        diff = [i for i, (x, y) in enumerate(zip(na, nb)) if x != y]
+        return diff[0] + 1 if len(diff) == 1 else None
+    if abs(len(na) - len(nb)) != 1:
+        return None
+    lo, sh = (na, nb) if len(na) > len(nb) else (nb, na)
+    for i in range(len(lo)):
+        if lo[:i] + lo[i + 1:] == sh:
+            return i + 1
+    return None
+
+
+def test_fuzzy_name_pairs_insert_delete_path(spark, tmp_path):
+    """The cross-length lev-1 shape the TPC-H corpus (all-equal-length
+    names) cannot exercise: deletion pairs are found, deduped to the
+    smallest deleted position, and compose with substitution pairs in
+    one census."""
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        fuzzy_name_edit_pairs,
+    )
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 5, 6],
+            "c_name": ["abc", "ab", "aab", "xbc", "zzzz"],
+        }
+    ).to_parquet(f"{d}/customer.parquet")
+    got = {
+        r["pos"]: (r["n_pairs"], r["min_a_key"])
+        for r in fuzzy_name_edit_pairs(spark, d).collect()
+    }
+    # pos 1: (2,3) 'aab'→'ab' deletes pos 1 OR 2 — counted ONCE at 1 —
+    #        plus the substitution pair (1,5) 'abc'/'xbc'
+    # pos 3: (1,2) 'abc'→'ab' deletes only pos 3
+    assert got == {1: (2, 1), 3: (1, 1)}
 
 
 def test_vocab_richness_matches_brute_counter(spark, sf_dir):
@@ -897,3 +939,44 @@ def test_nation_return_fdr_total_on_degenerate_corpus(spark, tmp_path):
             "significant_q05",
         ):
             assert r[col] is None, (r["nation"], col, r[col])
+
+
+def test_with_ties_qualified_key_alias_collision_refused(fe14):
+    """`SELECT x AS id … ORDER BY o.id`: dropping the qualifier would
+    silently bind the tie threshold to alias id (= column x), a
+    different top-n row set — must refuse loudly."""
+    with pytest.raises(ValueError, match="collides with the select-list"):
+        fe14.execute(
+            "SELECT x AS id FROM t o ORDER BY o.id "
+            "FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+def test_with_ties_operator_expression_not_misparsed_as_alias(fe14):
+    """'x - y' must not parse as expression 'x -' aliased y; the
+    unprojected key y gets the explanatory refusal, not a confusing
+    downstream unresolved-column failure."""
+    with pytest.raises(ValueError, match="projected columns"):
+        fe14.execute(
+            "SELECT id, x - y FROM t ORDER BY y "
+            "FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+def test_with_ties_implicit_alias_still_works(fe14):
+    """The tightened fallback still admits a genuine implicit alias."""
+    rows = fe14.execute(
+        "SELECT id, x + 1 total FROM t ORDER BY total "
+        "FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+
+
+def test_with_ties_qualified_key_same_expression_alias_ok(fe14):
+    """`SELECT o.x AS x … ORDER BY o.x` aliases the SAME expression —
+    no collision, the rewrite binds to the alias."""
+    rows = fe14.execute(
+        "SELECT id, o.x AS x FROM t o ORDER BY o.x "
+        "FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
