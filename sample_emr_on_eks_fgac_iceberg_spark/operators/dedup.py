@@ -1641,10 +1641,21 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # insert/delete lev-1 pairs: a deletion variant equal to ANOTHER
     # raw name (lengths differ by 1 → lev = 1 by construction);
-    # smallest deleted position per unordered pair
+    # smallest deleted position per unordered pair. A variant can only
+    # match a name of its own length, so a broadcast semi-join against
+    # the DISTINCT name lengths (a handful of values) prunes the
+    # variant side before the string-keyed shuffle — on an
+    # all-equal-length corpus (TPC-H names) it eliminates the entire
+    # deletion path at the scan
     nm = c.select(F.col("k").alias("k2"), F.col("c_name").alias("n2"))
+    dlen = nm.select(F.length("n2").alias("__l")).distinct()
     del_pairs = (
         dv.join(
+            F.broadcast(dlen),
+            F.length(F.col("var")) == F.col("__l"),
+            "leftsemi",
+        )
+        .join(
             nm, (F.col("var") == F.col("n2")) & (F.col("k") != F.col("k2"))
         )
         .groupBy(
