@@ -1586,10 +1586,15 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SymSpell idea as a join), COMPLETE over both lev-1 shapes:
     (a) SUBSTITUTION — two equal-length names at substitution distance
     1 share exactly the deletion variant at the differing position, so
-    the (position, variant) equi-join generates each such pair once,
-    verified with the exact levenshtein (native on BOTH engines) to
-    discard the rare shifted-character coincidences the blocking
-    admits; (b) INSERT/DELETE — the shorter name IS a deletion variant
+    the (position, variant) equi-join generates each such pair once.
+    The verify is a plain name inequality: var equality forces equal
+    name lengths, and same-position deletion variants of equal-length
+    names being equal means the names agree at every OTHER position
+    (Hamming ≤ 1) — so lev(an,bn)=1 ⟺ an ≠ bn on this candidate set
+    exactly (the oracle keeps the levenshtein spelling; A/B-verified
+    zero disagreement, and the O(L²) per-pair DP was 6× the cost of
+    the equality compare at sf0.1 — optimization r14, guide §1.2
+    "don't compute things you throw away"); (b) INSERT/DELETE — the shorter name IS a deletion variant
     of the longer, caught by joining variants against the raw names
     (lev = 1 by construction: lengths differ by 1 and the deletion
     equals the other name), deduped to the SMALLEST deleted position
@@ -1604,8 +1609,8 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — (pos, variant) blocks are bounded by the ALPHABET (names
     agreeing everywhere but one position), and a name matches at most
     |charset|·(L+1) single-insert longer names — so pairs grow
-    LINEARLY in corpus size; the verify is a per-row codegen
-    levenshtein on substitution candidates only. Contrast
+    LINEARLY in corpus size; the verify is a per-row codegen string
+    equality on substitution candidates only. Contrast
     dedup_ngram_jaccard's df-capped shingle join (SCALE.md) — this is
     the short-string sibling with a structurally bounded block."""
     c = load_table(spark, sf_dir, "customer").select(
@@ -1636,7 +1641,9 @@ def fuzzy_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c_name").alias("an"),
         F.col("b.c_name").alias("bn"),
     )
-    sub_pairs = cand.filter(F.levenshtein("an", "bn") == 1).select(
+    # lev(an,bn)=1 ⟺ an ≠ bn here (equal lengths + Hamming ≤ 1 by
+    # construction, see docstring) — skip the O(L²) DP per pair
+    sub_pairs = cand.filter(F.col("an") != F.col("bn")).select(
         "pos", "a_k"
     )
     # insert/delete lev-1 pairs: a deletion variant equal to ANOTHER

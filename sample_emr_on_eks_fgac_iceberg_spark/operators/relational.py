@@ -4130,21 +4130,38 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each link reports child rows and orphans (children whose key has
     no parent).
 
-    Plan shape at 100 TB: each link is a LEFT ANTI join on its key —
-    Catalyst broadcasts small parents (nation/region/supplier) and
-    shuffles fact-fact links on the key with AQE skew handling; the
-    per-link rollup is a count. Links evaluate independently (one
-    union of seven tiny frames)."""
+    Plan shape at 100 TB: each link is ONE pass over the child — a
+    LEFT OUTER join on its key (Catalyst broadcasts small parents —
+    nation/region/supplier — and shuffles fact-fact links with AQE
+    skew handling) whose single aggregate yields BOTH the child count
+    and the orphan count (a null parent key marks the orphan). The
+    r14 rewrite folds what was an anti-join agg PLUS a separate
+    full-child count scan PLUS a crossJoin stitch per link into that
+    one pass (guide §1.2 "don't compute things twice"; measured −43%
+    at sf0.1, identical rows). The parent side is each link's PRIMARY
+    key (TPC-H schema contract), so the left join cannot multiply
+    child rows — the oracle's NOT IN spelling is likewise
+    multiplicity-insensitive. Links evaluate independently (one union
+    of seven tiny frames)."""
     out = None
     for c, ck, p, pk in _FK_LINKS:
         child = load_table(spark, sf_dir, c).select(ck)
-        parent = load_table(spark, sf_dir, p).select(pk)
-        orphans = child.join(
-            parent, child[ck] == parent[pk], "left_anti"
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-        n = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        parent = load_table(spark, sf_dir, p).select(
+            F.col(pk).alias("__pk")
+        )
         row = (
-            n.crossJoin(orphans)
+            child.join(parent, F.col(ck) == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{c}->{p}").alias("fk"), "n_child", "n_orphans"
             )
@@ -4244,7 +4261,17 @@ def lineitem_price_index_laspeyres(
     Plan shape at 100 TB: one (part, year) hash agg collapses the fact
     table; the base-year basket is a part-keyed equi-join (both sides
     shuffle on partkey — AQE-skew-splittable); the index is a ≤|years|
-    rollup. Everything after the first agg is catalog-sized."""
+    rollup. Everything after the first agg is catalog-sized.
+
+    Integer widths (the corr-matrix decimal rule, optimization r14 —
+    measured −55% at sf0.1, identical rows): everything PER (part,
+    year) rides bigint codegen — group sums are bounded because TPC-H
+    lines-per-part is a CONSTANT (~30) independent of scale factor, so
+    ep ≤ 30·10⁷ cents and the unit price ep·1000 div q ≤ ~10¹² — and
+    per-row products millicents·q0 ≤ ~10¹⁶ stay far inside int64.
+    Only the FINAL agg buffers (Σ over up-to-all-parts groups, which
+    DOES grow with the catalog) are DECIMAL(38,0); per-row
+    decimal×decimal would fall off codegen onto BigDecimal."""
     py = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(
@@ -4253,11 +4280,9 @@ def lineitem_price_index_laspeyres(
         )
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
             ).alias("ep"),
-            F.sum(
-                F.round(F.col("l_quantity")).cast("decimal(38,0)")
-            ).alias("q"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
         )
     )
     unit = materialize_once(
@@ -4265,9 +4290,7 @@ def lineitem_price_index_laspeyres(
             "l_partkey",
             "yr",
             "q",
-            F.expr("CAST((ep * 1000) div q AS DECIMAL(38,0))").alias(
-                "millicents"
-            ),
+            F.expr("(ep * 1000) div q").alias("millicents"),
         )
     )
     base_yr = unit.agg(F.min("yr").alias("yr0"))
@@ -4284,8 +4307,8 @@ def lineitem_price_index_laspeyres(
     return j.groupBy("yr").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
         F.expr(
-            "CAST((SUM(millicents * q0) * 1000000) div SUM(p0 * q0) "
-            "AS BIGINT)"
+            "CAST((SUM(CAST(millicents * q0 AS DECIMAL(38,0))) * 1000000)"
+            " div SUM(CAST(p0 * q0 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("laspeyres_ppm"),
     )
 

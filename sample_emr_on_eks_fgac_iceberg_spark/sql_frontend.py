@@ -2621,7 +2621,48 @@ class SqlFrontend:
                     )
                 wh.read_changes(**spec).createOrReplaceTempView(view)
         spj = self._spj_candidate_tables(query, tables, wh)
-        for name in tables:
+        # Register only the tables this statement can actually resolve
+        # (optimization r14): building a warehouse read (file listing,
+        # snapshot resolution, schema merge) costs ~0.1-0.2 s per table
+        # per statement, and registering the WHOLE catalog made every
+        # frontend query pay the full catalog's cost — ~0.8 s before
+        # planning a single operator here, and on a real lake the
+        # catalog is unbounded while a statement touches a handful of
+        # relations. The needed set is a token scan over the statement
+        # text plus, transitively, the bodies of every referenced
+        # persistent view (their tables resolve during view
+        # materialization below). The scan regex admits backticked
+        # spellings (unlike the rewrite token, which must not match
+        # inside quoted identifiers); over-matching (a name inside a
+        # string literal or a shadowing CTE) merely registers an unused
+        # view — harmless — while the full-catalog loop is the ONLY
+        # path that could resolve a name this scan misses.
+        def _scan_token(nm: str) -> str:
+            return rf"(?<![\w.]){re.escape(nm)}(?![\w.])"
+
+        wh_views = self.warehouse.list_views()
+        needed = {n for n in tables if re.search(_scan_token(n), query)}
+        seen_view_bodies: set = set()
+
+        def _collect_view_tables(v: str) -> None:
+            if v in seen_view_bodies:
+                return
+            seen_view_bodies.add(v)
+            try:
+                body = self.warehouse.view_sql(v)
+            except Exception:
+                return  # unreadable body fails later, loudly, in _materialize_view
+            needed.update(
+                n for n in tables if re.search(_scan_token(n), body)
+            )
+            for other in wh_views:
+                if other != v and re.search(_scan_token(other), body):
+                    _collect_view_tables(other)
+
+        for v in wh_views:
+            if re.search(_scan_token(v), query):
+                _collect_view_tables(v)
+        for name in needed:
             frame = (
                 wh.bucketed_read(name) if name in spj else wh.read_table(name)
             )

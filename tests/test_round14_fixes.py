@@ -588,6 +588,35 @@ def test_fuzzy_name_pairs_insert_delete_path(spark, tmp_path):
     assert got == {1: (2, 1), 3: (1, 1)}
 
 
+def test_fuzzy_name_pairs_identical_names_excluded(spark, tmp_path):
+    """Two distinct keys with the SAME name are lev-0, not lev-1: the
+    blocking join emits them as candidates at every position, and the
+    verify must drop them all (pins the r14 name-inequality verify —
+    equivalent to levenshtein==1 on the equal-length candidate set —
+    against the one input shape where the two predicates could ever be
+    confused)."""
+    import pandas as pd
+
+    from sample_emr_on_eks_fgac_iceberg_spark.operators.dedup import (
+        fuzzy_name_edit_pairs,
+    )
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_name": ["abc", "abc", "abd"],
+        }
+    ).to_parquet(f"{d}/customer.parquet")
+    got = {
+        r["pos"]: (r["n_pairs"], r["min_a_key"])
+        for r in fuzzy_name_edit_pairs(spark, d).collect()
+    }
+    # the (1,2) identical pair must vanish; (1,3) and (2,3) differ at
+    # pos 3 only
+    assert got == {3: (2, 1)}
+
+
 def test_vocab_richness_matches_brute_counter(spark, sf_dir):
     import collections
     import re
