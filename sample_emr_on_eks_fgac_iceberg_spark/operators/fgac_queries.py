@@ -45,6 +45,40 @@ def _engine_for(spark: SparkSession):
     return _ENGINES[key]
 
 
+def _bounded_key_stream_parts(spark: SparkSession) -> int:
+    """State-partition count for the BOUNDED-KEY streaming aggregates.
+
+    A complete-mode stateful aggregate creates one state store (and
+    commits one delta file per micro-batch) per shuffle partition, and
+    that count is frozen into the checkpoint at stream start. For the
+    demo streams the aggregate key domain is bounded by construction
+    (US states: ≤ 50 keys at ANY corpus size), so the right sizing is
+    key-cardinality-derived, not the session's data-parallel shuffle
+    width — 32 (or a cluster's 200+) state stores for ≤ 50 keys is
+    pure per-batch commit overhead. Parameterised so a deployment with
+    a genuinely wide key domain can raise it."""
+    return int(spark.conf.get("spark_graft.stream.bounded_key_partitions", "8"))
+
+
+class _scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` on the (isolated,
+    ``newSession``-backed) SecureSession conf for the duration of a
+    stream's definition + drain, restoring the prior value after —
+    StreamExecution captures the conf at ``start()``, so the scope only
+    needs to cover the drain."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def _patients_values_sql() -> str:
     rows = ",\n        ".join(
         f"({pid}, '{name}', DATE '{dob}', '{g}', '{city}', '{state}')"
@@ -316,14 +350,17 @@ def fgac_stream_patients_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_patients"))
     )
     sink = f"fgac_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        sess.spark, _bounded_key_stream_parts(sess.spark)
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # NOTE (harness shape, not the production path): complete-mode
     # memory sinks buffer the whole result on the DRIVER — fine here
     # (≤2 groups; the point is a driver-checkable frame), wrong for a
@@ -521,12 +558,15 @@ def fgac_stream_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"fgac_svagg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        sess.spark, _bounded_key_stream_parts(sess.spark)
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sess.spark.table(sink)
