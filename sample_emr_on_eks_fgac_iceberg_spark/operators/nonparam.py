@@ -31,19 +31,27 @@ _DEC = "decimal(38,0)"
 
 
 def _prefix_sum(counts: DataFrame, val_col: str, sum_col: str,
-                inclusive: bool) -> DataFrame:
+                inclusive: bool, dim_col: str | None = None) -> DataFrame:
     """Distributed prefix sum of ``sum_col`` over the total order
     ``val_col`` (distinct values): range repartition → LOCAL window
     cumsum per partition → add the per-partition offsets
     (partition_rank_offsets — K driver scalars, no single-partition
-    window). ``inclusive`` picks ≤ vs < semantics. Adds ``__cum``."""
+    window). ``inclusive`` picks ≤ vs < semantics. Adds ``__cum``.
+
+    ``dim_col`` stacks SEVERAL independent prefix sums through one
+    layout (optimization r14): each distinct ``dim_col`` value is its
+    own ranking universe — the range partitioning leads with the dim
+    tag, the local window and the offsets fold both key on (pid, dim)
+    — so a two-axis query pays ONE range-sample job + exchange +
+    barrier instead of one per axis."""
     spark = counts.sparkSession
+    dims = [dim_col] if dim_col else []
     r = counts.repartitionByRange(
-        spark.sparkContext.defaultParallelism, val_col
+        spark.sparkContext.defaultParallelism, *dims, val_col
     ).withColumn("pid", F.spark_partition_id())
     hi = Window.currentRow if inclusive else -1
     lw = (
-        Window.partitionBy("pid")
+        Window.partitionBy("pid", *dims)
         .orderBy(val_col)
         .rowsBetween(Window.unboundedPreceding, hi)
     )
@@ -53,11 +61,12 @@ def _prefix_sum(counts: DataFrame, val_col: str, sum_col: str,
             F.coalesce(F.sum(sum_col).over(lw), F.lit(0).cast(_DEC)),
         )
     )
-    partials = r.groupBy("pid").agg(F.sum(sum_col).alias("n_p"))
+    partials = r.groupBy("pid", *dims).agg(F.sum(sum_col).alias("n_p"))
     off = partition_rank_offsets(
-        partials.withColumn("n_p", F.col("n_p").cast(_DEC))
+        partials.withColumn("n_p", F.col("n_p").cast(_DEC)),
+        extra_keys=dims,
     )
-    return r.join(F.broadcast(off), "pid").withColumn(
+    return r.join(F.broadcast(off), ["pid", *dims]).withColumn(
         "__cum", (F.col("__offset") + F.col("__local")).cast(_DEC)
     )
 
@@ -440,12 +449,16 @@ def customers_spearman_balance_spend(
     determinism rules' allowed set).
 
     Plan shape at 100 TB: the spend rollup is one custkey-keyed agg +
-    join; each rank table is a DISTINCT-VALUE hash agg followed by the
-    distributed prefix sum (range repartition + local cumsum + K
-    broadcast offsets — the mannwhitney skeleton, never a
-    single-partition window); ranks join back by VALUE (broadcastable
-    only if the value tables are small — left as keyed joins); the
-    moments fold in a 1-row agg."""
+    join; BOTH axes' rank tables ride ONE stacked prefix-sum pipeline
+    (optimization r14): the (x, y) pairs union long-form under a dim
+    tag, one (dim, value) hash agg counts ties, and one dim-led range
+    repartition + local cumsum + per-dim offsets fold produces both
+    rank tables — half the range-sample jobs, exchanges and barriers
+    of the previous per-axis spelling, identical ranks (the dim tag
+    leads the range order, so within a dim the order is exactly the
+    value order). Ranks join back by VALUE (broadcastable only if the
+    value tables are small — left as keyed joins); the moments fold in
+    a 1-row agg."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
@@ -468,19 +481,29 @@ def customers_spearman_balance_spend(
         )
     )
 
-    def _rank2(col: str, out: str) -> DataFrame:
-        cnt = xy.groupBy(col).agg(F.count(F.lit(1)).cast(_DEC).alias("t"))
-        p = _prefix_sum(cnt, col, "t", inclusive=False)
-        return p.select(
-            col,
-            (
-                F.lit(2).cast(_DEC) * F.col("__cum")
-                + F.col("t")
-                + F.lit(1).cast(_DEC)
-            ).alias(out),
-        )
-
-    r = xy.join(_rank2("x", "u"), "x").join(_rank2("y", "v"), "y")
+    stacked = xy.select(
+        F.lit(0).alias("dim"), F.col("x").alias("val")
+    ).unionByName(xy.select(F.lit(1).alias("dim"), F.col("y").alias("val")))
+    cnt = stacked.groupBy("dim", "val").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("t")
+    )
+    p = _prefix_sum(cnt, "val", "t", inclusive=False, dim_col="dim")
+    ranks = p.select(
+        "dim",
+        "val",
+        (
+            F.lit(2).cast(_DEC) * F.col("__cum")
+            + F.col("t")
+            + F.lit(1).cast(_DEC)
+        ).alias("rr"),
+    )
+    rx = ranks.filter(F.col("dim") == 0).select(
+        F.col("val").alias("x"), F.col("rr").alias("u")
+    )
+    ry = ranks.filter(F.col("dim") == 1).select(
+        F.col("val").alias("y"), F.col("rr").alias("v")
+    )
+    r = xy.join(rx, "x").join(ry, "y")
     m = r.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("u").alias("su"),
@@ -891,10 +914,14 @@ def customers_balance_spend_copula_grid(
     integer-exact and each margin is balanced by construction.
 
     Plan shape at 100 TB: the spend rollup is one keyed agg + join;
-    EACH axis's global rank is the trimmed-mean idiom (range
-    repartition + local row_number + K broadcast offsets — never a
-    single-partition window); the two rank frames join back on
-    custkey and the grid is a 100-group hash agg."""
+    BOTH axes' global ranks ride ONE stacked pipeline (optimization
+    r14): the (custkey, x) and (custkey, y) rows union long-form under
+    a dim tag, one dim-led range repartition + local row_number per
+    (pid, dim) + per-dim offsets fold ranks both axes — half the
+    range-sample jobs, exchanges and barriers of the previous per-axis
+    spelling, identical ranks (the dim tag leads the range order) —
+    and ONE custkey hash agg re-pivots (rnx, rny) instead of the
+    previous two-frame join; the grid is a 100-group hash agg."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
@@ -919,25 +946,30 @@ def customers_balance_spend_copula_grid(
     )
     spark_ = xy.sparkSession
 
-    def _global_rank(col: str, out: str) -> DataFrame:
-        r = xy.repartitionByRange(
-            spark_.sparkContext.defaultParallelism, col, "c_custkey"
-        ).withColumn("pid", F.spark_partition_id())
-        lw = Window.partitionBy("pid").orderBy(col, "c_custkey")
-        ranked = materialize_once(
-            r.withColumn("j", F.row_number().over(lw))
-        )
-        partials = ranked.groupBy("pid").agg(
-            F.count(F.lit(1)).alias("n_p")
-        )
-        off = partition_rank_offsets(partials)
-        return ranked.join(F.broadcast(off), "pid").select(
-            "c_custkey", (F.col("__offset") + F.col("j")).alias(out)
-        )
+    stacked = xy.select(
+        "c_custkey", F.lit(0).alias("dim"), F.col("x").alias("val")
+    ).unionByName(
+        xy.select("c_custkey", F.lit(1).alias("dim"), F.col("y").alias("val"))
+    )
+    r = stacked.repartitionByRange(
+        spark_.sparkContext.defaultParallelism, "dim", "val", "c_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid", "dim").orderBy("val", "c_custkey")
+    ranked = materialize_once(r.withColumn("j", F.row_number().over(lw)))
+    partials = ranked.groupBy("pid", "dim").agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    off = partition_rank_offsets(partials, extra_keys=["dim"])
+    rank_long = ranked.join(F.broadcast(off), ["pid", "dim"]).select(
+        "c_custkey", "dim", (F.col("__offset") + F.col("j")).alias("rank")
+    )
     tot = xy.agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
     b = (
-        _global_rank("x", "rnx")
-        .join(_global_rank("y", "rny"), "c_custkey")
+        rank_long.groupBy("c_custkey")
+        .agg(
+            F.max(F.when(F.col("dim") == 0, F.col("rank"))).alias("rnx"),
+            F.max(F.when(F.col("dim") == 1, F.col("rank"))).alias("rny"),
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             F.expr("CAST(((rnx - 1) * 10) div n AS BIGINT)").alias(

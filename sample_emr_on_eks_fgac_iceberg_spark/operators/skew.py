@@ -207,8 +207,12 @@ def ntile_assign(
     return score
 
 
-def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
-                           count_col: str = "n_p") -> "DataFrame":
+def partition_rank_offsets(
+    partials: "DataFrame",
+    pid_col: str = "pid",
+    count_col: str = "n_p",
+    extra_keys: Sequence[str] = (),
+) -> "DataFrame":
     """Cumulative row offsets per range partition — the K-row state
     (one row per partition, the ntile_cutpoints pattern) that turns
     per-partition LOCAL row numbers into exact global ranks:
@@ -236,22 +240,35 @@ def partition_rank_offsets(partials: "DataFrame", pid_col: str = "pid",
     callers fold decimal(38,0) magnitudes — e.g. revenue-cents sums —
     instead of row counts (ADVICE r11). An empty ``partials`` yields an
     empty offsets frame (the previous sentinel (0, 0) row was only ever
-    inner-joined against an equally empty frame — same results)."""
+    inner-joined against an equally empty frame — same results).
+
+    ``extra_keys`` partitions the fold into independent ranking
+    universes sharing ONE range layout (optimization r14): partials
+    carrying a dimension tag fold per (key, pid<pid) — the stacked
+    idiom of ``ntile_cutpoints_multi``, used by the two-axis rank
+    queries (Spearman, copula grid) so both axes pay a single range
+    shuffle + barrier instead of one each."""
     ct = dict(partials.dtypes)[count_col]
     off_type = ct if ct.startswith("decimal") else "bigint"
-    a = partials.select(F.col(pid_col).alias("__a_pid"))
+    keys = list(extra_keys)
+    a = partials.select(F.col(pid_col).alias("__a_pid"), *keys)
     b = partials.select(
-        F.col(pid_col).alias("__b_pid"), F.col(count_col).alias("__b_n")
+        F.col(pid_col).alias("__b_pid"),
+        F.col(count_col).alias("__b_n"),
+        *[F.col(k).alias(f"__b_{k}") for k in keys],
     )
+    cond = F.col("__b_pid") < F.col("__a_pid")
+    for k in keys:
+        cond = cond & (F.col(f"__b_{k}") == F.col(k))
     return (
-        a.join(b, F.col("__b_pid") < F.col("__a_pid"), "left")
-        .groupBy("__a_pid")
+        a.join(b, cond, "left")
+        .groupBy("__a_pid", *keys)
         .agg(
             F.coalesce(F.sum("__b_n"), F.lit(0).cast(off_type))
             .cast(off_type)
             .alias("__offset")
         )
-        .select(F.col("__a_pid").alias(pid_col), "__offset")
+        .select(F.col("__a_pid").alias(pid_col), *keys, "__offset")
     )
 
 
