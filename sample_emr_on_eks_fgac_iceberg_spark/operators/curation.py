@@ -979,10 +979,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible per stage.
 
     Plan shape at 100 TB: ONE tokenize pass feeds a (doc, word) hash
-    agg → per-doc rollup; every later stage is a filter or a keyed
-    join on the content hash (canonical pick = groupBy(h).min,
-    decontamination = hash anti-join) — no stage rescans the corpus;
-    the report is five 1-row aggs unioned."""
+    agg → per-doc rollup; the stages are NESTED subsets (base ⊇
+    quality ⊇ dedup ⊇ train ⊇ clean), so one h-keyed aggregate
+    (canonical min-doc_id over quality rows + benchmark-membership
+    flag, both in the SAME agg) joins back once, each row gets its
+    deepest surviving stage as boolean flags, and the whole report is
+    ONE 1-row aggregate unstacked to 5 rows (optimization r14 — the
+    previous five count/sum agg pairs + two h-keyed joins cost ~10
+    extra exchanges for the same nested-subset arithmetic)."""
     d = materialize_once(
         fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id").select(
             "doc_id",
@@ -1007,46 +1011,70 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("word").isin(stops), 1).otherwise(0)
         ).alias("stop_hits"),
     )
-    base = materialize_once(d.select("doc_id", "h").join(uni, "doc_id"))
-    q = materialize_once(
-        base.filter(
+    base = d.select("doc_id", "h").join(uni, "doc_id")
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    b = materialize_once(
+        base.withColumn(
+            "q_ok",
             F.col("n_words").between(50, 100000)
             & (F.col("stop_hits") >= 2)
-            & (F.lit(10) * F.col("top_cnt") <= F.col("n_words"))
-        )
+            & (F.lit(10) * F.col("top_cnt") <= F.col("n_words")),
+        ).withColumn("in_train_split", split < _BENCH_FLOOR)
     )
-    mins = q.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    dd = materialize_once(q.join(mins, ["h", "doc_id"]))
-    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    train = materialize_once(dd.filter(split < _BENCH_FLOOR))
-    bench = base.filter(split >= _BENCH_FLOOR).select("h").distinct()
-    clean = train.join(bench, "h", "left_anti")
+    # canonical pick AND benchmark membership in ONE h-keyed agg:
+    # min doc_id over quality survivors, plus 'any base row of this
+    # hash falls in the benchmark split'
+    h_info = b.groupBy("h").agg(
+        F.min(F.when(F.col("q_ok"), F.col("doc_id"))).alias("min_q_id"),
+        F.max(
+            F.when(~F.col("in_train_split"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("in_bench"),
+    )
+    f = b.join(h_info, "h").select(
+        "n_words",
+        "q_ok",
+        (F.col("q_ok") & (F.col("doc_id") == F.col("min_q_id"))).alias(
+            "dd_ok"
+        ),
+        "in_train_split",
+        "in_bench",
+    )
+    f = f.withColumn(
+        "train_ok", F.col("dd_ok") & F.col("in_train_split")
+    ).withColumn("clean_ok", F.col("train_ok") & (F.col("in_bench") == 0))
 
-    def _stage(idx: int, name: str, frame, docs_frame=None) -> DataFrame:
-        src = docs_frame if docs_frame is not None else frame
-        n = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        t = frame.agg(
-            F.coalesce(F.sum("n_words"), F.lit(0))
+    def _pair(flag, tag: str):
+        keep = F.when(F.col(flag), F.lit(1)).otherwise(F.lit(0))
+        return [
+            F.sum(keep).cast("bigint").alias(f"d_{tag}"),
+            F.coalesce(
+                F.sum(keep * F.col("n_words")), F.lit(0)
+            )
             .cast("bigint")
-            .alias("n_tokens")
-        )
-        return n.crossJoin(t).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
+            .alias(f"t_{tag}"),
+        ]
 
-    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = _stage(0, "all", base, docs_frame=all_docs)
-    for idx, name, frame in (
-        (1, "quality", q),
-        (2, "exact_dedup", dd),
-        (3, "train_split", train),
-        (4, "decontaminated", clean),
-    ):
-        out = out.unionByName(_stage(idx, name, frame))
-    return out
+    m = f.agg(
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("bigint").alias("t_all"),
+        *_pair("q_ok", "q"),
+        *_pair("dd_ok", "dd"),
+        *_pair("train_ok", "tr"),
+        *_pair("clean_ok", "cl"),
+    )
+    n_all = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_all"))
+    )
+    return m.crossJoin(F.broadcast(n_all)).selectExpr(
+        "stack(5, "
+        "0, 'all', d_all, t_all, "
+        "1, 'quality', d_q, t_q, "
+        "2, 'exact_dedup', d_dd, t_dd, "
+        "3, 'train_split', d_tr, t_tr, "
+        "4, 'decontaminated', d_cl, t_cl) "
+        "AS (stage_idx, stage, n_docs, n_tokens)"
+    )
 
 
 _L_DIV = 3
