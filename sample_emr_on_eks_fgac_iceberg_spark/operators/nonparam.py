@@ -77,6 +77,54 @@ def _prefix_sum(counts: DataFrame, val_col: str, sum_col: str,
 distributed_prefix_sum = _prefix_sum
 
 
+def _float_prefix_offsets(
+    partials: DataFrame, sum_col: str, max_col: str | None = None
+) -> DataFrame:
+    """Exclusive per-partition prefix offsets for a FLOAT fold,
+    computed in-plan (optimization r14 — replaces the
+    collect()+createDataFrame driver round-trip the survival
+    estimators paid): for each pid, the lower-pid partials fold via
+    ``array_sort`` + ``aggregate`` — a deterministic ascending-pid
+    sequential sum, bit-equal to the driver loop it replaces (float
+    addition is order-sensitive; an unordered F.sum could differ by an
+    ulp). The optional ``max_col`` running max is order-free. K-row
+    theta self-join, K = partition count (cluster width, never data
+    size)."""
+    a = partials.select(F.col("pid").alias("__a_pid"))
+    bcols = [
+        F.col("pid").alias("__b_pid"),
+        F.col(sum_col).alias("__b_v"),
+    ]
+    if max_col is not None:
+        bcols.append(F.col(max_col).alias("__b_m"))
+    b = partials.select(*bcols)
+    g = (
+        a.join(b, F.col("__b_pid") < F.col("__a_pid"), "left")
+        .groupBy("__a_pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__b_pid", "__b_v"))
+            ).alias("__arr"),
+            *(
+                [F.coalesce(F.max("__b_m"), F.lit(0)).alias("__max_off")]
+                if max_col is not None
+                else []
+            ),
+        )
+    )
+    out = [
+        F.col("__a_pid").alias("pid"),
+        F.aggregate(
+            "__arr",
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x["__b_v"], F.lit(0.0)),
+        ).alias("__sum_off"),
+    ]
+    if max_col is not None:
+        out.append("__max_off")
+    return g.select(*out)
+
+
 @register(
     "mannwhitney_u_priority",
     oracle="""
@@ -754,7 +802,6 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict sequential float sum by an ulp; ppm rounding absorbs it
     (same rule as the statistic itself)."""
     o2 = _churn_at_risk(spark, sf_dir)
-    spark_ = o2.sparkSession
     # the ln argument is spelled (n−d)/n with the SAME operation order
     # as the oracle — 1 − d/n would round differently
     term = F.when(
@@ -778,29 +825,17 @@ def customer_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lt_sum", F.sum("t").over(lwi))
         .withColumn("ld_max", F.max("dflag").over(lwi))
     )
-    prt = sorted(
-        o3.groupBy("pid")
-        .agg(F.sum("t").alias("t_p"), F.max("dflag").alias("d_p"))
-        .collect(),  # scale-ok: one (sum, max) pair per partition — K driver scalars
-        key=lambda row: row["pid"],
+    # in-plan exclusive offsets (optimization r14): ascending-pid
+    # sequential float fold (bit-equal to the old driver loop) + an
+    # order-free running max — one fewer synchronous driver round-trip
+    partials = o3.groupBy("pid").agg(
+        F.sum("t").alias("t_p"), F.max("dflag").alias("d_p")
     )
-    t_off: dict[int, float] = {}
-    d_off: dict[int, int] = {}
-    acc_t, acc_d = 0.0, 0
-    for row in prt:
-        t_off[row["pid"]] = acc_t
-        d_off[row["pid"]] = acc_d
-        acc_t += row["t_p"] or 0.0
-        acc_d = max(acc_d, row["d_p"] or 0)
-    offs2 = spark_.createDataFrame(
-        [(int(pp), t_off[pp], d_off[pp]) for pp in t_off]
-        or [(0, 0.0, 0)],
-        "pid int, t_off double, d_off int",
-    )
+    offs2 = _float_prefix_offsets(partials, "t_p", "d_p")
     s = (
         o3.join(F.broadcast(offs2), "pid")
-        .withColumn("lsum", F.col("t_off") + F.col("lt_sum"))
-        .withColumn("dead", F.greatest("d_off", "ld_max"))
+        .withColumn("lsum", F.col("__sum_off") + F.col("lt_sum"))
+        .withColumn("dead", F.greatest("__max_off", "ld_max"))
     )
     return s.filter(F.col("d") > 0).select(
         F.col("lifetime").cast("bigint").alias("lifetime_days"),
@@ -1739,7 +1774,6 @@ def customer_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix idiom (range repartition + pid-local windows + K
     driver/broadcast offsets; never an unpartitioned window)."""
     o2 = _churn_at_risk(spark, sf_dir)
-    spark_ = o2.sparkSession
     # hazard spelled CAST(d)/CAST(n_risk) — identical op order to the
     # oracle's window term
     h = F.when(
@@ -1754,21 +1788,13 @@ def customer_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     o3 = materialize_once(
         o2.withColumn("h", h).withColumn("h_sum", F.sum("h").over(lwi))
     )
-    prt = sorted(
-        o3.groupBy("pid").agg(F.sum("h").alias("h_p")).collect(),  # scale-ok: one float per partition — K driver scalars
-        key=lambda row: row["pid"],
-    )
-    h_off: dict[int, float] = {}
-    acc = 0.0
-    for row in prt:
-        h_off[row["pid"]] = acc
-        acc += row["h_p"] or 0.0
-    offs2 = spark_.createDataFrame(
-        [(int(pp), h_off[pp]) for pp in h_off] or [(0, 0.0)],
-        "pid int, h_off double",
+    # in-plan exclusive offsets (optimization r14): ascending-pid
+    # sequential float fold, bit-equal to the old driver loop
+    offs2 = _float_prefix_offsets(
+        o3.groupBy("pid").agg(F.sum("h").alias("h_p")), "h_p"
     )
     s = o3.join(F.broadcast(offs2), "pid").withColumn(
-        "hsum", F.col("h_off") + F.col("h_sum")
+        "hsum", F.col("__sum_off") + F.col("h_sum")
     )
     return s.filter(F.col("d") > 0).select(
         F.col("lifetime").cast("bigint").alias("lifetime_days"),
