@@ -156,7 +156,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
-        ranks = deg.join(contrib, "node").select(
+        # blend join: contrib comes out of its agg already partitioned
+        # by node; deg rides the SAME broadcast gate as the rank side
+        # (it IS |V| rows), so under the gate the blend is a
+        # BroadcastHashJoin — the previous deg.join(contrib) spelling
+        # planned a SortMergeJoin that re-shuffled BOTH |V|-row sides
+        # every iteration (optimization r14: 3 SMJ → 3 BHJ, 6 → 3
+        # Exchanges at 3 iterations)
+        ranks = contrib.join(rank_side(deg), "node").select(
             "node",
             "deg",
             (
