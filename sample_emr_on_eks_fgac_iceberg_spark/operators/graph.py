@@ -350,13 +350,16 @@ def part_supplier_degree_assortativity(
     connectivity, assortativity = MIXING).
 
     Plan shape at 100 TB: the fact table collapses to DISTINCT edges
-    in one hash agg (map-side partial dedup); the two degree tables
-    are hash aggs on that same edge frame; degrees join back on their
-    own keys (supplier side broadcasts — |suppliers| ≪ |edges|; the
-    part side is a key-colocated shuffle join AQE can skew-split);
-    the Pearson fold is ONE 1-row aggregate of exact integer moments
-    with the shared double spelling, ppm-rounded. Never all-pairs,
-    no windows."""
+    in one hash agg (map-side partial dedup); the edge-level Pearson
+    moments FACTOR through per-node sums (optimization r14), so no
+    corpus-keyed join remains: over edges, Σdp = Σ_p dp², Σdp² = Σ_p
+    dp³, Σds = Σ_s ds², Σds² = Σ_s ds³, and the cross moment Σ dp·ds
+    = Σ_p dp·t_p with t_p = Σ_{s∈N(p)} ds — so ONE broadcast of the
+    supplier-degree table into the edge frame plus ONE p-keyed hash
+    agg (computing dp and t_p together) replaces the previous
+    part-degree join (a full edge shuffle); both folds are exact
+    DECIMAL(38,0) integer moments with the shared double spelling,
+    ppm-rounded. Never all-pairs, no windows."""
     edges = materialize_once(
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -364,28 +367,33 @@ def part_supplier_degree_assortativity(
         )
         .distinct()
     )
-    pd_ = edges.groupBy("p").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("dp")
-    )
     sd = edges.groupBy("s").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("ds")
     )
-    e = edges.join(pd_, "p").join(F.broadcast(sd), "s")
-    m = e.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("dp").alias("sx"),
-        F.sum("ds").alias("sy"),
-        F.sum(F.col("dp") * F.col("dp")).alias("sxx"),
-        F.sum(F.col("ds") * F.col("ds")).alias("syy"),
-        F.sum(F.col("dp") * F.col("ds")).alias("sxy"),
+    g = (
+        edges.join(F.broadcast(sd), "s")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("dp"),
+            F.sum("ds").alias("t"),
+        )
     )
-    np_ = pd_.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
-    ns = sd.agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    m = g.agg(
+        F.sum("dp").alias("n"),
+        F.sum(F.col("dp") * F.col("dp")).alias("sx"),
+        F.sum(F.col("dp") * F.col("dp") * F.col("dp")).alias("sxx"),
+        F.sum(F.col("dp") * F.col("t")).alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    ss = sd.agg(
+        F.sum(F.col("ds") * F.col("ds")).alias("sy"),
+        F.sum(F.col("ds") * F.col("ds") * F.col("ds")).alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return (
-        m.crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(ns))
+        m.crossJoin(F.broadcast(ss))
         .select(
             n.cast("bigint").alias("n_edges"),
             "n_parts",
