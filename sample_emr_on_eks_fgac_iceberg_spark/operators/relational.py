@@ -3252,13 +3252,15 @@ def lineitem_weighted_median_price(
     window formulation mirrors: the first row, in (cents, orderkey,
     linenumber) order, whose running weight reaches ceil(W/2)).
 
-    Plan shape at 100 TB — skew.weighted_order_statistic: ONE
+    Plan shape at 100 TB — skew.weighted_order_statistic_frame,
+    fully IN-PLAN (optimization r14: the previous driver variant paid
+    two synchronous collects inside the timed region): ONE
     repartitionByRange + per-partition sort + per-partition cumulative
-    window (never global); per-partition weight sums are K driver
-    scalars that locate the crossing partition; a single bounded
-    filter+limit fetches the crossing row."""
+    window (never global); per-partition weight sums fold via the
+    K-row offsets theta join; the crossing row is a
+    TakeOrderedAndProject over the filtered candidates."""
     from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
-        weighted_order_statistic,
+        weighted_order_statistic_frame,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -3267,16 +3269,11 @@ def lineitem_weighted_median_price(
         "l_orderkey",
         "l_linenumber",
     )
-    total, row = weighted_order_statistic(
+    return weighted_order_statistic_frame(
         li, ["cents", "l_orderkey", "l_linenumber"], "w", 1, 2
-    )
-    if row is None:
-        return spark.createDataFrame(
-            [], "total_weight bigint, median_price_cents bigint"
-        )
-    return spark.createDataFrame(
-        [(int(total), int(row["cents"]))],
-        "total_weight bigint, median_price_cents bigint",
+    ).select(
+        F.col("__total_w").cast("bigint").alias("total_weight"),
+        F.col("cents").cast("bigint").alias("median_price_cents"),
     )
 
 

@@ -365,6 +365,61 @@ def exact_order_statistics(
     return [(q, pos, by_pos[pos]) for q, pos in wanted]
 
 
+def weighted_order_statistic_frame(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    weight_col: str,
+    num: int,
+    den: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Fully IN-PLAN `weighted_order_statistic` (optimization r14):
+    returns a ≤1-row DataFrame (``__total_w`` + the crossing row's
+    order columns) with ZERO driver actions — the per-partition weight
+    sums fold via `partition_rank_offsets` (K-row theta join), the
+    target position ceil(num·W/den) rides a broadcast 1-row total, and
+    the crossing row is a TakeOrderedAndProject over the filtered
+    candidates (never a global sort). Empty input yields an empty
+    frame (the (0, None) sentinel of the driver variant). Exactness:
+    identical lower-weighted-quantile rule — first row in the strict
+    total order whose running weight reaches the target."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranked = (
+        df.select(*order_cols, weight_col)
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    lw = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn("__cumw", F.sum(weight_col).over(lw))
+    partials = ranked.groupBy(F.col("__pid").alias("pid")).agg(
+        F.sum(weight_col).alias("n_p")
+    )
+    off = partition_rank_offsets(partials).withColumnRenamed("pid", "__pid")
+    tot = partials.agg(F.sum("n_p").alias("__total_w")).filter(
+        F.col("__total_w") > 0
+    )
+    # ceil(num·W/den) for positive operands, in-plan integer math
+    target = F.expr(f"({num} * __total_w + {den} - 1) div {den}")
+    return (
+        cum.join(F.broadcast(off), "__pid")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__offset") + F.col("__cumw"))
+            >= F.greatest(F.lit(1), target)
+        )
+        .orderBy(*order_cols)
+        .limit(1)
+        .select("__total_w", *order_cols)
+    )
+
+
 def weighted_order_statistic(
     df: DataFrame,
     order_cols: Sequence[str],
