@@ -1219,12 +1219,16 @@ def orders_value_psi_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = cnts.filter(F.col("yr") == base_yr).select(
         "bin", F.col("cnt").alias("bcnt")
     )
-    nb = base.count()  # one scalar: the base-period row count
+    # base-period total rides a broadcast 1-row frame off the already-
+    # materialized bin counts — the previous base.count() re-scanned
+    # the base year as its own driver job (optimization r14)
+    nb0 = b0.agg(F.sum("bcnt").cast("double").alias("nb"))
     p = F.col("cnt").cast("double") / F.col("n_yr")
-    q = F.col("bcnt").cast("double") / F.lit(nb)
+    q = F.col("bcnt").cast("double") / F.col("nb")
     terms = (
         cnts.join(yt, "yr")
         .join(F.broadcast(b0), "bin")
+        .crossJoin(F.broadcast(nb0))
         .select("yr", "n_yr", ((p - q) * F.log(p / q)).alias("t"))
     )
     return terms.groupBy("yr").agg(
