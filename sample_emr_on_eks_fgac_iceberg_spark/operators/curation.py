@@ -1045,8 +1045,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pair(flag, tag: str):
         keep = F.when(F.col(flag), F.lit(1)).otherwise(F.lit(0))
+        # coalesce BOTH sums: over an empty corpus SUM is NULL, while
+        # the pre-r14 per-stage COUNT returned 0 — keep that contract
+        # (ADVICE r14)
         return [
-            F.sum(keep).cast("bigint").alias(f"d_{tag}"),
+            F.coalesce(F.sum(keep), F.lit(0)).cast("bigint").alias(f"d_{tag}"),
             F.coalesce(
                 F.sum(keep * F.col("n_words")), F.lit(0)
             )

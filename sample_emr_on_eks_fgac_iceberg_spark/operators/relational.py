@@ -3254,24 +3254,34 @@ def lineitem_weighted_median_price(
 
     Plan shape at 100 TB — skew.weighted_order_statistic_frame,
     fully IN-PLAN (optimization r14: the previous driver variant paid
-    two synchronous collects inside the timed region): ONE
-    repartitionByRange + per-partition sort + per-partition cumulative
-    window (never global); per-partition weight sums fold via the
-    K-row offsets theta join; the crossing row is a
-    TakeOrderedAndProject over the filtered candidates."""
+    two synchronous collects inside the timed region; reshaped r15
+    after the −21% sf0.1 regression VERDICT r14 flagged): the quantile
+    runs over the CENTS-AGGREGATED frame, not raw rows — the output
+    exposes only the crossing row's cents, and the first cents value
+    whose aggregated running weight reaches the target is exactly the
+    crossing row's cents under any tie-break order (rows of one cents
+    value are contiguous in the total order), so one map-side-partial
+    hash agg shrinks the range shuffle to ≤|price domain| rows of
+    (cents, w) — no orderkey/linenumber riding the exchange (guide
+    §2.3). Then ONE repartitionByRange + per-partition cumulative
+    window (never global); the offsets AND total fold in one K-row
+    subtree; the crossing row is a TakeOrderedAndProject."""
     from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
         weighted_order_statistic_frame,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("w").alias("w"))
     )
-    return weighted_order_statistic_frame(
-        li, ["cents", "l_orderkey", "l_linenumber"], "w", 1, 2
-    ).select(
+    return weighted_order_statistic_frame(li, ["cents"], "w", 1, 2).select(
         F.col("__total_w").cast("bigint").alias("total_weight"),
         F.col("cents").cast("bigint").alias("median_price_cents"),
     )
@@ -4301,11 +4311,29 @@ def lineitem_price_index_laspeyres(
         )
     )
     j = unit.join(base, "l_partkey")
+
+    # Loud overflow fence on the bigint per-row products (VERDICT r14
+    # "what's wrong #6"): the bigint-codegen fast path rests on the
+    # documented lines-per-part input bound, which is a DATA property,
+    # not an engine invariant — if an input ever breaks it, fail the
+    # query instead of wrapping silently (non-ANSI bigint multiply
+    # wraps). Two integer compares + one division per catalog-sized
+    # row, all inside codegen; never fires on bound-respecting data.
+    def _checked_mul(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN {b} != 0 AND abs({a}) > "
+            f"9223372036854775807 div abs({b}) THEN "
+            f"CAST(raise_error('lineitem_price_index_laspeyres: "
+            f"{a}*{b} overflows BIGINT — input violates the "
+            f"lines-per-part bound this plan assumes') AS BIGINT) "
+            f"ELSE {a} * {b} END"
+        )
+
     return j.groupBy("yr").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
         F.expr(
-            "CAST((SUM(CAST(millicents * q0 AS DECIMAL(38,0))) * 1000000)"
-            " div SUM(CAST(p0 * q0 AS DECIMAL(38,0))) AS BIGINT)"
+            f"CAST((SUM(CAST({_checked_mul('millicents', 'q0')} AS DECIMAL(38,0))) * 1000000)"
+            f" div SUM(CAST({_checked_mul('p0', 'q0')} AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("laspeyres_ppm"),
     )
 
