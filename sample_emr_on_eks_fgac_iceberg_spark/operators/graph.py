@@ -137,46 +137,43 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_side = F.broadcast
     else:
         rank_side = lambda df: df  # noqa: E731 — shuffle hash join on src
+        # one-time src partitioning: every iteration's join reuses it,
+        # so only the (small) rank side shuffles per step
+        edges = materialize_once(edges.repartition("src"))
     # empty graph: deg has no rows — short-circuit before the integer
     # divisions (the lazy Spark-side formulation returned empty too)
     n_div = max(n_nodes, 1)
     teleport = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_div)
-    # deg is ITERATION-INVARIANT, so attach the destination's degree to
-    # the edge table ONCE (optimization r15): each iteration is then a
-    # single rank-side join + a single dst-keyed partial-agg shuffle
-    # with deg riding along as a functionally-dependent group key (one
-    # extra bigint per distinct dst per map partition). The r14 shape
-    # re-joined deg against contrib EVERY iteration (a second |V|-row
-    # join per step — measured −15% at sf0.1 despite the SMJ→BHJ plan
-    # improvement, VERDICT r14); this removes that join entirely
-    # instead of picking a better strategy for it.
-    edges_d = edges.join(
-        rank_side(deg.select(F.col("node").alias("dst"), "deg")), "dst"
-    )
-    if n_nodes > broadcast_max:
-        # one-time src partitioning: every iteration's join reuses it,
-        # so only the (small) rank side shuffles per step
-        edges_d = edges_d.repartition("src")
-    edges_d = materialize_once(edges_d)
     ranks = deg.select(
         "node", "deg", F.lit(_PR_SCALE // n_div).cast("bigint").alias("r")
     )
     for _ in range(_PR_ITERS):
-        ranks = (
-            edges_d.join(
+        contrib = (
+            edges.join(
                 rank_side(ranks.select("node", F.expr("r div deg").alias("c"))),
                 F.col("src") == F.col("node"),
             )
-            .groupBy(F.col("dst").alias("node"), "deg")
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr(f"({_PR_D_NUM} * s) div {_PR_D_DEN}")
-                ).alias("r"),
-            )
+        )
+        # blend join: contrib comes out of its agg already partitioned
+        # by node; deg rides the SAME broadcast gate as the rank side
+        # (it IS |V| rows), so under the gate the blend is a
+        # BroadcastHashJoin against contrib's existing agg partitioning
+        # (r14). NOTE, measured r15 three-way bench-harness A/B at
+        # sf0.1 AND sf1: this shape ties-or-beats BOTH the r13
+        # SortMergeJoin blend and an r15 prototype that folded deg onto
+        # the edge table once (the prototype materializes the edge list
+        # twice and probes deg per |E| row per iteration — strictly
+        # worse, reverted; see OPTIMIZATION_r15.md). The r14 −15%
+        # in-suite reading did not reproduce under interleaved A/B.
+        ranks = contrib.join(rank_side(deg), "node").select(
+            "node",
+            "deg",
+            (
+                F.lit(teleport).cast("bigint")
+                + F.expr(f"({_PR_D_NUM} * s) div {_PR_D_DEN}")
+            ).alias("r"),
         )
     return ranks.select(
         F.when(

