@@ -10,6 +10,23 @@ from sample_emr_on_eks_fgac_iceberg_spark.session import build_session
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default-skip the @pytest.mark.slow tier (long randomized /
+    property / whole-registry sweeps, ~450 s) so the plain
+    `pytest tests/` run fits the driver's verify budget (VERDICT r14
+    item 2). Opt back in with SPARK_GRAFT_SLOW_TESTS=1 or -m slow."""
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS"):
+        return
+    if config.getoption("-m"):
+        return  # an explicit marker expression takes over
+    skip = pytest.mark.skip(
+        reason="slow tier (set SPARK_GRAFT_SLOW_TESTS=1 or -m slow)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = build_session(app_name="fgac-engine-tests", shuffle_partitions=8)

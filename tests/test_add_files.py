@@ -23,6 +23,7 @@ def _write_src(spark, path, rows, schema, partition_by=None):
     w.parquet(str(path))
 
 
+@pytest.mark.slow
 def test_add_files_registers_without_rewrite(wh, spark, tmp_path):
     src = tmp_path / "src"
     _write_src(spark, src, [(1, "a"), (2, "b")], "k bigint, v string")

@@ -170,6 +170,7 @@ def test_changelog_tail_cdc_never_raises_rewrite_error(wh):
     assert {r._change_type for r in df.collect()} == {"insert", "delete"}
 
 
+@pytest.mark.slow
 def test_cdc_replication_loop_replica_converges(wh, spark, tmp_path):
     """The full round-trip: upsert producer (merge-on-read MERGE) →
     ChangelogTail(mode='cdc') → apply_changelog onto a replica — after
@@ -352,6 +353,7 @@ def test_incremental_agg_maintenance_equals_rescan(wh, spark):
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
 
 
+@pytest.mark.slow
 def test_streaming_rollup_maintenance_loop(wh, spark, tmp_path):
     """ChangelogTail(mode='cdc') + maintain_rollup: a stored per-group
     rollup stays equal to a direct rescan across upserts, deletes, and

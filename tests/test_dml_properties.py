@@ -85,6 +85,7 @@ def _model_rows(model):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=1, max_size=5))
+@pytest.mark.slow
 def test_dml_sequences_match_model(wh, ops):
     name = f"t{next(_seq)}"
     wh.create_table(name, "k int, v int")

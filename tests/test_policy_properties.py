@@ -267,6 +267,7 @@ def write_statements(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_write_sources_authorized_iff_all_granted(write_engine, case):
     from sample_emr_on_eks_fgac_iceberg_spark.policy import (
         AccessDeniedException as ADE,

@@ -225,6 +225,7 @@ _OPS = ["grant_reader", "revoke_reader", "create", "drop", "read"]
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_view_grant_state_machine(engine, ops):
     """Invariant under ARBITRARY interleavings of grant/revoke/create/
     drop: a read through the view succeeds iff the view exists AND the

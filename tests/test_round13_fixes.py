@@ -419,6 +419,7 @@ def test_entry_exit_matrix_reconciles_with_sessionization(spark):
     assert 1_000_000 - len(matrix) <= s <= 1_000_000
 
 
+@pytest.mark.slow
 def test_stream_upsert_state_is_last_version_per_key(spark):
     from sample_emr_on_eks_fgac_iceberg_spark.operators import QUERIES
 

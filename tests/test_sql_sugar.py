@@ -270,6 +270,7 @@ def test_fetch_with_ties_refuses_offset():
         )
 
 
+@pytest.mark.slow
 def test_fetch_with_ties_randomized_matches_rank(spark):
     """Seeded randomized equivalence: WITH TIES over heavy-tie data ≡
     rank() <= n (DuckDB computes the rank spelling natively)."""
@@ -385,6 +386,7 @@ def test_fetch_with_ties_null_keys_match_rank(spark, tmp_path):
     assert sorted(r["id"] for r in got) == [1, 2]
 
 
+@pytest.mark.slow
 def test_fetch_with_ties_randomized_with_nulls_matches_rank(spark):
     """Seeded randomized equivalence INCLUDING NULL keys: WITH TIES ≡
     rank() OVER (ORDER BY key [DESC] NULLS LAST) <= n — the contract

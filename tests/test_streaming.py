@@ -126,6 +126,7 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     assert multi > 0
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
     """Late-data semantics: an event older than (max event time seen -
     watermark) arriving in a later micro-batch must NOT reopen its

@@ -56,6 +56,7 @@ def _avg_area(extents):
     return sum(e["a"] * e["b"] for e in extents) / len(extents)
 
 
+@pytest.mark.slow
 def test_zorder_clusters_tighter_than_binpack(wh):
     rows = _load_grid(wh, "tz")
     _load_grid(wh, "tb")
@@ -80,6 +81,7 @@ def test_zorder_clusters_tighter_than_binpack(wh):
     assert len(wh.read_table("tz", snapshot_id=1).collect()) == len(rows) // 4
 
 
+@pytest.mark.slow
 def test_zorder_bounds_nonleading_column_for_pruning(wh):
     _load_grid(wh, "tz")
     _load_grid(wh, "tb")
