@@ -802,15 +802,38 @@ def connected_components(
         )
     )
 
+    # Label-side join strategy (optimization r15, the pagerank gate
+    # pattern): the label frame is one row per EDGE-TOUCHED doc — far
+    # smaller than the corpus in a near-dup graph. While it fits
+    # ``spark_graft.cc.broadcast_max_labels`` (default 1M ≈ 16 MB of
+    # (id, comp) pairs), each round's proposals join broadcasts the
+    # labels into a map-side probe of the checkpointed edge list —
+    # zero per-round shuffle of sym AND lbl (the localCheckpoint hides
+    # sym's partitioning from Catalyst, so pre-partitioning it can
+    # never help — every non-broadcast round re-exchanges BOTH sides).
+    # Above the gate the shuffle join returns unchanged. |labels| rides
+    # the same collect as the convergence seed — no extra action.
+    spark = edges.sparkSession
+    seed_row = labels.agg(
+        F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]  # scale-ok: 1-row SUM+COUNT convergence/gate scalar
+    prev_sum, n_labels = seed_row["s"], seed_row["n"]
+    lbl_max = int(
+        spark.conf.get("spark_graft.cc.broadcast_max_labels", "1000000")
+    )
+    lbl_side = F.broadcast if n_labels <= lbl_max else (lambda df: df)
+
     def step(lbl: DataFrame) -> DataFrame:
         # neighbor-min: each edge proposes its source's label to its dst
-        proposals = sym.join(lbl, sym.src == lbl.id).select(
+        proposals = sym.join(lbl_side(lbl), sym.src == lbl.id).select(
             F.col("dst").alias("id"), "comp"
         )
         new = (
             lbl.unionByName(proposals).groupBy("id").agg(F.min("comp").alias("comp"))
         )
-        # pointer jumping: comp <- comp[comp] (path halving)
+        # pointer jumping: comp <- comp[comp] (path halving); both
+        # sides of the self-join share the one agg exchange (reuse) —
+        # broadcasting here would force the agg to build twice
         jump = new.selectExpr("id AS jid", "comp AS jcomp")
         return materialize_once(
             new.join(jump, new.comp == jump.jid, "left").select(
@@ -828,8 +851,8 @@ def connected_components(
     # Seeding the comparison with the seed frame's own sum lets the
     # loop converge in a single verified step on the common shapes
     # (pairs, min-centered stars) where the neighbor-min seed IS the
-    # fixpoint — the agg is one job over the already-needed cached seed.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]  # scale-ok: 1-row SUM convergence scalar
+    # fixpoint — the agg is one job over the already-needed cached
+    # seed (prev_sum computed above, fused with the gate count).
     converged = False
     for _ in range(max_rounds):
         labels = step(labels)
@@ -1534,9 +1557,19 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: everything after the CC labels is keyed on
     component_id — one hash agg to sizes (≤ |components| rows), one
     ≤ max-size-group histogram rollup. The labeling itself is the
-    audited pointer-jumping plan."""
-    cc = dedup_connected_components(spark, sf_dir)
-    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
+    audited pointer-jumping plan. Composes the RAW label frame, not
+    dedup_connected_components' output (optimization r15): that
+    query's per-doc component_size window is recomputed here by the
+    sizes aggregate anyway, so riding it paid a full corpus-keyed
+    window shuffle for a column this rollup throws away."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        edges, d.select(F.col("doc_id").alias("id"))
+    )
+    sizes = labels.groupBy(F.col("comp").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
     return sizes.groupBy(
         F.col("sz").cast("bigint").alias("component_size")
     ).agg(
