@@ -479,9 +479,12 @@ def test_dataset_card_single_pass_no_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_interval_overlap_join_is_binned_not_nested_loop(spark, sf_dir):
-    # the θ-join must execute as an equi-join on the time bin — never a
-    # BroadcastNestedLoopJoin/CartesianProduct over session pairs
+def test_interval_overlap_is_complement_counted_not_nested_loop(spark, sf_dir):
+    # the concurrency count must run as complement-counted ranks
+    # (optimization r15) — never a BroadcastNestedLoopJoin /
+    # CartesianProduct over session pairs, and never a pair
+    # materialization at all: the only joins are the K-row offsets
+    # broadcast and the final counts attach
     plan = explain_str(QUERIES["sessions_overlap_concurrency"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
