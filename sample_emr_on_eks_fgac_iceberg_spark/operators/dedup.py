@@ -1311,6 +1311,14 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shingles").alias("n"),
             F.explode("shingles").alias("s"),
         )
+        # 8-byte join key for the exact-intersection side (optimization
+        # r15) — the signature mins still hash the STRING (md5 is the
+        # registered cross-engine contract), but the (pair, shingle)
+        # equi-join ships xxhash64 instead of ~25-byte strings, the
+        # same documented trade as dedup_ngram_jaccard's candidate join
+        # (a 64-bit collision needs two distinct same-corpus trigrams
+        # at ~n²/2⁶⁵ before one pair's intersection moves by one)
+        .withColumn("h", F.xxhash64("s"))
     )
     ex = materialize_once(ex)
     sig_cols = [
@@ -1356,11 +1364,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = cand.join(sa, "a_id").join(sb, "b_id").select(
         "a_id", "b_id", m.alias("m")
     )
-    ea = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "s")
-    eb = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "s")
+    ea = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "h")
+    eb = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "h")
     exact = (
         cand.join(ea, "a_id")
-        .join(eb, ["b_id", "s"])
+        .join(eb, ["b_id", "h"])
         .groupBy("a_id", "b_id")
         .agg(
             F.count(F.lit(1)).alias("inter"),
