@@ -81,6 +81,7 @@ def test_add_files_preserves_partition_dirs(wh, spark, tmp_path):
     assert got == [(1, "us"), (2, "eu")]
 
 
+@pytest.mark.slow
 def test_snapshot_table_and_sql_procedures(spark, tmp_path):
     from sample_emr_on_eks_fgac_iceberg_spark.engine import FgacEngine
 

@@ -433,6 +433,7 @@ def test_streaming_rollup_maintenance_loop(wh, spark, tmp_path):
     assert stored() == rescan() == [("a", 2, 40)]
 
 
+@pytest.mark.slow
 def test_apply_changelog_compute_updates_frame_post_image_wins(wh, spark):
     """ADVICE r9: a compute_updates frame (update_before/update_after)
     applied through apply_changelog must land the POST-image —

@@ -295,6 +295,7 @@ def test_equality_delete_stream_scan_cost_stays_scoped(wh):
     assert _rows(wh.read_table("t")) == [(4, "v4", 1), (5, "v5", 1), (10, "x", 2)]
 
 
+@pytest.mark.slow
 def test_rewrite_drops_dangling_equality_deletes(wh):
     """A CoW UPDATE rewrites every data file the equality deletes
     reference (the rewritten copies carry a higher sequence, so the old
@@ -480,6 +481,7 @@ def test_expire_snapshots_prunes_old_claims(wh):
 
 
 # --------------------------- randomized writer interleaving (round 10)
+@pytest.mark.slow
 def test_randomized_interleaved_writers_converge(wh, spark, tmp_path):
     """Property: a seeded random interleaving of append / MoR-delete /
     maintenance operations from TWO Warehouse instances (same table)

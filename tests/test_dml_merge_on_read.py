@@ -295,6 +295,7 @@ def test_mor_update_composes_and_time_travels(wh, spark):
     assert via_spec == got
 
 
+@pytest.mark.slow
 def test_mor_merge_upsert_delete_and_cardinality(wh, spark):
     """write.merge.mode=merge-on-read: matched rows become a
     positional delete + appended replacements, NOT MATCHED inserts

@@ -65,6 +65,7 @@ def test_asof_null_ts_right_row_never_carried(spark):
     assert len(rows) == 1 and rows[0]["rv"] is None
 
 
+@pytest.mark.slow
 def test_asof_null_ts_probe_never_matches_all_ops(spark):
     # a NULL-ts probe matches nothing under every op — in particular
     # the forward ops, whose DESC order sorts NULLs LAST where the

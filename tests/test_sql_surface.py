@@ -482,6 +482,7 @@ def _brute_asof(left, right, op, how):
     op=st.sampled_from([">=", ">", "<=", "<"]),
     how=st.sampled_from(["inner", "left"]),
 )
+@pytest.mark.slow
 def test_asof_frames_matches_brute_reference(spark, left, right, op, how):
     ldf = spark.createDataFrame(
         left or [(99, 99, 99)], "k int, ts int, lv int"

@@ -100,6 +100,7 @@ def test_zorder_unknown_column_raises(wh):
         wh.compact_table("tz", zorder_by=["nope"])
 
 
+@pytest.mark.slow
 def test_optimize_sql_statement(wh):
     """OPTIMIZE through the SQL frontend: bin-pack and z-order spellings."""
     from sample_emr_on_eks_fgac_iceberg_spark.sql_frontend import SqlFrontend
